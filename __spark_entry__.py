@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2;
+`oracle_sql()` gives the DuckDB-equivalent ANSI SQL the driver hash-compares
+against at sf=0.01.
+
+Determinism policy (why the SQL looks the way it does): the driver compares
+order-insensitive value hashes, so every float the queries emit must be
+bit-identical between Spark and DuckDB.  All measure columns in the fixtures
+are 2-decimal; aggregating ``round(col * 100)`` keeps every partial sum an
+integer-valued double (exact in IEEE754 far below 2^53), making
+sum/avg/stddev-free pipelines deterministic regardless of summation order.
+Rank/count outputs are cast to match DuckDB's wider integer types.
 """
 
 from __future__ import annotations
@@ -13,26 +19,279 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tidier_spark import days, months, mutate
+from tidier_spark.sources import read_table
+
+import math
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference README's headline example (`/root/reference/README.md:25-54`):
+    per-group mean over the trailing 7 days excluding the current row, on an
+    irregular time index.
+    """
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    return mutate(
+        events,
+        avg_value_7d="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(days(7), days(-1)),
+    ).select("event_id", "user_id", "avg_value_7d")
+
+
+# --- core operator queries (SURVEY.md §2.1 O1-O9) --------------------------
+
+
+def _q_o1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return mutate(
+        li,
+        revenue="round(l_extendedprice * (1 - l_discount), 4)",
+        taxed="round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)",
+    ).select("l_orderkey", "l_linenumber", "revenue", "taxed")
+
+
+def _q_o2_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return mutate(
+        li,
+        cum_qty="cumsum(l_quantity)",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+    ).select("l_orderkey", "l_linenumber", "cum_qty")
+
+
+def _q_o2_desc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        mutate(
+            o,
+            rk="row_number()",
+            by="o_custkey",
+            order_by=["o_totalprice", "o_orderdate", "o_orderkey"],
+            desc=[True, False, False],
+        )
+        .selectExpr("o_orderkey", "CAST(rk AS BIGINT) AS rk")
+    )
+
+
+def _q_o3_group_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return mutate(
+        o,
+        avg_cust="avg(round(o_totalprice * 100)) / 100",
+        n_orders="count(*)",
+        by="o_custkey",
+    ).select("o_orderkey", "avg_cust", "n_orders")
+
+
+def _q_o4_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg7="avg(round(value * 100)) / 100",
+        order_by=["ts", "event_id"],
+        frame=(3, 3),
+    ).select("event_id", "avg7")
+
+
+def _q_o4_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg7="avg(round(value * 100)) / 100",
+        order_by=["ts", "event_id"],
+        frame=(3, 3),
+        complete=True,
+    ).select("event_id", "avg7")
+
+
+def _q_o5_range_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_7d="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(days(7), days(-1)),
+    ).select("event_id", "avg_7d")
+
+
+def _q_o6_grouped_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return mutate(
+        li,
+        run_avg_qty="round(avg(l_quantity), 6)",
+        span="max(l_quantity) - min(l_quantity)",
+        by="l_suppkey",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        frame=(5, 0),
+    ).select("l_orderkey", "l_linenumber", "run_avg_qty", "span")
+
+
+def _q_o7_calendar_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_m="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(months(1), days(0)),
+    ).select("event_id", "avg_m")
+
+
+def _q_o8_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        value="avg(round(value * 100)) / 100",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(3, 0),
+    ).select("event_id", "value")
+
+
+def _q_o9_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's lazy-SQL path (R/mutate.R:293-351): the same window
+    # semantics expressed as a SQL string, executed by Catalyst directly.
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("__o9_events")
+    return spark.sql(
+        """SELECT event_id,
+                  sum(round(value * 100)) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
+                    AS cum_value
+           FROM __o9_events"""
+    )
+
+
+def _q_inf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return mutate(
+        li,
+        run_avg="round(avg(l_quantity), 6)",
+        by="l_suppkey",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        frame=(math.inf, 0),
+    ).select("l_orderkey", "l_linenumber", "run_avg")
+
+
+def _q_compound_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        span="max(value) - min(value)",
+        nd="n_distinct(event_type)",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(10, 0),
+    ).selectExpr("event_id", "span", "CAST(nd AS BIGINT) AS nd")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "o1_project": _q_o1_project,
+        "o2_cumsum": _q_o2_cumsum,
+        "o2_desc_rank": _q_o2_desc_rank,
+        "o3_group_broadcast": _q_o3_group_broadcast,
+        "o4_rows_frame": _q_o4_rows_frame,
+        "o4_complete": _q_o4_complete,
+        "o5_range_flagship": _q_o5_range_flagship,
+        "o6_grouped_rows": _q_o6_grouped_rows,
+        "o7_calendar_frame": _q_o7_calendar_frame,
+        "o8_overwrite": _q_o8_overwrite,
+        "o9_sql_window": _q_o9_sql_window,
+        "inf_frame": _q_inf_frame,
+        "compound_expr": _q_compound_expr,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "o1_project": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+                   round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS taxed
+            FROM lineitem""",
+        "o2_cumsum": """
+            SELECT l_orderkey, l_linenumber,
+                   sum(l_quantity) OVER (
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
+            FROM lineitem""",
+        "o2_desc_rank": """
+            SELECT o_orderkey,
+                   row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderdate, o_orderkey) AS rk
+            FROM orders""",
+        "o3_group_broadcast": """
+            SELECT o_orderkey,
+                   avg(round(o_totalprice * 100)) OVER w / 100 AS avg_cust,
+                   count(*) OVER w AS n_orders
+            FROM orders WINDOW w AS (PARTITION BY o_custkey)""",
+        "o4_rows_frame": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 100 AS avg7
+            FROM events""",
+        "o4_complete": """
+            SELECT event_id,
+                   CASE WHEN count(*) OVER w = 7
+                        THEN avg(round(value * 100)) OVER w / 100 END AS avg7
+            FROM events
+            WINDOW w AS (ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
+        "o5_range_flagship": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                               AND INTERVAL 1 DAY  PRECEDING) / 100 AS avg_7d
+            FROM events""",
+        "o6_grouped_rows": """
+            SELECT l_orderkey, l_linenumber,
+                   round(avg(l_quantity) OVER w, 6) AS run_avg_qty,
+                   max(l_quantity) OVER w - min(l_quantity) OVER w AS span
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""",
+        "o7_calendar_frame": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW
+                   ) / 100 AS avg_m
+            FROM events""",
+        "o8_overwrite": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100 AS value
+            FROM events""",
+        "o9_sql_window": """
+            SELECT event_id,
+                   sum(round(value * 100)) OVER (
+                     PARTITION BY user_id, event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100
+                     AS cum_value
+            FROM events""",
+        "inf_frame": """
+            SELECT l_orderkey, l_linenumber,
+                   round(avg(l_quantity) OVER (
+                     PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
+            FROM lineitem""",
+        "compound_expr": """
+            SELECT event_id,
+                   max(value) OVER w - min(value) OVER w AS span,
+                   count(DISTINCT event_type) OVER w AS nd
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+    }

@@ -1,0 +1,27 @@
+"""tidier_spark — PySpark-native engine with talegari/tidier's capabilities.
+
+The reference is an R package providing "Apache Spark style window
+aggregation ... via mutate in dplyr flavour" (`/root/reference/DESCRIPTION:9`)
+— this package re-expresses those semantics on the API tidier imitated
+(`pyspark.sql.Window`), plus the large-scale data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns) a 100 TB
+training-data deployment needs.  See SURVEY.md for the full blueprint.
+"""
+
+from .frames import Period, days, hours, minutes, months, seconds, weeks, years
+from .mutate import mutate, mutate_
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "mutate",
+    "mutate_",
+    "Period",
+    "seconds",
+    "minutes",
+    "hours",
+    "days",
+    "weeks",
+    "months",
+    "years",
+]

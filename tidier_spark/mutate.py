@@ -1,0 +1,338 @@
+"""The `mutate` verb — tidier's entire public surface, Spark-first.
+
+Reference contract (talegari/tidier): ``mutate(x, ..., .by, .order_by,
+.frame, .index, .complete)`` (`/root/reference/R/mutate.R:474-481`) and the
+standard-eval twin ``mutate_`` with ``.desc`` (`R/mutate.R:120-128`).  Each
+call dispatches into one of nine dataflow operators O1-O9 (SURVEY.md §2.1)
+depending on which of by/frame/index are present; this module performs the
+same dispatch but lowers every path to declarative Spark constructs so
+Catalyst owns the physical plan:
+
+* O1  plain projection            → ``withColumn`` (no shuffle)
+* O2  ordering + per-key desc     → property of the WindowSpec
+* O3  group-broadcast aggregate   → ``agg.over(Window.partitionBy(by))``
+* O4/O6 rows frames               → ``rowsBetween``
+* O5/O7 range/interval frames     → ``rangeBetween`` on epoch-cast index,
+                                    or SQL ``RANGE BETWEEN INTERVAL`` (Tier B)
+* O8  same-name replacement       → ``withColumn`` semantics (free)
+* O9  SQL window translation      → Catalyst *is* the remote engine
+
+Differences from the reference, decided deliberately (SURVEY.md §7.3):
+
+* Spark DataFrames are unordered bags — order-sensitive computations
+  (cumulatives, rows frames) *require* ``order_by`` and raise otherwise;
+  the reference silently depends on incoming physical order.
+* The reference's ``mutate_`` restores input row order (`R/mutate.R:291`)
+  while ``mutate`` leaves data sorted (`:561` captures but never restores).
+  Here neither sorts the output; pass ``restore_order=True`` to tag rows
+  with ``monotonically_increasing_id`` and re-sort at the end (a global
+  sort — avoid on 100 TB paths).
+
+Expression language: Spark SQL strings (or Columns).  dplyr-flavoured
+spellings are translated: ``mean(`` → ``avg(``, ``n()`` → ``count(*)``, and
+top-level ``cumsum/cummean/cummax/cummin/cumcount`` rewrite to running
+aggregates over ``(unboundedPreceding, currentRow)`` exactly as the
+reference evaluates them post-sort (`tests_tidier.R:17,26,55`).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .expressions import windowize
+from .frames import FrameSpec, parse_frame
+from .window import WindowPlan, compile_window
+
+__all__ = ["mutate", "mutate_"]
+
+_ORDER_TOKEN = "__tidier_row_order__"
+
+# dplyr spelling → Spark SQL spelling (string exprs only).
+_FN_TRANSLATE = [
+    (re.compile(r"\bmean\s*\("), "avg("),
+    (re.compile(r"\bn\s*\(\s*\)"), "count(*)"),
+    (re.compile(r"\bn_distinct\s*\("), "count(DISTINCT "),
+]
+
+_CUM_RE = re.compile(
+    r"^\s*cum(sum|mean|max|min|count)\s*\((.*)\)\s*$", re.DOTALL
+)
+_CUM_MAP = {"sum": "sum", "mean": "avg", "max": "max", "min": "min", "count": "count"}
+
+_RANKING_RE = re.compile(
+    r"^\s*(row_number|rank|dense_rank|percent_rank|cume_dist|ntile|lag|lead|"
+    r"nth_value|first_value|last_value)\s*\(",
+)
+
+
+def _translate(expr: str) -> str:
+    for pat, repl in _FN_TRANSLATE:
+        expr = pat.sub(repl, expr)
+    return expr
+
+
+def _normalize_keys(keys: object) -> list[object]:
+    if keys is None:
+        return []
+    if isinstance(keys, (str, Column)):
+        return [keys]
+    return list(keys)
+
+
+def _complete_guard(
+    df: DataFrame, plan: WindowPlan, frame: FrameSpec, value: Column
+) -> Column:
+    """``complete=True``: null out partial windows (`R/mutate.R:58-62`).
+
+    Rows frames: full ⇔ ``count(*) over frame == before+after+1`` (only
+    finite bounds constrain).  Range frames: full ⇔ the value interval
+    ``[key+lo, key+hi]`` lies inside the partition's index range — the
+    slider ``slide_index(.complete=TRUE)`` rule.
+    """
+    if plan.is_sql:
+        raise NotImplementedError(
+            "complete=True is not supported with calendar-interval frames"
+        )
+    if plan.row_frame:
+        lo, hi = frame.row_bounds()
+        # Unbounded sides never make a window partial.
+        if lo < -(2**31) or hi > 2**31:
+            width = None
+        else:
+            width = hi - lo + 1
+        if width is None:
+            return value
+        return F.when(plan.count_guard() == width, value)
+    # Range frame: compare against the partition-wide index extent.
+    from pyspark.sql import Window
+
+    key = plan.order_cols[0]
+    part = Window.partitionBy(*plan.partition_cols)
+    kmin, kmax = F.min(key).over(part), F.max(key).over(part)
+    lo, hi = frame.range_bounds(_unit_of(plan))
+    cond = F.lit(True)
+    if lo > -(2**62):
+        cond = cond & (key + F.lit(lo) >= kmin)
+    if hi < 2**62:
+        cond = cond & (key + F.lit(hi) <= kmax)
+    return F.when(cond, value)
+
+
+def _unit_of(plan: WindowPlan) -> str:
+    # compile_window stored the epoch-cast key; infer its unit from the
+    # expression string (CAST...AS BIGINT → seconds, datediff → days).
+    s = str(plan.order_cols[0]).lower()
+    if "datediff" in s:
+        return "days"
+    if "unix_micros" in s:
+        return "micros"
+    return "native"
+
+
+def mutate(
+    df: DataFrame,
+    _exprs: dict[str, object] | None = None,
+    *,
+    by: object = None,
+    order_by: object = None,
+    frame: object = None,
+    index: str | None = None,
+    desc: bool | list[bool] = False,
+    complete: bool = False,
+    restore_order: bool = False,
+    **kw_exprs: object,
+) -> DataFrame:
+    """Spark-style window mutate (the reference's single verb).
+
+    Parameters mirror `R/mutate.R:474-481` / `:120-128`:
+
+    df        : input DataFrame.
+    _exprs    : ordered ``{new_col: expr}`` mapping; exprs are Spark SQL
+                strings or Columns.  Later exprs may reference earlier
+                outputs (dplyr sequential-mutate semantics).  Same-name
+                outputs replace input columns (O8, `R/mutate.R:748-766`).
+    by        : grouping key name(s)/Column(s) → ``PARTITION BY``.
+    order_by  : ordering key name(s)/Column(s); required for cumulatives,
+                ranking functions, and rows frames.
+    frame     : ``(before, after)`` — ints / ``math.inf`` / Periods
+                (`README.md:36-38` sign convention: counted backward,
+                forward; negative `after` excludes current row).
+    index     : column whose *values* define range frames (O5/O7); must be
+                date/timestamp/numeric.
+    desc      : bool or per-key list, parallel to ``order_by``
+                (`R/mutate.R:148-150`).
+    complete  : only evaluate full windows; partial windows yield NULL
+                (`R/mutate.R:58-62`).
+    restore_order : re-sort output to input order (global sort; see module
+                docstring).
+    kw_exprs  : exprs as keyword args (``avg_x="avg(x)"``).
+    """
+    exprs: dict[str, object] = {}
+    if _exprs:
+        exprs.update(_exprs)
+    exprs.update(kw_exprs)
+    if not exprs:
+        return df
+
+    by_l = _normalize_keys(by)
+    order_l = _normalize_keys(order_by)
+    frame_spec = parse_frame(frame) if frame is not None else None
+    if complete and frame_spec is None:
+        raise ValueError(".complete requires a .frame")
+
+    out = df
+    if restore_order:
+        out = out.withColumn(_ORDER_TOKEN, F.monotonically_increasing_id())
+
+    for name, expr in exprs.items():
+        out = _apply_one(
+            out,
+            name,
+            expr,
+            by_l=by_l,
+            order_l=order_l,
+            frame_spec=frame_spec,
+            index=index,
+            desc=desc,
+            complete=complete,
+        )
+
+    if restore_order:
+        out = out.orderBy(_ORDER_TOKEN).drop(_ORDER_TOKEN)
+    return out
+
+
+def _apply_one(
+    df: DataFrame,
+    name: str,
+    expr: object,
+    *,
+    by_l: list[object],
+    order_l: list[object],
+    frame_spec: FrameSpec | None,
+    index: str | None,
+    desc: bool | list[bool],
+    complete: bool,
+) -> DataFrame:
+    if isinstance(expr, str):
+        expr = _translate(expr)
+
+    # --- frame present: per-window summarise context (R/mutate.R:204-229) ---
+    if frame_spec is not None:
+        plan = compile_window(
+            df, by=by_l, order_by=order_l, frame=frame_spec, index=index, desc=desc
+        )
+        if isinstance(expr, Column):
+            value = expr.over(plan.spec) if plan.spec is not None else plan.over(expr)
+            if complete:
+                value = _complete_guard(df, plan, frame_spec, value)
+            return df.withColumn(name, value)
+        outer, calls = windowize(expr)
+        if not calls:
+            # summarise context with a frame-independent expression — a
+            # constant per row; evaluate row-wise (dplyr would too).
+            return df.withColumn(name, F.expr(expr))
+        for ph, call in calls:
+            df = df.withColumn(ph, plan.over(call))
+        value = F.expr(outer)
+        if complete:
+            value = _complete_guard(df, plan, frame_spec, value)
+        return df.withColumn(name, value).drop(*[ph for ph, _ in calls])
+
+    if isinstance(expr, Column):
+        # Columns with no frame are row-wise; users apply .over themselves
+        # for exotic cases.
+        return df.withColumn(name, expr)
+
+    # --- cumulative rewrites (tests_tidier.R:17,26,55) ---
+    m = _CUM_RE.match(expr)
+    if m and _balanced(m.group(2)):
+        fn, inner = _CUM_MAP[m.group(1)], m.group(2)
+        if not order_l:
+            raise ValueError(
+                f"{name}: cumulative expressions require order_by "
+                "(Spark has no physical row order)"
+            )
+        plan = compile_window(
+            df,
+            by=by_l,
+            order_by=order_l,
+            frame=parse_frame((math.inf, 0)),
+            desc=desc,
+        )
+        return df.withColumn(name, plan.over(f"{fn}({inner})"))
+
+    # --- ranking / analytic functions need an ordered window ---
+    if _RANKING_RE.match(expr):
+        if not order_l:
+            raise ValueError(f"{name}: {expr!r} requires order_by")
+        plan = compile_window(df, by=by_l, order_by=order_l, desc=desc)
+        return df.withColumn(name, plan.over(expr))
+
+    # --- aggregate w/o frame: group-broadcast (O3, R/mutate.R:236-239) ---
+    outer, calls = windowize(expr)
+    if calls:
+        plan = compile_window(df, by=by_l)
+        for ph, call in calls:
+            df = df.withColumn(ph, plan.over(call))
+        return df.withColumn(name, F.expr(outer)).drop(*[ph for ph, _ in calls])
+
+    # --- plain row-wise projection (O1) ---
+    return df.withColumn(name, F.expr(expr))
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def mutate_(
+    df: DataFrame,
+    _exprs: dict[str, object] | None = None,
+    *,
+    by: object = None,
+    order_by: object = None,
+    frame: object = None,
+    index: str | None = None,
+    desc: bool | list[bool] = False,
+    complete: bool = False,
+    restore_order: bool = False,
+    **kw_exprs: object,
+) -> DataFrame:
+    """Standard-eval twin of :func:`mutate` (`R/mutate.R:120-128`).
+
+    In Python both APIs take strings, so this adds the reference's stricter
+    validation: ``by``/``order_by``/``index`` must be existing column *names*
+    (`R/mutate.R:141-171`), and ``desc`` may be a vector recycled from
+    length 1 (`:177-179`).
+    """
+    cols = set(df.columns)
+    for role, keys in (("by", by), ("order_by", order_by), ("index", index)):
+        for k in _normalize_keys(keys):
+            if not isinstance(k, str):
+                raise TypeError(f".{role} entries must be column-name strings")
+            if k not in cols:
+                raise ValueError(f".{role} column {k!r} not in DataFrame")
+    return mutate(
+        df,
+        _exprs,
+        by=by,
+        order_by=order_by,
+        frame=frame,
+        index=index,
+        desc=desc,
+        complete=complete,
+        restore_order=restore_order,
+        **kw_exprs,
+    )

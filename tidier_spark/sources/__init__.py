@@ -1,0 +1,76 @@
+"""Sources & sinks.
+
+The reference has none (data arrives as in-memory data.frames or
+pre-registered DB tables, `/root/reference/R/mutate.R:465`; SURVEY.md §2.3
+row 1) — so this module is the Spark-native replacement: parquet-backed star
+schema loading with the scan hygiene a 100 TB deployment needs (column
+pruning and predicate pushdown happen automatically because we hand Catalyst
+the parquet scan directly; callers `.select()`/`.filter()` and the
+`PushedFilters`/`ReadSchema` show up in `.explain`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor — join
+# planners should wrap these in F.broadcast().
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+__all__ = ["TABLES", "BROADCAST_TABLES", "read_table", "load_star", "register_views"]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from driver-generated parquet (TESTDATA.md).
+
+    `events.parquet` stores TIMESTAMP(NANOS) which Spark rejects by default
+    (PARQUET_TYPE_ILLEGAL); we read nanos as long and truncate to
+    microsecond timestamps — the same truncation DuckDB applies, so oracle
+    comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_parquet_nanos_ok(spark, path)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer division — float division would lose precision on
+            # epoch-nano magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read_parquet_nanos_ok(spark: SparkSession, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict; lazy scans, nothing materialized."""
+    return {t: read_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` works (O9 path)."""
+    for t, df in load_star(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

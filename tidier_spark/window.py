@@ -1,0 +1,208 @@
+"""Compile (by, order_by, frame, index, desc) into Spark window machinery.
+
+This is the engine core (SURVEY.md §7.1): the reference's lazy backend
+(`/root/reference/R/mutate.R:293-351`) proves tidier's semantics are exactly
+SQL window semantics — `OVER (PARTITION BY .by ORDER BY .order_by ROWS/RANGE
+BETWEEN ...)` — so the compiler's job is to build the right
+:class:`pyspark.sql.WindowSpec` (Tier A) or SQL OVER-clause string (Tier B,
+calendar-interval frames) and let Catalyst pick the physical plan.
+
+Scale notes (100 TB): a window with ``partitionBy`` hash-shuffles once on the
+group keys and sorts within partitions — the same cost profile as the
+reference's nest+`future_map` (`R/mutate.R:278-282`) but distributed by the
+engine. A window *without* ``partitionBy`` funnels all rows through a single
+partition (Spark warns `WindowExec: No Partition Defined`); the API allows it
+for parity with ungrouped tidier calls but callers at scale should always
+pass ``by``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .frames import FrameSpec
+
+__all__ = ["WindowPlan", "compile_window", "quote_ident"]
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote an identifier for SQL fragments."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _as_col(c: object) -> Column:
+    return F.col(c) if isinstance(c, str) else c  # type: ignore[arg-type]
+
+
+@dataclass
+class WindowPlan:
+    """A compiled window: either a native WindowSpec or a SQL OVER clause.
+
+    ``spec``      — Tier A: pass to ``Column.over``.
+    ``sql_over``  — Tier B: f-string OVER clause body; the caller builds
+                    ``F.expr(f"{agg_sql} OVER ({sql_over})")``.
+    ``order_cols``— the effective ordering (for count-guards etc.).
+    """
+
+    spec: WindowSpec | None = None
+    sql_over: str | None = None
+    partition_cols: list[Column] = field(default_factory=list)
+    order_cols: list[Column] = field(default_factory=list)
+    frame: FrameSpec | None = None
+    row_frame: bool = False  # True when frame is ROWS (not RANGE)
+
+    @property
+    def is_sql(self) -> bool:
+        return self.sql_over is not None
+
+    def over(self, agg: Column | str) -> Column:
+        """Apply an aggregate to this window. ``agg`` must be a SQL string
+        for Tier B windows."""
+        if self.is_sql:
+            if not isinstance(agg, str):
+                raise TypeError(
+                    "calendar-interval frames need string expressions "
+                    "(they lower to SQL, SURVEY.md §7.1 Tier B)"
+                )
+            return F.expr(f"{agg} OVER ({self.sql_over})")
+        col = F.expr(agg) if isinstance(agg, str) else agg
+        assert self.spec is not None
+        return col.over(self.spec)
+
+    def count_guard(self) -> Column:
+        """``count(*)`` over the same window — used for ``complete=True``."""
+        return self.over("count(*)") if self.is_sql else F.count(F.lit(1)).over(self.spec)
+
+
+def _index_order_key(df: DataFrame, index: str) -> tuple[Column, str, str]:
+    """Return (order key column, unit, sql_order_expr) for a range index.
+
+    TimestampType → epoch seconds; DateType → epoch days; numeric → native.
+    Epoch math is timezone-independent (same underlying instant both in
+    Spark and in the DuckDB oracle), unlike date_trunc-style bucketing.
+    """
+    dtype = df.schema[index].dataType
+    q = quote_ident(index)
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        # Epoch MICROseconds, not seconds — truncating to seconds would move
+        # rows across frame boundaries relative to the full-precision
+        # timestamps a SQL engine compares (4/1000 rows at sf0.001).
+        return (
+            F.unix_micros(F.col(index)),
+            "micros",
+            f"unix_micros({q})",
+        )
+    if isinstance(dtype, T.DateType):
+        return (
+            F.datediff(F.col(index), F.lit("1970-01-01").cast("date")),
+            "days",
+            f"DATEDIFF({q}, DATE '1970-01-01')",
+        )
+    if isinstance(dtype, T.NumericType):
+        return F.col(index), "native", q
+    raise ValueError(
+        f"index column {index!r} must be date, timestamp, or numeric; "
+        f"got {dtype.simpleString()}"
+    )
+
+
+def compile_window(
+    df: DataFrame,
+    *,
+    by: list[object] | None = None,
+    order_by: list[object] | None = None,
+    frame: FrameSpec | None = None,
+    index: str | None = None,
+    desc: bool | list[bool] = False,
+) -> WindowPlan:
+    """Build the WindowPlan for one (by, order_by, frame, index, desc) combo.
+
+    Dispatch mirrors the reference's operator matrix (SURVEY.md §2.1):
+    O3 (by, no frame) → partition-only window; O4 (rows frame) →
+    ``rowsBetween``; O5/O7 (index frame) → ``rangeBetween`` on the
+    epoch-cast index; calendar Periods → Tier B SQL ``RANGE BETWEEN
+    INTERVAL``.
+    """
+    by = list(by or [])
+    order_by = list(order_by or [])
+
+    # --- ordering with per-key desc (R/mutate.R:148-150, recycled :177-179) ---
+    if isinstance(desc, bool):
+        descs = [desc] * len(order_by)
+    else:
+        descs = list(desc)
+        if len(descs) == 1:
+            descs = descs * len(order_by)
+        if len(descs) != len(order_by):
+            raise ValueError(".desc must be length 1 or match .order_by")
+
+    part_cols = [_as_col(c) for c in by]
+
+    if frame is not None and index is not None:
+        # Range/interval frame over the index values (O5/O7,
+        # R/mutate.R:217-229).  The index defines the frame; order_by keys
+        # are not part of a RANGE window's ordering (SQL allows exactly one
+        # ORDER BY key with a value-based frame).
+        if not isinstance(index, str):
+            raise TypeError(".index must be a column name string")
+        if frame.is_calendar:
+            # Tier B: calendar intervals need SQL RANGE BETWEEN INTERVAL.
+            parts = []
+            if by:
+                names = [c if isinstance(c, str) else None for c in by]
+                if any(n is None for n in names):
+                    raise TypeError("calendar frames need string `by` names")
+                parts.append(
+                    "PARTITION BY " + ", ".join(quote_ident(n) for n in names)  # type: ignore[arg-type]
+                )
+            parts.append(f"ORDER BY {quote_ident(index)}")
+            parts.append(frame.sql_frame_clause())
+            return WindowPlan(
+                sql_over=" ".join(parts),
+                partition_cols=part_cols,
+                order_cols=[F.col(index)],
+                frame=frame,
+            )
+        key, unit, _ = _index_order_key(df, index)
+        lo, hi = frame.range_bounds(unit)
+        spec = Window.partitionBy(*part_cols).orderBy(key).rangeBetween(lo, hi)
+        return WindowPlan(
+            spec=spec, partition_cols=part_cols, order_cols=[key], frame=frame
+        )
+
+    order_cols = [
+        _as_col(c).desc() if d else _as_col(c).asc()
+        for c, d in zip(order_by, descs)
+    ]
+
+    if frame is not None:
+        # Rows frame (O4/O6, R/mutate.R:204-215).
+        if not order_by:
+            raise ValueError(
+                ".frame without .index requires .order_by — Spark DataFrames "
+                "have no physical row order to slide over"
+            )
+        lo, hi = frame.row_bounds()
+        spec = Window.partitionBy(*part_cols).orderBy(*order_cols).rowsBetween(lo, hi)
+        return WindowPlan(
+            spec=spec,
+            partition_cols=part_cols,
+            order_cols=order_cols,
+            frame=frame,
+            row_frame=True,
+        )
+
+    if order_cols:
+        # Ordered, no frame: ranking/analytic context (row_number, lag, ...)
+        # and cumulative aggregates (which add their own rowsBetween).
+        spec = Window.partitionBy(*part_cols).orderBy(*order_cols)
+        return WindowPlan(spec=spec, partition_cols=part_cols, order_cols=order_cols)
+
+    # Partition-only: group-broadcast aggregate (O3, R/mutate.R:236-239).
+    spec = Window.partitionBy(*part_cols)
+    return WindowPlan(spec=spec, partition_cols=part_cols)
