@@ -190,6 +190,99 @@ def _q_compound_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("event_id", "span", "CAST(nd AS BIGINT) AS nd")
 
 
+# --- extension operators (SURVEY.md §2.3 north-star; operators/ package) ---
+
+
+def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return T.analyze_documents(docs).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "punct_ratio",
+        "quality", "lang_pred", "fingerprint",
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators import dedup as D
+
+    return D.exact_dup_groups(read_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.near_dup_pairs(docs, k=8, bands=4).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators import dedup as D
+
+    return D.simhash(read_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(docs, max_hamming=25).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, k=3).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate ANN — no SQL oracle by design (recall<1); rows-only check.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, k=3, n_planes=4, n_tables=8).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators import multimodal as M
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = M.attach_payload(docs, "doc_id", "text", source_col="source")
+    return M.extract_features(media)
+
+
+def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal/typed-metadata path: JSON props → typed column → window agg.
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.selectExpr(
+        "event_id", "user_id", "ts", "CAST(get_json_object(props, '$.k') AS BIGINT) AS k"
+    )
+    return mutate(
+        ev,
+        avg_k="round(avg(k), 6)",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(4, 0),
+    ).select("event_id", "k", "avg_k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_project": _q_o1_project,
@@ -205,6 +298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o9_sql_window": _q_o9_sql_window,
         "inf_frame": _q_inf_frame,
         "compound_expr": _q_compound_expr,
+        "text_analysis": _q_text_analysis,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_topk": _q_lsh_topk,
+        "multimodal_features": _q_multimodal_features,
+        "props_json": _q_props_json,
     }
 
 
@@ -294,4 +396,81 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+        "text_analysis": _text_analysis_oracle(),
+        "dedup_exact": _dedup_exact_oracle(),
+        "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_simhash": _dedup_simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "cosine_topk": _cosine_topk_oracle(),
+        # lsh_topk: intentionally no oracle — approximate ANN (recall<1 by
+        # construction); the driver's rows-only check applies.
+        "multimodal_features": _multimodal_oracle(),
+        "props_json": """
+            SELECT event_id, k,
+                   round(avg(k) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg_k
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)""",
     }
+
+
+def _text_analysis_oracle() -> str:
+    from tidier_spark.operators import text as T
+
+    cols = T.quality_sql_columns("text")
+    return f"""
+        SELECT doc_id,
+               {cols['n_tokens']} AS n_tokens,
+               {cols['avg_token_len']} AS avg_token_len,
+               {cols['stopword_ratio']} AS stopword_ratio,
+               {cols['punct_ratio']} AS punct_ratio,
+               {cols['quality']} AS quality,
+               {T.detect_language_sql('text')} AS lang_pred,
+               {T.fingerprint_sql('text')} AS fingerprint
+        FROM documents"""
+
+
+def _dedup_exact_oracle() -> str:
+    from tidier_spark.operators import text as T
+
+    return f"""
+        SELECT {T.fingerprint_sql('text')} AS fp,
+               count(*) AS n_copies, min(doc_id) AS keeper_id
+        FROM documents GROUP BY 1"""
+
+
+def _dedup_minhash_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    inner = D.minhash_pairs_sql(k=8, bands=4)
+    return f"SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ({inner})"
+
+
+def _dedup_simhash_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    return D.simhash_sql()
+
+
+def _simhash_pairs_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    return D.simhash_pairs_sql(max_hamming=25)
+
+
+def _cosine_topk_oracle() -> str:
+    from tidier_spark.operators import similarity as S
+
+    inner = S.cosine_topk_sql(k=3)
+    return (
+        "SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank"
+        f" FROM ({inner})"
+    )
+
+
+def _multimodal_oracle() -> str:
+    from tidier_spark.operators import multimodal as M
+
+    return M.features_sql()

@@ -1,0 +1,390 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, Jaccard verify.
+
+Scale design (the whole point at 100 TB):
+
+* **Exact** dedup is a hash aggregation on a fingerprint — one shuffle on
+  the fingerprint key, no quadratic anything.
+* **MinHash near-dup** avoids the O(n²) pair space with LSH banding: k
+  min-hashes per doc → b bands of r rows → equi-join on (band, signature)
+  buckets.  The only shuffles are the doc-level aggregation and the
+  band-bucket join; candidate pairs ≪ n² by construction.  Skewed buckets
+  (e.g. boilerplate shingles) are bounded because the band signature is an
+  md5 over r min-hashes — a full-width key, not a single shingle.
+* **SimHash** is a per-doc 60-bit signature via one explode + one groupBy;
+  near-dup candidates come from 15-bit block banding (any block equal →
+  candidate), then an exact hamming-distance filter.
+* **Verify** computes exact shingle-set Jaccard only on candidate pairs.
+
+Everything is expressed in built-in functions so the DuckDB oracle can run
+the byte-identical computation; hashes are md5-based (portable), seeded by
+integer prefixes — deterministic across engines, runs, and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import (
+    fingerprint,
+    fingerprint_sql,
+    hash60,
+    hash60_sql,
+    shingles,
+    shingles_sql,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "near_dup_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "minhash_pairs_sql",
+    "simhash_sql",
+    "simhash_pairs_sql",
+]
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Drop exact duplicates on ``cols`` (all columns if None).
+
+    ``dropDuplicates`` is a hash aggregation: one shuffle on the key
+    columns; AQE coalesces post-shuffle partitions.
+    """
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalized-content duplicate groups: fingerprint → (n_copies, keeper).
+
+    The "keeper" is min(id) — the standard deterministic survivor rule.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k md5-seeded min-hashes per doc → (id, mh_0..mh_{k-1}).
+
+    Min over fixed-width hex strings ≡ min over the underlying integers, so
+    the signature stays a string (portable, no bigint conversion needed).
+    One explode + one groupBy: shuffle is on ``id_col`` only.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"mh_{seed}")
+        for seed in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature → candidate (id_a, id_b).
+
+    rows-per-band r = k // bands; band signature = md5 of its r min-hashes.
+    The pair join is an equi-join on (band, sig) — never a cross join.
+    """
+    if k % bands:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"mh_{b * r + i}") for i in range(r)])).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Candidates → exact shingle-set Jaccard ≥ threshold.
+
+    Jaccard is computed by a shingle-level equi-join restricted to candidate
+    pairs (distinct shingles only), so verification cost is proportional to
+    candidate volume, not n².
+    """
+    cand = minhash_candidate_pairs(df, id_col, text_col, k, bands, shingle_n)
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.withColumnRenamed(id_col, "id_a")
+    sb = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb.withColumnRenamed("s", "s_b"), "id_b")
+        .where(F.col("s") == F.col("s_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_shared": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 → sign-safe BIGINT
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash per doc over distinct tokens' 60-bit hashes.
+
+    bit b of the signature = sign of Σ_tokens (±1 by token-hash bit b).
+    One explode + one groupBy(id): single shuffle on the id.
+    """
+    from .text import tokens
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 20,
+    block_bits: int = 15,
+) -> DataFrame:
+    """Block-banded SimHash near-dup: any equal 15-bit block → candidate,
+    then exact ``bit_count(xor) ≤ max_hamming`` filter.
+
+    Equality on one of 4 blocks is the pigeonhole guarantee for hamming ≤ 3
+    at 60 bits; larger ``max_hamming`` makes this a recall-bounded heuristic
+    (documented, deterministic).
+    """
+    sigs = simhash(df, id_col, text_col)
+    nblocks = SIMHASH_BITS // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blkval"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.blk", "bb.blkval")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(b, on=["blk", "blkval"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# --- DuckDB-SQL mirrors ----------------------------------------------------
+
+
+def minhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> str:
+    """Full near_dup_pairs pipeline as one DuckDB query."""
+    r = k // bands
+    mh_cols = ", ".join(
+        f"min(md5('{seed}|' || shingle)) AS mh_{seed}" for seed in range(k)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(" + " || ',' || ".join(f"mh_{b * r + i}" for i in range(r)) + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, unnest({shingles_sql(text_col, shingle_n)}) AS shingle
+  FROM {table}
+),
+mh AS (
+  SELECT {id_col}, {mh_cols} FROM sh GROUP BY {id_col}
+),
+banded AS (
+  SELECT {id_col}, b.band, b.sig
+  FROM mh, LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM banded a JOIN banded b USING (band, sig)
+  WHERE a.{id_col} < b.{id_col}
+),
+ds AS (
+  SELECT {id_col}, unnest(list_distinct({shingles_sql(text_col, shingle_n)})) AS s
+  FROM {table}
+),
+sizes AS (SELECT {id_col}, count(*) AS n_sh FROM ds GROUP BY {id_col}),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cand c JOIN ds a ON a.{id_col} = c.id_a
+              JOIN ds b ON b.{id_col} = c.id_b AND a.s = b.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       (coalesce(i.n_shared, 0)::DOUBLE
+         / (na.n_sh + nb.n_sh - coalesce(i.n_shared, 0))) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes na ON na.{id_col} = c.id_a
+JOIN sizes nb ON nb.{id_col} = c.id_b
+WHERE (coalesce(i.n_shared, 0)::DOUBLE
+         / (na.n_sh + nb.n_sh - coalesce(i.n_shared, 0))) >= {threshold}
+"""
+
+
+def simhash_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from .text import tokens_sql
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(list_distinct({tokens_sql(text_col)})) AS tok
+  FROM {table}
+),
+hashed AS (SELECT {id_col}, {hash60_sql('tok')} AS h FROM tok),
+sums AS (SELECT {id_col}, {bit_sums} FROM hashed GROUP BY {id_col})
+SELECT {id_col}, ({sig}) AS simhash FROM sums
+"""
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 20,
+    block_bits: int = 15,
+) -> str:
+    nblocks = SIMHASH_BITS // block_bits
+    mask = (1 << block_bits) - 1
+    block_rows = ", ".join(
+        f"({i}, (simhash >> {i * block_bits}) & {mask})" for i in range(nblocks)
+    )
+    return f"""
+WITH sigs AS ({simhash_sql(table, id_col, text_col)}),
+blocks AS (
+  SELECT {id_col}, simhash, b.blk, b.blkval
+  FROM sigs, LATERAL (VALUES {block_rows}) AS b(blk, blkval)
+),
+pairs AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.blkval = b.blkval
+  WHERE a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""

@@ -1,0 +1,233 @@
+"""Text analysis operators: tokenize, quality, language-ID, fingerprints.
+
+All pure built-in ``pyspark.sql.functions`` expressions — JVM-side, inside
+whole-stage codegen, no Python UDFs — so they run at scan speed on 100 TB.
+Each operator has a DuckDB-SQL mirror (the ``*_SQL`` builders below) used by
+the correctness oracle; keeping both definitions adjacent is the differential
+-test discipline the reference models (tests_tidier.R:271-323).
+
+Portability notes (Spark ↔ DuckDB):
+* tokenization = ``split(lower(text), '[^a-z0-9]+')`` minus empty strings —
+  identical on both engines for any input;
+* string→int hashing = first 15 hex digits of md5 (60 bits, sign-safe in a
+  BIGINT): Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB
+  ``('0x' || substr(md5(x),1,15))::BIGINT``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+# Tiny stopword lexicons for the language-ID heuristic.  Deliberately small
+# and frozen: the operator contract is "deterministic n-gram/stopword
+# heuristic", not a trained model.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "ich"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est", "que"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo"),
+}
+
+__all__ = [
+    "TOKEN_PATTERN",
+    "LANG_LEXICONS",
+    "tokens",
+    "token_count",
+    "avg_token_len",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "detect_language",
+    "fingerprint",
+    "shingles",
+    "hash60",
+    "tokens_sql",
+    "quality_sql_columns",
+    "detect_language_sql",
+    "fingerprint_sql",
+    "shingles_sql",
+    "hash60_sql",
+]
+
+
+# --- Spark-side column builders -------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased alphanumeric tokens, empties removed → array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length; NULL for token-free text (SQL 0/0 semantics)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return (total / F.size(t)).cast("double")
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_LEXICONS["en"]) -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return (hits / F.size(t)).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Share of characters that are not [a-z0-9 ] after lowercasing."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    kept = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
+    return ((F.length(c) - kept) / F.length(c)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length, token shape, stopwords.
+
+    score = 0.4·min(n_tokens/100, 1)
+          + 0.3·(1 − punct_ratio)
+          + 0.2·min(stopword_ratio·5, 1)
+          + 0.1·clamp((avg_token_len − 2) / 8 in [0,1])
+    """
+    nt = token_count(col)
+    return (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.2) * F.least(stopword_ratio(col) * 5, F.lit(1.0))
+        + F.lit(0.1)
+        * F.greatest(
+            F.lit(0.0), F.least((avg_token_len(col) - 2) / 8, F.lit(1.0))
+        )
+    ).cast("double")
+
+
+def detect_language(col: Column | str) -> Column:
+    """Stopword-hit argmax over LANG_LEXICONS; alphabetical tie-break.
+
+    Ties (including the all-zero case) resolve to the alphabetically first
+    language — a fixed, documented rule so results hash-match any engine.
+    """
+    t = tokens(col)
+
+    def hit_counter(lex: tuple[str, ...]):
+        # single-arg lambda: pyspark treats multi-arg lambdas as
+        # (value, index) HOFs, so the lexicon must be captured by closure
+        return F.size(F.filter(t, lambda x: x.isin(*lex)))
+
+    scores = {lang: hit_counter(lex) for lang, lex in sorted(LANG_LEXICONS.items())}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    result = F.lit(None).cast("string")
+    # first alphabetical language achieving the max wins → iterate reversed
+    # so earlier langs overwrite later ones in the when-chain
+    for lang in sorted(scores, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of sorted distinct tokens.
+
+    The classic "fingerprint" normalization for fuzzy exact-dedup: case,
+    punctuation, token order, and repetition are all ignored.
+    """
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string> (input to MinHash)."""
+    t = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash (md5-prefix), non-negative BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# --- DuckDB-SQL mirrors (oracle builders) ---------------------------------
+
+
+def tokens_sql(col: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({col}), '{TOKEN_PATTERN}'),"
+        " x -> x <> '')"
+    )
+
+
+def quality_sql_columns(col: str = "text") -> dict[str, str]:
+    """SQL expressions matching token_count/avg_token_len/... bit for bit."""
+    t = tokens_sql(col)
+    en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
+    ntok = f"len({t})"
+    avg_len = f"(list_sum(list_transform({t}, x -> length(x)))::DOUBLE / {ntok})"
+    stop = f"(len(list_filter({t}, x -> x IN ({en})))::DOUBLE / {ntok})"
+    punct = (
+        f"((length(lower({col})) - length(regexp_replace(lower({col}),"
+        f" '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower({col})))"
+    )
+    return {
+        "n_tokens": f"CAST({ntok} AS BIGINT)",
+        "avg_token_len": f"CAST({avg_len} AS DOUBLE)",
+        "stopword_ratio": f"CAST({stop} AS DOUBLE)",
+        "punct_ratio": f"CAST({punct} AS DOUBLE)",
+        "quality": (
+            f"CAST(0.4 * least({ntok} / 100.0, 1.0)"
+            f" + 0.3 * (1.0 - {punct})"
+            f" + 0.2 * least({stop} * 5, 1.0)"
+            f" + 0.1 * greatest(0.0, least(({avg_len} - 2) / 8, 1.0)) AS DOUBLE)"
+        ),
+    }
+
+
+def detect_language_sql(col: str = "text") -> str:
+    t = tokens_sql(col)
+    scores = {
+        lang: f"len(list_filter({t}, x -> x IN ({', '.join(repr(w) for w in lex)})))"
+        for lang, lex in sorted(LANG_LEXICONS.items())
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score} = {best} THEN '{lang}'" for lang, score in sorted(scores.items())
+    )
+    return f"CASE {whens} END"
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return f"md5(array_to_string(list_sort(list_distinct({tokens_sql(col)})), ' '))"
+
+
+def shingles_sql(col: str = "text", n: int = 3) -> str:
+    t = tokens_sql(col)
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 1}, 0) + 1),"
+        f" i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+    )
+
+
+def hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# --- DataFrame-level convenience -------------------------------------------
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set (the `documents` pipeline)."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("avg_token_len", avg_token_len(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", detect_language(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
