@@ -283,6 +283,56 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "k", "avg_k")
 
 
+def _q_summarise_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape via the summarise verb (hash agg, map-side combine).
+    from tidier_spark import summarise
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        sum_qty="sum(l_quantity)",
+        sum_base_price="sum(round(l_extendedprice * 100)) / 100",
+        avg_disc="avg(round(l_discount * 100)) / 100",
+        n="n()",
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # slice_max with ties (rank) — deterministic under ties, unlike
+    # row_number without a full tiebreak.
+    from tidier_spark import slice_max
+
+    o = read_table(spark, sf_dir, "orders")
+    return slice_max(o, "o_totalprice", n=2, by="o_custkey", with_ties=True).select(
+        "o_orderkey"
+    )
+
+
+def _q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming-shaped tumbling-window rollup on the batch frame (identical
+    # bucketing code path as the streaming operator).  window_start emitted
+    # as epoch seconds — timezone-proof on both engines.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.streaming import stream_windowed_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    r = stream_windowed_agg(
+        ev,
+        {"n": "count(*)", "sum_v": "sum(round(value * 100)) / 100"},
+        time_col="ts",
+        window="1 day",
+        by="event_type",
+    )
+    return r.select(
+        F.col("window_start").cast("long").alias("bucket_epoch"),
+        "event_type",
+        "n",
+        "sum_v",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_project": _q_o1_project,
@@ -307,6 +357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
+        "summarise_pricing": _q_summarise_pricing,
+        "topk_per_group": _q_topk_per_group,
+        "windowed_rollup": _q_windowed_rollup,
     }
 
 
@@ -396,6 +449,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+        "summarise_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(round(l_extendedprice * 100)) / 100 AS sum_base_price,
+                   avg(round(l_discount * 100)) / 100 AS avg_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2""",
+        "topk_per_group": """
+            SELECT o_orderkey FROM (
+              SELECT o_orderkey,
+                     rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC) AS rk
+              FROM orders) t WHERE rk <= 2""",
+        "windowed_rollup": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT)
+                     AS bucket_epoch,
+                   event_type, count(*) AS n,
+                   sum(round(value * 100)) / 100 AS sum_v
+            FROM events GROUP BY 1, 2""",
         "text_analysis": _text_analysis_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),

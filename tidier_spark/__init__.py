@@ -10,6 +10,22 @@ training-data deployment needs.  See SURVEY.md for the full blueprint.
 
 from .frames import Period, days, hours, minutes, months, seconds, weeks, years
 from .mutate import mutate, mutate_
+from .pandas_tier import frame_apply, grouped_apply
+from .verbs import (
+    arrange,
+    count,
+    desc,
+    distinct,
+    filter_,
+    rename,
+    select,
+    slice_head,
+    slice_max,
+    slice_min,
+    slice_sample,
+    summarise,
+    where,
+)
 
 __version__ = "0.1.0"
 
@@ -24,4 +40,19 @@ __all__ = [
     "weeks",
     "months",
     "years",
+    "frame_apply",
+    "grouped_apply",
+    "arrange",
+    "count",
+    "desc",
+    "distinct",
+    "filter_",
+    "rename",
+    "select",
+    "slice_head",
+    "slice_max",
+    "slice_min",
+    "slice_sample",
+    "summarise",
+    "where",
 ]

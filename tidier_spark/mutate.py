@@ -226,6 +226,14 @@ def _apply_one(
         plan = compile_window(
             df, by=by_l, order_by=order_l, frame=frame_spec, index=index, desc=desc
         )
+        from .pandas_tier import frame_apply
+
+        if isinstance(expr, frame_apply):
+            # Tier C: arbitrary Python reducer once per frame
+            value = expr.lower(plan)
+            if complete:
+                value = _complete_guard(df, plan, frame_spec, value)
+            return df.withColumn(name, value)
         if isinstance(expr, Column):
             value = expr.over(plan.spec) if plan.spec is not None else plan.over(expr)
             if complete:

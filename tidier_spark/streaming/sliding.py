@@ -1,0 +1,150 @@
+"""Sliding/tumbling event-time aggregation and stateful trailing windows."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..mutate import _translate
+
+__all__ = ["stream_windowed_agg", "stream_trailing_agg"]
+
+
+def stream_windowed_agg(
+    stream: DataFrame,
+    exprs: dict[str, str],
+    *,
+    time_col: str,
+    window: str,
+    slide: str | None = None,
+    by: str | list[str] | None = None,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Watermarked sliding/tumbling window aggregation.
+
+    ``exprs`` are aggregate SQL strings (dplyr spellings allowed).  Emits
+    one row per (window, keys) with ``window_start``/``window_end``.
+    Works identically on a batch DataFrame (the window bucketing functions
+    are the same) — handy for backfill/replay parity.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    is_stream = stream.isStreaming
+    src = stream.withWatermark(time_col, watermark) if is_stream else stream
+    win = F.window(F.col(time_col), window, slide) if slide else F.window(
+        F.col(time_col), window
+    )
+    aggs = [F.expr(_translate(e)).alias(n) for n, e in exprs.items()]
+    out = src.groupBy(win.alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *[F.col(n) for n in exprs],
+    )
+
+
+def stream_trailing_agg(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    trailing_seconds: int,
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Per-key trailing-window mean over event time, exactly tidier's O5
+    flagship frame (`README.md:25-54`) as a *streaming* stateful operator.
+
+    For each arriving event, emits ``trail_avg`` = mean of that key's
+    values in ``[t − trailing_seconds, t]`` (closed bounds — identical to
+    the batch range frame ``(seconds(trailing_seconds), 0)``, so streaming
+    and backfill agree exactly).  State per key = the event
+    buffer inside the trailing span (bounded by frame width × event rate);
+    idle keys expire after ``timeout_minutes`` of processing time.
+
+    Implementation: ``applyInPandasWithState`` — the Spark-native form of a
+    custom stateful operator (SURVEY brief: "applyInPandasWithState for
+    custom stateful operators").
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("trail_avg", DoubleType()),
+        ]
+    )
+    # State = parallel lists of (epoch_micros, value) kept sorted.
+    state_schema = "ts_list array<long>, val_list array<double>"
+
+    span_us = trailing_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_list: list[int]
+        val_list: list[float]
+        if state.exists:
+            ts_list, val_list = state.get
+            ts_list, val_list = list(ts_list), list(val_list)
+        else:
+            ts_list, val_list = [], []
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns→µs
+            vals = pdf[value_col].to_numpy()
+            rows = {"key": [], "ts": [], "value": [], "trail_avg": []}
+            for t, v in zip(ts_us, vals):
+                ts_list.append(int(t))
+                val_list.append(float(v))
+                # evict events strictly older than the trailing span
+                # (closed lower bound, matching the batch rangeBetween)
+                cut = t - span_us
+                start = 0
+                while start < len(ts_list) and ts_list[start] < cut:
+                    start += 1
+                if start:
+                    ts_list = ts_list[start:]
+                    val_list = val_list[start:]
+                rows["key"].append(key[0])
+                rows["ts"].append(pd.Timestamp(t * 1000))
+                rows["value"].append(v)
+                rows["trail_avg"].append(sum(val_list) / len(val_list))
+            out = pd.DataFrame(rows)
+            out["ts"] = out["ts"].astype("datetime64[us]")
+            outs.append(out)
+        state.update((ts_list, val_list))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        for o in outs:
+            yield o
+
+    return (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias(time_col),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

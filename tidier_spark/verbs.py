@@ -1,0 +1,162 @@
+"""dplyr-flavoured convenience verbs around plain DataFrames.
+
+The reference itself exports only ``mutate``/``mutate_`` (`NAMESPACE:3-4`),
+but its docs and tests lean on host dplyr verbs — ``arrange``, ``select``,
+``slice_min``, ``slice_sample``, ``group_by``+``summarise``, ``collect``
+(`R/mutate.R:81,93,118,435,446,471`; SURVEY.md §2.2 last row).  A user
+switching engines needs those spellings; each is a thin declarative wrapper
+over the Spark construct Catalyst already optimizes, so none of them adds a
+shuffle beyond what the semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "desc",
+    "arrange",
+    "select",
+    "rename",
+    "filter_",
+    "where",
+    "distinct",
+    "summarise",
+    "count",
+    "slice_min",
+    "slice_max",
+    "slice_head",
+    "slice_sample",
+]
+
+
+class desc:  # noqa: N801 — dplyr spelling
+    """Marker for descending sort keys: ``arrange(df, desc("x"), "y")``."""
+
+    def __init__(self, col: str | Column):
+        self.col = col
+
+    def to_spark(self) -> Column:
+        c = F.col(self.col) if isinstance(self.col, str) else self.col
+        return c.desc()
+
+
+def _sort_cols(keys: tuple) -> list[Column]:
+    out = []
+    for k in keys:
+        if isinstance(k, desc):
+            out.append(k.to_spark())
+        elif isinstance(k, str):
+            out.append(F.col(k).asc())
+        else:
+            out.append(k)
+    return out
+
+
+def arrange(df: DataFrame, *keys: str | Column | desc) -> DataFrame:
+    """Global sort (`dplyr::arrange`).  NOTE: a total order is a full
+    range-shuffle — at 100 TB prefer windowed ranks over global sorts."""
+    return df.orderBy(*_sort_cols(keys))
+
+
+def select(df: DataFrame, *cols: str | Column) -> DataFrame:
+    return df.select(*cols)
+
+
+def rename(df: DataFrame, **new_to_old: str) -> DataFrame:
+    """``rename(df, new=old)`` (dplyr argument order)."""
+    out = df
+    for new, old in new_to_old.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def filter_(df: DataFrame, *conds: str | Column) -> DataFrame:
+    out = df
+    for c in conds:
+        out = out.where(F.expr(c) if isinstance(c, str) else c)
+    return out
+
+
+where = filter_
+
+
+def distinct(df: DataFrame, *cols: str) -> DataFrame:
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+def summarise(
+    df: DataFrame, _exprs: dict[str, str] | None = None, *, by: object = None, **kw: str
+) -> DataFrame:
+    """Row-reducing aggregation (`dplyr::summarise`) — the aggregation shape
+    the reference lacks (SURVEY.md §2.3 "Aggregations" row): hash aggregate,
+    partial (map-side) combine for free, one shuffle on the group keys.
+    """
+    exprs = {**(_exprs or {}), **kw}
+    from .mutate import _translate  # dplyr spellings (mean→avg, n()→count)
+
+    aggs = [F.expr(_translate(e)).alias(name) for name, e in exprs.items()]
+    keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def count(df: DataFrame, *by: str, name: str = "n") -> DataFrame:
+    if not by:
+        return df.agg(F.count(F.lit(1)).alias(name))
+    return df.groupBy(*by).agg(F.count(F.lit(1)).alias(name))
+
+
+def _slice_ranked(
+    df: DataFrame,
+    order_col: str | Column,
+    n: int,
+    by: object,
+    asc: bool,
+    with_ties: bool,
+) -> DataFrame:
+    keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*[F.col(k) if isinstance(k, str) else k for k in keys]).orderBy(
+        c.asc() if asc else c.desc()
+    )
+    rk = (F.rank() if with_ties else F.row_number()).over(w)
+    return df.withColumn("__rk", rk).where(F.col("__rk") <= n).drop("__rk")
+
+
+def slice_min(
+    df: DataFrame, order_col: str | Column, n: int = 1, by: object = None, with_ties: bool = True
+) -> DataFrame:
+    """Smallest-n rows (optionally per group) — `dplyr::slice_min`
+    (used in the reference example, `R/mutate.R:81`).  Windowed rank, not a
+    global sort: one shuffle on the keys, early filter."""
+    return _slice_ranked(df, order_col, n, by, asc=True, with_ties=with_ties)
+
+
+def slice_max(
+    df: DataFrame, order_col: str | Column, n: int = 1, by: object = None, with_ties: bool = True
+) -> DataFrame:
+    return _slice_ranked(df, order_col, n, by, asc=False, with_ties=with_ties)
+
+
+def slice_head(df: DataFrame, n: int, by: object = None, order_by: object = None) -> DataFrame:
+    """First-n rows per group in a *stated* order (Spark has no implicit
+    row order; order_by is required when by is given)."""
+    if by is None and order_by is None:
+        return df.limit(n)
+    if order_by is None:
+        raise ValueError("slice_head with `by` requires order_by")
+    keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) if isinstance(c, str) else c for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
+    reference's fixture-gap generator (`R/mutate.R:87-92`)."""
+    return df.sample(withReplacement=False, fraction=prop, seed=seed)
