@@ -35,6 +35,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # warm up the JVM/codegen/python-worker pools so the first timed query
+    # isn't charged session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

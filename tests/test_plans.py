@@ -1,0 +1,99 @@
+"""Plan-hygiene assertions: pushdown, pruning, shuffle counts, codegen.
+
+These encode the 100 TB design contract (brief: "a scan that reads all
+columns for a 2-column projection is wrong") as regression tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidier_spark import mutate, days, summarise
+from tidier_spark.plans import (
+    codegen_stage_count,
+    count_exchanges,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    r = mutate(tables["lineitem"], rev="l_extendedprice * (1 - l_discount)").where(
+        "l_quantity > 30"
+    ).select("l_orderkey", "rev")
+    pf = pushed_filters(r)
+    assert any("l_quantity" in p for p in pf), f"no pushdown: {pf}"
+
+
+def test_column_pruning_projection(tables):
+    r = mutate(tables["lineitem"], rev="l_extendedprice * (1 - l_discount)").select(
+        "l_orderkey", "rev"
+    )
+    cols = read_schema(r)
+    assert set(cols) == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+def test_column_pruning_through_window(tables):
+    r = mutate(
+        tables["events"],
+        avg_7d="avg(value)",
+        by="user_id",
+        index="ts",
+        frame=(days(7), days(-1)),
+    ).select("event_id", "avg_7d")
+    cols = read_schema(r)
+    # must NOT read props/event_type: the window needs only ts/user_id/value
+    assert set(cols) == {"event_id", "ts", "user_id", "value"}, cols
+
+
+def test_single_shuffle_for_grouped_window(tables):
+    r = mutate(
+        tables["lineitem"],
+        run="avg(l_quantity)",
+        by="l_suppkey",
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        frame=(5, 0),
+    ).select("l_orderkey", "run")
+    # one hash-partitioning exchange on the group key — no more
+    assert count_exchanges(r) == 1, explain_str(r, "simple")
+
+
+def test_multi_expr_one_window_one_shuffle(tables):
+    # several aggregates over the SAME window spec must share one
+    # shuffle+sort (the reference sorts once and reuses, R/mutate.R:174-189)
+    r = mutate(
+        tables["events"],
+        a="avg(value)",
+        b="min(value)",
+        c="max(value)",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(3, 0),
+    ).select("event_id", "a", "b", "c")
+    assert count_exchanges(r) == 1, explain_str(r, "simple")
+    assert explain_str(r, "simple").count("Window") == 1
+
+
+def test_summarise_partial_aggregation(tables):
+    r = summarise(tables["lineitem"], s="sum(l_quantity)", by="l_returnflag")
+    plan = explain_str(r, "simple")
+    # partial (map-side) + final aggregate around a single exchange
+    assert plan.count("HashAggregate") == 2
+    assert count_exchanges(r) == 1
+
+
+def test_broadcast_join_small_dim(tables):
+    joined = tables["orders"].join(
+        F.broadcast(tables["customer"]),
+        tables["orders"].o_custkey == tables["customer"].c_custkey,
+    )
+    assert has_broadcast_join(joined)
+
+
+def test_projection_stays_in_codegen(tables):
+    r = mutate(tables["lineitem"], rev="l_extendedprice * (1 - l_discount)").select(
+        "l_orderkey", "rev"
+    )
+    assert codegen_stage_count(r) >= 1
