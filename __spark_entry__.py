@@ -220,6 +220,24 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.05).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators import dedup as D
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, threshold=0.4)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators import dedup as D
 
@@ -281,6 +299,24 @@ def _q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
         frame=(4, 0),
     ).select("event_id", "k", "avg_k")
+
+
+def _q_r_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # R NA-poisoning mean (na.rm=FALSE default) + NaN-on-empty-frame over
+    # derived nulls — the M3 fidelity layer (functions/__init__.py).
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    )
+    return mutate(
+        ev,
+        m_strict="r_mean(round(v * 100)) / 100",
+        m_narm="r_mean(round(v * 100), na_rm=TRUE) / 100",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(3, 0),
+    ).select("event_id", "m_strict", "m_narm")
 
 
 def _q_summarise_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,12 +387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _q_text_analysis,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
+        "r_semantics": _q_r_semantics,
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
@@ -449,6 +488,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+        "r_semantics": """
+            SELECT event_id,
+                   (CASE WHEN count(v) OVER w = count(*) OVER w
+                         THEN (CASE WHEN count(v) OVER w = 0
+                                    THEN CAST('NaN' AS DOUBLE)
+                                    ELSE avg(round(v * 100)) OVER w END)
+                    END) / 100 AS m_strict,
+                   (CASE WHEN count(v) OVER w = 0 THEN CAST('NaN' AS DOUBLE)
+                         ELSE avg(round(v * 100)) OVER w END) / 100 AS m_narm
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
         "summarise_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
@@ -471,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": _text_analysis_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
+        "dedup_ngram_jaccard": _dedup_ngram_oracle(),
+        "dedup_embedding": _dedup_embedding_oracle(),
         "dedup_simhash": _dedup_simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
@@ -518,6 +573,19 @@ def _dedup_minhash_oracle() -> str:
 
     inner = D.minhash_pairs_sql(k=8, bands=4)
     return f"SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ({inner})"
+
+
+def _dedup_ngram_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    inner = D.ngram_jaccard_sql(shingle_n=3, threshold=0.05)
+    return f"SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ({inner})"
+
+
+def _dedup_embedding_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    return D.embedding_near_dup_sql(threshold=0.4)
 
 
 def _dedup_simhash_oracle() -> str:

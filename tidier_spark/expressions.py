@@ -150,3 +150,56 @@ def windowize(expr: str, placeholder: str = "__w{i}__") -> tuple[str, list[tuple
         out.append(ch)
         i += 1
     return "".join(out), calls
+
+
+# --- R-semantics function rewriting (SURVEY §7.2 M3) ----------------------
+
+_R_FN_RE = re.compile(r"\br_(mean|sum|min|max|var|sd)\s*\(")
+_NA_RM_RE = re.compile(r"(?:,\s*)?na_rm\s*=\s*(TRUE|True|true|FALSE|False|false)\s*$")
+
+_NAN = "CAST('NaN' AS DOUBLE)"
+_PINF = "CAST('Infinity' AS DOUBLE)"
+_NINF = "CAST('-Infinity' AS DOUBLE)"
+
+
+def _r_template(fn: str, x: str, na_rm: bool) -> str:
+    """SQL template with the R NA/empty rules (all-aggregate calls at top
+    level so :func:`windowize` can lower it onto any window)."""
+    if fn == "mean":
+        core = f"(CASE WHEN count({x}) = 0 THEN {_NAN} ELSE avg({x}) END)"
+    elif fn == "sum":
+        core = f"coalesce(sum({x}), CAST(0 AS DOUBLE))"
+    elif fn == "min":
+        core = f"coalesce(min({x}), {_PINF})"
+    elif fn == "max":
+        core = f"coalesce(max({x}), {_NINF})"
+    elif fn == "var":
+        core = f"var_samp({x})"
+    elif fn == "sd":
+        core = f"stddev_samp({x})"
+    else:  # pragma: no cover
+        raise ValueError(fn)
+    if na_rm:
+        return core
+    # na.rm=FALSE (R default): any NULL in scope poisons the result
+    return f"(CASE WHEN count({x}) = count(*) THEN {core} END)"
+
+
+def rewrite_r_functions(expr: str) -> str:
+    """Rewrite ``r_mean(x)`` / ``r_sum(x, na_rm=TRUE)`` ... spellings into
+    null-guarded SQL with R's NA-poisoning and empty-input rules."""
+    while True:
+        m = _R_FN_RE.search(expr)
+        if m is None:
+            return expr
+        open_paren = expr.index("(", m.end() - 1)
+        end = _scan_call(expr, open_paren)
+        if end is None:
+            return expr
+        args = expr[open_paren + 1 : end - 1].strip()
+        na = _NA_RM_RE.search(args)
+        na_rm = bool(na and na.group(1).lower() == "true")
+        if na:
+            args = args[: na.start()].strip()
+        repl = _r_template(m.group(1), args, na_rm)
+        expr = expr[: m.start()] + repl + expr[end:]

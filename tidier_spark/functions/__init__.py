@@ -1,0 +1,79 @@
+"""R-semantics scalar/aggregate fidelity layer (SURVEY.md §7.2 M3).
+
+The reference's expressions are evaluated by R, whose NA/NaN rules differ
+from SQL's in ways that silently change results (SURVEY §7.3 #2):
+
+* R ``mean(x)`` is NA if any element is NA; SQL ``avg`` *skips* nulls.
+  ``mean(x, na.rm=TRUE)`` is the SQL behavior.
+* R ``mean(numeric(0))`` is NaN; SQL ``avg`` over an empty frame is NULL.
+* R ``min/max`` warn and return ±Inf on empty input; SQL returns NULL.
+
+These helpers make the R behavior *available and explicit* rather than
+accidental: each takes ``na_rm`` (default False, like R) and lowers to a
+null-guarded built-in aggregate — still Tier A, still incremental.  Used
+inside mutate frames they compose with any WindowSpec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["r_mean", "r_sum", "r_min", "r_max", "r_var", "r_sd", "na_if_any_null"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def na_if_any_null(col: Column | str, value: Column) -> Column:
+    """NULL if any element of ``col`` in the aggregation scope is NULL —
+    the guard that makes a null-skipping SQL aggregate behave like R's
+    na.rm=FALSE.  ``count(*) != count(col)`` detects a null in scope."""
+    c = _c(col)
+    return F.when(F.count(F.lit(1)) == F.count(c), value)
+
+
+def r_mean(col: Column | str, na_rm: bool = False) -> Column:
+    """R ``mean``: NA-poisoning by default; NaN (not NULL) on empty input
+    (`README.md:44` shows the reference emitting NaN for an empty frame)."""
+    c = _c(col)
+    base = F.avg(c)
+    if not na_rm:
+        base = na_if_any_null(c, base)
+    # empty frame → R NaN, not SQL NULL (count==0 distinguishes empty from
+    # all-null, which stays NULL under na_rm)
+    return F.when(F.count(F.lit(1)) == 0, F.lit(float("nan"))).otherwise(base)
+
+
+def r_sum(col: Column | str, na_rm: bool = False) -> Column:
+    """R ``sum``: NA-poisoning; sum of an empty frame is 0 (R), not NULL."""
+    c = _c(col)
+    base = F.coalesce(F.sum(c), F.lit(0.0))
+    return base if na_rm else na_if_any_null(c, base)
+
+
+def r_min(col: Column | str, na_rm: bool = False) -> Column:
+    """R ``min``: NA-poisoning; +Inf on empty input."""
+    c = _c(col)
+    base = F.coalesce(F.min(c), F.lit(float("inf")))
+    return base if na_rm else na_if_any_null(c, base)
+
+
+def r_max(col: Column | str, na_rm: bool = False) -> Column:
+    c = _c(col)
+    base = F.coalesce(F.max(c), F.lit(float("-inf")))
+    return base if na_rm else na_if_any_null(c, base)
+
+
+def r_var(col: Column | str, na_rm: bool = False) -> Column:
+    """R ``var`` (sample variance, n−1 denominator — same as SQL var_samp)."""
+    c = _c(col)
+    base = F.var_samp(c)
+    return base if na_rm else na_if_any_null(c, base)
+
+
+def r_sd(col: Column | str, na_rm: bool = False) -> Column:
+    c = _c(col)
+    base = F.stddev_samp(c)
+    return base if na_rm else na_if_any_null(c, base)

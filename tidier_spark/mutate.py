@@ -43,7 +43,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .expressions import windowize
+from .expressions import rewrite_r_functions, windowize
 from .frames import FrameSpec, parse_frame
 from .window import WindowPlan, compile_window
 
@@ -70,6 +70,7 @@ _RANKING_RE = re.compile(
 
 
 def _translate(expr: str) -> str:
+    expr = rewrite_r_functions(expr)  # r_mean/r_sum/... → null-guarded SQL
     for pat, repl in _FN_TRANSLATE:
         expr = pat.sub(repl, expr)
     return expr
@@ -78,7 +79,7 @@ def _translate(expr: str) -> str:
 def _normalize_keys(keys: object) -> list[object]:
     if keys is None:
         return []
-    if isinstance(keys, (str, Column)):
+    if isinstance(keys, (str, Column)) or hasattr(keys, "to_spark"):
         return [keys]
     return list(keys)
 
@@ -241,6 +242,11 @@ def _apply_one(
             return df.withColumn(name, value)
         outer, calls = windowize(expr)
         if not calls:
+            if _RANKING_RE.match(expr):
+                # ranking functions define their own frame — lower onto the
+                # same partition/order WITHOUT the custom frame
+                rank_plan = compile_window(df, by=by_l, order_by=order_l, desc=desc)
+                return df.withColumn(name, rank_plan.over(expr))
             # summarise context with a frame-independent expression — a
             # constant per row; evaluate row-wise (dplyr would too).
             return df.withColumn(name, F.expr(expr))

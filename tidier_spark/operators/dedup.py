@@ -40,9 +40,13 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
     "simhash",
     "simhash_candidate_pairs",
     "minhash_pairs_sql",
+    "ngram_jaccard_sql",
+    "embedding_near_dup_sql",
     "simhash_sql",
     "simhash_pairs_sql",
 ]
@@ -188,6 +192,158 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# --- n-gram Jaccard (exact, all pairs via shingle equi-join) --------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    No candidate stage: the pair space materializes only through the
+    shingle equi-join (pairs sharing ≥1 shingle), so cost is Σ_shingle
+    df(shingle)² — fine when shingles are selective; for corpora with
+    boilerplate shingles use :func:`near_dup_pairs` (MinHash-banded) and
+    cap hot shingles.  Integer-count math → bit-identical on any engine.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, on="s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> str:
+    return f"""
+WITH ds AS (
+  SELECT {id_col}, unnest(list_distinct({shingles_sql(text_col, shingle_n)})) AS s
+  FROM {table}
+),
+sizes AS (SELECT {id_col}, count(*) AS n_sh FROM ds GROUP BY {id_col}),
+inter AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_shared
+  FROM ds a JOIN ds b ON a.s = b.s AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       (i.n_shared::DOUBLE / (na.n_sh + nb.n_sh - i.n_shared)) AS jaccard
+FROM inter i
+JOIN sizes na ON na.{id_col} = i.id_a
+JOIN sizes nb ON nb.{id_col} = i.id_b
+WHERE (i.n_shared::DOUBLE / (na.n_sh + nb.n_sh - i.n_shared)) >= {threshold}
+"""
+
+
+# --- embedding-cosine near-dup --------------------------------------------
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold (rounded to 6 decimals before
+    the comparison so the cut is engine-independent).
+
+    Exact all-pairs via the broadcast-matrix matmul (one side broadcast,
+    the other streamed — same scale contract as
+    :func:`tidier_spark.operators.similarity.cosine_topk`); swap the
+    candidate stage for LSH buckets when n² row-blocks stop fitting.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    cand = df.select(id_col, vec_col).toPandas()
+    ids = cand[id_col].to_numpy()
+    mat = np.vstack(cand[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def pairs(it):
+        ids_l, mat_l = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q_ids = pdf[id_col].to_numpy()
+            q_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+            sims = np.round(q_mat @ mat_l.T, 6)
+            qi, ci = np.nonzero((sims >= threshold) & (q_ids[:, None] < ids_l[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi].astype("int64"),
+                    "id_b": ids_l[ci].astype("int64"),
+                    "cos_sim": sims[qi, ci],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(pairs, out_schema)
+
+
+def embedding_near_dup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> str:
+    return f"""
+WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS vec FROM {table}),
+sims AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         round(
+           list_sum(list_transform(range(1, len(a.vec) + 1),
+                                   i -> a.vec[i] * b.vec[i]))
+           / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {threshold}
+"""
 
 
 # --- SimHash ---------------------------------------------------------------

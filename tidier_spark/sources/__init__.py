@@ -74,3 +74,65 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so `spark.sql` works (O9 path)."""
     for t, df in load_star(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+# --- generic readers/writers ------------------------------------------------
+# The reference has no IO layer at all; these are the engine's sources and
+# sinks.  All lazy scans — pushdown/pruning reach every format that
+# supports it (parquet: filters+columns; csv/json: columns at parse time).
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    """CSV scan.  Pass an explicit DDL ``schema`` in production — schema
+    inference reads the data twice and types drift between runs."""
+    reader = spark.read.options(header="true", **options)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with the two layout levers that matter at 100 TB:
+
+    * ``partition_by`` — directory partitioning: readers prune whole
+      partitions for predicates on those columns (keep cardinality
+      moderate: aim for >~128 MB files per partition).
+    * ``bucket_by=(n, cols)`` — hash bucketing (requires ``table``, a
+      metastore name): co-locates equal keys so later joins/aggregations
+      on the bucket columns skip their shuffle entirely.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table:
+            raise ValueError("bucket_by requires a metastore table name")
+        w.bucketBy(n, *cols).sortBy(*cols).saveAsTable(table, path=path, format="parquet")
+        return
+    w.parquet(path)

@@ -175,10 +175,12 @@ def compile_window(
             spec=spec, partition_cols=part_cols, order_cols=[key], frame=frame
         )
 
-    order_cols = [
-        _as_col(c).desc() if d else _as_col(c).asc()
-        for c, d in zip(order_by, descs)
-    ]
+    order_cols = []
+    for c, d in zip(order_by, descs):
+        if hasattr(c, "to_spark"):  # verbs.desc marker (NSE desc(col) parity,
+            order_cols.append(c.to_spark())  # R/mutate.R:549-552)
+        else:
+            order_cols.append(_as_col(c).desc() if d else _as_col(c).asc())
 
     if frame is not None:
         # Rows frame (O4/O6, R/mutate.R:204-215).
