@@ -192,3 +192,36 @@ def test_stream_trailing_agg_streaming(spark, sf_dir, tmp_path):
     # closed-bound trailing span == batch range frame: exact agreement
     matched = sum(1 for k, v in got.items() if want.get(k) == v)
     assert matched == len(got), f"only {matched}/{len(got)} matched"
+
+def test_salted_agg_matches_plain(tables, sf_dir):
+    from tidier_spark.skew import salted_agg
+
+    r = salted_agg(
+        tables["lineitem"],
+        "l_returnflag",
+        {
+            "n": "count(*)",
+            "sq": "sum(l_quantity)",
+            "mn": "min(l_quantity)",
+            "mx": "max(l_quantity)",
+            "av": "avg(l_quantity)",
+        },
+        n_salts=8,
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sq,
+                  min(l_quantity) AS mn, max(l_quantity) AS mx,
+                  avg(l_quantity) AS av
+           FROM lineitem GROUP BY 1""",
+        sf_dir,
+    )
+
+
+def test_salted_agg_rejects_nonalgebraic(tables):
+    import pytest as _pytest
+
+    from tidier_spark.skew import salted_agg
+
+    with _pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(tables["lineitem"], "l_returnflag", {"m": "median(l_quantity)"})

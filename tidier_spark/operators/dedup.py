@@ -83,21 +83,56 @@ def exact_dup_groups(
 # --- MinHash + LSH ---------------------------------------------------------
 
 
+def _distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingle) with per-doc distinct shingles — the shared input of
+    MinHash signatures, candidate verification, and set sizes.  Callers
+    persist it: the tokenize→shingle→explode lineage is the expensive part
+    and would otherwise be recomputed by every consumer.
+
+    Tokens are materialized into a column BEFORE the shingle lambda: a
+    ``slice(tokens(text), i, n)`` lambda re-runs the regex tokenizer per
+    shingle index (O(doc_len · n_shingles) — 8s for 5k docs at sf0.1);
+    over a column reference it is O(doc_len).
+    """
+    from .text import tokens
+
+    # Single-file parquet sources arrive as ONE partition; fan out before
+    # the per-row heavy lifting or it runs on one core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+    )
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
     shingle_n: int = 3,
+    _shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k md5-seeded min-hashes per doc → (id, mh_0..mh_{k-1}).
 
     Min over fixed-width hex strings ≡ min over the underlying integers, so
     the signature stays a string (portable, no bigint conversion needed).
-    One explode + one groupBy: shuffle is on ``id_col`` only.
+    One explode + one groupBy: shuffle is on ``id_col`` only.  MinHash is
+    duplicate-insensitive, so distinct shingles give identical signatures.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    sh = (
+        _shingle_df
+        if _shingle_df is not None
+        else _distinct_shingles(df, id_col, text_col, shingle_n)
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))).alias(f"mh_{seed}")
@@ -113,6 +148,7 @@ def minhash_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    _shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature → candidate (id_a, id_b).
 
@@ -122,7 +158,7 @@ def minhash_candidate_pairs(
     if k % bands:
         raise ValueError(f"k={k} must divide into bands={bands}")
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, _shingle_df)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -132,9 +168,14 @@ def minhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, "bs.band", "bs.sig")
+    from pyspark import StorageLevel
+
+    banded = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bs"))
+        .select(id_col, "bs.band", "bs.sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # both sides of the self-join read it: without persist the whole
+    # shingle→minhash pipeline runs twice
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -161,14 +202,24 @@ def near_dup_pairs(
     Jaccard is computed by a shingle-level equi-join restricted to candidate
     pairs (distinct shingles only), so verification cost is proportional to
     candidate volume, not n².
+
+    The distinct-shingle frame feeds four consumers (signatures, both
+    verify sides, sizes) — it is persisted so tokenize→shingle→explode
+    runs once, not once per consumer (3× wall-clock at sf0.1).  At 100 TB
+    this persist is MEMORY_AND_DISK: ~tokens-sized, spills gracefully.
     """
-    cand = minhash_candidate_pairs(df, id_col, text_col, k, bands, shingle_n)
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s")
+    from pyspark import StorageLevel
+
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.withColumnRenamed(id_col, "id_a")
-    sb = sh.withColumnRenamed(id_col, "id_b")
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, k, bands, shingle_n, _shingle_df=sh
+    )
+    sh_s = sh.withColumnRenamed("shingle", "s")
+    sizes = sh_s.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh_s.withColumnRenamed(id_col, "id_a")
+    sb = sh_s.withColumnRenamed(id_col, "id_b")
     inter = (
         cand.join(sa, "id_a")
         .join(sb.withColumnRenamed("s", "s_b"), "id_b")
@@ -212,10 +263,13 @@ def ngram_jaccard_pairs(
     boilerplate shingles use :func:`near_dup_pairs` (MinHash-banded) and
     cap hot shingles.  Integer-count math → bit-identical on any engine.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"),
-    )
+    from pyspark import StorageLevel
+
+    sh = (
+        _distinct_shingles(df, id_col, text_col, shingle_n)
+        .withColumnRenamed("shingle", "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # 3 consumers: join sides + sizes
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
@@ -361,6 +415,9 @@ def simhash(
     """
     from .text import tokens
 
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     tok = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
@@ -395,7 +452,11 @@ def simhash_candidate_pairs(
     at 60 bits; larger ``max_hamming`` makes this a recall-bounded heuristic
     (documented, deterministic).
     """
-    sigs = simhash(df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    sigs = simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the block self-join reads both sides, and recomputing a
+    # signature means re-running the whole explode+60-bit-sum pipeline
     nblocks = SIMHASH_BITS // block_bits
     mask = (1 << block_bits) - 1
     blocks = sigs.select(

@@ -221,13 +221,46 @@ def hash60_sql(expr: str) -> str:
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column set (the `documents` pipeline)."""
+    """Attach the full text-analysis column set (the `documents` pipeline).
+
+    Tokenization is materialized ONCE into a temp column and every derived
+    metric reads it — naively composing the column builders would re-run
+    the regex split ~15× per row (Catalyst's CollapseProject declines to
+    inline non-cheap duplicated expressions, but being explicit keeps the
+    plan shape independent of optimizer heuristics).
+    """
+    t = F.col("__toks")
+    nt = F.size(t)
+    total_len = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    avg_len = (total_len / nt).cast("double")
+    en = LANG_LEXICONS["en"]
+    stop = (F.size(F.filter(t, lambda x: x.isin(*en))) / nt).cast("double")
+    punct = punct_ratio(text_col)
+
+    def hits(lex: tuple[str, ...]):
+        return F.size(F.filter(t, lambda x: x.isin(*lex)))
+
+    scores = {lang: hits(lex) for lang, lex in sorted(LANG_LEXICONS.items())}
+    best = F.greatest(*scores.values())
+    lang_pred = F.lit(None).cast("string")
+    for lang in sorted(scores, reverse=True):
+        lang_pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(lang_pred)
+
+    quality = (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct)
+        + F.lit(0.2) * F.least(stop * 5, F.lit(1.0))
+        + F.lit(0.1) * F.greatest(F.lit(0.0), F.least((avg_len - 2) / 8, F.lit(1.0)))
+    ).cast("double")
+
     return (
-        df.withColumn("n_tokens", token_count(text_col))
-        .withColumn("avg_token_len", avg_token_len(text_col))
-        .withColumn("stopword_ratio", stopword_ratio(text_col))
-        .withColumn("punct_ratio", punct_ratio(text_col))
-        .withColumn("quality", quality_score(text_col))
-        .withColumn("lang_pred", detect_language(text_col))
-        .withColumn("fingerprint", fingerprint(text_col))
+        df.withColumn("__toks", tokens(text_col))
+        .withColumn("n_tokens", nt.cast("long"))
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop)
+        .withColumn("punct_ratio", punct)
+        .withColumn("quality", quality)
+        .withColumn("lang_pred", lang_pred)
+        .withColumn("fingerprint", F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " ")))
+        .drop("__toks")
     )
