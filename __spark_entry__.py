@@ -319,6 +319,66 @@ def _q_r_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "m_strict", "m_narm")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-time join (union+window technique); the oracle runs DuckDB's
+    # native ASOF JOIN — two independent implementations, one answer.
+    from tidier_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    trades = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    quotes = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(
+        trades, quotes, on="user_id", time_col="ts", value_cols=["value"]
+    ).select("event_id", "value_right")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark.operators.temporal import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_seconds=4 * 3600).select(
+        "event_id", "session_id"
+    )
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tidier_spark import summarise
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        sum_qty="sum(l_quantity)",
+        n="n()",
+        by=["l_returnflag", "l_linestatus"],
+        rollup=True,
+    )
+
+
+def _q_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag/lead/ntile/percent_rank/cume_dist over one ordered window.
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        mutate(
+            o,
+            prev_price="lag(o_totalprice, 1)",
+            next_price="lead(o_totalprice, 1)",
+            quartile="ntile(4)",
+            pr="percent_rank()",
+            cd="cume_dist()",
+            by="o_custkey",
+            order_by=["o_orderdate", "o_orderkey"],
+        )
+        .selectExpr(
+            "o_orderkey",
+            "prev_price",
+            "next_price",
+            "CAST(quartile AS BIGINT) AS quartile",
+            "pr",
+            "cd",
+        )
+    )
+
+
 def _q_summarise_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape via the summarise verb (hash agg, map-side combine).
     from tidier_spark import summarise
@@ -396,6 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
         "r_semantics": _q_r_semantics,
+        "asof_join": _q_asof_join,
+        "sessionize": _q_sessionize,
+        "rollup_agg": _q_rollup,
+        "analytic_fns": _q_analytic_fns,
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
@@ -502,6 +566,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+        "asof_join": """
+            SELECT t.event_id, q.value AS value_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') t
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') q
+              ON t.user_id = q.user_id AND t.ts >= q.ts""",
+        "sessionize": """
+            SELECT event_id,
+                   sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                     AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                  FROM events)""",
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "analytic_fns": """
+            SELECT o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   ntile(4) OVER w AS quartile,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
         "summarise_pricing": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

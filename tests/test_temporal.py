@@ -1,0 +1,105 @@
+"""As-of join, sessionize, rollup/cube — oracle-checked.
+
+The asof_join oracle uses DuckDB's NATIVE ``ASOF JOIN``, so the
+differential crosses two independent implementations of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from helpers import assert_matches_oracle
+from tidier_spark import summarise
+from tidier_spark.operators.temporal import asof_join, sessionize
+
+
+def _sides(events):
+    trades = events.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    quotes = events.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    return trades, quotes
+
+
+def test_asof_join_backward_oracle(tables, sf_dir):
+    trades, quotes = _sides(tables["events"])
+    r = asof_join(
+        trades, quotes, on="user_id", time_col="ts", value_cols=["value"]
+    ).select("event_id", "value_right")
+    assert_matches_oracle(
+        r,
+        """SELECT t.event_id, q.value AS value_right
+           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') t
+           ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                           WHERE event_type = 'purchase') q
+             ON t.user_id = q.user_id AND t.ts >= q.ts""",
+        sf_dir,
+    )
+
+
+def test_asof_join_forward_oracle(tables, sf_dir):
+    trades, quotes = _sides(tables["events"])
+    r = asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        time_col="ts",
+        value_cols=["value"],
+        direction="forward",
+    ).select("event_id", "value_right")
+    assert_matches_oracle(
+        r,
+        """SELECT t.event_id, q.value AS value_right
+           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') t
+           ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                           WHERE event_type = 'purchase') q
+             ON t.user_id = q.user_id AND t.ts <= q.ts""",
+        sf_dir,
+    )
+
+
+def test_sessionize_oracle(tables, sf_dir):
+    r = sessionize(tables["events"], "user_id", "ts", gap_seconds=4 * 3600).select(
+        "event_id", "session_id"
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT event_id,
+                  sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                    AS session_id
+           FROM (SELECT event_id, user_id, ts,
+                        epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                 FROM events)""",
+        sf_dir,
+    )
+
+
+def test_rollup_oracle(tables, sf_dir):
+    r = summarise(
+        tables["lineitem"],
+        sum_qty="sum(l_quantity)",
+        by=["l_returnflag", "l_linestatus"],
+        rollup=True,
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        sf_dir,
+    )
+
+
+def test_cube_oracle(tables, sf_dir):
+    r = summarise(
+        tables["orders"],
+        n="n()",
+        by=["o_orderstatus", "o_orderpriority"],
+        cube=True,
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        sf_dir,
+    )

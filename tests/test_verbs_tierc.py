@@ -225,3 +225,24 @@ def test_salted_agg_rejects_nonalgebraic(tables):
 
     with _pytest.raises(ValueError, match="salted_agg supports"):
         salted_agg(tables["lineitem"], "l_returnflag", {"m": "median(l_quantity)"})
+
+
+def test_set_ops_oracle(tables, sf_dir):
+    from tidier_spark.verbs import intersect_, setdiff, union_
+
+    hi = tables["orders"].where("o_totalprice > 300000").select("o_custkey")
+    urgent = tables["orders"].where("o_orderpriority = '1-URGENT'").select("o_custkey")
+    for spark_df, sql in [
+        (union_(hi, urgent),
+         """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"""),
+        (intersect_(hi.distinct(), urgent.distinct()),
+         """SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+            INTERSECT SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'"""),
+        (setdiff(hi.distinct(), urgent.distinct()),
+         """SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+            EXCEPT SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'"""),
+    ]:
+        assert_matches_oracle(spark_df, sql, sf_dir)

@@ -11,19 +11,24 @@ training-data deployment needs.  See SURVEY.md for the full blueprint.
 from .frames import Period, days, hours, minutes, months, seconds, weeks, years
 from .mutate import mutate, mutate_
 from .pandas_tier import frame_apply, grouped_apply
+from .skew import salted_agg
 from .verbs import (
     arrange,
     count,
     desc,
     distinct,
     filter_,
+    intersect_,
     rename,
     select,
+    setdiff,
     slice_head,
     slice_max,
     slice_min,
     slice_sample,
     summarise,
+    union_,
+    union_all,
     where,
 )
 
@@ -55,4 +60,9 @@ __all__ = [
     "slice_sample",
     "summarise",
     "where",
+    "union_all",
+    "union_",
+    "intersect_",
+    "setdiff",
+    "salted_agg",
 ]

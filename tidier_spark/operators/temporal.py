@@ -1,0 +1,106 @@
+"""Temporal operators Spark lacks as primitives: as-of join, sessionize.
+
+SURVEY.md §2.3 notes the as-of/range-join need is only partially covered by
+the reference's O5 range frames; these close it, Spark-first:
+
+* :func:`asof_join` — point-in-time join ("most recent right row at or
+  before each left row") via the union+window technique: no cross/range
+  join, one shuffle on (keys), one per-partition sort — the same cost as a
+  grouped window.  The DuckDB oracle uses its *native* ``ASOF JOIN``, so
+  the differential test crosses two genuinely different implementations.
+* :func:`sessionize` — gap-based session ids per key: lag + flag + running
+  sum, all inside one WindowSpec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    time_col: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the most recent right
+    row with right.time ≤ left.time (direction="backward"; "forward" takes
+    the nearest right.time ≥ left.time) sharing the ``on`` keys.
+
+    Technique: tag both sides, union, and take
+    ``last(value, ignorenulls=True)`` over
+    ``partitionBy(on).orderBy(time, side)`` — right rows sort before left
+    rows at equal times, so "at or before" includes exact matches.  Left
+    rows with no prior right row get NULLs (left-join semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+    l_tag = left
+    for c, oc in zip(value_cols, out_vals):
+        l_tag = l_tag.withColumn(oc, F.lit(None).cast(right.schema[c].dataType))
+    l_tag = l_tag.withColumn("__side", F.lit(1))
+
+    r_tag = right.select(
+        *keys,
+        F.col(time_col),
+        *[F.col(c).alias(oc) for c, oc in zip(value_cols, out_vals)],
+    ).withColumn("__side", F.lit(0))
+    for c in l_tag.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
+
+    u = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
+    filled = u
+    for oc in out_vals:
+        filled = filled.withColumn(oc, pick(F.col(oc), ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``.
+
+    ``session_id`` is 1-based and consecutive per key.  One shuffle on the
+    key, one sort — the batch analog of a streaming session window.
+    """
+    t = F.unix_micros(F.col(time_col))
+    w = Window.partitionBy(key_col).orderBy(t)
+    gap_us = gap_seconds * 1_000_000
+    new_flag = F.when(
+        (t - F.lag(t).over(w)) > gap_us, 1
+    ).otherwise(0)
+    # first event per key has lag NULL → comparison NULL → otherwise(0);
+    # cumulative sum starts sessions at 0 → +1 for 1-based ids
+    run = Window.partitionBy(key_col).orderBy(t).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, (F.sum(new_flag).over(run) + 1).cast("long"))

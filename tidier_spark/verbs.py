@@ -28,6 +28,10 @@ __all__ = [
     "slice_max",
     "slice_head",
     "slice_sample",
+    "union_all",
+    "union_",
+    "intersect_",
+    "setdiff",
 ]
 
 
@@ -87,17 +91,33 @@ def distinct(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def summarise(
-    df: DataFrame, _exprs: dict[str, str] | None = None, *, by: object = None, **kw: str
+    df: DataFrame,
+    _exprs: dict[str, str] | None = None,
+    *,
+    by: object = None,
+    rollup: bool = False,
+    cube: bool = False,
+    **kw: str,
 ) -> DataFrame:
     """Row-reducing aggregation (`dplyr::summarise`) — the aggregation shape
     the reference lacks (SURVEY.md §2.3 "Aggregations" row): hash aggregate,
     partial (map-side) combine for free, one shuffle on the group keys.
+
+    ``rollup=True`` / ``cube=True`` emit hierarchical / all-subset grouping
+    sets (Spark computes them in one pass with partial aggregation — no
+    per-level rescan).
     """
     exprs = {**(_exprs or {}), **kw}
     from .mutate import _translate  # dplyr spellings (mean→avg, n()→count)
 
     aggs = [F.expr(_translate(e)).alias(name) for name, e in exprs.items()]
     keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    if rollup and cube:
+        raise ValueError("choose one of rollup/cube")
+    if rollup:
+        return df.rollup(*keys).agg(*aggs)
+    if cube:
+        return df.cube(*keys).agg(*aggs)
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
 
 
@@ -160,3 +180,25 @@ def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
     reference's fixture-gap generator (`R/mutate.R:87-92`)."""
     return df.sample(withReplacement=False, fraction=prop, seed=seed)
+
+
+# --- set operations (dplyr names; SURVEY §2.3 "Set ops" row) ---------------
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag union by column NAME (dplyr ``bind_rows``) — positional union
+    silently mismatches reordered schemas."""
+    return a.unionByName(b)
+
+
+def union_(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set union (distinct)."""
+    return a.unionByName(b).distinct()
+
+
+def intersect_(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def setdiff(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b).distinct()
