@@ -379,6 +379,43 @@ def _q_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_median_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median over a sliding frame — the canonical non-incremental aggregate
+    # ("any R aggregation works" in the reference's summarise context);
+    # Spark evaluates it as a window aggregate, no Tier C needed.
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        med="percentile(round(value * 100), 0.5) / 100",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(6, 0),
+    ).select("event_id", "med")
+
+
+def _q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Star join with explicit broadcast of the dimension chain: at any
+    # scale factor customer/nation/region stay broadcast-able
+    # (sources.BROADCAST_TABLES), so the fact table never shuffles for
+    # the join — only the final aggregation shuffles, on n_name.
+    from pyspark.sql import functions as F
+
+    from tidier_spark import summarise
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return summarise(
+        joined,
+        revenue="sum(round(o_totalprice * 100)) / 100",
+        n_orders="count(*)",
+        by="n_name",
+    )
+
+
 def _q_summarise_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape via the summarise verb (hash agg, map-side combine).
     from tidier_spark import summarise
@@ -460,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "rollup_agg": _q_rollup,
         "analytic_fns": _q_analytic_fns,
+        "median_frame": _q_median_frame,
+        "star_join": _q_star_join,
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
@@ -583,6 +622,20 @@ def oracle_sql() -> dict[str, str]:
                          epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
                   FROM events)""",
+        "median_frame": """
+            SELECT event_id,
+                   quantile_cont(round(value * 100), 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100 AS med
+            FROM events""",
+        "star_join": """
+            SELECT n_name,
+                   sum(round(o_totalprice * 100)) / 100 AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""",
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty, count(*) AS n
