@@ -379,6 +379,20 @@ def _q_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-filling (tidyr::fill / LOCF) over derived nulls.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.verbs import fill_down
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    return fill_down(ev, "v", by="user_id", order_by=["ts", "event_id"]).select(
+        "event_id", "v"
+    )
+
+
 def _q_median_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Median over a sliding frame — the canonical non-incremental aggregate
     # ("any R aggregation works" in the reference's summarise context);
@@ -499,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytic_fns": _q_analytic_fns,
         "median_frame": _q_median_frame,
         "star_join": _q_star_join,
+        "locf_fill": _q_locf_fill,
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
@@ -621,6 +636,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                  FROM events)""",
+        "locf_fill": """
+            SELECT event_id,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
                   FROM events)""",
         "median_frame": """
             SELECT event_id,

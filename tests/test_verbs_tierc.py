@@ -246,3 +246,55 @@ def test_set_ops_oracle(tables, sf_dir):
             WHERE o_orderpriority = '1-URGENT'"""),
     ]:
         assert_matches_oracle(spark_df, sql, sf_dir)
+
+
+def test_fill_down_oracle(tables, sf_dir):
+    from tidier_spark.verbs import fill_down
+
+    ev = tables["events"].withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    r = fill_down(ev, "v", by="user_id", order_by=["ts", "event_id"]).select(
+        "event_id", "v"
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT event_id,
+                  last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+           FROM (SELECT event_id, user_id, ts,
+                        CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+                 FROM events)""",
+        sf_dir,
+    )
+
+
+def test_pct_change_and_diff_oracle(tables, sf_dir):
+    from tidier_spark.verbs import diff, pct_change
+
+    r = pct_change(
+        diff(tables["events"], "value", by="user_id", order_by=["ts", "event_id"]),
+        "value",
+        by="user_id",
+        order_by=["ts", "event_id"],
+    ).select("event_id", "value_diff", F.round("value_pct_change", 6).alias("pc"))
+    assert_matches_oracle(
+        r,
+        """SELECT event_id,
+                  value - lag(value) OVER w AS value_diff,
+                  round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pc
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        sf_dir,
+    )
+
+
+def test_approx_distinct_tolerance(tables):
+    # HLL sketch: no oracle (engines differ by design); assert relative
+    # error vs exact within the documented rsd bound.
+    exact = tables["orders"].selectExpr("count(DISTINCT o_custkey) AS n").first()["n"]
+    approx = tables["orders"].selectExpr(
+        "approx_count_distinct(o_custkey, 0.02) AS n"
+    ).first()["n"]
+    assert abs(approx - exact) / exact < 0.1

@@ -16,9 +16,13 @@ from .verbs import (
     arrange,
     count,
     desc,
+    diff,
     distinct,
+    fill_down,
+    fill_up,
     filter_,
     intersect_,
+    pct_change,
     rename,
     select,
     setdiff,
@@ -65,4 +69,8 @@ __all__ = [
     "intersect_",
     "setdiff",
     "salted_agg",
+    "fill_down",
+    "fill_up",
+    "pct_change",
+    "diff",
 ]

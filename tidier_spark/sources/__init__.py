@@ -44,6 +44,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Oracle comparisons treat naive parquet timestamps as UTC instants;
+    # pin the session so calendar arithmetic (Tier-B INTERVAL frames,
+    # window bucketing) agrees even if the host JVM defaults elsewhere.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = _read_parquet_nanos_ok(spark, path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

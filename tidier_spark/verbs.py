@@ -28,6 +28,10 @@ __all__ = [
     "slice_max",
     "slice_head",
     "slice_sample",
+    "fill_down",
+    "fill_up",
+    "pct_change",
+    "diff",
     "union_all",
     "union_",
     "intersect_",
@@ -180,6 +184,93 @@ def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
     reference's fixture-gap generator (`R/mutate.R:87-92`)."""
     return df.sample(withReplacement=False, fraction=prop, seed=seed)
+
+
+def fill_down(
+    df: DataFrame,
+    cols: str | list[str],
+    *,
+    by: object = None,
+    order_by: object = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (`tidyr::fill(.direction="down")`):
+    NULLs take the most recent non-NULL value in order, per group.
+
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding frame —
+    one shuffle on the keys, incremental evaluation.
+    """
+    return _fill(df, cols, by, order_by, direction="down")
+
+
+def fill_up(
+    df: DataFrame,
+    cols: str | list[str],
+    *,
+    by: object = None,
+    order_by: object = None,
+) -> DataFrame:
+    """Next-observation-carried-backward (`tidyr::fill(.direction="up")`)."""
+    return _fill(df, cols, by, order_by, direction="up")
+
+
+def _fill(df, cols, by, order_by, direction):
+    if order_by is None:
+        raise ValueError("fill requires order_by (Spark has no physical row order)")
+    cols_l = [cols] if isinstance(cols, str) else list(cols)
+    keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order]
+    if direction == "down":
+        w = Window.partitionBy(*keys).orderBy(*ocols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        pick = F.last
+    else:
+        w = Window.partitionBy(*keys).orderBy(*ocols).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        pick = F.first
+    out = df
+    for c in cols_l:
+        out = out.withColumn(c, pick(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def pct_change(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    order_by: object = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Relative change vs the previous row (`(x - lag(x)) / lag(x)`)."""
+    return _lag_delta(df, col, by, order_by, out or f"{col}_pct_change", relative=True)
+
+
+def diff(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    order_by: object = None,
+    out: str | None = None,
+) -> DataFrame:
+    """First difference vs the previous row (R ``diff`` / pandas ``diff``)."""
+    return _lag_delta(df, col, by, order_by, out or f"{col}_diff", relative=False)
+
+
+def _lag_delta(df, col, by, order_by, out, relative):
+    if order_by is None:
+        raise ValueError("diff/pct_change require order_by")
+    keys = [by] if isinstance(by, (str, Column)) else list(by or [])
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order]
+    )
+    prev = F.lag(F.col(col)).over(w)
+    delta = F.col(col) - prev
+    return df.withColumn(out, (delta / prev) if relative else delta)
 
 
 # --- set operations (dplyr names; SURVEY §2.3 "Set ops" row) ---------------
