@@ -379,6 +379,22 @@ def _q_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr::pivot_wider with a FIXED name list (schema independent of the
+    # data — the 100 TB-safe form; no distinct-collection job).
+    from tidier_spark.verbs import pivot_wider
+
+    ev = read_table(spark, sf_dir, "events")
+    return pivot_wider(
+        ev,
+        id_cols="user_id",
+        names_from="event_type",
+        values_from="value",
+        values_fn="count",
+        names=["click", "view", "purchase", "signup", "error"],
+    )
+
+
 def _q_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gap-filling (tidyr::fill / LOCF) over derived nulls.
     from pyspark.sql import functions as F
@@ -514,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_frame": _q_median_frame,
         "star_join": _q_star_join,
         "locf_fill": _q_locf_fill,
+        "pivot_wider": _q_pivot_wider,
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
@@ -637,6 +654,14 @@ def oracle_sql() -> dict[str, str]:
                          epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
                   FROM events)""",
+        "pivot_wider": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY 1""",
         "locf_fill": """
             SELECT event_id,
                    last_value(v IGNORE NULLS) OVER (

@@ -298,3 +298,44 @@ def test_approx_distinct_tolerance(tables):
         "approx_count_distinct(o_custkey, 0.02) AS n"
     ).first()["n"]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_pivot_wider_oracle(tables, sf_dir):
+    from tidier_spark.verbs import pivot_wider
+
+    r = pivot_wider(
+        tables["events"],
+        id_cols="user_id",
+        names_from="event_type",
+        values_from="value",
+        values_fn="count",
+        names=["click", "view", "purchase", "signup", "error"],
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT user_id,
+                  count(*) FILTER (event_type = 'click') AS click,
+                  count(*) FILTER (event_type = 'view') AS view,
+                  count(*) FILTER (event_type = 'purchase') AS purchase,
+                  count(*) FILTER (event_type = 'signup') AS signup,
+                  count(*) FILTER (event_type = 'error') AS error
+           FROM events GROUP BY 1""",
+        sf_dir,
+    )
+
+
+def test_pivot_longer_roundtrip(tables):
+    from tidier_spark.verbs import pivot_longer
+
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+    long = pivot_longer(li, ["l_quantity", "l_tax"])
+    assert long.count() == li.count() * 2
+    assert set(long.columns) == {"l_orderkey", "l_linenumber", "name", "value"}
+    back = (
+        long.groupBy("l_orderkey", "l_linenumber")
+        .pivot("name", ["l_quantity", "l_tax"])
+        .agg(F.first("value"))
+    )
+    # (l_orderkey, l_linenumber) is not unique in the synthetic fixture —
+    # widening collapses to one row per distinct key pair
+    assert back.count() == li.select("l_orderkey", "l_linenumber").distinct().count()

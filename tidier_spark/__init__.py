@@ -23,6 +23,8 @@ from .verbs import (
     filter_,
     intersect_,
     pct_change,
+    pivot_longer,
+    pivot_wider,
     rename,
     select,
     setdiff,
@@ -73,4 +75,6 @@ __all__ = [
     "fill_up",
     "pct_change",
     "diff",
+    "pivot_wider",
+    "pivot_longer",
 ]

@@ -32,6 +32,8 @@ __all__ = [
     "fill_up",
     "pct_change",
     "diff",
+    "pivot_wider",
+    "pivot_longer",
     "union_all",
     "union_",
     "intersect_",
@@ -184,6 +186,46 @@ def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
     reference's fixture-gap generator (`R/mutate.R:87-92`)."""
     return df.sample(withReplacement=False, fraction=prop, seed=seed)
+
+
+def pivot_wider(
+    df: DataFrame,
+    *,
+    id_cols: str | list[str],
+    names_from: str,
+    values_from: str,
+    values_fn: str = "first",
+    names: list[str] | None = None,
+) -> DataFrame:
+    """`tidyr::pivot_wider`: one column per distinct ``names_from`` value.
+
+    Pass ``names`` (the expected pivot values) in production — without it
+    Spark must run an extra distinct-collection job over the data, and the
+    output schema becomes data-dependent (a 100 TB anti-pattern).
+    """
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    g = df.groupBy(*ids)
+    p = g.pivot(names_from, names) if names else g.pivot(names_from)
+    return p.agg(F.expr(f"{values_fn}({values_from})"))
+
+
+def pivot_longer(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    names_to: str = "name",
+    values_to: str = "value",
+) -> DataFrame:
+    """`tidyr::pivot_longer`: melt ``cols`` into (name, value) rows via
+    ``stack`` — a generator expression, no shuffle at all."""
+    keep = [c for c in df.columns if c not in cols]
+    pairs = ", ".join(f"'{c}', {quote(c)}" for c in cols)
+    stack = f"stack({len(cols)}, {pairs}) AS ({quote(names_to)}, {quote(values_to)})"
+    return df.selectExpr(*[quote(k) for k in keep], stack)
+
+
+def quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
 
 
 def fill_down(
