@@ -59,7 +59,7 @@ def _q_o2_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutate(
         li,
         cum_qty="cumsum(l_quantity)",
-        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
     ).select("l_orderkey", "l_linenumber", "cum_qty")
 
 
@@ -126,7 +126,7 @@ def _q_o6_grouped_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_avg_qty="round(avg(l_quantity), 6)",
         span="max(l_quantity) - min(l_quantity)",
         by="l_suppkey",
-        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
         frame=(5, 0),
     ).select("l_orderkey", "l_linenumber", "run_avg_qty", "span")
 
@@ -173,7 +173,7 @@ def _q_inf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         run_avg="round(avg(l_quantity), 6)",
         by="l_suppkey",
-        order_by=["l_shipdate", "l_orderkey", "l_linenumber"],
+        order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
         frame=(math.inf, 0),
     ).select("l_orderkey", "l_linenumber", "run_avg")
 
@@ -547,7 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "o2_cumsum": """
             SELECT l_orderkey, l_linenumber,
                    sum(l_quantity) OVER (
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty
             FROM lineitem""",
         "o2_desc_rank": """
@@ -587,7 +587,7 @@ def oracle_sql() -> dict[str, str]:
                    max(l_quantity) OVER w - min(l_quantity) OVER w AS span
             FROM lineitem
             WINDOW w AS (PARTITION BY l_suppkey
-                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""",
         "o7_calendar_frame": """
             SELECT event_id,
@@ -613,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    round(avg(l_quantity) OVER (
                      PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_avg
             FROM lineitem""",
         "compound_expr": """

@@ -87,3 +87,54 @@ def test_random_rows_frame_matches_duckdb(spec, tables, sf_dir):
         FROM events
         WINDOW w AS ({part} ORDER BY {o1}, event_id {frame_sql})"""
     assert_matches_oracle(r, sql, sf_dir)
+
+
+range_spec_st = st.fixed_dictionaries(
+    {
+        "agg": st.sampled_from(sorted(AGGS)),
+        "by": st.sampled_from([None, "user_id", "event_type"]),
+        "before_h": st.integers(1, 200),  # hours
+        "after_h": st.integers(-48, 48),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=range_spec_st)
+def test_random_range_frame_matches_duckdb(spec, tables, sf_dir):
+    from tidier_spark import hours
+
+    before_h, after_h = spec["before_h"], spec["after_h"]
+    if -after_h > before_h:
+        after_h = -before_h
+    by = spec["by"]
+
+    spark_expr, sql_tpl = AGGS[spec["agg"]]
+    r = mutate(
+        tables["events"],
+        {"out": spark_expr},
+        by=by,
+        index="ts",
+        frame=(hours(before_h), hours(after_h)),
+    ).select("event_id", "out")
+
+    part = f"PARTITION BY {by}" if by else ""
+    lo = f"INTERVAL {before_h} HOURS PRECEDING"
+    hi = (
+        "CURRENT ROW"
+        if after_h == 0
+        else (
+            f"INTERVAL {after_h} HOURS FOLLOWING"
+            if after_h > 0
+            else f"INTERVAL {-after_h} HOURS PRECEDING"
+        )
+    )
+    sql = f"""
+        SELECT event_id, {sql_tpl} AS out
+        FROM events
+        WINDOW w AS ({part} ORDER BY ts RANGE BETWEEN {lo} AND {hi})"""
+    assert_matches_oracle(r, sql, sf_dir)
