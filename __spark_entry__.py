@@ -278,6 +278,20 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF (coarse k-means quantizer) ANN — the second scale path beside
+    # hyperplane LSH.  Approximate: rows-only check (n_probe=n_lists would
+    # be exact; see test_ivf_topk_full_probe_is_exact).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=3, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators import multimodal as M
 
@@ -520,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
         "r_semantics": _q_r_semantics,

@@ -145,3 +145,37 @@ def test_multimodal_registered_decoder(tables):
         assert (row["width"], row["height"], row["duration_ms"]) == (7, 8, 9)
     finally:
         multimodal._DECODERS.pop("text", None)
+
+
+def test_ivf_topk_recall(tables):
+    emb = tables["embeddings"].limit(200)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, k=1, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.6, f"IVF top-1 recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_full_probe_is_exact(tables):
+    emb = tables["embeddings"].limit(120)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.cosine_topk(emb, k=2).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.ivf_topk(emb, k=2, n_lists=6, n_probe=6).collect()
+    }
+    assert exact == full
+
+
+def test_lsh_topk_no_duplicate_pairs(tables):
+    emb = tables["embeddings"].limit(100)
+    r = similarity.lsh_topk(emb, k=3, n_planes=3, n_tables=6).toPandas()
+    assert not r.duplicated(["query_id", "neighbor_id"]).any()
+    assert (r.groupby("query_id")["rank"].apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()

@@ -31,6 +31,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "lsh_topk",
+    "ivf_topk",
     "cosine_topk_sql",
 ]
 
@@ -264,8 +265,10 @@ def lsh_topk(
             F.col(f"a.{id_col}").alias("query_id"),
             F.col(f"b.{id_col}").alias("neighbor_id"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # NOTE: no dropDuplicates here — that would be a second full shuffle of
+    # the pair stream.  The re-rank repartitions by query_id anyway, which
+    # co-locates every copy of a pair; dedupe happens in pandas there.
     return _rerank_pairs_numpy(df, cand, id_col, vec_col, k)
 
 
@@ -305,6 +308,9 @@ def _rerank_pairs_numpy(
         if not batches:
             return
         pdf = pd.concat(batches, ignore_index=True)
+        # pairs may arrive multiple times (one per colliding LSH table);
+        # partition-local dedupe is global because pairs are co-located
+        pdf = pdf.drop_duplicates(["query_id", "neighbor_id"], ignore_index=True)
         qi = pdf["query_id"].map(idx_l).to_numpy()
         ni = pdf["neighbor_id"].map(idx_l).to_numpy()
         sims = np.round(np.einsum("ij,ij->i", mat_l[qi], mat_l[ni]), 6)
@@ -328,6 +334,115 @@ def _rerank_pairs_numpy(
         pairs.repartition("query_id")
         .mapInPandas(rerank, out_schema)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer →
+    per-list buckets → probe the ``n_probe`` nearest lists per query →
+    exact cosine re-rank on probed candidates.
+
+    The quantizer trains driver-side on a deterministic sample (first
+    ``sample_size`` rows by id — seeded, reproducible), Lloyd iterations in
+    numpy; the centroid matrix broadcasts (n_lists × dims — bytes).
+    Assignment and probing are mapInPandas matmuls; the candidate join is
+    an equi-join on ``list_id``, so the pair space is Σ_probed-list
+    |bucket| per query — n_probe/n_lists of brute force.  Recall rises
+    with ``n_probe`` (== n_lists ⇒ exact).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    # deterministic training sample: lowest ids (seeded orderBy-free)
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .toPandas()
+    )
+    S = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(S @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = S[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    bc_cent = spark.sparkContext.broadcast(cent)
+
+    # assign every vector to its list (bucket)
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def assign_lists(it):
+        C = bc_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "list_id": np.argmax(M @ C.T, axis=1).astype("int32"),
+                }
+            )
+
+    lists = df.select(id_col, vec_col).mapInPandas(assign_lists, assign_schema)
+
+    # probe: each query fans out to its n_probe nearest lists
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def probe_lists(it):
+        C = bc_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            sims = M @ C.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy().astype("int64"), n_probe),
+                    "list_id": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    probes = df.select(id_col, vec_col).mapInPandas(probe_lists, probe_schema)
+
+    cand = (
+        probes.join(lists.withColumnRenamed(id_col, "neighbor_id"), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _rerank_pairs_numpy(df, cand, id_col, vec_col, k)
 
 
 # --- DuckDB mirror ---------------------------------------------------------
