@@ -11,7 +11,17 @@ training-data deployment needs.  See SURVEY.md for the full blueprint.
 from .frames import Period, days, hours, minutes, months, seconds, weeks, years
 from .mutate import mutate, mutate_
 from .pandas_tier import frame_apply, grouped_apply
+from .joins import (
+    anti_join,
+    cross_join,
+    full_join,
+    inner_join,
+    left_join,
+    right_join,
+    semi_join,
+)
 from .skew import salted_agg
+from .tbl import tbl
 from .verbs import (
     arrange,
     count,
@@ -27,6 +37,7 @@ from .verbs import (
     pivot_wider,
     rename,
     select,
+    separate,
     setdiff,
     slice_head,
     slice_max,
@@ -35,6 +46,7 @@ from .verbs import (
     summarise,
     union_,
     union_all,
+    unite,
     where,
 )
 
@@ -77,4 +89,14 @@ __all__ = [
     "diff",
     "pivot_wider",
     "pivot_longer",
+    "separate",
+    "unite",
+    "tbl",
+    "inner_join",
+    "left_join",
+    "right_join",
+    "full_join",
+    "semi_join",
+    "anti_join",
+    "cross_join",
 ]

@@ -34,6 +34,8 @@ __all__ = [
     "diff",
     "pivot_wider",
     "pivot_longer",
+    "separate",
+    "unite",
     "union_all",
     "union_",
     "intersect_",
@@ -186,6 +188,31 @@ def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
     reference's fixture-gap generator (`R/mutate.R:87-92`)."""
     return df.sample(withReplacement=False, fraction=prop, seed=seed)
+
+
+def separate(
+    df: DataFrame,
+    col: str,
+    into: list[str],
+    sep: str = "[^A-Za-z0-9]+",
+    *,
+    keep: bool = False,
+) -> DataFrame:
+    """`tidyr::separate`: split a string column into ``into`` columns by a
+    regex separator; missing pieces become NULL."""
+    parts = F.split(F.col(col), sep)
+    out = df
+    for i, name in enumerate(into):
+        out = out.withColumn(name, F.element_at(parts, i + 1))
+    return out if keep else out.drop(col)
+
+
+def unite(
+    df: DataFrame, col: str, cols: list[str], sep: str = "_", *, keep: bool = False
+) -> DataFrame:
+    """`tidyr::unite`: paste ``cols`` into one string column."""
+    out = df.withColumn(col, F.concat_ws(sep, *[F.col(c) for c in cols]))
+    return out if keep else out.drop(*[c for c in cols if c != col])
 
 
 def pivot_wider(
