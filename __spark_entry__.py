@@ -203,6 +203,20 @@ def _q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brief: "token counting (whitespace + a BPE-ish regex)" and
+    # "document fingerprinting (rolling hash)".
+    from tidier_spark.operators import text as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.token_count_bpe("text").alias("bpe_tokens"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators import dedup as D
 
@@ -526,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_frame": _q_inf_frame,
         "compound_expr": _q_compound_expr,
         "text_analysis": _q_text_analysis,
+        "text_tokens_bpe": _q_text_tokens_bpe,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -732,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(value * 100)) / 100 AS sum_v
             FROM events GROUP BY 1, 2""",
         "text_analysis": _text_analysis_oracle(),
+        "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
@@ -766,6 +782,18 @@ def _text_analysis_oracle() -> str:
                {cols['quality']} AS quality,
                {T.detect_language_sql('text')} AS lang_pred,
                {T.fingerprint_sql('text')} AS fingerprint
+        FROM documents"""
+
+
+def _text_tokens_bpe_oracle() -> str:
+    from tidier_spark.operators import text as T
+
+    cols = T.quality_sql_columns("text")
+    return f"""
+        SELECT doc_id,
+               {cols['n_tokens']} AS ws_tokens,
+               {T.token_count_bpe_sql('text')} AS bpe_tokens,
+               {T.rolling_fingerprint_sql('text')} AS rolling_fp
         FROM documents"""
 
 

@@ -179,3 +179,43 @@ def test_lsh_topk_no_duplicate_pairs(tables):
     r = similarity.lsh_topk(emb, k=3, n_planes=3, n_tables=6).toPandas()
     assert not r.duplicated(["query_id", "neighbor_id"]).any()
     assert (r.groupby("query_id")["rank"].apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
+
+
+def test_token_count_bpe_oracle(tables, sf_dir):
+    r = tables["documents"].select(
+        "doc_id", text.token_count_bpe("text").alias("bpe_tokens")
+    )
+    assert_matches_oracle(
+        r,
+        f"SELECT doc_id, {text.token_count_bpe_sql('text')} AS bpe_tokens FROM documents",
+        sf_dir,
+    )
+
+
+def test_rolling_fingerprint_oracle(tables, sf_dir):
+    r = tables["documents"].select(
+        "doc_id", text.rolling_fingerprint("text").alias("rfp")
+    )
+    assert_matches_oracle(
+        r,
+        f"SELECT doc_id, {text.rolling_fingerprint_sql('text')} AS rfp FROM documents",
+        sf_dir,
+    )
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from tidier_spark.operators.text import rolling_fingerprint
+    df = spark.createDataFrame([("ab c",), ("c ab",)], ["t"]).select(
+        rolling_fingerprint("t").alias("h")
+    )
+    a, b = [r["h"] for r in df.collect()]
+    assert a != b  # unlike the sorted-token fingerprint
+
+
+def test_udtf_sentence_split(tables):
+    from tidier_spark.operators.udtf_ops import split_sentences
+    docs = tables["documents"].limit(20)
+    r = split_sentences(docs, "doc_id", "text")
+    rows = r.collect()
+    assert rows and all(row["sent_chars"] == len(row["sentence"]) for row in rows)
+    assert {c for c in r.columns} == {"doc_id", "sentence", "sent_idx", "sent_chars"}

@@ -153,7 +153,74 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token estimate (no vocabulary): letter runs cost ⌈len/4⌉
+    merged-subword tokens, digit runs ⌈len/3⌉, each punctuation mark 1.
+
+    Approximates LLM-tokenizer counts well enough for corpus budgeting,
+    with a closed-form, engine-portable definition (match-based regex —
+    DuckDB's RE2 has no lookahead, so no split-with-lookahead tricks).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    letters = F.regexp_extract_all(c, F.lit("[a-z]+"), 0)
+    digits = F.regexp_extract_all(c, F.lit("[0-9]+"), 0)
+    punct = F.regexp_extract_all(c, F.lit("[^a-z0-9\\s]"), 0)
+    cost_l = F.aggregate(
+        letters, F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / 4)
+    )
+    cost_d = F.aggregate(
+        digits, F.lit(0).cast("long"), lambda a, x: a + F.ceil(F.length(x) / 3)
+    )
+    return (cost_l + cost_d + F.size(punct)).cast("long")
+
+
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+ROLLING_SEED = 7
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over the raw characters
+    (complement of :func:`fingerprint`, which is order-insensitive):
+    ``h = fold(chars, seed, (acc, c) -> (acc·31 + code(c)) mod 1e9+7)``.
+
+    Modular reduction each step keeps the accumulator < 2⁶³ (Spark 4 runs
+    ANSI mode — silent overflow would instead raise).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(
+        F.filter(F.split(c, ""), lambda ch: ch != F.lit("")), F.ascii
+    )
+    return F.aggregate(
+        codes,
+        F.lit(ROLLING_SEED).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+
+
 # --- DuckDB-SQL mirrors (oracle builders) ---------------------------------
+
+
+def token_count_bpe_sql(col: str = "text") -> str:
+    c = f"lower({col})"
+    return (
+        "("
+        f"coalesce(list_sum(list_transform(regexp_extract_all({c}, '[a-z]+'),"
+        " x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)"
+        f" + coalesce(list_sum(list_transform(regexp_extract_all({c}, '[0-9]+'),"
+        " x -> CAST(ceil(length(x) / 3.0) AS BIGINT))), 0)"
+        f" + len(regexp_extract_all({c}, '[^a-z0-9\\s]'))"
+        ")"
+    )
+
+
+def rolling_fingerprint_sql(col: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend({ROLLING_SEED}::BIGINT,"
+        f" list_transform(list_filter(string_split({col}, ''), c -> c <> ''),"
+        " c -> ascii(c)::BIGINT)),"
+        f" (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
+    )
 
 
 def tokens_sql(col: str = "text") -> str:
