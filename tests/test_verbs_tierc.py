@@ -339,3 +339,46 @@ def test_pivot_longer_roundtrip(tables):
     # (l_orderkey, l_linenumber) is not unique in the synthetic fixture —
     # widening collapses to one row per distinct key pair
     assert back.count() == li.select("l_orderkey", "l_linenumber").distinct().count()
+
+
+def test_nest_unnest_roundtrip_oracle(tables, sf_dir):
+    from tidier_spark.verbs import nest, unnest
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    nested = nest(ev, by="user_id", sort_by="event_id")
+    assert nested.count() == ev.select("user_id").distinct().count()
+    flat = unnest(nested)
+    # roundtrip equals the original relation (order-insensitive)
+    assert_matches_oracle(
+        flat.select("user_id", "event_id", "value"),
+        "SELECT user_id, event_id, value FROM events",
+        sf_dir,
+    )
+
+
+def test_dplyr_expression_helpers(tables, sf_dir):
+    from tidier_spark.functions.dplyr import between, case_when, if_else, na_if, replace_na
+
+    ev = tables["events"]
+    r = ev.select(
+        "event_id",
+        case_when(
+            ("value > 400", "'high'"),
+            ("value > 200", "'mid'"),
+            default="'low'",
+        ).alias("band"),
+        if_else("event_type = 'error'", 1, 0).alias("is_err"),
+        replace_na(na_if("event_type", "'error'"), "'ok'").alias("et"),
+        between("value", 100, 200).alias("mid_range"),
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT event_id,
+                  CASE WHEN value > 400 THEN 'high'
+                       WHEN value > 200 THEN 'mid' ELSE 'low' END AS band,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+                  coalesce(nullif(event_type, 'error'), 'ok') AS et,
+                  value BETWEEN 100 AND 200 AS mid_range
+           FROM events""",
+        sf_dir,
+    )

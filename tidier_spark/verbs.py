@@ -36,6 +36,8 @@ __all__ = [
     "pivot_longer",
     "separate",
     "unite",
+    "nest",
+    "unnest",
     "union_all",
     "union_",
     "intersect_",
@@ -188,6 +190,41 @@ def slice_sample(df: DataFrame, prop: float, seed: int = 42) -> DataFrame:
     """Seeded Bernoulli sample (`dplyr::slice_sample(prop=)`) — the
     reference's fixture-gap generator (`R/mutate.R:87-92`)."""
     return df.sample(withReplacement=False, fraction=prop, seed=seed)
+
+
+def nest(
+    df: DataFrame, *, by: str | list[str], into: str = "data", sort_by: str | list[str] | None = None
+) -> DataFrame:
+    """`tidyr::nest`: one row per group with the remaining columns packed
+    into an array<struct> column.  The group must fit in executor memory —
+    the same contract the reference's nest() has on RAM
+    (`R/mutate.R:278-280`).  ``sort_by`` makes the array order
+    deterministic (collect_list order is otherwise partition-dependent).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    rest = [c for c in df.columns if c not in keys]
+    payload = F.struct(*[F.col(c) for c in rest])
+    agg = F.collect_list(payload)
+    out = df.groupBy(*keys).agg(agg.alias(into))
+    if sort_by:
+        sk = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        if sk != rest[: len(sk)]:
+            # array_sort on structs orders by field sequence — reorder the
+            # struct so the sort keys lead
+            ordered = sk + [c for c in rest if c not in sk]
+            payload = F.struct(*[F.col(c) for c in ordered])
+            out = df.groupBy(*keys).agg(F.array_sort(F.collect_list(payload)).alias(into))
+        else:
+            out = df.groupBy(*keys).agg(F.array_sort(agg).alias(into))
+    return out
+
+
+def unnest(df: DataFrame, col: str = "data") -> DataFrame:
+    """`tidyr::unnest`: explode an array<struct> back into flat rows."""
+    keys = [c for c in df.columns if c != col]
+    exploded = df.select(*keys, F.explode(F.col(col)).alias("__row"))
+    inner = exploded.select("__row.*").columns
+    return exploded.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in inner])
 
 
 def separate(
