@@ -97,3 +97,39 @@ def test_projection_stays_in_codegen(tables):
         "l_orderkey", "rev"
     )
     assert codegen_stage_count(r) >= 1
+
+
+def test_asof_join_single_shuffle(tables):
+    from tidier_spark.operators.temporal import asof_join
+
+    ev = tables["events"]
+    trades = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    quotes = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    r = asof_join(trades, quotes, on="user_id", time_col="ts", value_cols=["value"])
+    # union + window: exactly one exchange (on user_id), no join node at all
+    plan = explain_str(r, "simple")
+    assert count_exchanges(r) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_sessionize_single_shuffle(tables):
+    from tidier_spark.operators.temporal import sessionize
+
+    r = sessionize(tables["events"], "user_id", "ts", 3600)
+    assert count_exchanges(r) == 1
+
+
+def test_minhash_no_cartesian(tables):
+    from tidier_spark.operators import dedup
+
+    r = dedup.minhash_candidate_pairs(tables["documents"])
+    plan = explain_str(r, "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_salted_agg_two_exchanges(tables):
+    from tidier_spark.skew import salted_agg
+
+    r = salted_agg(tables["lineitem"], "l_returnflag", {"s": "sum(l_quantity)"})
+    # two small shuffles replace one skewed shuffle — by design
+    assert count_exchanges(r) == 2

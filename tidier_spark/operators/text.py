@@ -71,20 +71,21 @@ def avg_token_len(col: Column | str) -> Column:
     """Mean token length; NULL for token-free text (SQL 0/0 semantics)."""
     t = tokens(col)
     total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    return (total / F.size(t)).cast("double")
+    # nullif: ANSI mode (Spark 4 default) raises on x/0 instead of NULL
+    return (total / F.nullif(F.size(t), F.lit(0))).cast("double")
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_LEXICONS["en"]) -> Column:
     t = tokens(col)
     hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return (hits / F.size(t)).cast("double")
+    return (hits / F.nullif(F.size(t), F.lit(0))).cast("double")
 
 
 def punct_ratio(col: Column | str) -> Column:
     """Share of characters that are not [a-z0-9 ] after lowercasing."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     kept = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
-    return ((F.length(c) - kept) / F.length(c)).cast("double")
+    return ((F.length(c) - kept) / F.nullif(F.length(c), F.lit(0))).cast("double")
 
 
 def quality_score(col: Column | str) -> Column:
@@ -235,11 +236,11 @@ def quality_sql_columns(col: str = "text") -> dict[str, str]:
     t = tokens_sql(col)
     en = ", ".join(f"'{w}'" for w in LANG_LEXICONS["en"])
     ntok = f"len({t})"
-    avg_len = f"(list_sum(list_transform({t}, x -> length(x)))::DOUBLE / {ntok})"
-    stop = f"(len(list_filter({t}, x -> x IN ({en})))::DOUBLE / {ntok})"
+    avg_len = f"(list_sum(list_transform({t}, x -> length(x)))::DOUBLE / nullif({ntok}, 0))"
+    stop = f"(len(list_filter({t}, x -> x IN ({en})))::DOUBLE / nullif({ntok}, 0))"
     punct = (
         f"((length(lower({col})) - length(regexp_replace(lower({col}),"
-        f" '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(lower({col})))"
+        f" '[^a-z0-9 ]', '', 'g')))::DOUBLE / nullif(length(lower({col})), 0))"
     )
     return {
         "n_tokens": f"CAST({ntok} AS BIGINT)",
@@ -299,9 +300,9 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col("__toks")
     nt = F.size(t)
     total_len = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    avg_len = (total_len / nt).cast("double")
+    avg_len = (total_len / F.nullif(nt, F.lit(0))).cast("double")
     en = LANG_LEXICONS["en"]
-    stop = (F.size(F.filter(t, lambda x: x.isin(*en))) / nt).cast("double")
+    stop = (F.size(F.filter(t, lambda x: x.isin(*en))) / F.nullif(nt, F.lit(0))).cast("double")
     punct = punct_ratio(text_col)
 
     def hits(lex: tuple[str, ...]):
