@@ -217,6 +217,22 @@ def _q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end curation pipeline: language gate → quality gate →
+    # fingerprint dedup (min-id survivor) — operators composed in one plan.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import clean_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    # quality emitted UNROUNDED: the expression tree is bit-identical on
+    # both engines, while round() itself tie-breaks differently at
+    # .xxxxxx5 values (1 cell in 5000 at sf0.1)
+    return clean_corpus(docs, languages=("en",), min_quality=0.5).select(
+        "doc_id", "fingerprint", "quality"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators import dedup as D
 
@@ -541,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compound_expr": _q_compound_expr,
         "text_analysis": _q_text_analysis,
         "text_tokens_bpe": _q_text_tokens_bpe,
+        "corpus_clean": _q_corpus_clean,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -748,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2""",
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
+        "corpus_clean": _corpus_clean_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
@@ -795,6 +813,27 @@ def _text_tokens_bpe_oracle() -> str:
                {T.token_count_bpe_sql('text')} AS bpe_tokens,
                {T.rolling_fingerprint_sql('text')} AS rolling_fp
         FROM documents"""
+
+
+def _corpus_clean_oracle() -> str:
+    from tidier_spark.operators import text as T
+
+    cols = T.quality_sql_columns("text")
+    return f"""
+        WITH gated AS (
+          SELECT doc_id,
+                 {T.fingerprint_sql('text')} AS fingerprint,
+                 {cols['quality']} AS quality
+          FROM documents
+          WHERE {T.detect_language_sql('text')} IN ('en')
+            AND {cols['quality']} >= 0.5
+        ),
+        survivors AS (
+          SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY 1
+        )
+        SELECT g.doc_id, g.fingerprint, g.quality AS quality
+        FROM survivors s JOIN gated g
+          ON g.doc_id = s.doc_id AND g.fingerprint = s.fingerprint"""
 
 
 def _dedup_exact_oracle() -> str:

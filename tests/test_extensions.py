@@ -219,3 +219,32 @@ def test_udtf_sentence_split(tables):
     rows = r.collect()
     assert rows and all(row["sent_chars"] == len(row["sentence"]) for row in rows)
     assert {c for c in r.columns} == {"doc_id", "sentence", "sent_idx", "sent_chars"}
+
+
+def test_corpus_clean_pipeline(tables, sf_dir):
+    from tidier_spark.operators.corpus import clean_corpus
+
+    r = clean_corpus(tables["documents"], languages=("en",), min_quality=0.3)
+    n = r.count()
+    assert 0 < n <= tables["documents"].count()
+    # fingerprints are unique after dedup
+    assert r.select("fingerprint").distinct().count() == n
+
+
+def test_stratified_sample_and_mix(tables):
+    from tidier_spark.operators.corpus import mix_datasets, stratified_sample
+
+    ev = tables["events"]
+    s = stratified_sample(
+        ev, "event_type", {"click": 0.5, "view": 0.1}, seed=11
+    )
+    counts = {r["event_type"]: r["count"] for r in s.groupBy("event_type").count().collect()}
+    assert set(counts) <= {"click", "view"}  # unlisted strata dropped
+    # deterministic under the same seed
+    s2 = stratified_sample(ev, "event_type", {"click": 0.5, "view": 0.1}, seed=11)
+    assert s.count() == s2.count()
+
+    mixed = mix_datasets([ev.where("event_type = 'click'"), ev.where("event_type = 'view'")], [1.0, 0.2], seed=3)
+    n_click = ev.where("event_type = 'click'").count()
+    assert mixed.where("event_type = 'click'").count() == n_click
+    assert 0 < mixed.where("event_type = 'view'").count() < ev.where("event_type = 'view'").count()
