@@ -104,3 +104,40 @@ def test_streaming_windowed_agg_runs_as_stream(spark, sf_dir, tmp_path):
     missing = {k for k in batch if k not in emitted}
     max_start = max(k[0] for k in batch)
     assert all(k[0] == max_start for k in missing), missing
+
+def test_migration_flagship_example_runs(spark):
+    # docs/MIGRATION.md flagship chain, executed verbatim on an
+    # airquality-analog (reference README.md:25-54): must produce NaN for
+    # the first row of each month (empty frame), R-style.
+    import math
+
+    from tidier_spark import days, tbl
+
+    rows = [
+        (m, d, float(60 + (m * 7 + d * 3) % 30))
+        for m in range(5, 10)
+        for d in range(1, 31)
+    ]
+    airquality = spark.createDataFrame(rows, ["Month", "Day", "Temp"])
+    r = (
+        tbl(airquality)
+        .mutate(date_col="make_date(1973, Month, Day)")
+        .slice_sample(prop=0.8)
+        .mutate(
+            avg_temp_over_last_week="r_mean(Temp, na_rm=TRUE)",
+            order_by="Day",
+            by="Month",
+            frame=(days(7), days(-1)),
+            index="date_col",
+        )
+        .df
+    )
+    pdf = r.toPandas().sort_values(["Month", "Day"])
+    # NB: groupby().first() skips NaN — nth(0) keeps the actual first row
+    first_per_month = pdf.groupby("Month").nth(0)
+    # reference README row 1: empty trailing frame → NaN (not NULL/None)
+    assert all(
+        math.isnan(v) for v in first_per_month["avg_temp_over_last_week"]
+    )
+    # later rows have real averages
+    assert pdf["avg_temp_over_last_week"].notna().sum() > 0
