@@ -380,9 +380,9 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators.temporal import sessionize
 
     ev = read_table(spark, sf_dir, "events")
-    return sessionize(ev, "user_id", "ts", gap_seconds=4 * 3600).select(
-        "event_id", "session_id"
-    )
+    return sessionize(
+        ev, "user_id", "ts", gap_seconds=4 * 3600, tiebreak_cols=["event_id"]
+    ).select("event_id", "session_id")
 
 
 def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,12 +694,12 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             SELECT event_id,
                    sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)
-                     OVER (PARTITION BY user_id ORDER BY ts
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
                      AS session_id
             FROM (SELECT event_id, user_id, ts,
                          epoch_us(ts) - lag(epoch_us(ts))
-                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
                   FROM events)""",
         "pivot_wider": """
             SELECT user_id,

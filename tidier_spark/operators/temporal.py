@@ -85,22 +85,30 @@ def sessionize(
     time_col: str,
     gap_seconds: int,
     session_col: str = "session_id",
+    tiebreak_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the key's previous event exceeds ``gap_seconds``.
 
     ``session_id`` is 1-based and consecutive per key.  One shuffle on the
     key, one sort — the batch analog of a streaming session window.
+
+    ``tiebreak_cols``: extra ordering columns appended after the timestamp.
+    When a key can have two events at the same instant, lag() and the
+    running sum are otherwise tie-ambiguous and the ids assigned at a
+    session boundary become partition/engine-dependent — pass a unique id
+    column to make the assignment deterministic.
     """
     t = F.unix_micros(F.col(time_col))
-    w = Window.partitionBy(key_col).orderBy(t)
+    order = [t, *(F.col(c) for c in tiebreak_cols)]
+    w = Window.partitionBy(key_col).orderBy(*order)
     gap_us = gap_seconds * 1_000_000
     new_flag = F.when(
         (t - F.lag(t).over(w)) > gap_us, 1
     ).otherwise(0)
     # first event per key has lag NULL → comparison NULL → otherwise(0);
     # cumulative sum starts sessions at 0 → +1 for 1-based ids
-    run = Window.partitionBy(key_col).orderBy(t).rowsBetween(
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return df.withColumn(session_col, (F.sum(new_flag).over(run) + 1).cast("long"))

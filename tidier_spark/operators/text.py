@@ -181,16 +181,23 @@ ROLLING_SEED = 7
 
 
 def rolling_fingerprint(col: Column | str) -> Column:
-    """Order-SENSITIVE polynomial rolling hash over the raw characters
-    (complement of :func:`fingerprint`, which is order-insensitive):
-    ``h = fold(chars, seed, (acc, c) -> (acc·31 + code(c)) mod 1e9+7)``.
+    """Order-SENSITIVE polynomial rolling hash over the UTF-8 BYTES of the
+    text (complement of :func:`fingerprint`, which is order-insensitive):
+    ``h = fold(utf8_bytes, seed, (acc, b) -> (acc·31 + b) mod 1e9+7)``.
 
-    Modular reduction each step keeps the accumulator < 2⁶³ (Spark 4 runs
-    ANSI mode — silent overflow would instead raise).
+    Byte-level on purpose: per-character code-point functions (``ascii``)
+    diverge across engines/versions on non-ASCII input, while the UTF-8
+    byte sequence of a string is a portable, engine-independent value.  The
+    bytes are surfaced as hex pairs (``hex`` is uppercase, 2 chars/byte in
+    both Spark and DuckDB) and folded with modular reduction each step to
+    keep the accumulator < 2⁶³ (Spark 4 runs ANSI mode — silent overflow
+    would instead raise).
     """
     c = F.col(col) if isinstance(col, str) else col
+    hx = F.upper(F.hex(F.encode(c, "UTF-8")))
     codes = F.transform(
-        F.filter(F.split(c, ""), lambda ch: ch != F.lit("")), F.ascii
+        F.regexp_extract_all(hx, F.lit("[0-9A-F]{2}"), 0),
+        lambda p: F.conv(p, 16, 10).cast("long"),
     )
     return F.aggregate(
         codes,
@@ -216,10 +223,11 @@ def token_count_bpe_sql(col: str = "text") -> str:
 
 
 def rolling_fingerprint_sql(col: str = "text") -> str:
+    # Byte-level mirror of rolling_fingerprint: fold over UTF-8 hex pairs.
     return (
         f"list_reduce(list_prepend({ROLLING_SEED}::BIGINT,"
-        f" list_transform(list_filter(string_split({col}, ''), c -> c <> ''),"
-        " c -> ascii(c)::BIGINT)),"
+        f" list_transform(regexp_extract_all(upper(hex(encode({col}))),"
+        " '[0-9A-F]{2}'), p -> ('0x' || p)::BIGINT)),"
         f" (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
     )
 

@@ -48,7 +48,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin the session so calendar arithmetic (Tier-B INTERVAL frames,
     # window bucketing) agrees even if the host JVM defaults elsewhere.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = _read_parquet_nanos_ok(spark, path)
+    # Set BEFORE the first scan: probing with try/except would abort a live
+    # job and dump an ERROR TaskSetManager stack into every bench log.  The
+    # conf only affects TIMESTAMP(NANOS) columns, which Spark otherwise
+    # rejects outright (PARQUET_TYPE_ILLEGAL), so it is safe to pin always.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             from pyspark.sql import functions as F
@@ -57,16 +62,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # epoch-nano magnitudes (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
-
-
-def _read_parquet_nanos_ok(spark: SparkSession, path: str):
-    try:
-        return spark.read.parquet(path)
-    except Exception as exc:
-        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
