@@ -268,6 +268,18 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup(emb, threshold=0.4)
 
 
+def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bucketed-not-all-pairs near-dup (the 100 TB path): LSH candidate
+    # buckets → join-resolved exact cosine → threshold.  Approximate by
+    # construction (recall < 1) — rows-only check; precision-1/recall
+    # differential vs the exact path lives in
+    # tests/test_extensions.py::test_embedding_near_dup_lsh_precision_and_recall.
+    from tidier_spark.operators import dedup as D
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_lsh(emb, threshold=0.4)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators import dedup as D
 
@@ -562,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,

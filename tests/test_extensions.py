@@ -181,6 +181,45 @@ def test_lsh_topk_no_duplicate_pairs(tables):
     assert (r.groupby("query_id")["rank"].apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
 
 
+def test_cosine_topk_chunked_equals_single(tables):
+    # the bounded-memory multi-chunk path must reproduce the single-chunk
+    # (and oracle-checked) result exactly
+    emb = tables["embeddings"].limit(150)
+    one = {tuple(r) for r in similarity.cosine_topk(emb, k=3).collect()}
+    many = {
+        tuple(r) for r in similarity.cosine_topk(emb, k=3, chunk_size=40).collect()
+    }
+    assert one == many
+
+
+def test_embedding_near_dup_chunked_equals_single(tables):
+    emb = tables["embeddings"]
+    one = {tuple(r) for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()}
+    many = {
+        tuple(r)
+        for r in dedup.embedding_near_dup(emb, threshold=0.4, chunk_size=128).collect()
+    }
+    assert one == many
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(tables):
+    # bucketed path scores candidates EXACTLY, so precision is 1 (subset of
+    # the exact pair set); recall < 1 by LSH construction — deterministic
+    # (md5-seeded planes), measured on this fixture
+    emb = tables["embeddings"]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_lsh(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"bucketed near-dup recall too low: {recall:.2f}"
+
+
 def test_token_count_bpe_oracle(tables, sf_dir):
     r = tables["documents"].select(
         "doc_id", text.token_count_bpe("text").alias("bpe_tokens")

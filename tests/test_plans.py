@@ -133,3 +133,30 @@ def test_salted_agg_two_exchanges(tables):
     r = salted_agg(tables["lineitem"], "l_returnflag", {"s": "sum(l_quantity)"})
     # two small shuffles replace one skewed shuffle — by design
     assert count_exchanges(r) == 2
+
+
+def test_lsh_rerank_is_join_based(tables):
+    # The ANN re-rank must resolve vectors by JOINS against the vector
+    # table, not a driver collect + broadcast of the full matrix (the
+    # round-1 scale-killer): the plan shows join nodes feeding the scoring
+    # MapInPandas, and building the plan triggers no Spark job at all
+    # (a driver collect would).
+    from tidier_spark.operators import similarity
+
+    emb = tables["embeddings"].limit(100)
+    tracker = emb.sparkSession.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    r = similarity.lsh_topk(emb, k=2, n_planes=3, n_tables=4)
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before, "plan construction ran a Spark job (driver collect?)"
+    plan = explain_str(r, "simple")
+    assert plan.count("Join") >= 2, plan
+    assert "InPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_embedding_near_dup_lsh_no_cartesian(tables):
+    from tidier_spark.operators import dedup
+
+    r = dedup.embedding_near_dup_lsh(tables["embeddings"].limit(100), threshold=0.4)
+    plan = explain_str(r, "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan

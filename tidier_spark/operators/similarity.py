@@ -70,6 +70,7 @@ def cosine_topk(
     k: int = 3,
     queries: DataFrame | None = None,
     method: str = "numpy",
+    chunk_size: int = 1 << 16,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -78,17 +79,19 @@ def cosine_topk(
     cos_sim is rounded to 6 decimals and ranking ties break on neighbor_id,
     so results are method-independent.
 
-    * ``method="numpy"`` (default): broadcast the candidate matrix to every
-      task; stream query rows through an Arrow-batched ``mapInPandas`` doing
-      one BLAS matmul + argpartition per batch.  This is the 100 TB shape:
-      queries scale out, candidates are a broadcast (chunk the candidate
-      side and merge per-chunk top-k when it exceeds executor memory).
+    * ``method="numpy"`` (default): stream query rows through an
+      Arrow-batched ``mapInPandas`` doing one BLAS matmul + stable
+      top-k per batch against the candidate matrix, which is broadcast in
+      bounded CHUNKS (``chunk_size`` rows each): per-chunk partial top-k,
+      then a window merge.  Driver and executor memory are bounded by
+      chunk_size × dims regardless of candidate count — the 100 TB shape
+      for an exact (inherently O(n·m)) search.
     * ``method="sql"``: pure built-in expressions (no Python workers) over a
       crossJoin of pre-normalized vectors — the portable fallback and the
       form the DuckDB oracle mirrors exactly.
     """
     if method == "numpy":
-        return _cosine_topk_numpy(df, id_col, vec_col, k, queries)
+        return _cosine_topk_blas(df, id_col, vec_col, k, queries, chunk_size)
     q = unit_vectors(queries or df, id_col, vec_col, "__qv").withColumnRenamed(
         id_col, "query_id"
     )
@@ -121,26 +124,40 @@ def cosine_topk(
     )
 
 
-def _cosine_topk_numpy(
+def _chunk_pred(id_col: str, n_chunks: int, ci: int):
+    """Deterministic candidate→chunk assignment (hash-mod on the id)."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == ci
+
+
+def _cosine_topk_blas(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     queries: DataFrame | None,
+    chunk_size: int,
 ) -> DataFrame:
+    """Exact BLAS top-k with BOUNDED memory: the candidate side is pulled
+    chunk-at-a-time (never the whole table — the round-1 full-table
+    ``toPandas()`` was a driver OOM at scale), each chunk broadcast for a
+    streamed matmul partial top-k, partials merged with a window.
+
+    Per chunk the driver holds ≤ chunk_size × dims doubles; partial results
+    are ≤ n_queries × k rows per chunk.  The single-chunk fast path (test
+    scale) is exactly the round-1 plan.
+    """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    # Candidate side → one broadcast matrix.  collect() here is the
-    # documented broadcast boundary: row-count × dims must fit in executor
-    # memory; beyond that, chunk candidates and merge per-chunk top-k.
-    cand = df.select(id_col, vec_col).toPandas()
-    c_ids = cand[id_col].to_numpy()
-    c_mat = np.vstack(cand[vec_col].to_numpy()).astype(np.float64)
-    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    cand_src = df.select(id_col, vec_col)
+    n = cand_src.count()
+    n_chunks = max(1, math.ceil(n / chunk_size))
+    if n_chunks > 1:
+        cand_src = cand_src.persist()
 
     out_schema = T.StructType(
         [
@@ -150,32 +167,69 @@ def _cosine_topk_numpy(
             T.StructField("rank", T.LongType()),
         ]
     )
-
-    def topk_batches(it):
-        ids, mat = bc.value
-        order_by_id = np.argsort(ids, kind="stable")
-        for pdf in it:
-            q_ids = pdf[id_col].to_numpy()
-            q_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-            sims = np.round(q_mat @ mat.T, 6)  # rounded BEFORE ranking →
-            # ordering matches any engine that rounds the same values
-            rows: dict[str, list] = {"query_id": [], "neighbor_id": [], "cos_sim": [], "rank": []}
-            for qi, qid in enumerate(q_ids):
-                s = sims[qi]
-                self_mask = ids == qid
-                s = np.where(self_mask, -np.inf, s)
-                # top-k by (-sim, neighbor_id): stable sort over id-sorted order
-                cand_order = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:k]
-                for r, ci in enumerate(cand_order, start=1):
-                    rows["query_id"].append(int(qid))
-                    rows["neighbor_id"].append(int(ids[ci]))
-                    rows["cos_sim"].append(float(s[ci]))
-                    rows["rank"].append(r)
-            yield pd.DataFrame(rows)
-
     src = (queries or df).select(id_col, vec_col)
-    return src.mapInPandas(topk_batches, out_schema)
+
+    def chunk_topk(bc):
+        def topk_batches(it):
+            ids, mat = bc.value
+            order_by_id = np.argsort(ids, kind="stable")
+            for pdf in it:
+                q_ids = pdf[id_col].to_numpy()
+                q_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+                sims = np.round(q_mat @ mat.T, 6)  # rounded BEFORE ranking →
+                # ordering matches any engine that rounds the same values
+                rows: dict[str, list] = {"query_id": [], "neighbor_id": [], "cos_sim": [], "rank": []}
+                for qi, qid in enumerate(q_ids):
+                    s = sims[qi]
+                    self_mask = ids == qid
+                    s = np.where(self_mask, -np.inf, s)
+                    # top-k by (-sim, neighbor_id): stable sort over id-sorted order
+                    cand_order = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:k]
+                    for r, ci in enumerate(cand_order, start=1):
+                        rows["query_id"].append(int(qid))
+                        rows["neighbor_id"].append(int(ids[ci]))
+                        rows["cos_sim"].append(float(s[ci]))
+                        rows["rank"].append(r)
+                yield pd.DataFrame(rows)
+
+        return topk_batches
+
+    partials = []
+    for ci in range(n_chunks):
+        chunk_df = (
+            cand_src.where(_chunk_pred(id_col, n_chunks, ci))
+            if n_chunks > 1
+            else cand_src
+        )
+        pdf = chunk_df.toPandas()
+        c_ids = pdf[id_col].to_numpy()
+        c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((c_ids, c_mat))
+        part = src.mapInPandas(chunk_topk(bc), out_schema)
+        if n_chunks > 1:
+            # materialize on executors so the chunk's broadcast can be freed
+            # before the next chunk is pulled (bounded cluster memory)
+            part = part.localCheckpoint(eager=True)
+            bc.unpersist()
+        partials.append(part)
+
+    if n_chunks == 1:
+        return partials[0]
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    merged = reduce(lambda a, b: a.unionByName(b), partials)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def _plane_value_py(plane: int, dim: int) -> float:
@@ -202,23 +256,19 @@ def _plane_matrix(table: int, n_planes: int, n_dims: int):
     )
 
 
-def lsh_topk(
+def _lsh_candidates(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    n_planes: int = 12,
-    n_tables: int = 3,
-    n_dims: int = 64,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    n_dims: int,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH buckets → exact cosine re-rank.
-
-    Vectors colliding in any of ``n_tables`` signature tables become
-    candidate pairs (equi-join on (table, signature) — never a cross join);
-    exact cosine + row_number picks the final k.  Deterministic: planes are
-    md5-seeded, ties break on neighbor id.  Recall < 1 by construction;
-    raise n_tables / lower n_planes to trade cost for recall.
-    """
+    """Hyperplane-LSH candidate pairs: vectors colliding in any of
+    ``n_tables`` signature tables (equi-join on (table, signature) — never
+    a cross join).  Output (query_id, neighbor_id), possibly repeated once
+    per colliding table.  Candidates carry IDS ONLY — shuffling vectors
+    through the pair join would move |pairs|·dims·8 bytes; ids are 8 B."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -252,13 +302,11 @@ def lsh_topk(
                 out["sig"].extend(int(s) for s in sigs)
             yield pd.DataFrame(out)
 
-    # Candidates carry IDS ONLY — shuffling the vectors through the
-    # pair join would move |pairs|·dims·8 bytes; ids are 8 bytes.
     tagged = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
 
     a = tagged.alias("a")
     b = tagged.alias("b")
-    cand = (
+    return (
         a.join(b, on=["tbl", "sig"])
         .where(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
@@ -266,73 +314,103 @@ def lsh_topk(
             F.col(f"b.{id_col}").alias("neighbor_id"),
         )
     )
-    # NOTE: no dropDuplicates here — that would be a second full shuffle of
-    # the pair stream.  The re-rank repartitions by query_id anyway, which
-    # co-locates every copy of a pair; dedupe happens in pandas there.
-    return _rerank_pairs_numpy(df, cand, id_col, vec_col, k)
 
 
-def _rerank_pairs_numpy(
-    df: DataFrame, pairs: DataFrame, id_col: str, vec_col: str, k: int
+def lsh_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    n_dims: int = 64,
 ) -> DataFrame:
-    """Exact cosine + top-k over candidate (query_id, neighbor_id) pairs,
-    vectors resolved from a broadcast matrix (no vector shuffle)."""
+    """Approximate top-k: hyperplane-LSH buckets → exact cosine re-rank.
+
+    Candidate pairs from :func:`_lsh_candidates`; exact cosine (vectors
+    resolved by shuffle joins, no driver collect) + row_number picks the
+    final k.  Deterministic: planes are md5-seeded, ties break on neighbor
+    id.  Recall < 1 by construction; raise n_tables / lower n_planes to
+    trade cost for recall.
+    """
+    cand = _lsh_candidates(df, id_col, vec_col, n_planes, n_tables, n_dims)
+    return _rerank_pairs(df, cand, id_col, vec_col, k)
+
+
+def _score_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact cosine over candidate (query_id, neighbor_id) pairs with
+    vectors resolved by TWO SHUFFLE JOINS against the (id, vector) table —
+    the standard rerank-by-join shape.  No driver collect, no full-matrix
+    broadcast: the vector table shuffles by id (each partition bounded),
+    candidate ids are 16 B/row.  Scoring is an Arrow-batched einsum over
+    the joined rows.
+
+    Pairs arriving multiple times (one per colliding LSH table / probed
+    list) are deduped first — one shuffle of bare id-pairs — so downstream
+    ranking sees each pair once.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    cand = df.select(id_col, vec_col).toPandas()
-    ids = cand[id_col].to_numpy()
-    mat = np.vstack(cand[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    idx = {int(v): i for i, v in enumerate(ids)}
-    bc = spark.sparkContext.broadcast((idx, mat))
+    vecs = df.select(id_col, vec_col)
+    joined = (
+        pairs.dropDuplicates(["query_id", "neighbor_id"])
+        .join(
+            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+            ),
+            "neighbor_id",
+        )
+    )
 
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("neighbor_id", T.LongType()),
             T.StructField("cos_sim", T.DoubleType()),
-            T.StructField("rank", T.LongType()),
         ]
     )
 
-    def rerank(it):
-        idx_l, mat_l = bc.value
-        # One partition holds every candidate of each query hashed to it
-        # (repartition below), but Arrow splits partitions into batches —
-        # concat so a query's top-k sees all its candidates.  Id-pairs are
-        # 24 B/row; partitions stay tiny even at 10⁸ candidates total.
-        batches = [pdf for pdf in it if len(pdf)]
-        if not batches:
-            return
-        pdf = pd.concat(batches, ignore_index=True)
-        # pairs may arrive multiple times (one per colliding LSH table);
-        # partition-local dedupe is global because pairs are co-located
-        pdf = pdf.drop_duplicates(["query_id", "neighbor_id"], ignore_index=True)
-        qi = pdf["query_id"].map(idx_l).to_numpy()
-        ni = pdf["neighbor_id"].map(idx_l).to_numpy()
-        sims = np.round(np.einsum("ij,ij->i", mat_l[qi], mat_l[ni]), 6)
-        out = pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].astype("int64"),
-                "neighbor_id": pdf["neighbor_id"].astype("int64"),
-                "cos_sim": sims,
-            }
-        )
-        out = out.sort_values(
-            ["query_id", "cos_sim", "neighbor_id"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        out["rank"] = out.groupby("query_id").cumcount() + 1
-        yield out[out["rank"] <= k]
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf["__qv"].to_numpy()).astype(np.float64)
+            nv = np.vstack(pdf["__nv"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            nv /= np.linalg.norm(nv, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cos_sim": np.round(np.einsum("ij,ij->i", q, nv), 6),
+                }
+            )
 
-    # hash-repartition pairs by query so each query's candidates co-locate
+    return joined.mapInPandas(score, out_schema)
+
+
+def _rerank_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Join-resolved exact-cosine scoring + per-query top-k window."""
+    from pyspark.sql import Window
+
+    scored = _score_pairs(df, pairs, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
     return (
-        pairs.repartition("query_id")
-        .mapInPandas(rerank, out_schema)
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -442,7 +520,7 @@ def ivf_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    return _rerank_pairs_numpy(df, cand, id_col, vec_col, k)
+    return _rerank_pairs(df, cand, id_col, vec_col, k)
 
 
 # --- DuckDB mirror ---------------------------------------------------------
