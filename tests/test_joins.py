@@ -48,6 +48,24 @@ def test_full_join_suffixes(tables, sf_dir):
     assert set(r.columns) == {"n_nationkey", "name_x", "r_regionkey", "name_y"}
 
 
+def test_full_join_coalesces_same_name_key(spark):
+    # dplyr::full_join: the collapsed key carries whichever side matched —
+    # an unmatched right row must surface its key, not NULL
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "va"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "vb"])
+    rows = {tuple(r) for r in full_join(a, b, by="k").collect()}
+    assert rows == {(1, "a1", None), (2, "a2", "b2"), (3, None, "b3")}
+
+
+def test_right_join_keeps_right_key(spark):
+    from tidier_spark.joins import right_join
+
+    a = spark.createDataFrame([(1, "a1")], ["k", "va"])
+    b = spark.createDataFrame([(1, "b1"), (3, "b3")], ["k", "vb"])
+    rows = {tuple(r) for r in right_join(a, b, by="k").collect()}
+    assert rows == {(1, "a1", "b1"), (3, None, "b3")}
+
+
 def test_semi_and_anti_join_oracle(tables, sf_dir):
     urgent = tables["orders"].where("o_orderpriority = '1-URGENT'")
     s = semi_join(tables["customer"], urgent, by={"c_custkey": "o_custkey"}).select(

@@ -283,11 +283,32 @@ def test_pct_change_and_diff_oracle(tables, sf_dir):
         r,
         """SELECT event_id,
                   value - lag(value) OVER w AS value_diff,
-                  round((value - lag(value) OVER w) / lag(value) OVER w, 6) AS pc
+                  round((value - lag(value) OVER w)
+                        / nullif(lag(value) OVER w, 0), 6) AS pc
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         sf_dir,
     )
+
+
+def test_setdiff_is_set_difference(spark):
+    # dplyr::setdiff: a row of `a` present anywhere in `b` is removed even
+    # if duplicated in `a` (bag-difference+distinct would leave a survivor)
+    from tidier_spark.verbs import setdiff
+
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,)], ["x"])
+    assert {r["x"] for r in setdiff(a, b).collect()} == {2}
+
+
+def test_pct_change_zero_baseline_yields_null(spark):
+    # ANSI mode raises on /0 — the guard must turn a 0 baseline into NULL
+    from tidier_spark.verbs import pct_change
+
+    df = spark.createDataFrame([(1, 1, 0.0), (1, 2, 5.0)], ["k", "t", "x"])
+    rows = pct_change(df, "x", by="k", order_by="t").orderBy("t").collect()
+    assert rows[0]["x_pct_change"] is None  # no previous row
+    assert rows[1]["x_pct_change"] is None  # previous value is 0
 
 
 def test_approx_distinct_tolerance(tables):

@@ -61,13 +61,28 @@ def _join(
         return joined
 
     # dplyr column resolution: equal-named key pairs collapse to one column;
-    # other duplicated names get suffixes.
+    # other duplicated names get suffixes.  The collapsed key must carry the
+    # side that is guaranteed non-null for the join type: left for
+    # left/inner, right for right (unmatched right rows have a NULL left
+    # key), coalesce(left, right) for full — dplyr::full_join coalesces.
     out_cols: list[Column] = []
     left_names = set(left.columns)
     right_names = set(right.columns)
     key_right = {rc for lc, rc in pairs if lc == rc}
+    key_out: dict[str, Column] = {}
+    for lc, rc in pairs:
+        if lc != rc:
+            continue
+        if how in ("full", "outer", "full_outer"):
+            key_out[lc] = F.coalesce(left[lc], right[rc]).alias(lc)
+        elif how in ("right", "right_outer"):
+            key_out[lc] = right[rc].alias(lc)
+        else:
+            key_out[lc] = left[lc]
     for c in left.columns:
-        if c in right_names and c not in key_right:
+        if c in key_out:
+            out_cols.append(key_out[c])
+        elif c in right_names:
             out_cols.append(left[c].alias(f"{c}{suffix[0]}"))
         else:
             out_cols.append(left[c])

@@ -376,7 +376,12 @@ def _lag_delta(df, col, by, order_by, out, relative):
     )
     prev = F.lag(F.col(col)).over(w)
     delta = F.col(col) - prev
-    return df.withColumn(out, (delta / prev) if relative else delta)
+    # nullif guard: under ANSI mode (session default) a 0 baseline would
+    # raise DIVIDE_BY_ZERO; NULL matches SQL semantics for an undefined
+    # relative change
+    return df.withColumn(
+        out, (delta / F.nullif(prev, F.lit(0))) if relative else delta
+    )
 
 
 # --- set operations (dplyr names; SURVEY §2.3 "Set ops" row) ---------------
@@ -398,4 +403,8 @@ def intersect_(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def setdiff(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.exceptAll(b).distinct()
+    """Set difference (EXCEPT DISTINCT) — dplyr::setdiff semantics: a row of
+    ``a`` that appears ANYWHERE in ``b`` is removed entirely.  (exceptAll +
+    distinct would be bag-difference: a row duplicated in ``a`` more times
+    than in ``b`` would wrongly survive.)"""
+    return a.subtract(b)
