@@ -142,6 +142,21 @@ def _q_o7_calendar_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "avg_m")
 
 
+def _q_o7_calendar_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `.complete=TRUE` on a CALENDAR frame (reference: slider's uniform
+    # .complete, R/mutate.R:58-62 + Period frames :98-100): rows whose
+    # month-back window sticks out of the partition's index extent get NULL.
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_m="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(months(1), days(0)),
+        complete=True,
+    ).select("event_id", "avg_m")
+
+
 def _q_o8_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return mutate(
@@ -563,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_range_flagship": _q_o5_range_flagship,
         "o6_grouped_rows": _q_o6_grouped_rows,
         "o7_calendar_frame": _q_o7_calendar_frame,
+        "o7_calendar_complete": _q_o7_calendar_complete,
         "o8_overwrite": _q_o8_overwrite,
         "o9_sql_window": _q_o9_sql_window,
         "inf_frame": _q_inf_frame,
@@ -655,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 MONTH PRECEDING AND CURRENT ROW
                    ) / 100 AS avg_m
+            FROM events""",
+        "o7_calendar_complete": """
+            SELECT event_id,
+                   CASE WHEN ts - INTERVAL 1 MONTH
+                          >= min(ts) OVER (PARTITION BY user_id)
+                        THEN avg(round(value * 100)) OVER (
+                               PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                                         AND CURRENT ROW) / 100
+                   END AS avg_m
             FROM events""",
         "o8_overwrite": """
             SELECT event_id,

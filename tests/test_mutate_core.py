@@ -171,6 +171,34 @@ def test_o7_calendar_interval_frame(tables, sf_dir):
     )
 
 
+def test_complete_calendar_frame(tables, sf_dir):
+    # R/mutate.R:58-62 applied to calendar Periods (:98-100): complete=TRUE
+    # nulls rows whose month-back window leaves the partition's index extent.
+    r = mutate(
+        tables["events"],
+        avg_m="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(months(1), days(0)),
+        complete=True,
+    ).select("event_id", "avg_m")
+    assert_matches_oracle(
+        r,
+        """SELECT event_id,
+                  CASE WHEN ts - INTERVAL 1 MONTH
+                         >= min(ts) OVER (PARTITION BY user_id)
+                       THEN avg(round(value * 100)) OVER (
+                              PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                                        AND CURRENT ROW) / 100
+                  END AS avg_m
+           FROM events""",
+        sf_dir,
+    )
+    # and the guard actually fires: each user's earliest rows are NULL
+    assert r.where("avg_m IS NULL").count() > 0
+
+
 def test_complete_rows_frame(tables, sf_dir):
     # R/mutate.R:58-62 — complete=TRUE nulls partial windows.
     r = mutate(

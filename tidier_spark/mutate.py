@@ -44,8 +44,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .expressions import rewrite_r_functions, windowize
-from .frames import FrameSpec, parse_frame
-from .window import WindowPlan, compile_window
+from .frames import FrameSpec, Period, parse_frame
+from .window import WindowPlan, compile_window, quote_ident
 
 __all__ = ["mutate", "mutate_"]
 
@@ -92,12 +92,34 @@ def _complete_guard(
     Rows frames: full ⇔ ``count(*) over frame == before+after+1`` (only
     finite bounds constrain).  Range frames: full ⇔ the value interval
     ``[key+lo, key+hi]`` lies inside the partition's index range — the
-    slider ``slide_index(.complete=TRUE)`` rule.
+    slider ``slide_index(.complete=TRUE)`` rule.  Calendar (Tier B) frames
+    apply the same extent rule with INTERVAL arithmetic on the raw index
+    (``R/mutate.R:98-100`` routes calendar Periods through the identical
+    slider ``.complete`` machinery).
     """
     if plan.is_sql:
-        raise NotImplementedError(
-            "complete=True is not supported with calendar-interval frames"
-        )
+        # complete ⇔ [idx - before, idx + after] ⊆ partition index extent,
+        # with calendar-aware shifts: `idx - INTERVAL '1' MONTH` moves by a
+        # true month, not a fixed second count.
+        q = quote_ident(plan.index_name)
+        over = f" OVER ({plan.sql_part})" if plan.sql_part else " OVER ()"
+        conds: list[str] = []
+        for v, sign, agg, cmp in (
+            (frame.before, -1, "min", ">="),
+            (frame.after, +1, "max", "<="),
+        ):
+            if v == math.inf:
+                continue  # unbounded side never makes a window partial
+            if isinstance(v, Period):
+                shift = f"{q} + INTERVAL '{sign * v.n}' {v.unit.upper()}"
+            elif int(v) == 0:
+                shift = q
+            else:  # parse_frame limits numeric sides of calendar frames to 0/inf
+                raise ValueError("calendar frames only mix with 0/inf numeric bounds")
+            conds.append(f"({shift} {cmp} {agg}({q}){over})")
+        if not conds:
+            return value
+        return F.when(F.expr(" AND ".join(conds)), value)
     if plan.row_frame:
         lo, hi = frame.row_bounds()
         # Unbounded sides never make a window partial.

@@ -55,6 +55,10 @@ class WindowPlan:
     order_cols: list[Column] = field(default_factory=list)
     frame: FrameSpec | None = None
     row_frame: bool = False  # True when frame is ROWS (not RANGE)
+    # Tier B bookkeeping (calendar frames): SQL fragments for rebuilding
+    # auxiliary windows (e.g. the partition-extent guard of complete=True)
+    sql_part: str = ""  # "PARTITION BY ..." or ""
+    index_name: str | None = None
 
     @property
     def is_sql(self) -> bool:
@@ -153,13 +157,15 @@ def compile_window(
         if frame.is_calendar:
             # Tier B: calendar intervals need SQL RANGE BETWEEN INTERVAL.
             parts = []
+            sql_part = ""
             if by:
                 names = [c if isinstance(c, str) else None for c in by]
                 if any(n is None for n in names):
                     raise TypeError("calendar frames need string `by` names")
-                parts.append(
-                    "PARTITION BY " + ", ".join(quote_ident(n) for n in names)  # type: ignore[arg-type]
+                sql_part = "PARTITION BY " + ", ".join(
+                    quote_ident(n) for n in names  # type: ignore[arg-type]
                 )
+                parts.append(sql_part)
             parts.append(f"ORDER BY {quote_ident(index)}")
             parts.append(frame.sql_frame_clause())
             return WindowPlan(
@@ -167,6 +173,8 @@ def compile_window(
                 partition_cols=part_cols,
                 order_cols=[F.col(index)],
                 frame=frame,
+                sql_part=sql_part,
+                index_name=index,
             )
         key, unit, _ = _index_order_key(df, index)
         lo, hi = frame.range_bounds(unit)
