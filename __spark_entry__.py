@@ -567,6 +567,169 @@ def _q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dplyr::full_join key semantics: the collapsed same-named key is
+    # coalesce(left, right), so unmatched rows from EITHER side surface
+    # their key (ADVICE round 1).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.joins import full_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    left = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    right = customer.where("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal")
+    )
+    return full_join(left, right, by="custkey")
+
+
+def _q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dplyr::right_join: the collapsed key carries the RIGHT side (the left
+    # key is NULL for unmatched right rows).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.joins import right_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    left = (
+        orders.where("o_totalprice > 400000")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    right = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return right_join(left, right, by="custkey")
+
+
+def _q_pivot_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr::pivot_longer as a stack() generator — no shuffle at all.
+    from tidier_spark.verbs import pivot_longer
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return pivot_longer(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        names_to="measure",
+        values_to="val",
+    )
+
+
+def _q_fill_up(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr::fill(.direction="up") — NOCB, mirror of the locf_fill entry.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.verbs import fill_up
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    return fill_up(ev, "v", by="user_id", order_by=["ts", "event_id"]).select(
+        "event_id", "v"
+    )
+
+
+def _q_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diff + pct_change (zero-guarded: ANSI /0 would raise).  Raw doubles
+    # emitted unrounded: subtraction and division of bit-identical inputs
+    # are bit-identical IEEE ops on both engines.
+    from tidier_spark.verbs import diff, pct_change
+
+    ev = read_table(spark, sf_dir, "events")
+    return pct_change(
+        diff(ev, "value", by="user_id", order_by=["ts", "event_id"]),
+        "value",
+        by="user_id",
+        order_by=["ts", "event_id"],
+    ).select("event_id", "value_diff", "value_pct_change")
+
+
+def _q_nest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr::nest → unnest roundtrip: pack each user's events into an
+    # array<struct> (deterministic order via sort_by) and explode back —
+    # the result must be exactly the input projection.
+    from tidier_spark.verbs import nest, unnest
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return unnest(nest(ev, by="user_id", sort_by="event_id"), "data")
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Skew-salted two-phase aggregation == the plain aggregation, exactly
+    # (avg merges as Σ/Σ).  Penny-quantized sums keep doubles exact.
+    from tidier_spark.skew import salted_agg
+
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": "count(*)",
+            "sum_qty_cents": "sum(round(l_quantity * 100))",
+            "min_qty": "min(l_quantity)",
+            "max_qty": "max(l_quantity)",
+            "avg_cents": "avg(round(l_extendedprice * 100))",
+        },
+    ).withColumn("sum_qty", F.col("sum_qty_cents") / 100).drop("sum_qty_cents")
+
+
+def _q_frame_apply_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tier C: arbitrary Python reducer per window frame (np.median over a
+    # 7-row frame) vs DuckDB's native quantile_cont — two genuinely
+    # different implementations of the same definition.
+    import numpy as np
+
+    from tidier_spark.pandas_tier import frame_apply
+
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        med=frame_apply(np.median, "value"),
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(6, 0),
+    ).select("event_id", "med")
+
+
+def _q_grouped_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tier C: applyInPandas per-group transform (nest+future_map analog).
+    # Demean in penny space: integer sums are exact in float64, so the
+    # pandas mean and the SQL avg are bit-identical.
+    import pandas as pd
+
+    from tidier_spark.pandas_tier import grouped_apply
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        v100 = (pdf["value"] * 100).round()
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "demeaned": (v100 - v100.mean()) / 100.0,
+            }
+        )
+        return out
+
+    return grouped_apply(ev, "user_id", demean, "event_id long, demeaned double")
+
+
+def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (table function): one row per sentence with offsets.
+    from tidier_spark.operators.udtf_ops import split_sentences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_sentences(docs, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_project": _q_o1_project,
@@ -610,6 +773,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarise_pricing": _q_summarise_pricing,
         "topk_per_group": _q_topk_per_group,
         "windowed_rollup": _q_windowed_rollup,
+        "join_full": _q_join_full,
+        "join_right": _q_join_right,
+        "pivot_longer": _q_pivot_longer,
+        "fill_up": _q_fill_up,
+        "diff_pct": _q_diff_pct,
+        "nest_roundtrip": _q_nest_roundtrip,
+        "salted_agg": _q_salted_agg,
+        "frame_apply_median": _q_frame_apply_median,
+        "grouped_apply_demean": _q_grouped_apply_demean,
+        "udtf_sentences": _q_udtf_sentences,
     }
 
 
@@ -823,6 +996,83 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)""",
+        "join_full": """
+            WITH l AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+                       FROM orders GROUP BY 1),
+                 r AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal
+                       FROM customer WHERE c_mktsegment = 'BUILDING')
+            SELECT coalesce(l.custkey, r.custkey) AS custkey,
+                   l.n_orders, r.acctbal
+            FROM l FULL JOIN r ON l.custkey = r.custkey""",
+        "join_right": """
+            WITH l AS (SELECT o_custkey AS custkey, count(*) AS n_big
+                       FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+                 r AS (SELECT c_custkey AS custkey, c_mktsegment FROM customer)
+            SELECT r.custkey AS custkey, l.n_big, r.c_mktsegment
+            FROM l RIGHT JOIN r ON l.custkey = r.custkey""",
+        "pivot_longer": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem""",
+        "fill_up": """
+            SELECT event_id,
+                   first_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+                  FROM events)""",
+        "diff_pct": """
+            SELECT event_id,
+                   value - lag(value) OVER w AS value_diff,
+                   (value - lag(value) OVER w)
+                     / nullif(lag(value) OVER w, 0) AS value_pct_change
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "nest_roundtrip": """
+            SELECT user_id, event_id, value FROM events""",
+        "salted_agg": """
+            SELECT l_returnflag, count(*) AS n,
+                   sum(round(l_quantity * 100)) / 100 AS sum_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   avg(round(l_extendedprice * 100)) AS avg_cents
+            FROM lineitem GROUP BY 1""",
+        "frame_apply_median": """
+            SELECT event_id,
+                   quantile_cont(value, 0.5) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+            FROM events""",
+        "grouped_apply_demean": """
+            SELECT event_id,
+                   (round(value * 100)
+                    - avg(round(value * 100)) OVER (PARTITION BY user_id))
+                   / 100 AS demeaned
+            FROM events""",
+        "udtf_sentences": """
+            WITH f AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split_regex(text, '[.!?]+'),
+                                      x -> trim(x, ' \t\n\r')),
+                       x -> x <> '') AS sents
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, unnest(sents) AS sentence,
+                     generate_subscripts(sents, 1) AS pos
+              FROM f
+            )
+            SELECT doc_id, sentence,
+                   CAST(pos - 1 AS INT) AS sent_idx,
+                   CAST(length(sentence) AS INT) AS sent_chars
+            FROM e""",
     }
 
 
