@@ -135,6 +135,44 @@ def test_salted_agg_two_exchanges(tables):
     assert count_exchanges(r) == 2
 
 
+def test_scale_safe_cumsum_multi_task(tables):
+    # the two-pass prefix lowering must NOT funnel rows through a single
+    # partition: the local-prefix stage runs on the range partitioner's
+    # task count, and results equal the global-window path exactly on
+    # integer data
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", (F.round(F.col("value") * 100)).cast("long").alias("v100")
+    )  # event_id is UNIQUE — duplicate order keys would make any global
+    # cumulative tie-ambiguous between lowerings
+    safe = mutate(ev, c="cumsum(v100)", order_by=["event_id"], scale_safe=True)
+    # >1 task in the heavy stage: the ranged frame keeps the range
+    # partitioner's partition count (defaultParallelism), not 1
+    n_parts = ev.repartitionByRange(
+        ev.sparkSession.sparkContext.defaultParallelism, "event_id"
+    ).rdd.getNumPartitions()
+    assert n_parts > 1
+    plan = explain_str(safe, "simple")
+    assert "__pid" in plan  # per-partition prefix stage present
+    naive = mutate(ev, c="cumsum(v100)", order_by=["event_id"])
+    key = lambda r: (r["event_id"], r["c"])  # noqa: E731
+    assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_scale_safe_cummean_and_max(tables):
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", (F.round(F.col("value") * 100)).cast("long").alias("v100")
+    )
+    for expr in ("cummax(v100)", "cummean(v100)", "cumcount(v100)"):
+        safe = mutate(ev, c=expr, order_by=["event_id"], scale_safe=True)
+        naive = mutate(ev, c=expr, order_by=["event_id"])
+        key = lambda r: (r["event_id"], r["c"])  # noqa: E731
+        assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect())), expr
+
+
 def test_lsh_rerank_is_join_based(tables):
     # The ANN re-rank must resolve vectors by JOINS against the vector
     # table, not a driver collect + broadcast of the full matrix (the

@@ -167,6 +167,7 @@ def mutate(
     desc: bool | list[bool] = False,
     complete: bool = False,
     restore_order: bool = False,
+    scale_safe: bool = False,
     **kw_exprs: object,
 ) -> DataFrame:
     """Spark-style window mutate (the reference's single verb).
@@ -192,6 +193,11 @@ def mutate(
                 (`R/mutate.R:58-62`).
     restore_order : re-sort output to input order (global sort; see module
                 docstring).
+    scale_safe: lower UNGROUPED cumulative exprs (cumsum/cummax/...) via the
+                two-pass range-partitioned prefix aggregate
+                (:func:`tidier_spark.window.scale_safe_cumulative`) instead
+                of a single-partition global window.  Opt-in because float
+                sums re-associate (integer/decimal results are identical).
     kw_exprs  : exprs as keyword args (``avg_x="avg(x)"``).
     """
     exprs: dict[str, object] = {}
@@ -222,6 +228,7 @@ def mutate(
             index=index,
             desc=desc,
             complete=complete,
+            scale_safe=scale_safe,
         )
 
     if restore_order:
@@ -240,6 +247,7 @@ def _apply_one(
     index: str | None,
     desc: bool | list[bool],
     complete: bool,
+    scale_safe: bool = False,
 ) -> DataFrame:
     if isinstance(expr, str):
         expr = _translate(expr)
@@ -293,6 +301,22 @@ def _apply_one(
                 f"{name}: cumulative expressions require order_by "
                 "(Spark has no physical row order)"
             )
+        if scale_safe and not by_l:
+            # ungrouped cumulative: avoid the single-partition global window
+            from .window import scale_safe_cumulative
+
+            if fn == "avg":  # cummean = Σ/Σ over two prefix passes
+                s, c = f"__ss_{name}", f"__sc_{name}"
+                df = scale_safe_cumulative(
+                    df, inner, order_by=order_l, out=s, fn="sum"
+                )
+                df = scale_safe_cumulative(
+                    df, inner, order_by=order_l, out=c, fn="count"
+                )
+                return df.withColumn(name, F.col(s) / F.col(c)).drop(s, c)
+            return scale_safe_cumulative(
+                df, inner, order_by=order_l, out=name, fn=fn
+            )
         plan = compile_window(
             df,
             by=by_l,
@@ -344,6 +368,7 @@ def mutate_(
     desc: bool | list[bool] = False,
     complete: bool = False,
     restore_order: bool = False,
+    scale_safe: bool = False,
     **kw_exprs: object,
 ) -> DataFrame:
     """Standard-eval twin of :func:`mutate` (`R/mutate.R:120-128`).
@@ -370,5 +395,6 @@ def mutate_(
         desc=desc,
         complete=complete,
         restore_order=restore_order,
+        scale_safe=scale_safe,
         **kw_exprs,
     )

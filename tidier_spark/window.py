@@ -27,7 +27,12 @@ from pyspark.sql import types as T
 
 from .frames import FrameSpec
 
-__all__ = ["WindowPlan", "compile_window", "quote_ident"]
+__all__ = [
+    "WindowPlan",
+    "compile_window",
+    "quote_ident",
+    "scale_safe_cumulative",
+]
 
 
 def quote_ident(name: str) -> str:
@@ -216,3 +221,72 @@ def compile_window(
     # Partition-only: group-broadcast aggregate (O3, R/mutate.R:236-239).
     spec = Window.partitionBy(*part_cols)
     return WindowPlan(spec=spec, partition_cols=part_cols)
+
+
+# --- scale-safe ungrouped cumulatives --------------------------------------
+
+# fn → (partial aggregator, partial-total MERGE aggregator, row combiner);
+# count merges by SUMMING partial counts — counting them would be wrong.
+_PREFIX_COMBINE = {
+    "sum": (F.sum, F.sum, lambda local, off: local + off),
+    "count": (F.count, F.sum, lambda local, off: local + off),
+    "max": (F.max, F.max, F.greatest),
+    "min": (F.min, F.min, F.least),
+}
+
+
+def scale_safe_cumulative(
+    df: DataFrame,
+    expr: str,
+    *,
+    order_by: list[object],
+    out: str,
+    fn: str = "sum",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Ungrouped ordered cumulative WITHOUT the single-partition window.
+
+    A global ``sum(x) OVER (ORDER BY k)`` funnels every row through one
+    task — the classic scale cliff.  This lowering is the textbook two-pass
+    distributed prefix aggregate:
+
+    1. ``repartitionByRange(n, k)`` — a range partitioner puts each key
+       range (equal keys together) in its own partition, in key order;
+    2. per-partition prefix via a window on ``spark_partition_id()`` —
+       n parallel tasks;
+    3. per-partition totals (n tiny rows) get an EXCLUSIVE prefix combine
+       and broadcast-join back as offsets.
+
+    Exact for integer/decimal aggregates; for doubles the additions
+    re-associate (same caveat any distributed sum has).  ``cummean`` callers
+    combine a sum pass and a count pass (Σ/Σ, never mean-of-means).
+    """
+    if fn not in _PREFIX_COMBINE:
+        raise ValueError(
+            f"scale_safe cumulative supports {sorted(_PREFIX_COMBINE)}, got {fn!r}"
+        )
+    agg, merge, combine = _PREFIX_COMBINE[fn]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ocols = [_as_col(c) for c in order_by]
+    ranged = df.repartitionByRange(n, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    value = F.expr(expr)
+    local = ranged.withColumn("__local", agg(value).over(w_local))
+    totals = ranged.groupBy("__pid").agg(agg(value).alias("__tot"))
+    w_prev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # n rows total — a single task here is free
+    offsets = totals.select(
+        "__pid", merge(F.col("__tot")).over(w_prev).alias("__off")
+    )
+    joined = local.join(F.broadcast(offsets), "__pid", "left")
+    result = F.when(F.col("__off").isNull(), F.col("__local")).otherwise(
+        combine(F.col("__local"), F.col("__off"))
+    )
+    return joined.withColumn(out, result).drop("__pid", "__local", "__off")
