@@ -52,6 +52,25 @@ __all__ = [
     "simhash_pairs_sql",
 ]
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a narrow file scan so per-row heavy ops use every core.
+
+    Single-file parquet sources arrive as one input split; probe the scan's
+    file list (metadata only — no RDD lineage instantiation, which
+    ``df.rdd.getNumPartitions()`` would force) and fan out when the source
+    can't feed ``defaultParallelism`` tasks.  Non-file plans (joined /
+    aggregated inputs) are left alone: they already carry a shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if files and len(files) < par:
+        df = df.repartition(par)
+    return df
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -99,11 +118,7 @@ def _distinct_shingles(
     """
     from .text import tokens
 
-    # Single-file parquet sources arrive as ONE partition; fan out before
-    # the per-row heavy lifting or it runs on one core.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = _fan_out(df)
     toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     t = F.col("__t")
     sh = F.transform(
@@ -489,9 +504,7 @@ def simhash(
     """
     from .text import tokens
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = _fan_out(df)
     tok = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
