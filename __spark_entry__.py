@@ -699,6 +699,145 @@ def _q_frame_apply_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "med")
 
 
+def _q_frame_apply_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tier C MULTI-COLUMN frame reducer (reference summarise context takes
+    # any expression over any frame columns, R/mutate.R:208): a
+    # weight-averaged value over a 5-row frame, computed by an arbitrary
+    # Python lambda over the Frame's numpy columns.  Penny-quantized ints
+    # keep float64 sums exact, so the reducer and the SQL mirror agree bit
+    # for bit; the weight (1 + user_id mod 7) is integer and nonzero.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.pandas_tier import frame_apply
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "v100", F.round(F.col("value") * 100)
+    ).withColumn("w", F.col("user_id") % 7 + 1)
+    return mutate(
+        ev,
+        wavg=frame_apply(
+            lambda f: float((f.v100 * f.w).sum() / f.w.sum()),
+            ["v100", "w"],
+        ),
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(4, 0),
+    ).select("event_id", "wavg")
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP BY GROUPING SETS — the exact-sets shape rollup/cube can't
+    # express (totals by (flag,status), by (status) alone, and grand
+    # total, WITHOUT the (flag) level a rollup would force).  Spark
+    # computes all sets in one pass with map-side partial aggregation.
+    from tidier_spark import summarise
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        sum_qty="sum(l_quantity)",
+        n="n()",
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+    )
+
+
+def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketch distinct counts + MERGEABILITY — the 100 TB distinct-count
+    # pattern: per-partial sketches (here: per ship-month, standing in for
+    # per-ingest-batch) unioned into the global estimate without rescanning.
+    # Sketch estimates are deterministic but engine-specific, so the oracle
+    # checks the accuracy CONTRACT (within 5% ≈ 3σ at lg_k=12 of the exact
+    # count, both computed Spark-side) plus the exact count itself.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import hll_merge, hll_partials
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    direct = hll_partials(li, "l_orderkey", by="l_returnflag")
+    direct = hll_merge(direct, by="l_returnflag").withColumnRenamed(
+        "approx_n_merged", "n_direct"
+    )
+    parts = hll_partials(
+        li.withColumn("ship_month", F.trunc("l_shipdate", "month")),
+        "l_orderkey",
+        by="l_returnflag",
+        part="ship_month",
+    )
+    merged = hll_merge(parts, by="l_returnflag")
+    ok = lambda est: (  # noqa: E731
+        F.abs(F.col(est) - F.col("n_exact")) <= 0.05 * F.col("n_exact")
+    )
+    return (
+        exact.join(direct, "l_returnflag")
+        .join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            ok("n_direct").alias("hll_ok"),
+            ok("approx_n_merged").alias("merged_ok"),
+        )
+    )
+
+
+def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Approximate quantiles (rank error ≤ n/accuracy, O(accuracy) state vs
+    # a full per-group sort).  Exact p50/p90 are hash-checked values
+    # (penny ints → interpolation is exact-rational); the approx estimates
+    # are checked against their accuracy contract (within 2% relative).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import approx_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "p100", F.round(F.col("l_extendedprice") * 100)
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(p100, 0.5)").alias("p50_exact"),
+        F.expr("percentile(p100, 0.9)").alias("p90_exact"),
+    )
+    approx = approx_quantiles(li, "p100", [0.5, 0.9], by="l_returnflag")
+    ok = lambda a, e: F.abs(a - F.col(e)) <= 0.02 * F.col(e)  # noqa: E731
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        ok(F.col("approx_q")[0], "p50_exact").alias("p50_ok"),
+        ok(F.col("approx_q")[1], "p90_exact").alias("p90_ok"),
+    )
+
+
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GENUINELY STREAMED tumbling-window rollup: readStream over the events
+    # parquet, watermarked event-time window agg through the streaming
+    # engine (state store + incremental agg), Trigger.AvailableNow, memory
+    # sink.  Same plan as the batch `windowed_rollup` entry — this proves
+    # stream/backfill parity THROUGH the streaming engine, not just shared
+    # bucketing code.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    r = stream_windowed_agg(
+        ev,
+        {"n": "count(*)", "sum_v": "sum(round(value * 100)) / 100"},
+        time_col="ts",
+        window="1 day",
+        by="event_type",
+    )
+    out = run_stream(r, name="stream_rollup_result", output_mode="complete")
+    return out.select(
+        F.col("window_start").cast("long").alias("bucket_epoch"),
+        "event_type",
+        "n",
+        "sum_v",
+    )
+
+
 def _q_grouped_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tier C: applyInPandas per-group transform (nest+future_map analog).
     # Demean in penny space: integer sums are exact in float64, so the
@@ -781,8 +920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_roundtrip": _q_nest_roundtrip,
         "salted_agg": _q_salted_agg,
         "frame_apply_median": _q_frame_apply_median,
+        "frame_apply_wmean": _q_frame_apply_wmean,
         "grouped_apply_demean": _q_grouped_apply_demean,
         "udtf_sentences": _q_udtf_sentences,
+        "grouping_sets": _q_grouping_sets,
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "stream_rollup": _q_stream_rollup,
     }
 
 
@@ -1049,6 +1193,13 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
             FROM events""",
+        "frame_apply_wmean": """
+            SELECT event_id,
+                   sum(round(value * 100) * (user_id % 7 + 1)) OVER w
+                   / sum(user_id % 7 + 1) OVER w AS wavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "grouped_apply_demean": """
             SELECT event_id,
                    (round(value * 100)
@@ -1073,6 +1224,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos - 1 AS INT) AS sent_idx,
                    CAST(length(sentence) AS INT) AS sent_chars
             FROM e""",
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())""",
+        # Sketch estimates are engine-specific (Spark = DataSketches HLL /
+        # Greenwald-Khanna; DuckDB's differ), so the oracle pins the exact
+        # values and asserts the Spark-side accuracy-contract booleans.
+        "sketch_distinct": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey) AS n_exact,
+                   TRUE AS hll_ok, TRUE AS merged_ok
+            FROM lineitem GROUP BY 1""",
+        "sketch_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
+                   quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
+                   TRUE AS p50_ok, TRUE AS p90_ok
+            FROM lineitem GROUP BY 1""",
+        "stream_rollup": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT)
+                     AS bucket_epoch,
+                   event_type, count(*) AS n,
+                   sum(round(value * 100)) / 100 AS sum_v
+            FROM events GROUP BY 1, 2""",
     }
 
 

@@ -107,6 +107,32 @@ def test_frame_apply_true_python_logic(tables):
     assert any(x["second_max"] == x["second_max"] for x in rows)  # non-NaN exists
 
 
+def test_frame_apply_multicolumn(tables, sf_dir):
+    # Multi-column frame reducer (reference summarise context accepts any
+    # expression over any frame columns, R/mutate.R:208): value-weighted
+    # mean of user_id over the frame, vs the Tier A SQL spelling.
+    ev = tables["events"].withColumn("w", F.abs(F.round("value")) + F.lit(1))
+    r = mutate(
+        ev,
+        {"wavg": frame_apply(
+            lambda f: float((f.user_id * f.w).sum() / f.w.sum()), ["user_id", "w"]
+        )},
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(3, 0),
+    ).select("event_id", F.round("wavg", 6).alias("wavg"))
+    builtin = mutate(
+        ev,
+        wavg="round(sum(user_id * w) / sum(w), 6)",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(3, 0),
+    ).select("event_id", "wavg")
+    got = {r["event_id"]: r["wavg"] for r in r.collect()}
+    want = {r["event_id"]: r["wavg"] for r in builtin.collect()}
+    assert got == want
+
+
 def test_grouped_apply_zscore(tables):
     # nest+future_map analog: per-group normalization.
     def zscore(pdf):
@@ -403,3 +429,87 @@ def test_dplyr_expression_helpers(tables, sf_dir):
            FROM events""",
         sf_dir,
     )
+
+
+def test_grouping_sets_oracle(tables, sf_dir):
+    r = summarise(
+        tables["lineitem"],
+        sum_qty="sum(l_quantity)",
+        n="n()",
+        grouping_sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT l_returnflag, l_linestatus,
+                  sum(l_quantity) AS sum_qty, count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_linestatus), ())""",
+        sf_dir,
+    )
+
+
+def test_hll_partials_merge_within_tolerance(tables):
+    # Mergeability: sketches built per order-month, unioned per priority,
+    # must estimate within ~3σ (lg_k=12 → rsd ≈ 1.6%) of the exact count.
+    from tidier_spark.operators.sketches import hll_merge, hll_partials
+
+    o = tables["orders"].withColumn("m", F.trunc("o_orderdate", "month"))
+    parts = hll_partials(o, "o_custkey", by="o_orderpriority", part="m")
+    merged = {
+        r["o_orderpriority"]: r["approx_n_merged"]
+        for r in hll_merge(parts, by="o_orderpriority").collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert merged.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= 0.05 * n, (k, merged[k], n)
+
+
+def test_approx_quantiles_rank_contract(tables):
+    from tidier_spark.operators.sketches import approx_quantiles
+
+    li = tables["lineitem"].withColumn("p100", F.round(F.col("l_extendedprice") * 100))
+    got = {
+        r["l_returnflag"]: r["approx_q"]
+        for r in approx_quantiles(
+            li, "p100", [0.5, 0.9], by="l_returnflag"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(p100, 0.5)").alias("p50"),
+            F.expr("percentile(p100, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for k, (p50, p90) in exact.items():
+        assert abs(got[k][0] - p50) <= 0.02 * p50
+        assert abs(got[k][1] - p90) <= 0.02 * p90
+
+
+def test_run_stream_equals_batch(spark, sf_dir):
+    # The REAL streaming engine (availableNow, state store, memory sink)
+    # must produce byte-identical results to the batch plan.
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    exprs = {"n": "count(*)", "sum_v": "sum(round(value * 100)) / 100"}
+    kw = dict(time_col="ts", window="1 day", by="event_type")
+    streamed = run_stream(
+        stream_windowed_agg(read_stream_table(spark, sf_dir, "events"), exprs, **kw),
+        name="t_run_stream_parity",
+        output_mode="complete",
+    )
+    batch = stream_windowed_agg(read_table(spark, sf_dir, "events"), exprs, **kw)
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n"], r["sum_v"]) for r in streamed.collect()}
+    want = {key(r): (r["n"], r["sum_v"]) for r in batch.collect()}
+    assert got == want

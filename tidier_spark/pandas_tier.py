@@ -25,7 +25,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frame_apply", "grouped_apply"]
+__all__ = ["frame_apply", "grouped_apply", "Frame"]
+
+
+class Frame:
+    """The multi-column window frame handed to a :class:`frame_apply`
+    reducer: column access by attribute (``f.x``) or item (``f["x"]``)
+    returns a numpy array of that column's frame values in window order.
+
+    Deliberately NOT a pandas DataFrame: the reducer runs once per input
+    row, and constructing a DataFrame per row costs ~100 µs — 20+ s over a
+    600k-row table — while this wrapper materializes nothing until a
+    column is touched.  ``f.to_pandas()`` opts into a real DataFrame for
+    reducers that need the full pandas API.
+    """
+
+    __slots__ = ("_data", "_cols", "_np")
+
+    def __init__(self, data: dict, np_mod) -> None:
+        self._data = data  # col -> list (lazily wrapped)
+        self._cols = tuple(data)
+        self._np = np_mod
+
+    def __getitem__(self, col: str):
+        v = self._data[col]
+        if type(v) is not self._np.ndarray:
+            v = self._data[col] = self._np.asarray(v)
+        return v
+
+    def __getattr__(self, col: str):
+        try:
+            return self[col]
+        except KeyError:
+            raise AttributeError(col) from None
+
+    def __len__(self) -> int:
+        return len(self._data[self._cols[0]]) if self._cols else 0
+
+    @property
+    def columns(self) -> tuple:
+        return self._cols
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame({c: self[c] for c in self._cols})
 
 
 @dataclass
@@ -37,26 +79,54 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
         mutate(df, med=frame_apply(np.median, "value"),
                by="user_id", order_by="ts", frame=(6, 0))
 
-    ``fn`` receives a 1-D numpy array (the frame's values, window order) and
-    returns a scalar of ``return_type``.
+        # multi-column reducer: fn receives a Frame of numpy columns
+        mutate(df, wavg=frame_apply(lambda f: (f.x * f.w).sum() / f.w.sum(),
+                                    ["x", "w"]),
+               by="user_id", order_by="ts", frame=(6, 0))
+
+    With a single column name, ``fn`` receives a 1-D numpy array (the
+    frame's values, window order).  With a LIST of names, ``fn`` receives a
+    :class:`Frame` — numpy-array column access in window order, plus
+    ``.to_pandas()`` — the full summarise-context expressiveness of the
+    reference, which accepts any R expression over any frame columns
+    (`R/mutate.R:208`).  Lowered as one ``collect_list(col) OVER frame``
+    per column (cheaper than a struct collect: no per-row struct boxing,
+    and the Arrow transfer stays columnar); either way ``fn`` returns a
+    scalar of ``return_type``.
     """
 
     fn: Callable
-    col: str
+    col: str | list[str] | tuple[str, ...]
     return_type: str = "double"
 
     def lower(self, plan) -> object:
         """Build the Column: collect_list over the window → pandas_udf."""
-        collected = plan.over(f"collect_list({self.col})")
         fn = self.fn
+        if isinstance(self.col, str):
+            collected = plan.over(f"collect_list({self.col})")
+
+            @F.pandas_udf(self.return_type)
+            def reduce_frames(s: pd.Series) -> pd.Series:
+                import numpy as np
+
+                return s.apply(lambda arr: fn(np.asarray(arr)))
+
+            return reduce_frames(collected)
+
+        cols = list(self.col)
+        collected = [plan.over(f"collect_list({c})") for c in cols]
 
         @F.pandas_udf(self.return_type)
-        def reduce_frames(s: pd.Series) -> pd.Series:
+        def reduce_multi_frames(*series: pd.Series) -> pd.Series:
             import numpy as np
 
-            return s.apply(lambda arr: fn(np.asarray(arr)))
+            out = [
+                fn(Frame(dict(zip(cols, row_vals)), np))
+                for row_vals in zip(*series)
+            ]
+            return pd.Series(out)
 
-        return reduce_frames(collected)
+        return reduce_multi_frames(*collected)
 
 
 def grouped_apply(
