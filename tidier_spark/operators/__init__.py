@@ -8,4 +8,4 @@ is a declarative DataFrame transform designed for 100 TB inputs: no
 explicitly chosen keys, LSH-style banding to avoid quadratic joins.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, similarity, sketches, text  # noqa: F401

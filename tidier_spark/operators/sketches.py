@@ -1,0 +1,115 @@
+"""Approximate sketches: HLL distinct counts, approximate quantiles, and
+mergeable partial aggregation.
+
+The reference has no sketch support (its `n_distinct` is exact,
+`/root/reference/R/mutate.R:152` translation table) — but at 100 TB exact
+distinct counts and exact quantiles are the two aggregations whose shuffle
+width is O(distinct values), not O(groups).  Sketches fix the asymptotics:
+
+* **HLL distinct** (`hll_sketch_agg`, Apache DataSketches HLL): fixed
+  ~KB-per-group state regardless of cardinality; the map-side partial is
+  the sketch itself, so the shuffle carries one small binary per
+  (partition, group) instead of every distinct value.
+* **Mergeability** is the load-bearing property: sketches built per day /
+  per partition / per cluster are unioned (`hll_union_agg`) into the
+  global answer WITHOUT re-reading data.  That is the 100 TB
+  re-aggregation pattern — build once per ingest batch, merge forever.
+  :func:`hll_partials` + :func:`hll_merge` express exactly that split.
+* **Approximate quantiles** (`percentile_approx`, Greenwald-Khanna
+  variant): rank error ≤ n/accuracy with O(accuracy) state — again a
+  bounded map-side partial, vs exact percentile which sorts every value
+  within the group.
+
+Everything stays JVM-side (built-in aggregates, whole-stage codegen).
+Estimates are deterministic for a given input (no RNG) but NOT portable
+across engines — DuckDB's approx_count_distinct uses a different HLL — so
+oracle entries verify the *accuracy contract* (estimate within rsd of the
+exact value, computed on the Spark side) rather than the raw estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "approx_n_distinct",
+    "hll_partials",
+    "hll_merge",
+    "approx_quantiles",
+]
+
+
+def _keys(by: object) -> list[str]:
+    return [by] if isinstance(by, str) else list(by or [])
+
+
+def approx_n_distinct(
+    df: DataFrame, col: str, *, by: object = None, rsd: float = 0.05
+) -> DataFrame:
+    """Per-group approximate distinct count (`approx_count_distinct`).
+
+    One shuffle on the group keys; the shuffled payload per group is the
+    HLL register array (KBs), independent of the true cardinality.
+    """
+    keys = _keys(by)
+    agg = F.approx_count_distinct(col, rsd).alias(f"approx_n_{col}")
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def hll_partials(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    part: object = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Build one HLL sketch per (group, partial) cell — the ingest-time
+    half of sketch-based distinct counting.
+
+    ``part`` is the partial dimension (e.g. an ingest-day column): at scale
+    these cells are written once per batch and persisted; totals come from
+    :func:`hll_merge` over any subset of cells, never from re-scanning.
+    """
+    keys = _keys(by) + _keys(part)
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_merge(
+    df: DataFrame, *, by: object = None, sketch_col: str = "hll_sketch"
+) -> DataFrame:
+    """Union previously-built HLL sketches and estimate the distinct count.
+
+    Input rows are (group, partial, sketch); output is one estimate per
+    group.  The union is algebraic — associative and commutative — so
+    Catalyst is free to partial-merge map-side.
+    """
+    keys = _keys(by)
+    merged = F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(
+        "approx_n_merged"
+    )
+    return df.groupBy(*keys).agg(merged) if keys else df.agg(merged)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    *,
+    by: object = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate quantiles with rank error ≤ n/``accuracy``.
+
+    Returns one array column ``approx_q`` (same order as ``probs``).  State
+    per group is O(accuracy), vs a full sort for exact percentile — the
+    difference between a bounded hash aggregate and a spill at 100 TB.
+    """
+    keys = _keys(by)
+    agg = F.percentile_approx(
+        F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    ).alias("approx_q")
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)

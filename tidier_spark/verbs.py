@@ -107,6 +107,7 @@ def summarise(
     by: object = None,
     rollup: bool = False,
     cube: bool = False,
+    grouping_sets: list[list[str]] | None = None,
     **kw: str,
 ) -> DataFrame:
     """Row-reducing aggregation (`dplyr::summarise`) — the aggregation shape
@@ -115,15 +116,28 @@ def summarise(
 
     ``rollup=True`` / ``cube=True`` emit hierarchical / all-subset grouping
     sets (Spark computes them in one pass with partial aggregation — no
-    per-level rescan).
+    per-level rescan).  ``grouping_sets=[[...], ...]`` names the exact sets
+    (``GROUP BY GROUPING SETS``) when neither shape fits — e.g. totals by
+    (flag, status) and by (status) alone without the (flag) level a rollup
+    would force.  ``by`` defaults to the union of the sets' columns.
     """
     exprs = {**(_exprs or {}), **kw}
     from .mutate import _translate  # dplyr spellings (mean→avg, n()→count)
 
     aggs = [F.expr(_translate(e)).alias(name) for name, e in exprs.items()]
     keys = [by] if isinstance(by, (str, Column)) else list(by or [])
-    if rollup and cube:
-        raise ValueError("choose one of rollup/cube")
+    if sum((rollup, cube, grouping_sets is not None)) > 1:
+        raise ValueError("choose one of rollup/cube/grouping_sets")
+    if grouping_sets is not None:
+        if not keys:
+            seen: dict[str, None] = {}
+            for s in grouping_sets:
+                for c in s:
+                    seen.setdefault(c, None)
+            keys = list(seen)
+        sets = [[F.col(c) for c in s] for s in grouping_sets]
+        out_keys = [F.col(k) if isinstance(k, str) else k for k in keys]
+        return df.groupingSets(sets, *out_keys).agg(*aggs)
     if rollup:
         return df.rollup(*keys).agg(*aggs)
     if cube:
