@@ -32,7 +32,14 @@ TABLES = (
 # planners should wrap these in F.broadcast().
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
-__all__ = ["TABLES", "BROADCAST_TABLES", "read_table", "load_star", "register_views"]
+__all__ = [
+    "TABLES",
+    "BROADCAST_TABLES",
+    "read_table",
+    "read_stream_table",
+    "load_star",
+    "register_views",
+]
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,6 +67,46 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
             # integer division — float division would lose precision on
             # epoch-nano magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming scan of a star table (`spark.readStream`), with the same
+    nanos→µs timestamp normalization as :func:`read_table` so a streamed
+    pipeline and its batch backfill produce byte-identical event times.
+
+    Streaming file sources require an explicit schema; we take it from a
+    footer-only batch scan of the same path (metadata read, no data job).
+    ``max_files_per_trigger`` bounds micro-batch size in replay scenarios —
+    at 100 TB a backfill replays the archive as many bounded micro-batches
+    instead of one giant one.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # The streaming file source wants a directory to watch; the star tables
+    # are single files, so watch the dataset dir filtered to this table.
+    # (A production deployment points this at the table's own directory.)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", f"{name}.parquet")
+        df = reader.parquet(sf_dir)
+    else:
+        df = reader.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

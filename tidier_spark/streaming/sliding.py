@@ -18,7 +18,41 @@ from pyspark.sql.types import (
 
 from ..mutate import _translate
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg"]
+__all__ = ["stream_windowed_agg", "stream_trailing_agg", "run_stream"]
+
+
+def run_stream(
+    stream: DataFrame,
+    *,
+    name: str,
+    output_mode: str = "complete",
+    timeout_seconds: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the data currently
+    available (``Trigger.AvailableNow``) and return the final result.
+
+    This is the bounded-replay execution mode: the source is consumed as a
+    sequence of micro-batches through the REAL streaming engine (state
+    store, watermarks, incremental aggregation), then the query stops.  At
+    100 TB this is how a backfill runs — same code as the live stream,
+    bounded micro-batches, no unbounded state.
+
+    The memory sink is for results that fit the driver (aggregated output,
+    not raw events) — production sinks are ``writeStream.format("parquet"
+    | "kafka")``; swap the sink, keep the plan.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_seconds)
+    finally:
+        q.stop()
+    return stream.sparkSession.table(name)
 
 
 def stream_windowed_agg(
