@@ -198,3 +198,41 @@ def test_embedding_near_dup_lsh_no_cartesian(tables):
     r = dedup.embedding_near_dup_lsh(tables["embeddings"].limit(100), threshold=0.4)
     plan = explain_str(r, "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
+    # The co-located join demo: both sides written bucketed on the join key
+    # (sources.write_parquet bucket_by) → sort-merge join with ZERO
+    # exchanges.  At 100 TB this is the difference between an 8-byte
+    # metadata lookup and shuffling both fact tables across the cluster.
+    from tidier_spark.plans import count_exchanges, explain_str
+    from tidier_spark.sources import write_parquet
+
+    o = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    c = tables["customer"].select("c_custkey", "c_name")
+    write_parquet(
+        o, str(tmp_path / "orders_b"), bucket_by=(8, ["o_custkey"]),
+        table="t_orders_bucketed",
+    )
+    write_parquet(
+        c, str(tmp_path / "cust_b"), bucket_by=(8, ["c_custkey"]),
+        table="t_cust_bucketed",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("t_orders_bucketed")
+        b = spark.table("t_cust_bucketed")
+        j = a.join(b, a.o_custkey == b.c_custkey)
+        assert count_exchanges(j) == 0, explain_str(j, "simple")
+        expect = (
+            tables["orders"]
+            .join(tables["customer"],
+                  tables["orders"].o_custkey == tables["customer"].c_custkey)
+            .count()
+        )
+        assert j.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
