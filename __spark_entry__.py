@@ -725,6 +725,22 @@ def _q_frame_apply_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "wavg")
 
 
+def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr::complete — materialize every (user, event_type) combination
+    # with zero-filled aggregates for absent cells.  The cross of two
+    # aggregated (tiny) distinct-value frames, then one hash left-join.
+    from tidier_spark import complete, summarise
+
+    ev = read_table(spark, sf_dir, "events")
+    agg = summarise(
+        ev,
+        n="n()",
+        sum_v="sum(round(value * 100)) / 100",
+        by=["user_id", "event_type"],
+    )
+    return complete(agg, "user_id", "event_type", fill={"n": 0, "sum_v": 0.0})
+
+
 def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GROUP BY GROUPING SETS — the exact-sets shape rollup/cube can't
     # express (totals by (flag,status), by (status) alone, and grand
@@ -923,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_apply_wmean": _q_frame_apply_wmean,
         "grouped_apply_demean": _q_grouped_apply_demean,
         "udtf_sentences": _q_udtf_sentences,
+        "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
         "sketch_quantiles": _q_sketch_quantiles,
@@ -1224,6 +1241,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos - 1 AS INT) AS sent_idx,
                    CAST(length(sentence) AS INT) AS sent_chars
             FROM e""",
+        "complete_grid": """
+            WITH agg AS (
+              SELECT user_id, event_type, count(*) AS n,
+                     sum(round(value * 100)) / 100 AS sum_v
+              FROM events GROUP BY 1, 2
+            ),
+            u AS (SELECT DISTINCT user_id FROM agg),
+            t AS (SELECT DISTINCT event_type FROM agg)
+            SELECT u.user_id, t.event_type,
+                   coalesce(agg.n, 0) AS n,
+                   coalesce(agg.sum_v, 0.0) AS sum_v
+            FROM u CROSS JOIN t
+            LEFT JOIN agg ON agg.user_id = u.user_id
+                         AND agg.event_type = t.event_type""",
         "grouping_sets": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty, count(*) AS n

@@ -513,3 +513,16 @@ def test_run_stream_equals_batch(spark, sf_dir):
     got = {key(r): (r["n"], r["sum_v"]) for r in streamed.collect()}
     want = {key(r): (r["n"], r["sum_v"]) for r in batch.collect()}
     assert got == want
+
+
+def test_complete_fills_missing_combos(spark):
+    from tidier_spark import complete
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)], "k int, g string, v double"
+    )
+    got = {
+        (r["k"], r["g"]): r["v"]
+        for r in complete(df, "k", "g", fill={"v": 0.0}).collect()
+    }
+    assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): 30.0, (2, "b"): 0.0}

@@ -24,6 +24,7 @@ from .skew import salted_agg
 from .tbl import tbl
 from .verbs import (
     arrange,
+    complete,
     count,
     desc,
     diff,
@@ -85,6 +86,7 @@ __all__ = [
     "salted_agg",
     "fill_down",
     "fill_up",
+    "complete",
     "pct_change",
     "diff",
     "pivot_wider",

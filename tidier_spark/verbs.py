@@ -30,6 +30,7 @@ __all__ = [
     "slice_sample",
     "fill_down",
     "fill_up",
+    "complete",
     "pct_change",
     "diff",
     "pivot_wider",
@@ -354,6 +355,33 @@ def _fill(df, cols, by, order_by, direction):
     for c in cols_l:
         out = out.withColumn(c, pick(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def complete(
+    df: DataFrame,
+    *cols: str,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Materialize every combination of the ``cols`` values
+    (`tidyr::complete`): the full cross of each column's distinct values,
+    left-joined back onto the data; absent rows appear with NULLs (or the
+    ``fill`` defaults per column).
+
+    Scale shape: each distinct-value frame is an aggregated (tiny) side —
+    the crosses are broadcast nested-loop joins over dimension-sized
+    inputs, and the final left join hashes on the full key.  The frame
+    EXPANDS to ∏|distinct| rows — that product, not the input size, is the
+    scale bound, same as in R.
+    """
+    if len(cols) < 1:
+        raise ValueError("complete() needs at least one column")
+    grid = df.select(cols[0]).distinct()
+    for c in cols[1:]:
+        grid = grid.crossJoin(df.select(c).distinct())
+    out = grid.join(df, on=list(cols), how="left")
+    if fill:
+        out = out.fillna(fill)
+    return out.select(*df.columns)
 
 
 def pct_change(
