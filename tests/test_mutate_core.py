@@ -308,3 +308,23 @@ def test_mutate_restore_order(tables):
     )
     # restore_order keeps the input's row identity ordering; schema unchanged+1
     assert r.columns == df.columns + ["avg3"]
+
+
+def test_mutate_error_breadth(spark):
+    # Remaining assertion classes from the reference (R/mutate.R:142-168,
+    # :516-518): desc recycling, frame arity/type-mixing, order_by/index
+    # membership and typing.
+    from tidier_spark import days
+
+    df = spark.range(3).selectExpr("id AS x", "id AS y")
+    with pytest.raises(ValueError, match="length 1 or match"):
+        mutate(df, c="avg(x)", order_by=["x", "y"], desc=[True, False, True],
+               frame=(1, 0))
+    with pytest.raises(ValueError, match="pair"):
+        mutate(df, c="avg(x)", order_by="x", frame=(1, 0, 1))
+    with pytest.raises(ValueError, match="mix|class|bounds"):
+        mutate(df, c="avg(x)", order_by="x", index="x", frame=(days(7), 3))
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        mutate(df, c="avg(x)", order_by="nope", frame=(1, 0))
+    with pytest.raises(TypeError, match="column name string"):
+        mutate(df, c="avg(x)", order_by="x", index=123, frame=(days(7), days(0)))

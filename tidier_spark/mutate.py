@@ -209,6 +209,16 @@ def mutate(
 
     by_l = _normalize_keys(by)
     order_l = _normalize_keys(order_by)
+    # Eager membership check for plain string keys (the reference asserts
+    # key columns exist before planning, R/mutate.R:147,159,168) — a
+    # ValueError here beats a deep AnalysisException at resolution time.
+    cols = set(df.columns)
+    for role, keys in (("by", by_l), ("order_by", order_l)):
+        for k in keys:
+            if isinstance(k, str) and k not in cols:
+                raise ValueError(f".{role} column {k!r} not in DataFrame")
+    if isinstance(index, str) and index not in cols:
+        raise ValueError(f".index column {index!r} not in DataFrame")
     frame_spec = parse_frame(frame) if frame is not None else None
     if complete and frame_spec is None:
         raise ValueError(".complete requires a .frame")
