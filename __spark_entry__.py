@@ -725,6 +725,47 @@ def _q_frame_apply_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "wavg")
 
 
+def _q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact heavy-hitters over per-doc distinct 3-gram shingles: the
+    # boilerplate detector (headers/footers/license blurbs).  One shuffle.
+    from tidier_spark.operators.corpus import boilerplate_ngrams
+
+    docs = read_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, shingle_n=3, min_docs=5)
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pretraining sequence packing: concatenate docs in id order, chunk at
+    # 2048 tokens; per doc, its starting bin + offset.  The running token
+    # total runs through the two-pass range-partitioned prefix sum (no
+    # single-task global window).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = pack_sequences(docs, budget=2048)
+    return r.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup CLUSTER resolution: minhash pairs → connected components via
+    # iterative min-label propagation (join+agg per round, diameter-bounded,
+    # persisted/checkpointed lineage).  Oracle: the same component labeling
+    # as a DuckDB recursive CTE over the identical pair list.
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators.graph import dup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, k=8, bands=4, threshold=0.3)
+    return dup_clusters(docs, pairs)
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -939,6 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_apply_wmean": _q_frame_apply_wmean,
         "grouped_apply_demean": _q_grouped_apply_demean,
         "udtf_sentences": _q_udtf_sentences,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "pack_sequences": _q_pack_sequences,
+        "dup_clusters": _q_dup_clusters,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1140,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
         "dedup_exact": _dedup_exact_oracle(),
+        "boilerplate_ngrams": _boilerplate_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "dup_clusters": _dup_clusters_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1340,6 +1387,58 @@ def _dedup_exact_oracle() -> str:
         SELECT {T.fingerprint_sql('text')} AS fp,
                count(*) AS n_copies, min(doc_id) AS keeper_id
         FROM documents GROUP BY 1"""
+
+
+def _boilerplate_oracle() -> str:
+    from tidier_spark.operators.text import shingles_sql
+
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct({shingles_sql('text', 3)})) AS ngram
+          FROM documents
+        )
+        SELECT ngram, count(*) AS n_docs FROM sh
+        GROUP BY 1 HAVING count(*) >= 5"""
+
+
+def _pack_sequences_oracle() -> str:
+    from tidier_spark.operators.text import quality_sql_columns
+
+    ntok = quality_sql_columns("text")["n_tokens"]
+    return f"""
+        WITH t AS (SELECT doc_id, {ntok} AS n_tokens FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // 2048 AS bin_id,
+               (cum - n_tokens) % 2048 AS bin_offset
+        FROM c"""
+
+
+def _dup_clusters_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    pairs = D.minhash_pairs_sql(k=8, bands=4, threshold=0.3)
+    return f"""
+        WITH RECURSIVE
+        pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        cc(u, lab) AS (
+          SELECT doc_id AS u, doc_id AS lab FROM documents
+          UNION
+          SELECT e.v AS u, cc.lab
+          FROM cc JOIN edges e ON e.u = cc.u
+        )
+        SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u"""
 
 
 def _dedup_minhash_oracle() -> str:

@@ -287,3 +287,38 @@ def test_stratified_sample_and_mix(tables):
     n_click = ev.where("event_type = 'click'").count()
     assert mixed.where("event_type = 'click'").count() == n_click
     assert 0 < mixed.where("event_type = 'view'").count() < ev.where("event_type = 'view'").count()
+
+
+def test_connected_components_known_graph(spark):
+    from tidier_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 7, 8]], "id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_pack_sequences_invariants(tables):
+    from tidier_spark.operators.corpus import pack_sequences
+
+    r = pack_sequences(tables["documents"], budget=512).collect()
+    rows = sorted(r, key=lambda x: x["doc_id"])
+    cum = 0
+    for row in rows:
+        assert row["bin_id"] == cum // 512
+        assert row["bin_offset"] == cum % 512
+        cum += row["n_tokens"]
+
+
+def test_boilerplate_ngrams_counts(tables):
+    from tidier_spark.operators.corpus import boilerplate_ngrams
+
+    r = boilerplate_ngrams(tables["documents"], min_docs=2).collect()
+    n_docs = tables["documents"].count()
+    assert all(2 <= row["n_docs"] <= n_docs for row in r)
+    assert len(r) > 0

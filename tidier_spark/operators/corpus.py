@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from .text import analyze_documents
 
-__all__ = ["clean_corpus", "stratified_sample", "mix_datasets"]
+__all__ = [
+    "clean_corpus",
+    "stratified_sample",
+    "mix_datasets",
+    "boilerplate_ngrams",
+    "pack_sequences",
+]
 
 
 def clean_corpus(
@@ -91,3 +97,68 @@ def mix_datasets(
     for d in sampled[1:]:
         out = out.unionByName(d)
     return out
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """EXACT heavy-hitters over per-document distinct shingles: the n-grams
+    appearing in ≥ ``min_docs`` documents — headers, footers, license
+    blurbs, navigation chrome.  The boilerplate list feeds a removal pass
+    or a quality penalty.
+
+    Plan: explode distinct shingles (narrow) → count per shingle (ONE
+    shuffle, map-side partial combine) → threshold filter.  Document
+    frequency is bounded by doc count, so the aggregate state per shingle
+    is one long — exact is affordable where exact distinct-VALUE counting
+    would not be.
+    """
+    from .dedup import _distinct_shingles
+
+    sh = _distinct_shingles(df, id_col, text_col, shingle_n)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining batch construction: documents are
+    concatenated in ``id_col`` order and chunked at ``budget`` tokens;
+    each doc gets the bin it STARTS in and its token offset within it.
+
+    The running total is the scale-sensitive part: a naive global
+    ``sum() OVER (ORDER BY id)`` funnels the corpus through one task, so
+    it is lowered through
+    :func:`tidier_spark.window.scale_safe_cumulative` — two-pass
+    range-partitioned prefix sum, n parallel tasks, exact for the integer
+    token counts.
+    """
+    from ..window import scale_safe_cumulative
+    from .text import token_count
+
+    base = df.withColumn(
+        "n_tokens",
+        F.col(n_tokens_col) if n_tokens_col else token_count(text_col),
+    ).select(id_col, "n_tokens")
+    c = scale_safe_cumulative(
+        base, "n_tokens", order_by=[id_col], out="__cum", fn="sum"
+    )
+    before = F.col("__cum") - F.col("n_tokens")
+    return c.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.expr(f"(__cum - n_tokens) div {budget}").alias("bin_id"),
+        (before % budget).alias("bin_offset"),
+    )
