@@ -766,6 +766,145 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition stats (integer-valued: engine-hash-stable).
+    from tidier_spark.operators.quality import repetition_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, n=2)
+
+
+def _q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer-ranked tf-idf analog: top-3 terms per doc by
+    # (tf desc, corpus df asc, term asc) — a total, deterministic order.
+    from tidier_spark.operators.quality import salient_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return salient_terms(docs, k=3)
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train/test 5-gram contamination scan: even doc_ids are "train",
+    # odd are "test"; the check is a shingle equi-join (bucketed, not
+    # all-pairs).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.dedup import contamination_check
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return contamination_check(train, test, shingle_n=5)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic md5-bucket train/val/test assignment — pure scalar
+    # expression, zero shuffles, reproducible across engines and layouts.
+    from tidier_spark.operators.corpus import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs).select("doc_id", "bucket", "split")
+
+
+def _q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session_window aggregation (one row per session) — the
+    # sessionization that carries to Structured Streaming unchanged.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import session_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_agg(
+        ev,
+        "user_id",
+        "ts",
+        gap_seconds=4 * 3600,
+        aggs={"sum_v": (F.sum(F.round(F.col("value") * 100)) / 100)},
+    )
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 (shipping priority): broadcast the filtered customer dim
+    # into orders, sort-merge orders⋈lineitem on the order key, top-10 by
+    # revenue via distributed TakeOrdered — no global sort materialized.
+    # Revenue in exact 1e-4 units (price-cents × discount-percent ints).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.joins import inner_join
+
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100)
+    )
+    j = inner_join(
+        o, c, by={"o_custkey": "c_custkey"}, broadcast=True
+    )
+    j = inner_join(li, j, by={"l_orderkey": "o_orderkey"})
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(rev).cast("long").alias("revenue_e4")
+    )
+    return (
+        agg.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "odate_us"
+            ),
+        )
+    )
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 (local-supplier volume): only the constant-size dims
+    # (nation, region) carry explicit broadcast hints — customer and
+    # supplier GROW with scale factor, so their joins stay declarative and
+    # AQE picks broadcast vs shuffle from runtime sizes.  Shape: the two
+    # scale-bound joins (orders⋈customer on custkey, lineitem⋈supplier on
+    # suppkey) happen on each side first, then one orderkey join links
+    # them; c_nationkey = s_nationkey applies as a post-join filter.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.round(F.col("l_extendedprice") * 100) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100)
+    )
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    ls = li.join(s, li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey",
+        "s_nationkey",
+        rev.alias("__rev"),
+    )
+    j = (
+        ls.join(oc, ls.l_orderkey == oc.o_orderkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum("__rev").cast("long").alias("revenue_e4")
+    )
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -983,6 +1122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "pack_sequences": _q_pack_sequences,
         "dup_clusters": _q_dup_clusters,
+        "repetition_signals": _q_repetition_signals,
+        "salient_terms": _q_salient_terms,
+        "contamination": _q_contamination,
+        "hash_split": _q_hash_split,
+        "session_agg": _q_session_agg,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1187,6 +1333,13 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "repetition_signals": _repetition_oracle(),
+        "salient_terms": _salient_terms_oracle(),
+        "contamination": _contamination_oracle(),
+        "hash_split": _hash_split_oracle(),
+        "session_agg": _session_agg_oracle(),
+        "tpch_q3": _TPCH_Q3_ORACLE,
+        "tpch_q5": _TPCH_Q5_ORACLE,
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1439,6 +1592,76 @@ def _dup_clusters_oracle() -> str:
           FROM cc JOIN edges e ON e.u = cc.u
         )
         SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u"""
+
+
+def _repetition_oracle() -> str:
+    from tidier_spark.operators.quality import repetition_signals_sql
+
+    return repetition_signals_sql("documents", n=2)
+
+
+def _salient_terms_oracle() -> str:
+    from tidier_spark.operators.quality import salient_terms_sql
+
+    return salient_terms_sql("documents", k=3)
+
+
+def _contamination_oracle() -> str:
+    from tidier_spark.operators.dedup import contamination_sql
+
+    return contamination_sql("documents", shingle_n=5)
+
+
+def _hash_split_oracle() -> str:
+    from tidier_spark.operators.corpus import hash_split_sql
+
+    return f"""
+        SELECT doc_id, bucket, split FROM ({hash_split_sql('documents')})"""
+
+
+def _session_agg_oracle() -> str:
+    from tidier_spark.operators.temporal import session_agg_sql
+
+    return session_agg_sql(
+        "events",
+        "user_id",
+        "ts",
+        gap_seconds=4 * 3600,
+        extra_aggs={"sum_v": "sum(round(value * 100)) / 100"},
+    )
+
+
+_TPCH_Q3_ORACLE = """
+    SELECT l_orderkey,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_e4,
+           epoch_us(o_orderdate) AS odate_us
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_e4 DESC, l_orderkey
+    LIMIT 10"""
+
+
+_TPCH_Q5_ORACLE = """
+    SELECT n_name,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name"""
 
 
 def _dedup_minhash_oracle() -> str:

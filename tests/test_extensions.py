@@ -322,3 +322,92 @@ def test_boilerplate_ngrams_counts(tables):
     n_docs = tables["documents"].count()
     assert all(2 <= row["n_docs"] <= n_docs for row in r)
     assert len(r) > 0
+
+
+def test_repetition_signals_known_doc(spark):
+    from tidier_spark.operators.quality import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, ""), (4, "w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(df, n=2).collect()}
+    # doc 1 2-grams: [a b, b a, a b, b a] → 4 total, 2 distinct, top=2
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["top_gram_n"] == 2 and got[1]["dup_gram_n"] == 2
+    assert got[2] == {"doc_id": 2, "n_grams": 2, "n_distinct": 2,
+                      "top_gram_n": 1, "dup_gram_n": 0}
+    # token-free and single-token docs survive with zeros
+    assert got[3]["n_grams"] == 0 and got[4]["n_grams"] == 0
+
+
+def test_salient_terms_ranking(spark):
+    from tidier_spark.operators.quality import salient_terms
+
+    df = spark.createDataFrame(
+        [(1, "dog dog dog cat cat bird"), (2, "cat cat cat fish")],
+        "doc_id long, text string",
+    )
+    rows = salient_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"]))
+    assert sorted(by_doc[1]) == [(1, "dog", 3), (2, "cat", 2)]
+    # doc 2: cat tf=3 wins; fish (df=1) beats bird? bird not in doc 2 —
+    # second is fish with tf=1
+    assert sorted(by_doc[2]) == [(1, "cat", 3), (2, "fish", 1)]
+
+
+def test_contamination_check_split(spark):
+    from tidier_spark.operators.dedup import contamination_check
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # full overlap
+         (3, "one two three four five six")],           # no overlap
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in contamination_check(train, test, shingle_n=5).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["n_shared"] == 2
+    assert got[1]["n_train_docs"] == 1
+    assert got[3]["n_shared"] == 0 and got[3]["n_train_docs"] == 0
+
+
+def test_hash_split_deterministic_fractions(tables):
+    from tidier_spark.operators.corpus import hash_split
+
+    docs = tables["documents"]
+    a = hash_split(docs).select("doc_id", "split")
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    n = docs.count()
+    assert 0.8 * n < counts["train"] < 0.97 * n
+    assert counts.get("val", 0) + counts.get("test", 0) == n - counts["train"]
+    # pure function of the id: re-evaluation yields the identical mapping
+    b = hash_split(docs).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_session_agg_matches_sessionize(tables):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import session_agg, sessionize
+
+    ev = tables["events"]
+    agg = session_agg(ev, "user_id", "ts", gap_seconds=4 * 3600)
+    # event-level sessionize grouped per session must produce the same
+    # (user, n_events, session_start) triples
+    sess = sessionize(ev, "user_id", "ts", 4 * 3600, tiebreak_cols=["event_id"])
+    ref = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "n_events")
+    )
+    got = agg.select("user_id", "session_start_us", "n_events")
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0

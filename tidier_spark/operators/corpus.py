@@ -20,6 +20,8 @@ __all__ = [
     "mix_datasets",
     "boilerplate_ngrams",
     "pack_sequences",
+    "hash_split",
+    "hash_split_sql",
 ]
 
 
@@ -162,3 +164,69 @@ def pack_sequences(
         F.expr(f"(__cum - n_tokens) div {budget}").alias("bin_id"),
         (before % budget).alias("bin_offset"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fracs: dict[str, float] | None = None,
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment.
+
+    Each row is bucketed by a 60-bit md5 hash of ``id:salt`` — the split
+    is a pure function of the id, so it is reproducible across runs,
+    engines, and data layouts (no RNG, no partition dependence), and any
+    new rows join the same split boundaries.  ``fracs`` maps split name →
+    fraction, in insertion order; fractions must sum to ≤ 1 with the last
+    split absorbing the remainder check.
+
+    Plan: one scan, zero shuffles — the hash is a scalar expression.
+    """
+    from .text import hash60
+
+    if fracs is None:
+        fracs = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(fracs.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    bucket = F.pmod(
+        hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    edges, acc = [], 0.0
+    for name, frac in fracs.items():
+        acc += frac
+        edges.append((name, int(round(acc * buckets))))
+    # forward-ordered WHEN chain: the FIRST matching edge wins
+    expr = None
+    for name, hi in edges:
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = expr.otherwise(F.lit(edges[-1][0]))
+    return df.withColumn("bucket", bucket.cast("long")).withColumn("split", expr)
+
+
+def hash_split_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    fracs: dict[str, float] | None = None,
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> str:
+    """DuckDB mirror of :func:`hash_split` (same md5 bucket math)."""
+    from .text import hash60_sql
+
+    if fracs is None:
+        fracs = {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = hash60_sql(f"({id_col}::VARCHAR || ':{salt}')")
+    bucket = f"(({h}) % {buckets})"
+    edges, acc = [], 0.0
+    for name, frac in fracs.items():
+        acc += frac
+        edges.append((name, int(round(acc * buckets))))
+    whens = " ".join(f"WHEN {bucket} < {hi} THEN '{n}'" for n, hi in edges[:-1])
+    case = f"CASE {whens} ELSE '{edges[-1][0]}' END"
+    return f"""
+        SELECT *, {bucket}::BIGINT AS bucket, {case} AS split
+        FROM {table}"""

@@ -45,6 +45,8 @@ __all__ = [
     "embedding_near_dup_lsh",
     "simhash",
     "simhash_candidate_pairs",
+    "contamination_check",
+    "contamination_sql",
     "minhash_pairs_sql",
     "ngram_jaccard_sql",
     "embedding_near_dup_sql",
@@ -121,10 +123,15 @@ def _distinct_shingles(
     df = _fan_out(df)
     toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     t = F.col("__t")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle_n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
-    )
+    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0] → slice(start=0)
+    # crashes), so docs shorter than the shingle take the empty branch
+    sh = F.when(
+        F.size(t) >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (shingle_n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return toks.select(
         F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
@@ -692,3 +699,101 @@ pairs AS (
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming}
 """
+
+
+# --- Train/test contamination ---------------------------------------------
+
+
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every *test* document, how much of
+    it already appears in the *training* corpus — the n-gram-overlap
+    decontamination check run before every pretraining launch (the public
+    GPT-3/PaLM appendices describe exactly this shape).
+
+    Returns one row per test document:
+    ``(id, n_shingles, n_shared, n_train_docs)`` — its distinct
+    ``shingle_n``-gram count, how many of those occur in ANY training
+    document, and how many distinct training documents share at least one
+    shingle.  All integers (cross-engine hash-stable); downstream policy
+    thresholds ``n_shared / n_shingles``.
+
+    Plan: both sides reduce to per-doc DISTINCT shingle sets (the
+    :func:`_distinct_shingles` lineage), the train side deduplicates to
+    (shingle, train-doc) pairs, and the check is a shingle equi-join —
+    the same bucketed-not-all-pairs shape as MinHash banding, no
+    document-pair blowup.  Hot boilerplate shingles fan out; at 100 TB
+    pre-filter them with :func:`~tidier_spark.operators.corpus.
+    boilerplate_ngrams` (drop shingles above a document-frequency cap)
+    before the join.
+    """
+    tr = _distinct_shingles(train, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("__train_id"), "shingle"
+    )
+    te = _distinct_shingles(test, id_col, text_col, shingle_n)
+    hits = (
+        te.join(tr, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("__train_id").alias("n_train_docs"),
+        )
+    )
+    sizes = te.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    z = F.lit(0).cast("long")
+    return (
+        test.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", z).alias("n_shingles"),
+            F.coalesce("n_shared", z).alias("n_shared"),
+            F.coalesce("n_train_docs", z).alias("n_train_docs"),
+        )
+    )
+
+
+def contamination_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    train_pred: str = "doc_id % 2 = 0",
+    test_pred: str = "doc_id % 2 = 1",
+) -> str:
+    """DuckDB mirror of :func:`contamination_check` over one table split by
+    predicate (the driver-oracle harness has a single documents view)."""
+    from .text import shingles_sql
+
+    return f"""
+        WITH sh AS (
+          SELECT {id_col},
+                 unnest(list_distinct({shingles_sql(text_col, shingle_n)}))
+                   AS shingle
+          FROM {table}
+        ),
+        tr AS (SELECT {id_col} AS train_id, shingle FROM sh
+               WHERE {train_pred}),
+        te AS (SELECT * FROM sh WHERE {test_pred}),
+        hits AS (
+          SELECT te.{id_col},
+                 count(DISTINCT te.shingle)::BIGINT AS n_shared,
+                 count(DISTINCT tr.train_id)::BIGINT AS n_train_docs
+          FROM te JOIN tr USING (shingle) GROUP BY 1
+        ),
+        sizes AS (
+          SELECT {id_col}, count(*)::BIGINT AS n_shingles FROM te GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(sizes.n_shingles, 0) AS n_shingles,
+               coalesce(hits.n_shared, 0) AS n_shared,
+               coalesce(hits.n_train_docs, 0) AS n_train_docs
+        FROM (SELECT {id_col} FROM {table} WHERE {test_pred}) d
+        LEFT JOIN sizes USING ({id_col})
+        LEFT JOIN hits USING ({id_col})"""

@@ -1,0 +1,186 @@
+"""Corpus quality signals: repetition metrics and salient-term extraction.
+
+The repetition family follows the published Gopher/MassiveText filtering
+rules (Rae et al. 2021, §A.1.1): documents dominated by a few repeated
+n-grams are boilerplate/spam and get filtered before pretraining.  The
+reference engine has no corpus operators (SURVEY.md §2.3 "North-star
+extensions"); these are the Spark-first additions.
+
+Everything is integer-valued on purpose: counts and histogram maxima hash
+identically across engines, where ratio doubles would hit cross-engine
+rounding ties (see the float-determinism notes in ``__spark_entry__``).
+Callers derive ratios downstream when they need them.
+
+Scale notes (100 TB):
+* the histogram is explode → (id, gram) count → per-id max/sum — two
+  shuffles, both with map-side partial aggregation, both keyed by doc id
+  (uniform, no hot keys because the first key is (id, gram));
+* nothing is collected; the left join back to the doc frame is a same-key
+  sort-merge join that AQE converts to broadcast when the agg side is
+  small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["repetition_signals", "salient_terms"]
+
+
+def _all_shingles(text_col: str, n: int) -> F.Column:
+    """ALL n-gram occurrences (non-distinct) — repetition needs the bag,
+    not the set that :func:`dedup._distinct_shingles` produces."""
+    from .text import tokens
+
+    t = F.col("__toks") if text_col == "__toks" else tokens(text_col)
+    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0] → slice(start=0)
+    # crashes), so short docs take the empty-array branch explicitly
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition statistics (Gopher-style).
+
+    Returns ``(id, n_grams, n_distinct, top_gram_n, dup_gram_n)``:
+    total n-gram occurrences, distinct n-grams, the occurrence count of
+    the most repeated n-gram, and the number of surplus (duplicate)
+    occurrences.  Downstream filters threshold e.g.
+    ``top_gram_n / n_grams`` (top-2-gram fraction) or
+    ``dup_gram_n / n_grams`` (duplicate-n-gram fraction).
+
+    Plan: tokens materialized once → explode the full shingle bag →
+    count per (id, gram) → max/sum per id → left join back so token-free
+    documents keep zero rows instead of disappearing.
+    """
+    from .text import tokens
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    sh = toks.select(
+        F.col(id_col), F.explode(_all_shingles("__toks", n)).alias("__g")
+    )
+    hist = (
+        sh.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("__c").alias("top_gram_n"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(hist, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", z).alias("n_grams"),
+            F.coalesce("n_distinct", z).alias("n_distinct"),
+            F.coalesce("top_gram_n", z).alias("top_gram_n"),
+            F.coalesce(F.col("n_grams") - F.col("n_distinct"), z).alias(
+                "dup_gram_n"
+            ),
+        )
+    )
+
+
+def repetition_signals_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> str:
+    """DuckDB mirror of :func:`repetition_signals` (differential oracle)."""
+    from .text import shingles_sql
+
+    return f"""
+        WITH sh AS (
+          SELECT {id_col}, unnest({shingles_sql(text_col, n)}) AS g
+          FROM {table}
+        ),
+        h AS (
+          SELECT {id_col}, g, count(*) AS c FROM sh GROUP BY 1, 2
+        ),
+        a AS (
+          SELECT {id_col},
+                 sum(c)::BIGINT AS n_grams,
+                 count(*)::BIGINT AS n_distinct,
+                 max(c)::BIGINT AS top_gram_n
+          FROM h GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(a.n_grams, 0) AS n_grams,
+               coalesce(a.n_distinct, 0) AS n_distinct,
+               coalesce(a.top_gram_n, 0) AS top_gram_n,
+               coalesce(a.n_grams - a.n_distinct, 0) AS dup_gram_n
+        FROM {table} d LEFT JOIN a USING ({id_col})"""
+
+
+def salient_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most salient terms per document: highest term frequency,
+    ties broken toward corpus-rare terms then lexicographically — the
+    integer-ranked analog of tf-idf (float idf would make the ranking
+    engine-dependent at the ulp level; (tf desc, df asc, term asc) is
+    total and deterministic).
+
+    Returns ``(id, term, tf, df_docs, rank)``.
+
+    Plan: one explode → (id, term) count (tf, one shuffle with partial
+    agg) → document frequency from the tf frame itself (second agg keyed
+    by term) → join tf ⋈ df on term → per-doc top-k window.  The df side
+    is |vocabulary| rows — AQE broadcasts it when small; at 100 TB it is
+    a sort-merge join on term, skew-bounded because stopword-heavy hot
+    terms are still one row each on the df side.
+    """
+    from .text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_docs", F.col("rank").cast("long"))
+    )
+
+
+def salient_terms_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> str:
+    from .text import tokens_sql
+
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, unnest({tokens_sql(text_col)}) AS term FROM {table}
+        ),
+        tf AS (
+          SELECT {id_col}, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, count(*)::BIGINT AS df_docs FROM tf GROUP BY 1
+        )
+        SELECT {id_col}, term, tf, df_docs, rank FROM (
+          SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df_docs,
+                 row_number() OVER (PARTITION BY tf.{id_col}
+                   ORDER BY tf.tf DESC, dfreq.df_docs ASC, tf.term ASC)::BIGINT
+                   AS rank
+          FROM tf JOIN dfreq USING (term)
+        ) WHERE rank <= {k}"""

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "session_agg", "session_agg_sql"]
 
 
 def asof_join(
@@ -112,3 +112,77 @@ def sessionize(
         Window.unboundedPreceding, 0
     )
     return df.withColumn(session_col, (F.sum(new_flag).over(run) + 1).cast("long"))
+
+
+def session_agg(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    aggs: dict[str, "F.Column"] | None = None,
+) -> DataFrame:
+    """Gap-based session AGGREGATION via Spark's native ``session_window``
+    — one row per session instead of :func:`sessionize`'s one row per
+    event.  Returns ``(key, session_start_us, session_end_us, n_events,
+    *aggs)`` with the bounds as epoch microseconds (engine-portable
+    integers; ``session_end`` is last event time + gap, per Spark's
+    definition).
+
+    This is the operator that carries over to Structured Streaming
+    unchanged: the same ``groupBy(key, session_window(ts, gap))`` works
+    under ``readStream`` with a watermark, where the lag/cumsum lowering
+    of :func:`sessionize` cannot (no unbounded window over a stream).
+    Batch plan: one shuffle on the key, per-partition merge of
+    overlapping windows — same cost shape as the window lowering.
+    """
+    gap = f"{gap_seconds} seconds"
+    agg_exprs = [F.count(F.lit(1)).alias("n_events")]
+    for name, col in (aggs or {}).items():
+        agg_exprs.append(col.alias(name))
+    g = df.groupBy(
+        F.col(key_col), F.session_window(F.col(time_col), gap).alias("__w")
+    ).agg(*agg_exprs)
+    return g.select(
+        key_col,
+        F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("__w.end")).alias("session_end_us"),
+        "n_events",
+        *[name for name in (aggs or {})],
+    )
+
+
+def session_agg_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 4 * 3600,
+    extra_aggs: dict[str, str] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`session_agg`: the lag/cumsum sessionization
+    CTE grouped per session.  ``session_end = max(ts) + gap`` reproduces
+    Spark's half-open session window bound."""
+    gap_us = gap_seconds * 1_000_000
+    extras = "".join(
+        f", {expr} AS {name}" for name, expr in (extra_aggs or {}).items()
+    )
+    return f"""
+        WITH marked AS (
+          SELECT {key_col}, {time_col},
+                 CASE WHEN epoch_us({time_col})
+                        - lag(epoch_us({time_col})) OVER w > {gap_us}::BIGINT
+                      THEN 1 ELSE 0 END AS new_s,
+                 *
+          FROM {table}
+          WINDOW w AS (PARTITION BY {key_col} ORDER BY {time_col})
+        ),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY {key_col} ORDER BY {time_col}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+          FROM marked
+        )
+        SELECT {key_col},
+               min(epoch_us({time_col}))::BIGINT AS session_start_us,
+               (max(epoch_us({time_col})) + {gap_us})::BIGINT AS session_end_us,
+               count(*)::BIGINT AS n_events{extras}
+        FROM sess GROUP BY {key_col}, sid"""
