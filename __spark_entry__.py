@@ -905,6 +905,137 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _updates_frame(spark: SparkSession, sf_dir: str):
+    # Synthetic change batch over orders: every 10th key re-priced (+1.00),
+    # every 100th deleted, and a shifted key-range inserted.
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders")
+    upd = (
+        o.where((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 100 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("__delete", F.lit(False))
+    )
+    dels = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "__delete", F.lit(True)
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("__delete", F.lit(False))
+    )
+    return o, upd.unionByName(dels).unionByName(ins)
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE INTO semantics (update / delete / insert) as union + one
+    # per-key window — single shuffle, no join.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.merge import upsert
+
+    target, updates = _updates_frame(spark, sf_dir)
+    merged = upsert(target, updates, "o_orderkey", delete_col="__delete")
+    return merged.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-level snapshot diff (insert/update/delete classification) via
+    # full outer join on the key — both sides shuffle once, co-partitioned.
+    from tidier_spark.operators.merge import snapshot_diff, upsert
+
+    target, updates = _updates_frame(spark, sf_dir)
+    merged = upsert(target, updates, "o_orderkey", delete_col="__delete")
+    return snapshot_diff(target, merged, "o_orderkey", ["o_totalprice"])
+
+
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-scan column profiling: every null count + exact distinct count
+    # in a single aggregate (Spark plans the multi-distinct via Expand).
+    from tidier_spark.operators.profile import profile_table
+
+    ev = read_table(spark, sf_dir, "events")
+    return profile_table(ev, ["user_id", "event_type", "value", "props"])
+
+
+def _q_slice_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dplyr slice_max(prop=): top 1% of lineitem per returnflag by a
+    # ties-free composite order.  Group size rides the same window
+    # partition — no second shuffle.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.verbs import slice_max
+
+    li = read_table(spark, sf_dir, "lineitem")
+    order = F.struct(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_suppkey"),
+    )
+    top = slice_max(li, order, by="l_returnflag", with_ties=False, prop=0.01)
+    return top.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 (large-volume customers): the HAVING subquery aggregates
+    # lineitem FIRST (map-side partial sum on l_orderkey), so the join
+    # fans in only qualifying orderkeys; customer joins via AQE-chosen
+    # strategy.  Quantities are integer-valued doubles — exact.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    j = o.join(big, o.o_orderkey == big.l_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+            "sum_qty",
+        )
+        .orderBy(F.col("price_c").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL Structured Streaming sessionization: bounded replay through the
+    # state store (AvailableNow), session_window merging open sessions
+    # incrementally.  Hash-compared against the same lag/cumsum oracle as
+    # the batch entry — stream == batch == SQL, three-way parity.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_session_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    g = stream_session_agg(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        gap_seconds=4 * 3600,
+        aggs={"sum_v": (F.sum(F.round(F.col("value") * 100)) / 100)},
+    )
+    return run_stream(g, name="stream_sessions_result", output_mode="complete")
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -1129,6 +1260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_agg": _q_session_agg,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q18": _q_tpch_q18,
+        "merge_upsert": _q_merge_upsert,
+        "snapshot_diff": _q_snapshot_diff,
+        "profile_events": _q_profile_events,
+        "slice_prop": _q_slice_prop,
+        "stream_sessions": _q_stream_sessions,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1340,6 +1477,12 @@ def oracle_sql() -> dict[str, str]:
         "session_agg": _session_agg_oracle(),
         "tpch_q3": _TPCH_Q3_ORACLE,
         "tpch_q5": _TPCH_Q5_ORACLE,
+        "tpch_q18": _TPCH_Q18_ORACLE,
+        "merge_upsert": _MERGE_UPSERT_ORACLE,
+        "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "profile_events": _profile_events_oracle(),
+        "slice_prop": _SLICE_PROP_ORACLE,
+        "stream_sessions": _session_agg_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1662,6 +1805,76 @@ _TPCH_Q5_ORACLE = """
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name"""
+
+
+_TPCH_Q18_ORACLE = """
+    SELECT c_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+           sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(sum(l_quantity) AS BIGINT) > 200) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY price_c DESC, o_orderkey
+    LIMIT 100"""
+
+
+# the merged state after the synthetic change batch of _updates_frame:
+# %100 keys deleted, %10 keys re-priced, %97 keys duplicated at +10M
+_MERGED_ORDERS_CTE = """
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN round((o_totalprice + 1.0) * 100)
+                  ELSE round(o_totalprice * 100) END AS price_c
+      FROM orders WHERE o_orderkey % 100 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             round(o_totalprice * 100) AS price_c
+      FROM orders WHERE o_orderkey % 97 = 0
+    )"""
+
+_MERGE_UPSERT_ORACLE = f"""
+    WITH {_MERGED_ORDERS_CTE}
+    SELECT o_orderkey, price_c::BIGINT AS price_c FROM merged"""
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    WITH {_MERGED_ORDERS_CTE},
+    old AS (SELECT o_orderkey, round(o_totalprice * 100) AS price_c
+            FROM orders)
+    SELECT coalesce(old.o_orderkey, merged.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN merged.o_orderkey IS NULL THEN 'delete'
+                WHEN old.price_c <> merged.price_c THEN 'update'
+           END AS change
+    FROM old FULL OUTER JOIN merged USING (o_orderkey)
+    WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+               WHEN merged.o_orderkey IS NULL THEN 'delete'
+               WHEN old.price_c <> merged.price_c THEN 'update'
+          END IS NOT NULL"""
+
+
+def _profile_events_oracle() -> str:
+    from tidier_spark.operators.profile import profile_sql
+
+    return profile_sql("events", ["user_id", "event_type", "value", "props"])
+
+
+_SLICE_PROP_ORACLE = """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM (
+      SELECT *,
+             round(l_extendedprice * 100) AS p,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY round(l_extendedprice * 100) DESC, l_orderkey DESC,
+                        l_linenumber DESC, l_suppkey DESC) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS cnt
+      FROM lineitem
+    )
+    WHERE rk <= floor(0.01 * cnt)"""
 
 
 def _dedup_minhash_oracle() -> str:

@@ -411,3 +411,79 @@ def test_session_agg_matches_sessionize(tables):
     )
     got = agg.select("user_id", "session_start_us", "n_events")
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_upsert_triad(spark):
+    from tidier_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False)],
+        "k long, v string, del boolean",
+    )
+    got = {r["k"]: r["v"] for r in upsert(target, updates, "k", delete_col="del").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_snapshot_diff_classes(spark):
+    from tidier_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    new = spark.createDataFrame([(2, 20), (3, 31), (4, 40)], "k long, v long")
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_profile_table_counts(spark):
+    from tidier_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (None, "y")], "a long, b string"
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["a"]["n_rows"] == 4 and got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 3
+    assert got["b"]["n_nulls"] == 1 and got["b"]["n_distinct"] == 2
+
+
+def test_slice_prop_group_fraction(tables):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.verbs import slice_max
+
+    li = tables["lineitem"]
+    order = F.struct(
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_suppkey"),
+    )
+    top = slice_max(li, order, by="l_returnflag", with_ties=False, prop=0.1)
+    sizes = {r["l_returnflag"]: r["count"]
+             for r in li.groupBy("l_returnflag").count().collect()}
+    got = {r["l_returnflag"]: r["count"]
+           for r in top.groupBy("l_returnflag").count().collect()}
+    import math
+    for flag, n in sizes.items():
+        assert got[flag] == math.floor(0.1 * n)
+
+
+def test_stream_session_agg_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import session_agg
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_session_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = session_agg(ev, "user_id", "ts", gap_seconds=4 * 3600)
+    streamed = run_stream(
+        stream_session_agg(
+            read_stream_table(spark, sf_dir, "events"),
+            key_col="user_id", time_col="ts", gap_seconds=4 * 3600,
+        ),
+        name="t_stream_sessions_parity",
+        output_mode="complete",
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0

@@ -1,0 +1,86 @@
+"""Upsert / merge-into and snapshot-diff operators.
+
+The batch analogs of a warehouse MERGE: the reference engine has none
+(SURVEY.md §2.3 — no joins at all), but every pipeline that maintains a
+curated corpus needs "apply this batch of updates to the snapshot" and
+"what changed between snapshots".  Both are expressed as pure DataFrame
+ops so Catalyst owns the physical strategy.
+
+Scale notes (100 TB): :func:`upsert` is union + one per-key window — a
+single shuffle on the key, the same cost as the dedup-survivor pattern,
+and strictly cheaper than the full-outer-join formulation (no join, no
+null-branch explosion).  On real lakehouse tables you'd push this into a
+storage-level MERGE (Delta/Iceberg) to get file skipping; the logical
+semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["upsert", "snapshot_diff"]
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: str | list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins merge: rows from ``updates`` replace same-key rows in
+    ``target``; new keys are inserted.  If ``delete_col`` names a boolean
+    column in ``updates``, true-rows delete the key instead (the full
+    MERGE INTO triad: update / insert / delete).
+
+    Plan: tag sides, unionByName, keep rank-1 per key with the update
+    side winning — one shuffle, no join.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    t = target.withColumn("__prio", F.lit(1))
+    u = updates.withColumn("__prio", F.lit(0))
+    if delete_col is None:
+        u = u.withColumn("__del", F.lit(False))
+        t = t.withColumn("__del", F.lit(False))
+    else:
+        u = u.withColumn("__del", F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+        t = t.withColumn("__del", F.lit(False))
+    allr = t.unionByName(u)
+    w = Window.partitionBy(*ks).orderBy(F.col("__prio").asc())
+    return (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__prio", "__rn", "__del")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row per
+    changed key with ``change ∈ {'insert', 'delete', 'update'}``.
+
+    Plan: full outer join on the key (sort-merge; both sides shuffle once
+    on the same key — co-partitioned), change class from null-ness plus a
+    single struct inequality over ``compare_cols``.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    cols = compare_cols or [c for c in new.columns if c not in ks]
+    o = old.select(*ks, F.struct(*cols).alias("__o"))
+    n = new.select(*ks, F.struct(*cols).alias("__n"))
+    j = o.join(n, ks, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("insert"))
+        .when(F.col("__n").isNull(), F.lit("delete"))
+        .when(F.col("__o") != F.col("__n"), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*ks, "change")
+    )

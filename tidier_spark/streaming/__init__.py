@@ -17,6 +17,11 @@ drops late data deterministically; both operators shuffle once on the
 grouping keys (same as any streaming agg).
 """
 
-from .sliding import run_stream, stream_trailing_agg, stream_windowed_agg  # noqa: F401
+from .sliding import (  # noqa: F401
+    run_stream,
+    stream_session_agg,
+    stream_trailing_agg,
+    stream_windowed_agg,
+)
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "run_stream"]
+__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "run_stream"]

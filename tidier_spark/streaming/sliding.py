@@ -18,7 +18,7 @@ from pyspark.sql.types import (
 
 from ..mutate import _translate
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "run_stream"]
+__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "run_stream"]
 
 
 def run_stream(
@@ -181,4 +181,42 @@ def stream_trailing_agg(
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def stream_session_agg(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    aggs: dict[str, F.Column] | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-based session aggregation: ``session_window`` with a
+    watermark, merging/extending open sessions incrementally in the state
+    store.  Identical output schema to the batch
+    :func:`~tidier_spark.operators.temporal.session_agg`, so
+    backfill (batch) and live (stream) share one definition.
+
+    Output-mode note: with ``complete`` the sink holds every closed AND
+    open session (exact batch parity on bounded replay); with ``append``
+    only sessions whose end precedes the watermark are emitted — the
+    last open session per key stays in state, which is the correct live
+    semantics but not replay-parity.
+    """
+    w = stream.withWatermark(time_col, watermark) if stream.isStreaming else stream
+    agg_exprs = [F.count(F.lit(1)).alias("n_events")]
+    for name, col in (aggs or {}).items():
+        agg_exprs.append(col.alias(name))
+    gap = f"{gap_seconds} seconds"
+    g = w.groupBy(
+        F.col(key_col), F.session_window(F.col(time_col), gap).alias("__w")
+    ).agg(*agg_exprs)
+    return g.select(
+        key_col,
+        F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("__w.end")).alias("session_end_us"),
+        "n_events",
+        *list((aggs or {}).keys()),
     )

@@ -155,10 +155,11 @@ def count(df: DataFrame, *by: str, name: str = "n") -> DataFrame:
 def _slice_ranked(
     df: DataFrame,
     order_col: str | Column,
-    n: int,
+    n: int | None,
     by: object,
     asc: bool,
     with_ties: bool,
+    prop: float | None = None,
 ) -> DataFrame:
     keys = [by] if isinstance(by, (str, Column)) else list(by or [])
     c = F.col(order_col) if isinstance(order_col, str) else order_col
@@ -166,22 +167,47 @@ def _slice_ranked(
         c.asc() if asc else c.desc()
     )
     rk = (F.rank() if with_ties else F.row_number()).over(w)
-    return df.withColumn("__rk", rk).where(F.col("__rk") <= n).drop("__rk")
+    if prop is not None:
+        # dplyr slice_min/max(prop=): floor(prop * group size) rows.  The
+        # group count rides the SAME window partition — no extra shuffle.
+        # Both window exprs materialize as columns first (window fns are
+        # illegal directly inside WHERE).
+        cnt = F.count(F.lit(1)).over(
+            Window.partitionBy(*[F.col(k) if isinstance(k, str) else k for k in keys])
+        )
+        return (
+            df.withColumn("__rk", rk)
+            .withColumn("__lim", F.floor(F.lit(prop) * cnt))
+            .where(F.col("__rk") <= F.col("__lim"))
+            .drop("__rk", "__lim")
+        )
+    return df.withColumn("__rk", rk).where(F.col("__rk") <= F.lit(n)).drop("__rk")
 
 
 def slice_min(
-    df: DataFrame, order_col: str | Column, n: int = 1, by: object = None, with_ties: bool = True
+    df: DataFrame,
+    order_col: str | Column,
+    n: int = 1,
+    by: object = None,
+    with_ties: bool = True,
+    prop: float | None = None,
 ) -> DataFrame:
     """Smallest-n rows (optionally per group) — `dplyr::slice_min`
     (used in the reference example, `R/mutate.R:81`).  Windowed rank, not a
-    global sort: one shuffle on the keys, early filter."""
-    return _slice_ranked(df, order_col, n, by, asc=True, with_ties=with_ties)
+    global sort: one shuffle on the keys, early filter.  ``prop=`` keeps
+    floor(prop·group_size) rows instead of a fixed n (dplyr parity)."""
+    return _slice_ranked(df, order_col, n, by, asc=True, with_ties=with_ties, prop=prop)
 
 
 def slice_max(
-    df: DataFrame, order_col: str | Column, n: int = 1, by: object = None, with_ties: bool = True
+    df: DataFrame,
+    order_col: str | Column,
+    n: int = 1,
+    by: object = None,
+    with_ties: bool = True,
+    prop: float | None = None,
 ) -> DataFrame:
-    return _slice_ranked(df, order_col, n, by, asc=False, with_ties=with_ties)
+    return _slice_ranked(df, order_col, n, by, asc=False, with_ties=with_ties, prop=prop)
 
 
 def slice_head(df: DataFrame, n: int, by: object = None, order_by: object = None) -> DataFrame:
