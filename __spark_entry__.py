@@ -1036,6 +1036,17 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(g, name="stream_sessions_result", output_mode="complete")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: cluster-bucketed embedding near-dup — approximate by
+    # design (no oracle; rows-only driver check).  The exactness proof is
+    # the pytest differential: n_clusters=1 == embedding_near_dup bit for
+    # bit, and bucketed output ⊆ exact with measured recall.
+    from tidier_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=8)
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -1266,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "slice_prop": _q_slice_prop,
         "stream_sessions": _q_stream_sessions,
+        "semantic_dedup": _q_semantic_dedup,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,

@@ -487,3 +487,38 @@ def test_stream_session_agg_equals_batch(spark, sf_dir):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_semantic_dedup_single_cluster_equals_exact(tables):
+    # with n_clusters=1 the bucketed SemDeDup path must reproduce the
+    # exact all-pairs operator bit for bit (same rounding, same contract)
+    from tidier_spark.operators.dedup import (
+        embedding_near_dup,
+        semantic_dedup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    exact = embedding_near_dup(emb, threshold=0.4)
+    sem = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=1)
+    assert sem.exceptAll(exact).count() == 0
+    assert exact.exceptAll(sem).count() == 0
+
+
+def test_semantic_dedup_bucketed_subset(tables):
+    # bucketed pairs are a SUBSET of exact pairs (no false positives:
+    # within-cluster cosine is the same exact computation).  Recall is
+    # threshold-dependent: the fixture's max pair cosine is ~0.51, so a
+    # 0.4 cut selects pairs that are NOT tight near-dups and legitimately
+    # straddle clusters — the n_clusters=1 differential above is the
+    # exactness proof; here we assert containment + nonzero detection.
+    from tidier_spark.operators.dedup import (
+        embedding_near_dup,
+        semantic_dedup_pairs,
+    )
+
+    emb = tables["embeddings"]
+    exact = embedding_near_dup(emb, threshold=0.4)
+    sem = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=8)
+    assert sem.exceptAll(exact).count() == 0
+    n_exact, n_sem = exact.count(), sem.count()
+    assert n_exact > 0 and n_sem > 0

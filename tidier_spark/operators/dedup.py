@@ -47,6 +47,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "contamination_check",
     "contamination_sql",
+    "semantic_dedup_pairs",
     "minhash_pairs_sql",
     "ngram_jaccard_sql",
     "embedding_near_dup_sql",
@@ -797,3 +798,76 @@ def contamination_sql(
         FROM (SELECT {id_col} FROM {table} WHERE {test_pred}) d
         LEFT JOIN sizes USING ({id_col})
         LEFT JOIN hits USING ({id_col})"""
+
+
+# --- Semantic dedup (SemDeDup) --------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse spherical
+    k-means quantizer, then compare pairs ONLY within each cluster —
+    near-dups sit close in embedding space, so cross-cluster pairs are
+    (by construction) below threshold with high probability.
+
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b`` and cosine
+    rounded to 6 decimals, same contract as :func:`embedding_near_dup` —
+    with ``n_clusters=1`` the outputs are identical (the differential
+    test), at ``n_clusters=k`` compute drops to ~1/k of all-pairs.
+
+    Scale shape: centroids broadcast (bytes); assignment is an Arrow
+    matmul; the pairwise stage is ``groupBy(list_id).applyInPandas`` —
+    one shuffle on the cluster id, per-cluster O(|c|²) compute.  Cluster
+    population is ~N/k, so n_clusters must scale WITH the corpus
+    (constant expected cluster size); for skewed clusters split further
+    with a secondary quantizer or cap |c| — the knob is cluster count,
+    not a driver-side collect.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import assign_clusters, train_quantizer
+
+    spark = df.sparkSession
+    bc_cent = spark.sparkContext.broadcast(
+        train_quantizer(
+            df, id_col, vec_col, n_lists=n_clusters,
+            sample_size=sample_size, seed=seed,
+        )
+    )
+    lists = assign_clusters(df, id_col, vec_col, bc_cent)
+    clustered = df.select(id_col, vec_col).join(lists, id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def pairs_in_cluster(key, pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf[id_col].to_numpy().astype("int64")
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.round(M @ M.T, 6)
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bi], "cos_sim": sims[ai, bi]}
+        )
+
+    return clustered.groupBy("list_id").applyInPandas(pairs_in_cluster, out_schema)

@@ -32,6 +32,8 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "train_quantizer",
+    "assign_clusters",
     "cosine_topk_sql",
 ]
 
@@ -414,6 +416,73 @@ def _rerank_pairs(
     )
 
 
+def train_quantizer(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_lists: int,
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 42,
+):
+    """Coarse k-means quantizer trained driver-side on a deterministic
+    bounded sample (first ``sample_size`` rows by id — reproducible, no
+    full-table collect).  Lloyd iterations over unit vectors (spherical
+    k-means); returns the (n_lists × dims) centroid matrix — bytes to
+    broadcast regardless of table size."""
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    )
+    S = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(S @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = S[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def assign_clusters(df: DataFrame, id_col: str, vec_col: str, bc_cent) -> DataFrame:
+    """(id, list_id) nearest-centroid assignment — an Arrow-batched
+    mapInPandas matmul against the broadcast centroid matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+
+    def assign_lists(it):
+        C = bc_cent.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "list_id": np.argmax(M @ C.T, axis=1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign_lists, assign_schema)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -442,51 +511,18 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    # deterministic training sample: lowest ids (seeded orderBy-free)
-    sample = (
-        df.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_size)
-        .toPandas()
+    bc_cent = spark.sparkContext.broadcast(
+        train_quantizer(
+            df,
+            id_col,
+            vec_col,
+            n_lists=n_lists,
+            kmeans_iters=kmeans_iters,
+            sample_size=sample_size,
+            seed=seed,
+        )
     )
-    S = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
-    S /= np.linalg.norm(S, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(S @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(len(cent)):
-            members = S[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cent[c] = m / n
-    bc_cent = spark.sparkContext.broadcast(cent)
-
-    # assign every vector to its list (bucket)
-    assign_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("list_id", T.IntegerType()),
-        ]
-    )
-
-    def assign_lists(it):
-        C = bc_cent.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].astype("int64"),
-                    "list_id": np.argmax(M @ C.T, axis=1).astype("int32"),
-                }
-            )
-
-    lists = df.select(id_col, vec_col).mapInPandas(assign_lists, assign_schema)
+    lists = assign_clusters(df, id_col, vec_col, bc_cent)
 
     # probe: each query fans out to its n_probe nearest lists
     probe_schema = T.StructType(
