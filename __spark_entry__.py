@@ -1047,6 +1047,42 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=8)
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regex PII scrub (C4/Dolma-style).  The fixture text is synthetic, so
+    # the entry deterministically INJECTS pii into a slice of documents
+    # first (same injection in the oracle), then scrubs: the redaction,
+    # the per-type counts, and the final text all hash-compare.  Pure
+    # codegen projection — zero shuffles.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.pii import scrub_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub_pii(injected).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -1278,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_prop": _q_slice_prop,
         "stream_sessions": _q_stream_sessions,
         "semantic_dedup": _q_semantic_dedup,
+        "pii_scrub": _q_pii_scrub,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1495,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": _profile_events_oracle(),
         "slice_prop": _SLICE_PROP_ORACLE,
         "stream_sessions": _session_agg_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1887,6 +1925,27 @@ _SLICE_PROP_ORACLE = """
       FROM lineitem
     )
     WHERE rk <= floor(0.01 * cnt)"""
+
+
+def _pii_scrub_oracle() -> str:
+    from tidier_spark.operators.pii import scrub_pii_sql
+
+    inject = (
+        "CASE WHEN doc_id % 5 = 0 THEN text"
+        " || ' contact user' || doc_id::VARCHAR"
+        " || '@example.com or 555-010-'"
+        " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        " || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'"
+        " ELSE text END"
+    )
+    exprs = scrub_pii_sql(inject)
+    return f"""
+        SELECT doc_id,
+               {exprs['n_email']} AS n_email,
+               {exprs['n_phone']} AS n_phone,
+               {exprs['n_ipv4']} AS n_ipv4,
+               md5({exprs['scrubbed']}) AS scrub_md5
+        FROM documents"""
 
 
 def _dedup_minhash_oracle() -> str:

@@ -522,3 +522,17 @@ def test_semantic_dedup_bucketed_subset(tables):
     assert sem.exceptAll(exact).count() == 0
     n_exact, n_sem = exact.count(), sem.count()
     assert n_exact > 0 and n_sem > 0
+
+
+def test_scrub_pii_patterns(spark):
+    from tidier_spark.operators.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io and 555-123-4567 at 192.168.0.1 twice a.b+c@x-corp.io"),
+         (2, "clean text no pii")],
+        "id long, text string",
+    )
+    got = {r["id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[1]["text_scrubbed"] == "mail <EMAIL> and <PHONE> at <IP> twice <EMAIL>"
+    assert got[2]["n_email"] == 0 and got[2]["text_scrubbed"] == "clean text no pii"
