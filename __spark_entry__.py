@@ -1083,6 +1083,28 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-n per-group sampling as a pure function of ids (md5 rank):
+    # reproducible on any engine/layout/cluster size, auditable after the
+    # fact — what df.sample's partition-dependent RNG cannot give.
+    from tidier_spark.operators.corpus import deterministic_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 20, by="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-width histogram with an empty-bin spine: one groupBy on the
+    # bin id (≤ n_bins groups survive the shuffle), portable floor
+    # arithmetic instead of engine-specific bucketing functions.
+    from tidier_spark.operators.profile import histogram
+
+    ev = read_table(spark, sf_dir, "events")
+    return histogram(ev, "value", lo=0.0, hi=500.0, n_bins=50)
+
+
 def _q_complete_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tidyr::complete — materialize every (user, event_type) combination
     # with zero-filled aggregates for absent cells.  The cross of two
@@ -1315,6 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": _q_stream_sessions,
         "semantic_dedup": _q_semantic_dedup,
         "pii_scrub": _q_pii_scrub,
+        "histogram": _q_histogram,
+        "det_sample": _q_det_sample,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1533,6 +1557,8 @@ def oracle_sql() -> dict[str, str]:
         "slice_prop": _SLICE_PROP_ORACLE,
         "stream_sessions": _session_agg_oracle(),
         "pii_scrub": _pii_scrub_oracle(),
+        "histogram": _histogram_oracle(),
+        "det_sample": _det_sample_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1925,6 +1951,19 @@ _SLICE_PROP_ORACLE = """
       FROM lineitem
     )
     WHERE rk <= floor(0.01 * cnt)"""
+
+
+def _det_sample_oracle() -> str:
+    from tidier_spark.operators.corpus import deterministic_sample_sql
+
+    inner = deterministic_sample_sql("documents", 20, by="lang")
+    return f"SELECT doc_id, lang, source FROM ({inner})"
+
+
+def _histogram_oracle() -> str:
+    from tidier_spark.operators.profile import histogram_sql
+
+    return histogram_sql("events", "value", lo=0.0, hi=500.0, n_bins=50)
 
 
 def _pii_scrub_oracle() -> str:

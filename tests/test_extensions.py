@@ -536,3 +536,39 @@ def test_scrub_pii_patterns(spark):
     assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 1 and got[1]["n_ipv4"] == 1
     assert got[1]["text_scrubbed"] == "mail <EMAIL> and <PHONE> at <IP> twice <EMAIL>"
     assert got[2]["n_email"] == 0 and got[2]["text_scrubbed"] == "clean text no pii"
+
+
+def test_histogram_bins_and_spine(spark):
+    from tidier_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (1.7,), (9.99,), (12.0,), (-3.0,), (None,)],
+        "v double",
+    )
+    got = {r["bin"]: r for r in histogram(df, "v", 0.0, 10.0, 5).collect()}
+    assert len(got) == 5                       # empty bins present (n=0)
+    # step 2.0: bin0 = {0.5, 1.5, 1.7, -3.0 clamped}; bin4 = {9.99,
+    # 12.0 clamped}; NULL excluded
+    assert got[0]["n"] == 4
+    assert got[4]["n"] == 2
+    assert got[1]["n"] == 0 and got[2]["n"] == 0 and got[3]["n"] == 0
+    assert sum(r["n"] for r in got.values()) == 6
+    assert got[0]["lo_edge"] == 0.0 and got[0]["hi_edge"] == 2.0
+
+
+def test_deterministic_sample_exact_and_stable(tables):
+    from tidier_spark.operators.corpus import deterministic_sample
+
+    docs = tables["documents"]
+    s1 = deterministic_sample(docs, 5, by="lang")
+    sizes = {r["lang"]: r["count"] for r in s1.groupBy("lang").count().collect()}
+    group_sizes = {r["lang"]: r["count"]
+                   for r in docs.groupBy("lang").count().collect()}
+    for lang, n in group_sizes.items():
+        assert sizes[lang] == min(5, n)
+    # pure function of ids: identical selection on re-evaluation
+    s2 = deterministic_sample(docs, 5, by="lang")
+    assert s1.exceptAll(s2).count() == 0
+    # different salt draws a different set
+    s3 = deterministic_sample(docs, 5, by="lang", salt="other")
+    assert s3.select("doc_id").exceptAll(s1.select("doc_id")).count() > 0

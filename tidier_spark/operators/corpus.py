@@ -22,6 +22,8 @@ __all__ = [
     "pack_sequences",
     "hash_split",
     "hash_split_sql",
+    "deterministic_sample",
+    "deterministic_sample_sql",
 ]
 
 
@@ -230,3 +232,53 @@ def hash_split_sql(
     return f"""
         SELECT *, {bucket}::BIGINT AS bucket, {case} AS split
         FROM {table}"""
+
+
+def deterministic_sample(
+    df: DataFrame,
+    n_per_group: int,
+    by: str | list[str],
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exact-n per-group sample, reproducible everywhere: rows rank by a
+    60-bit md5 of ``id:salt`` and the n smallest win.  Unlike
+    ``df.sample`` (partition-dependent RNG) or reservoir sampling
+    (order-dependent), the selected set is a pure function of ids — the
+    same rows are chosen on any engine, layout, or cluster size, and the
+    choice is auditable after the fact.
+
+    Plan: one window shuffle on the group keys; the hash is a scalar
+    expression.  Changing ``salt`` redraws the sample.
+    """
+    from pyspark.sql import Window
+
+    from .text import hash60
+
+    keys = [by] if isinstance(by, str) else list(by)
+    h = hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def deterministic_sample_sql(
+    table: str,
+    n_per_group: int,
+    by: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    """DuckDB mirror of :func:`deterministic_sample`."""
+    from .text import hash60_sql
+
+    h = hash60_sql(f"({id_col}::VARCHAR || ':{salt}')")
+    return f"""
+        SELECT * EXCLUDE (__rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY {by}
+                      ORDER BY {h} ASC, {id_col} ASC) AS __rn
+          FROM {table}
+        ) WHERE __rn <= {n_per_group}"""

@@ -19,7 +19,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "profile_sql"]
+__all__ = ["profile_table", "profile_sql", "histogram", "histogram_sql"]
 
 
 def profile_table(
@@ -54,3 +54,67 @@ def profile_sql(table: str, cols: list[str]) -> str:
         for c in cols
     ]
     return " UNION ALL ".join(selects)
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """Fixed-width histogram: ``(bin, lo_edge, hi_edge, n)`` with
+    out-of-range values clamped into the edge bins.
+
+    One groupBy on the bin id (map-side combine; at most ``n_bins``
+    groups survive the shuffle — bytes).  The bin expression is plain
+    floor arithmetic, identical under Spark and DuckDB (both IEEE 754 —
+    no engine-specific bucketing function), so the differential oracle
+    hashes bit-for-bit.  ``keep_empty`` joins against a generated bin
+    spine so empty bins appear with n=0 (plot-ready).
+    """
+    step = (hi - lo) / n_bins
+    c = F.col(col)
+    bin_id = F.least(
+        F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if keep_empty:
+        spine = df.sparkSession.range(n_bins).withColumnRenamed("id", "bin")
+        counts = spine.join(counts, "bin", "left").select(
+            "bin", F.coalesce("n", F.lit(0).cast("long")).alias("n")
+        )
+    return counts.select(
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(step)).alias("lo_edge"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(step)).alias("hi_edge"),
+        "n",
+    )
+
+
+def histogram_sql(
+    table: str, col: str, lo: float, hi: float, n_bins: int
+) -> str:
+    """DuckDB mirror of :func:`histogram` (keep_empty=True)."""
+    step = (hi - lo) / n_bins
+    b = (
+        f"least(greatest(floor(({col} - {lo!r}) / {step!r}), 0),"
+        f" {n_bins - 1})::BIGINT"
+    )
+    return f"""
+        WITH counts AS (
+          SELECT {b} AS bin, count(*)::BIGINT AS n
+          FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+        ),
+        spine AS (SELECT unnest(range({n_bins})) AS bin)
+        SELECT spine.bin,
+               {lo!r} + spine.bin * {step!r} AS lo_edge,
+               {lo!r} + (spine.bin + 1) * {step!r} AS hi_edge,
+               coalesce(counts.n, 0) AS n
+        FROM spine LEFT JOIN counts USING (bin)"""
