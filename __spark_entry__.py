@@ -1083,6 +1083,105 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 (pricing summary): pure scan → partial-agg → final-agg, no
+    # join; the float policy is the penny discipline — sums aggregate
+    # exact integer-valued doubles, and each avg is a SINGLE division of
+    # two exact values (IEEE-identical on any engine and any partial-sum
+    # order).
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100)
+    disc_pct = F.round(F.col("l_discount") * 100)
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            (F.sum(price_c) / 100).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_pct)) / 10000).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (F.sum(price_c) / n / 100).alias("avg_price"),
+            (F.sum(disc_pct) / n / 100).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 (volume shipping): supplier-nation × customer-nation flows
+    # for one nation pair, grouped by ship year.  Nation/region dims
+    # broadcast (constant size); the orders⋈customer and
+    # lineitem⋈supplier joins stay AQE-planned.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100)
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+    )
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    # revenue in a quarter.  The returnflag filter reaches the lineitem
+    # scan (PushedFilters); the final top-k is TakeOrdered, not a global
+    # sort.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * 100) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100)
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).cast("long").alias("revenue_e4")
+    )
+    return agg.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey")).limit(20)
+
+
 def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-n per-group sampling as a pure function of ids (md5 rank):
     # reproducible on any engine/layout/cluster size, auditable after the
@@ -1339,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "histogram": _q_histogram,
         "det_sample": _q_det_sample,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q10": _q_tpch_q10,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1559,6 +1661,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "histogram": _histogram_oracle(),
         "det_sample": _det_sample_oracle(),
+        "tpch_q1": _TPCH_Q1_ORACLE,
+        "tpch_q7": _TPCH_Q7_ORACLE,
+        "tpch_q10": _TPCH_Q10_ORACLE,
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -1881,6 +1986,53 @@ _TPCH_Q5_ORACLE = """
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name"""
+
+
+_TPCH_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           sum(round(l_extendedprice * 100)) / 100 AS sum_base_price,
+           sum(round(l_extendedprice * 100)
+               * (100 - round(l_discount * 100))) / 10000 AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           sum(round(l_extendedprice * 100)) / count(*) / 100 AS avg_price,
+           sum(round(l_discount * 100)) / count(*) / 100 AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus"""
+
+
+_TPCH_Q7_ORACLE = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate)::INT AS l_year,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3"""
+
+
+_TPCH_Q10_ORACLE = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_e4 DESC, c_custkey
+    LIMIT 20"""
 
 
 _TPCH_Q18_ORACLE = """
