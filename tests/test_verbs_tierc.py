@@ -526,3 +526,24 @@ def test_complete_fills_missing_combos(spark):
         for r in complete(df, "k", "g", fill={"v": 0.0}).collect()
     }
     assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): 30.0, (2, "b"): 0.0}
+
+
+def test_stream_dedup_drops_replayed_rows(spark, sf_dir):
+    # at-least-once simulation: the same source unioned with itself (every
+    # event delivered twice); dropDuplicatesWithinWatermark must restore
+    # exactly-once row counts through the real streaming engine
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_dedup
+
+    doubled = read_stream_table(spark, sf_dir, "events").unionByName(
+        read_stream_table(spark, sf_dir, "events")
+    )
+    deduped = stream_dedup(doubled, ["event_id"], "ts", watermark="1 hour")
+    got = run_stream(
+        deduped.select("event_id"),
+        name="t_stream_dedup",
+        output_mode="append",
+    )
+    n_batch = read_table(spark, sf_dir, "events").count()
+    assert got.count() == n_batch
+    assert got.distinct().count() == n_batch

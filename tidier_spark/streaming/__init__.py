@@ -19,9 +19,10 @@ grouping keys (same as any streaming agg).
 
 from .sliding import (  # noqa: F401
     run_stream,
+    stream_dedup,
     stream_session_agg,
     stream_trailing_agg,
     stream_windowed_agg,
 )
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "run_stream"]
+__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "stream_dedup", "run_stream"]

@@ -18,7 +18,7 @@ from pyspark.sql.types import (
 
 from ..mutate import _translate
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "run_stream"]
+__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "stream_dedup", "run_stream"]
 
 
 def run_stream(
@@ -219,4 +219,26 @@ def stream_session_agg(
         F.unix_micros(F.col("__w.end")).alias("session_end_us"),
         "n_events",
         *list((aggs or {}).keys()),
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated ``keys`` arrivals within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the ingestion
+    guard against at-least-once sources (Kafka replays, retried batches).
+
+    State is bounded by the watermark: a key's fingerprint is held only
+    until the watermark passes it, unlike ``dropDuplicates`` on a stream
+    which retains state forever.  On a batch frame this degrades to plain
+    ``dropDuplicates(keys)`` — same semantics when all data is in hand.
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
     )
