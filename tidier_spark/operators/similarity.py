@@ -304,7 +304,16 @@ def _lsh_candidates(
                 out["sig"].extend(int(s) for s in sigs)
             yield pd.DataFrame(out)
 
-    tagged = df.select(id_col, vec_col).mapInPandas(signatures, sig_schema)
+    from pyspark import StorageLevel
+
+    # both sides of the self-join read the signature frame: without
+    # persist the Arrow signature pipeline runs twice (the same
+    # double-compute minhash banding avoids by persisting its bands)
+    tagged = (
+        df.select(id_col, vec_col)
+        .mapInPandas(signatures, sig_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     a = tagged.alias("a")
     b = tagged.alias("b")
