@@ -1182,6 +1182,16 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey")).limit(20)
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered conversion funnel (view → click → purchase): one filtered
+    # min-agg per step chained by per-key joins, all shuffling on the
+    # same key — no window over full event history.
+    from tidier_spark.operators.temporal import funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
 def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-n per-group sampling as a pure function of ids (md5 rank):
     # reproducible on any engine/layout/cluster size, auditable after the
@@ -1441,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "funnel": _q_funnel,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
@@ -1664,6 +1675,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _TPCH_Q1_ORACLE,
         "tpch_q7": _TPCH_Q7_ORACLE,
         "tpch_q10": _TPCH_Q10_ORACLE,
+        "funnel": _funnel_oracle(),
         "dedup_minhash": _dedup_minhash_oracle(),
         "dedup_ngram_jaccard": _dedup_ngram_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
@@ -2103,6 +2115,14 @@ _SLICE_PROP_ORACLE = """
       FROM lineitem
     )
     WHERE rk <= floor(0.01 * cnt)"""
+
+
+def _funnel_oracle() -> str:
+    from tidier_spark.operators.temporal import funnel_sql
+
+    return funnel_sql(
+        "events", "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
 
 
 def _det_sample_oracle() -> str:

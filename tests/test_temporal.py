@@ -103,3 +103,31 @@ def test_cube_oracle(tables, sf_dir):
            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         sf_dir,
     )
+
+def test_funnel_known_sequence(spark):
+    from tidier_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: purchase BEFORE click -> stage stops at click
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:30:00", "purchase"),
+        (2, "2024-01-01 01:00:00", "click"),
+        # user 3: never viewed -> excluded entirely
+        (3, "2024-01-01 00:00:00", "click"),
+        # user 4: view only
+        (4, "2024-01-01 05:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["user_id"]: r for r in funnel(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["stage"] == 3 and got[1]["t3"] is not None
+    assert got[2]["stage"] == 2 and got[2]["t3"] is None
+    assert got[4]["stage"] == 1 and got[4]["t2"] is None

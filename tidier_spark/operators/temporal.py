@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "session_agg", "session_agg_sql"]
+__all__ = ["asof_join", "sessionize", "session_agg", "session_agg_sql", "funnel", "funnel_sql"]
 
 
 def asof_join(
@@ -186,3 +186,88 @@ def session_agg_sql(
                (max(epoch_us({time_col})) + {gap_us})::BIGINT AS session_end_us,
                count(*)::BIGINT AS n_events{extras}
         FROM sess GROUP BY {key_col}, sid"""
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time it
+    completed each step IN SEQUENCE (step i+1 must strictly follow the
+    key's step-i time).  Returns ``(key, t1..tk as epoch-µs, stage)``
+    where ``stage`` is the furthest step reached; keys that never did
+    step 1 are excluded (join the key dimension for full coverage).
+
+    The classic conversion query (view → click → purchase).  Plan: one
+    filtered min-aggregation per step, chained by per-key joins — k−1
+    equi-joins all keyed on ``key_col``, so every stage shuffles on the
+    same key (co-partitioned under AQE); no window over full event
+    history, no per-key event collection.  The min-of-later-events
+    definition ("earliest qualifying completion") matches the standard
+    product-analytics semantics.
+    """
+    t = F.unix_micros(F.col(time_col))
+    stage = (
+        df.where(F.col(step_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    out = stage
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(F.col(step_col) == step)
+            .select(F.col(key_col), t.alias("__t"))
+            .join(out.select(key_col, F.col(f"t{i-1}").alias("__prev")), key_col)
+            .where(F.col("__t") > F.col("__prev"))
+            .groupBy(key_col)
+            .agg(F.min("__t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, key_col, "left")
+    # stage = the highest non-null step: wrap ascending so the HIGHEST
+    # step's when() ends up outermost and wins
+    stage_expr = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage_expr = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(
+            stage_expr
+        )
+    return out.withColumn("stage", stage_expr.cast("long"))
+
+
+def funnel_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    step_col: str,
+    steps: list[str],
+) -> str:
+    """DuckDB mirror of :func:`funnel` (same sequential-min chain)."""
+    t = f"epoch_us({time_col})"
+    ctes = [
+        f"s1 AS (SELECT {key_col}, min({t}) AS t1 FROM {table}"
+        f" WHERE {step_col} = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.{key_col}, min({t.replace(time_col, 'e.' + time_col)}) AS t{i}"
+            f" FROM {table} e JOIN s{i-1} p ON e.{key_col} = p.{key_col}"
+            f" WHERE e.{step_col} = '{step}' AND epoch_us(e.{time_col}) > p.t{i-1}"
+            f" GROUP BY 1)"
+        )
+    tcols = ", ".join(
+        f"s{i}.t{i}" for i in range(1, len(steps) + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s1.{key_col} = s{i}.{key_col}"
+        for i in range(2, len(steps) + 1)
+    )
+    stage = "CASE "
+    for i in range(len(steps), 1, -1):
+        stage += f"WHEN s{i}.t{i} IS NOT NULL THEN {i} "
+    stage += "ELSE 1 END"
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT s1.{key_col}, {tcols}, ({stage})::BIGINT AS stage
+        FROM s1 {joins}"""
