@@ -1182,6 +1182,339 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue_e4").desc(), F.col("c_custkey")).limit(20)
 
 
+# --- TPC-H completion set (every remaining query expressible on the -------
+# --- fixture schema; Q2/Q9/Q11/Q16/Q20 need the absent partsupp table) ----
+#
+# Column adaptations (fixtures lack commit/receipt dates, shipmode,
+# container, mfgr, phone, comment): "late" = l_shipdate > o_orderdate + N
+# days; Q13's comment filter → orderpriority filter; Q17's container →
+# brand-only; Q22's phone prefix → nation-key set.  Shapes (semi/anti
+# joins, OR-pushdown, scalar subqueries, left-join-preserving counts) are
+# the originals'.
+
+
+def _tpch_rev_e4() -> "F.Column":  # type: ignore[name-defined]
+    from pyspark.sql import functions as F
+
+    return F.round(F.col("l_extendedprice") * 100) * (
+        F.lit(100) - F.round(F.col("l_discount") * 100)
+    )
+
+
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 (order priority checking), late-shipment adaptation: count
+    # quarter's orders having ≥1 lineitem shipped >30 days after the order
+    # date.  EXISTS lowers to a LEFT SEMI join — the probe side carries
+    # only (orderkey, shipdate), and the date filter reaches the orders
+    # scan; the semi join emits each order at most once (no post-dedup).
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 (forecasting revenue change): scan → filter → one-row agg;
+    # every predicate is scan-pushable (PushedFilters shows all three) and
+    # the aggregation is map-side partial.  Discount compared in exact
+    # integer percent (round(d*100)) — no float-range edge.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.round(F.col("l_discount") * 100).between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(F.col("l_extendedprice") * 100) * F.round(F.col("l_discount") * 100)
+    return li.agg(F.sum(rev).cast("long").alias("revenue_e4"))
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q8 (national market share), mfgr→p_type adaptation: NATION_1
+    # suppliers' share of ECONOMY-part revenue sold to ASIA customers, by
+    # order year.  nation/region broadcast (constant size); part is
+    # filtered before its join so AQE sees the small side; share is ONE
+    # division of two exact e4-unit longs — bit-identical on any engine.
+    from pyspark.sql import functions as F
+
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n_c = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_s = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+    )
+    rev = _tpch_rev_e4()
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("nation_e4"),
+        F.sum(rev).cast("long").alias("total_e4"),
+    )
+    return agg.withColumn(
+        "mkt_share", (F.col("nation_e4") / F.col("total_e4")).cast("double")
+    )
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 (shipping modes / priority), shipmode→returnflag + late-
+    # shipment adaptation: for a year's lineitems shipped >60 days after
+    # the order date, count critical- vs normal-priority orders per flag.
+    # One join keyed on orderkey + conditional aggregation — no second
+    # pass per priority class.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 (customer order-count distribution), comment-filter →
+    # priority-filter adaptation.  The LEFT join keeps zero-order
+    # customers (the filter lives in the JOIN CONDITION, not a WHERE —
+    # the classic outer-join-filter placement trap); two aggregations,
+    # the second over ≤ |distinct counts| rows.
+    from pyspark.sql import functions as F
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 (promotion effect): PROMO-part share of one month's
+    # revenue.  Part joins AQE-planned (it grows with SF); promo_pct is
+    # (100·promo)/total — exact long times 100, then a single division.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _tpch_rev_e4()
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_e4"),
+        F.sum(rev).cast("long").alias("total_e4"),
+    )
+    return agg.withColumn(
+        "promo_pct", ((F.col("promo_e4") * 100) / F.col("total_e4")).cast("double")
+    )
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    # max.  The 1-row max aggregate broadcasts into a cross join (scalar-
+    # subquery shape) — the revenue frame is computed ONCE and reused for
+    # both the max and the final filter via persist.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_tpch_rev_e4()).cast("long").alias("total_e4"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_e4").alias("__mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_e4") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 (small-quantity-order revenue), container→brand-only
+    # adaptation: revenue from Brand#3 lineitems under 20% of the part's
+    # average quantity.  The per-part average is a pre-aggregation joined
+    # back (never a correlated rescan); the threshold is (sum/count)·0.2
+    # with the SAME operation order as the oracle — IEEE-identical.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        ((F.sum("l_quantity") / F.count(F.lit(1))) * 0.2).alias("qty_lim")
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+    )
+    agg = j.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("sum_price_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    return agg.withColumn(
+        "avg_yearly_c", (F.col("sum_price_c") / 7.0).cast("double")
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 (discounted revenue), container/shipmode clauses dropped:
+    # three OR'd (brand × size × quantity) branches over lineitem⋈part.
+    # The disjunction stays one join + one filter — Catalyst extracts the
+    # common l_partkey equi-condition; no per-branch union rescan.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & q.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(_tpch_rev_e4()).cast("long").alias("revenue_e4"))
+    )
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q21 (suppliers who kept orders waiting), late = shipped >60
+    # days after order date: finished orders where THIS supplier shipped
+    # late, another supplier contributed (EXISTS → LEFT SEMI), and no
+    # OTHER supplier was late (NOT EXISTS → LEFT ANTI).  Both probes carry
+    # (orderkey, suppkey, shipdate) only; nation filter bounds the output.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    base = base.join(
+        l2,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+        F.col("l_shipdate").alias("y_shipdate"),
+    )
+    base = base.join(
+        l3,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey"))
+        & (F.col("y_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 (global sales opportunity), phone-prefix → nation-key-set
+    # adaptation: rich customers (balance above the segment's positive
+    # mean) in selected nations with no RECENT orders (every fixture
+    # customer has some order, so the original's "no orders ever" is the
+    # empty set — lapsed-since-2001 keeps the anti-join non-trivial).
+    # The mean is a 1-row broadcast; the anti join probes only o_custkey.
+    from pyspark.sql import functions as F
+
+    nations = [1, 3, 5, 7, 9]
+    c = read_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(nations)
+    ).select("c_custkey", "c_nationkey", F.round(F.col("c_acctbal") * 100).alias("bal_c"))
+    avg_bal = c.where(F.col("bal_c") > 0).agg(
+        (F.sum("bal_c") / F.count(F.lit(1))).alias("__avg_c")
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("bal_c") > F.col("__avg_c"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_c").cast("long").alias("totacctbal_c"),
+    )
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered conversion funnel (view → click → purchase): one filtered
     # min-agg per step chained by per-key joins, all shuffling on the
@@ -1451,6 +1784,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         "funnel": _q_funnel,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
@@ -1673,6 +2017,17 @@ def oracle_sql() -> dict[str, str]:
         "histogram": _histogram_oracle(),
         "det_sample": _det_sample_oracle(),
         "tpch_q1": _TPCH_Q1_ORACLE,
+        "tpch_q4": _TPCH_Q4_ORACLE,
+        "tpch_q6": _TPCH_Q6_ORACLE,
+        "tpch_q8": _TPCH_Q8_ORACLE,
+        "tpch_q12": _TPCH_Q12_ORACLE,
+        "tpch_q13": _TPCH_Q13_ORACLE,
+        "tpch_q14": _TPCH_Q14_ORACLE,
+        "tpch_q15": _TPCH_Q15_ORACLE,
+        "tpch_q17": _TPCH_Q17_ORACLE,
+        "tpch_q19": _TPCH_Q19_ORACLE,
+        "tpch_q21": _TPCH_Q21_ORACLE,
+        "tpch_q22": _TPCH_Q22_ORACLE,
         "tpch_q7": _TPCH_Q7_ORACLE,
         "tpch_q10": _TPCH_Q10_ORACLE,
         "funnel": _funnel_oracle(),
@@ -2059,6 +2414,172 @@ _TPCH_Q18_ORACLE = """
     JOIN customer ON o_custkey = c_custkey
     ORDER BY price_c DESC, o_orderkey
     LIMIT 100"""
+
+
+_TPCH_Q4_ORACLE = """
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1"""
+
+
+_TPCH_Q6_ORACLE = """
+    SELECT CAST(sum(round(l_extendedprice * 100)
+                    * round(l_discount * 100)) AS BIGINT) AS revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND round(l_discount * 100) BETWEEN 5 AND 7
+      AND l_quantity < 24"""
+
+
+_TPCH_Q8_ORACLE = """
+    SELECT year(o_orderdate)::INT AS o_year,
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+                         THEN round(l_extendedprice * 100)
+                              * (100 - round(l_discount * 100))
+                         ELSE 0 END) AS BIGINT) AS nation_e4,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS total_e4,
+           sum(CASE WHEN ns.n_name = 'NATION_1'
+                    THEN round(l_extendedprice * 100)
+                         * (100 - round(l_discount * 100))
+                    ELSE 0 END)::BIGINT
+             / sum(round(l_extendedprice * 100)
+                   * (100 - round(l_discount * 100)))::BIGINT AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN region ON nc.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1"""
+
+
+_TPCH_Q12_ORACLE = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1"""
+
+
+_TPCH_Q13_ORACLE = """
+    SELECT c_count, count(*)::BIGINT AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+    GROUP BY 1"""
+
+
+_TPCH_Q14_ORACLE = """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN round(l_extendedprice * 100)
+                              * (100 - round(l_discount * 100))
+                         ELSE 0 END) AS BIGINT) AS promo_e4,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS total_e4,
+           (sum(CASE WHEN p_type = 'PROMO'
+                     THEN round(l_extendedprice * 100)
+                          * (100 - round(l_discount * 100))
+                     ELSE 0 END)::BIGINT * 100)
+             / sum(round(l_extendedprice * 100)
+                   * (100 - round(l_discount * 100)))::BIGINT AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+
+_TPCH_Q15_ORACLE = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(round(l_extendedprice * 100)
+                      * (100 - round(l_discount * 100))) AS BIGINT) AS total_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, total_e4
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_e4 = (SELECT max(total_e4) FROM rev)"""
+
+
+_TPCH_Q17_ORACLE = """
+    WITH avgq AS (
+      SELECT l_partkey AS a_partkey,
+             (sum(l_quantity) / count(*)) * 0.2 AS qty_lim
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS sum_price_c,
+           count(*)::BIGINT AS n_lines,
+           sum(round(l_extendedprice * 100))::BIGINT / 7.0 AS avg_yearly_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avgq ON l_partkey = a_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_lim"""
+
+
+_TPCH_Q19_ORACLE = """
+    SELECT CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))) AS BIGINT) AS revenue_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 20 AND 30)"""
+
+
+_TPCH_Q21_ORACLE = """
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20"""
+
+
+_TPCH_Q22_ORACLE = """
+    WITH seg AS (
+      SELECT c_custkey, c_nationkey, round(c_acctbal * 100) AS bal_c
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+    avg_bal AS (
+      SELECT sum(bal_c) / count(*) AS avg_c FROM seg WHERE bal_c > 0)
+    SELECT c_nationkey, count(*)::BIGINT AS numcust,
+           CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+    FROM seg, avg_bal
+    WHERE bal_c > avg_c
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY 1"""
 
 
 # the merged state after the synthetic change batch of _updates_frame:
