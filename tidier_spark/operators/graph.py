@@ -7,16 +7,19 @@ the step between "minhash found 2M duplicate pairs" and "drop 1.3M docs".
 :func:`connected_components` is iterative min-label propagation — the
 Pregel pattern expressed as bounded DataFrame iterations:
 
-* each iteration is one join (labels onto edges) + one aggregation
-  (min label per node): all-distributed, shuffles only on node ids;
+* each iteration is ONE join (labels onto edges) + ONE aggregation:
+  neighbor labels and the node's own label union into the same min —
+  no separate "fold with self" left-join pass; shuffles only on node ids;
 * iteration count is bounded by the graph DIAMETER, not its size — dup
   clusters are short chains/cliques, so a handful of rounds converge;
 * every iteration persists its labels and unpersists the previous ones,
   and the loop checkpoints lineage by localCheckpoint every few rounds —
   without this the plan tree doubles per iteration and the optimizer
   chokes long before the data does (the classic iterative-Spark trap);
-* convergence is detected with a count of changed labels — an aggregate
-  action per round, nothing collected beyond one long.
+* convergence exploits monotonicity: labels only ever DECREASE, so the
+  label-sum strictly drops iff anything changed — the per-round change
+  check is a scalar aggregate (decimal sum, overflow-safe for 64-bit
+  ids), not the labels⋈old-labels comparison join it would naively be.
 
 At 100 TB scale the same loop runs unchanged; for billion-edge graphs
 swap in GraphFrames/large-star-small-star if diameter grows beyond ~20.
@@ -45,42 +48,56 @@ def connected_components(
     ``edges`` is an undirected pair list; ``nodes`` the full node frame
     (isolated nodes keep their own id as label).  Returns
     ``(id_col, cluster_id)``.
+
+    Only EDGE ENDPOINTS iterate: components span edges, so isolated
+    nodes can't change label and are attached at the end with one left
+    join + coalesce.  In a dedup corpus the duplicate subgraph is a tiny
+    fraction of the documents — the loop's shuffle volume is bounded by
+    it, not by |nodes|.
     """
     sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
         edges.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
     sym = sym.persist()
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).alias("lab"))
+    labels = sym.select("u").distinct().withColumn("lab", F.col("u"))
     labels = labels.persist()
-    labels.count()  # materialize before the loop
 
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)  # also materializes the persist
     for it in range(max_iter):
-        # neighbor minimum: for each node, the smallest label among its
-        # neighbors; then fold with the node's own label
-        nbr = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("lab").alias("nbr_lab"))
-        )
+        # min over {own label} ∪ {neighbor labels}: the self-label rides
+        # the same groupBy via union, so isolated nodes survive and no
+        # second join is needed
         new_labels = (
-            labels.join(nbr, "u", "left")
-            .select("u", F.least("lab", F.coalesce("nbr_lab", "lab")).alias("lab"))
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "lab")
+            .unionByName(labels)
+            .groupBy("u")
+            .agg(F.min("lab").alias("lab"))
         )
         if (it + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "u")
-            .where(F.col("lab") != F.col("old"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     sym.unpersist()
-    return labels.select(F.col("u").alias(id_col), F.col("lab").alias("cluster_id"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels, F.col(id_col) == F.col("u"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lab"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def dup_clusters(
