@@ -1707,6 +1707,57 @@ def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "doc_id", "text")
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sliding token-window chunking (training-sequence prep): closed-form
+    # chunk schedule per row → one tokenize + one explode, no UDF, no
+    # shuffle; fan-out bounded by n_tokens/stride per doc.
+    from tidier_spark.operators.corpus import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic weight-biased sampling: priority = hash60(id) div w —
+    # heavier docs win proportionally more often, selection is a pure
+    # function of (id, salt, weight) so it reproduces on any engine.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "w", F.expr("n_chars div 100 + 1")
+    )
+    return weighted_sample(docs, 30, weight_col="w", by="lang").select(
+        "doc_id", "lang", F.col("w").cast("long").alias("w")
+    )
+
+
+def _q_shuffle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic global permutation for training order, lowered
+    # scale-safe: range partition on the md5 key + per-partition local
+    # ranks + broadcast offset combine — never a one-task global window.
+    from tidier_spark.operators.corpus import shuffle_rows
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shuffle_rows(docs).select("doc_id", "shuffle_pos")
+
+
+def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental cross-corpus dedup: odd doc_ids ("new crawl") vs even
+    # doc_ids ("existing corpus") — banded-LSH join across sides only
+    # (the reference never self-joins), exact-Jaccard verification on
+    # candidates, best reference match per new doc.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.dedup import dedup_against
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    return dedup_against(new, ref, threshold=0.3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "o1_project": _q_o1_project,
@@ -1801,6 +1852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "sketch_quantiles": _q_sketch_quantiles,
         "stream_rollup": _q_stream_rollup,
+        "chunk_docs": _q_chunk_docs,
+        "weighted_sample": _q_weighted_sample,
+        "shuffle_rows": _q_shuffle_rows,
+        "dedup_against": _q_dedup_against,
     }
 
 
@@ -2172,7 +2227,45 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    sum(round(value * 100)) / 100 AS sum_v
             FROM events GROUP BY 1, 2""",
+        "chunk_docs": _chunk_docs_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
+        "shuffle_rows": _shuffle_rows_oracle(),
+        "dedup_against": _dedup_against_oracle(),
     }
+
+
+def _chunk_docs_oracle() -> str:
+    from tidier_spark.operators.corpus import chunk_documents_sql
+
+    return chunk_documents_sql("documents", chunk_tokens=32, stride=24)
+
+
+def _weighted_sample_oracle() -> str:
+    from tidier_spark.operators.corpus import weighted_sample_sql
+
+    inner = weighted_sample_sql(
+        "(SELECT *, n_chars // 100 + 1 AS w FROM documents) d",
+        30,
+        weight_col="w",
+        by="lang",
+    )
+    return f"SELECT doc_id, lang, w::BIGINT AS w FROM ({inner})"
+
+
+def _shuffle_rows_oracle() -> str:
+    from tidier_spark.operators.corpus import shuffle_rows_sql
+
+    return f"SELECT doc_id, shuffle_pos FROM ({shuffle_rows_sql('documents')})"
+
+
+def _dedup_against_oracle() -> str:
+    from tidier_spark.operators.dedup import dedup_against_sql
+
+    return dedup_against_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1) nt",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0) rt",
+        threshold=0.3,
+    )
 
 
 def _text_analysis_oracle() -> str:

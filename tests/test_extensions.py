@@ -572,3 +572,98 @@ def test_deterministic_sample_exact_and_stable(tables):
     # different salt draws a different set
     s3 = deterministic_sample(docs, 5, by="lang", salt="other")
     assert s3.select("doc_id").exceptAll(s1.select("doc_id")).count() > 0
+
+
+# --- chunking / sampling / shuffling / cross-corpus dedup ------------------
+
+
+def test_chunk_documents_schedule(spark):
+    from tidier_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks @1,5,9
+            (2, "a b c"),  # shorter than chunk -> one short chunk
+            (3, ""),  # token-free -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_len)
+        for r in chunk_documents(
+            docs, chunk_tokens=4, stride=4
+        ).collect()
+    }
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert rows[(1, 2)] == ("t8 t9", 2)  # final short chunk kept
+    assert rows[(2, 0)] == ("a b c", 3)
+    assert not any(d == 3 for d, _ in rows)
+    # overlapping stride: 10 tokens, chunk 4, stride 2 -> starts 1,3,5,7,9
+    n = chunk_documents(docs.where("doc_id = 1"), chunk_tokens=4, stride=2).count()
+    assert n == 4  # ceil((10-4)/2)+1
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from tidier_spark.operators.corpus import weighted_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("g").alias("g"),
+        # doc 0..9 get overwhelming weight; the rest weight 1
+        F.when(F.col("id") < 10, F.lit(1 << 40)).otherwise(F.lit(1)).alias("w"),
+    )
+    picked = {
+        r.doc_id
+        for r in weighted_sample(df, 10, weight_col="w", by="g").collect()
+    }
+    # priority = hash60 div w: weight 2^40 shrinks priorities ~2^40x, so the
+    # heavy ids dominate the smallest-priority slots
+    assert picked == set(range(10))
+    again = {
+        r.doc_id
+        for r in weighted_sample(df, 10, weight_col="w", by="g").collect()
+    }
+    assert picked == again  # pure function of (id, salt, weight)
+
+
+def test_shuffle_rows_is_permutation(tables):
+    from tidier_spark.operators.corpus import shuffle_rows
+
+    docs = tables["documents"]
+    n = docs.count()
+    out = shuffle_rows(docs).select("doc_id", "shuffle_pos").collect()
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, n + 1))
+    # deterministic across invocations, different under another salt
+    a = {r.doc_id: r.shuffle_pos for r in out}
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_rows(docs).select("doc_id", "shuffle_pos").collect()
+    }
+    assert a == b
+    c = {
+        r.doc_id: r.shuffle_pos
+        for r in shuffle_rows(docs, salt="other")
+        .select("doc_id", "shuffle_pos")
+        .collect()
+    }
+    assert a != c
+
+
+def test_dedup_against_cross_side_only(spark):
+    from tidier_spark.operators.dedup import dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame(
+        [(1, base), (3, "completely different words entirely unrelated text here")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        # 0 is an exact dup of new doc 1; 2 is unrelated; 4 dups new doc 3's
+        # unrelated text (so both new docs have exactly one match)
+        [(0, base), (2, "nothing shared with anything at all whatsoever"),
+         (4, "completely different words entirely unrelated text here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.ref_id, r.jaccard) for r in dedup_against(new, ref).collect()}
+    assert out[1][0] == 0 and out[1][1] == 1.0
+    assert out[3][0] == 4 and out[3][1] == 1.0

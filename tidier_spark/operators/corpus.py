@@ -24,6 +24,12 @@ __all__ = [
     "hash_split_sql",
     "deterministic_sample",
     "deterministic_sample_sql",
+    "chunk_documents",
+    "chunk_documents_sql",
+    "weighted_sample",
+    "weighted_sample_sql",
+    "shuffle_rows",
+    "shuffle_rows_sql",
 ]
 
 
@@ -282,3 +288,202 @@ def deterministic_sample_sql(
                       ORDER BY {h} ASC, {id_col} ASC) AS __rn
           FROM {table}
         ) WHERE __rn <= {n_per_group}"""
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding token-window chunking for training-sequence construction:
+    each document becomes ``(id, chunk_id, chunk_text, chunk_len)`` rows of
+    ``chunk_tokens`` tokens starting every ``stride`` tokens (overlap =
+    chunk_tokens - stride); the final chunk may be short, token-free
+    documents produce no chunks.
+
+    n_chunks = 1 + max(0, ceil((n - chunk_tokens) / stride)) — the chunk
+    schedule is closed-form per row, so the whole operator is one
+    tokenize + one explode inside whole-stage codegen: no UDF, no
+    shuffle, output partitioning inherits the scan.  At 100 TB this is
+    the map-only stage you want (the explode fan-out is bounded by
+    n/stride per doc).
+    """
+    from .text import tokens
+
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    extra = F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)),
+    )
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(F.lit(1) + extra)
+    # sequence(0, -1) DESCENDS in Spark — guard the empty case explicitly
+    seq = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    chunk = F.transform(
+        seq,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(t, (i * stride + 1).cast("int"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice(t, (i * stride + 1).cast("int"), chunk_tokens))
+            .cast("long")
+            .alias("chunk_len"),
+        ),
+    )
+    return toks.select(F.col(id_col), F.explode(chunk).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.chunk_len").alias("chunk_len"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (same closed-form schedule;
+    list_slice's inclusive end == Spark slice's length semantics)."""
+    from .text import tokens_sql
+
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
+        ),
+        nc AS (
+          SELECT {id_col}, t,
+                 CASE WHEN len(t) = 0 THEN 0
+                      ELSE 1 + greatest(0, floor((len(t) - {chunk_tokens}
+                                 + {stride - 1}) / {stride}))::BIGINT END AS n_chunks
+          FROM toks
+        ),
+        fan AS (
+          SELECT {id_col}, t, unnest(range(0, n_chunks)) AS ci FROM nc
+        )
+        SELECT {id_col}, ci::BIGINT AS chunk_id,
+               array_to_string(
+                 list_slice(t, ci * {stride} + 1,
+                            ci * {stride} + {chunk_tokens}), ' ') AS chunk_text,
+               len(list_slice(t, ci * {stride} + 1,
+                              ci * {stride} + {chunk_tokens}))::BIGINT AS chunk_len
+        FROM fan"""
+
+
+def weighted_sample(
+    df: DataFrame,
+    n_per_group: int,
+    *,
+    weight_col: str,
+    by: str | list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weight-biased sampling: rows rank by
+    ``hash60(id:salt) div weight`` and the n smallest per group win, so a
+    row with twice the (integer, >=1) weight has twice the chance of a
+    small priority — heavier rows win proportionally more often.
+
+    Like :func:`deterministic_sample` this is a pure function of
+    (id, salt, weight): reproducible across engines/layouts/cluster
+    sizes and auditable after the fact.  The priority uses exact integer
+    division (Spark ``div`` / DuckDB ``//``) — float division of 60-bit
+    hashes would lose ulps and make tie behavior engine-dependent.  (The
+    classic Efraimidis–Spirakis key ``-ln(u)/w`` gives exact inclusion
+    probabilities but leans on libm, which is NOT bit-portable across
+    engines; this integer rule trades calibrated probabilities for
+    portability.)
+
+    Plan: one scalar hash + one window shuffle on the group keys.
+    """
+    from pyspark.sql import Window
+
+    from .text import hash60
+
+    keys = [by] if isinstance(by, str) else list(by or [])
+    h = hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    tagged = df.withColumn("__h", h).withColumn(
+        "__pri", F.expr(f"__h div greatest(cast({weight_col} AS BIGINT), 1L)")
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    ).orderBy(F.col("__pri").asc(), F.col(id_col).asc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__h", "__pri", "__rn")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    n_per_group: int,
+    *,
+    weight_col: str,
+    by: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample`."""
+    from .text import hash60_sql
+
+    h = hash60_sql(f"({id_col}::VARCHAR || ':{salt}')")
+    pri = f"({h} // greatest({weight_col}::BIGINT, 1))"
+    return f"""
+        SELECT * EXCLUDE (__rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY {by}
+                      ORDER BY {pri} ASC, {id_col} ASC) AS __rn
+          FROM {table}
+        ) WHERE __rn <= {n_per_group}"""
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    out: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global permutation for training-data ordering:
+    ``out`` = 1-based rank of ``md5(id:salt)`` — the same shuffled order
+    on any engine, layout, or cluster size, re-drawable by salt.
+
+    A naive ``row_number() OVER (ORDER BY md5)`` funnels the corpus
+    through ONE task; this lowers through
+    :func:`tidier_spark.window.scale_safe_cumulative` — range-partition
+    on the hash key, per-partition local ranks, per-partition counts
+    prefix-combined and broadcast back as offsets.  n parallel tasks,
+    two passes, exact integer positions.
+    """
+    from ..window import scale_safe_cumulative
+
+    key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    tagged = df.withColumn("__k", key)
+    ranked = scale_safe_cumulative(
+        tagged, "1", order_by=["__k", id_col], out=out, fn="sum"
+    )
+    return ranked.withColumn(out, F.col(out).cast("long")).drop("__k")
+
+
+def shuffle_rows_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    out: str = "shuffle_pos",
+) -> str:
+    """DuckDB mirror of :func:`shuffle_rows` (single-node rank is fine for
+    the oracle — the distributed lowering must match it exactly)."""
+    return f"""
+        SELECT *, row_number() OVER (
+                 ORDER BY md5({id_col}::VARCHAR || ':{salt}'), {id_col}
+               )::BIGINT AS {out}
+        FROM {table}"""

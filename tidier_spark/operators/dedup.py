@@ -48,6 +48,8 @@ __all__ = [
     "contamination_check",
     "contamination_sql",
     "semantic_dedup_pairs",
+    "dedup_against",
+    "dedup_against_sql",
     "minhash_pairs_sql",
     "ngram_jaccard_sql",
     "embedding_near_dup_sql",
@@ -267,6 +269,166 @@ def near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental dedup: which NEW documents are near-dups of an existing
+    REFERENCE corpus — the shape of every "don't re-ingest what the last
+    crawl already has" pipeline stage.  Returns ``(doc_id, ref_id,
+    jaccard)``: each new doc's best reference match (max jaccard, ties to
+    min ref id) with jaccard ≥ threshold.
+
+    Same banded-LSH machinery as :func:`near_dup_pairs` but the band join
+    is new×ref ONLY — no within-side pairs, so a huge reference corpus
+    never self-joins.  At 100 TB the reference side's band signatures are
+    computed once and can be persisted as a table; the per-crawl cost is
+    the new side's signatures + one equi-join on (band, sig) + exact
+    verification bounded by candidate volume.
+    """
+    if k % bands:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    r = k // bands
+
+    def banded(side: DataFrame, sh: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(side, id_col, text_col, k, shingle_n, _shingle_df=sh)
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"mh_{b * r + i}") for i in range(r)])
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+        return (
+            sigs.select(F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bs"))
+            .select(out_id, "bs.band", "bs.sig")
+        )
+
+    sh_new = _distinct_shingles(new_df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_ref = _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = (
+        banded(new_df, sh_new, "doc_id_n")
+        .join(banded(ref_df, sh_ref, "ref_id"), on=["band", "sig"])
+        .select(F.col("doc_id_n"), F.col("ref_id"))
+        .distinct()
+    )
+
+    sn = sh_new.select(F.col(id_col).alias("doc_id_n"), F.col("shingle").alias("s"))
+    sr = sh_ref.select(F.col(id_col).alias("ref_id"), F.col("shingle").alias("s_r"))
+    n_new = sn.groupBy("doc_id_n").agg(F.count(F.lit(1)).alias("n_a"))
+    n_ref = sr.groupBy("ref_id").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        cand.join(sn, "doc_id_n")
+        .join(sr, "ref_id")
+        .where(F.col("s") == F.col("s_r"))
+        .groupBy("doc_id_n", "ref_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        cand.join(inter, ["doc_id_n", "ref_id"], "left")
+        .na.fill({"n_shared": 0})
+        .join(n_new, "doc_id_n")
+        .join(n_ref, "ref_id")
+        .select(
+            F.col("doc_id_n").alias(id_col),
+            "ref_id",
+            (
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("jaccard").desc(), F.col("ref_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_against_sql(
+    new_table: str,
+    ref_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB mirror of :func:`dedup_against` — ``new_table``/``ref_table``
+    may be any table expressions (e.g. filtered subqueries)."""
+    r = k // bands
+    mh_cols = ", ".join(
+        f"min(md5('{seed}|' || shingle)) AS mh_{seed}" for seed in range(k)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(" + " || ',' || ".join(f"mh_{b * r + i}" for i in range(r)) + "))"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh_n AS (
+  SELECT {id_col}, unnest({shingles_sql(text_col, shingle_n)}) AS shingle
+  FROM {new_table}
+),
+sh_r AS (
+  SELECT {id_col}, unnest({shingles_sql(text_col, shingle_n)}) AS shingle
+  FROM {ref_table}
+),
+mh_n AS (SELECT {id_col}, {mh_cols} FROM sh_n GROUP BY {id_col}),
+mh_r AS (SELECT {id_col}, {mh_cols} FROM sh_r GROUP BY {id_col}),
+b_n AS (SELECT {id_col}, b.band, b.sig
+        FROM mh_n, LATERAL (VALUES {band_rows}) AS b(band, sig)),
+b_r AS (SELECT {id_col}, b.band, b.sig
+        FROM mh_r, LATERAL (VALUES {band_rows}) AS b(band, sig)),
+cand AS (
+  SELECT DISTINCT n.{id_col} AS doc_id_n, r.{id_col} AS ref_id
+  FROM b_n n JOIN b_r r USING (band, sig)
+),
+ds_n AS (SELECT {id_col}, unnest(list_distinct({shingles_sql(text_col, shingle_n)})) AS s
+         FROM {new_table}),
+ds_r AS (SELECT {id_col}, unnest(list_distinct({shingles_sql(text_col, shingle_n)})) AS s
+         FROM {ref_table}),
+n_n AS (SELECT {id_col}, count(*) AS n_a FROM ds_n GROUP BY {id_col}),
+n_r AS (SELECT {id_col}, count(*) AS n_b FROM ds_r GROUP BY {id_col}),
+inter AS (
+  SELECT c.doc_id_n, c.ref_id, count(*) AS n_shared
+  FROM cand c JOIN ds_n a ON a.{id_col} = c.doc_id_n
+              JOIN ds_r b ON b.{id_col} = c.ref_id AND a.s = b.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_id_n AS {id_col}, c.ref_id,
+         (coalesce(i.n_shared, 0)::DOUBLE
+           / (na.n_a + nb.n_b - coalesce(i.n_shared, 0))) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_id_n = c.doc_id_n AND i.ref_id = c.ref_id
+  JOIN n_n na ON na.{id_col} = c.doc_id_n
+  JOIN n_r nb ON nb.{id_col} = c.ref_id
+)
+SELECT {id_col}, ref_id, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+             ORDER BY jaccard DESC, ref_id) AS rn
+  FROM scored WHERE jaccard >= {threshold}
+) WHERE rn = 1
+"""
 
 
 # --- n-gram Jaccard (exact, all pairs via shingle equi-join) --------------
