@@ -236,3 +236,52 @@ def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
+
+
+def test_tpch_semi_anti_lowering(spark, sf_dir):
+    """EXISTS/NOT EXISTS demonstrators must lower to semi/anti joins with
+    filters still reaching the scans — not to count-based outer joins."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    q4 = qs["tpch_q4"](spark, sf_dir)
+    s4 = explain_str(q4, "simple")
+    assert "LeftSemi" in s4
+    assert any("o_orderdate" in p for p in pushed_filters(q4)), pushed_filters(q4)
+
+    q21 = qs["tpch_q21"](spark, sf_dir)
+    s21 = explain_str(q21, "simple")
+    assert "LeftSemi" in s21 and "LeftAnti" in s21
+
+    q22 = qs["tpch_q22"](spark, sf_dir)
+    assert "LeftAnti" in explain_str(q22, "simple")
+
+
+def test_tpch_q6_scan_minimal(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate at the scan, only the
+    four referenced columns read."""
+    import __spark_entry__ as entrymod
+
+    q6 = entrymod.queries()["tpch_q6"](spark, sf_dir)
+    cols = set(read_schema(q6))
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    pushed = " ".join(pushed_filters(q6))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_chunk_documents_no_shuffle(tables):
+    """Chunking is map-only: explode fan-out, zero exchanges."""
+    from tidier_spark.operators.corpus import chunk_documents
+
+    c = chunk_documents(tables["documents"], chunk_tokens=32, stride=24)
+    assert count_exchanges(c) == 0, explain_str(c, "simple")
+
+
+def test_shuffle_rows_multi_task(tables):
+    """The permutation rank must NOT collapse to a single-partition global
+    window: the scale-safe lowering range-partitions on the hash key."""
+    from tidier_spark.operators.corpus import shuffle_rows
+
+    s = shuffle_rows(tables["documents"])
+    txt = explain_str(s, "simple")
+    assert "rangepartitioning" in txt.lower(), txt
