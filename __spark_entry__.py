@@ -55,11 +55,18 @@ def _q_o1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_o2_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale_safe=True: the ungrouped cumulative lowers through the
+    # two-pass range-partitioned prefix sum (n parallel tasks) instead of
+    # a single-task global window — and the driver hash-checks that the
+    # distributed lowering matches the oracle's one-task semantics
+    # exactly (quantities are integer-valued doubles: re-association is
+    # exact, so the two plans are bit-identical).
     li = read_table(spark, sf_dir, "lineitem")
     return mutate(
         li,
         cum_qty="cumsum(l_quantity)",
         order_by=["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"],
+        scale_safe=True,
     ).select("l_orderkey", "l_linenumber", "cum_qty")
 
 
@@ -345,6 +352,23 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, k=3, n_lists=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full-probe IVF (n_probe = n_lists): every bucket probed, so the
+    # result is PROVABLY exact — which makes the entire IVF machinery
+    # (driver-side quantizer, mapInPandas assignment/probing, list_id
+    # equi-join, join-based exact re-rank) hash-checkable against the
+    # brute-force oracle, not just rows-counted.  The approximate entry
+    # above keeps the realistic n_probe.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=3, n_lists=16, n_probe=16).select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
@@ -1787,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_full": _q_ivf_topk_full,
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
         "r_semantics": _q_r_semantics,
@@ -2092,8 +2117,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
-        # lsh_topk: intentionally no oracle — approximate ANN (recall<1 by
-        # construction); the driver's rows-only check applies.
+        # lsh_topk / ivf_topk: intentionally no oracle — approximate ANN
+        # (recall<1 by construction); the driver's rows-only check applies.
+        # ivf_topk_full probes every list → provably exact → brute-force
+        # oracle.
+        "ivf_topk_full": _cosine_topk_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "props_json": """
             SELECT event_id, k,
