@@ -1731,6 +1731,18 @@ def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "doc_id", "text")
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily cohort retention triangle (the fixture spans ~30 days):
+    # first-event day per user (one min-agg), join back on the same key
+    # (co-partitioned), distinct users per (cohort, offset) cell.
+    # Engine-portable integers: epoch-µs midnights, exact whole-day
+    # offsets (UTC session — no DST).
+    from tidier_spark.operators.temporal import cohort_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="day")
+
+
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sliding token-window chunking (training-sequence prep): closed-form
     # chunk schedule per row → one tokenize + one explode, no UDF, no
@@ -1881,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "shuffle_rows": _q_shuffle_rows,
         "dedup_against": _q_dedup_against,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2259,7 +2272,14 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "shuffle_rows": _shuffle_rows_oracle(),
         "dedup_against": _dedup_against_oracle(),
+        "cohort_retention": _cohort_retention_oracle(),
     }
+
+
+def _cohort_retention_oracle() -> str:
+    from tidier_spark.operators.temporal import cohort_retention_sql
+
+    return cohort_retention_sql("events", "user_id", "ts", period="day")
 
 
 def _chunk_docs_oracle() -> str:

@@ -131,3 +131,32 @@ def test_funnel_known_sequence(spark):
     assert got[1]["stage"] == 3 and got[1]["t3"] is not None
     assert got[2]["stage"] == 2 and got[2]["t3"] is None
     assert got[4]["stage"] == 1 and got[4]["t2"] is None
+
+
+def test_cohort_retention_known_triangle(spark):
+    from tidier_spark.operators.temporal import cohort_retention
+
+    # u1 first active day 1, returns day 2 and day 4 (twice — distinct);
+    # u2 first active day 2 only; u3 first active day 1, returns day 2
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-04 01:00:00"), (1, "2024-01-04 23:00:00"),
+        (2, "2024-01-02 12:00:00"),
+        (3, "2024-01-01 00:00:00"), (3, "2024-01-02 23:59:59"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = {
+        (r.cohort_us, r.period_offset): r.n_users
+        for r in cohort_retention(df, "user_id", "ts", period="day").collect()
+    }
+    import datetime
+
+    d1 = int(datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    d2 = d1 + 86_400_000_000
+    assert out[(d1, 0)] == 2  # u1, u3 on their cohort day
+    assert out[(d1, 1)] == 2  # both return next day
+    assert out[(d1, 3)] == 1  # only u1 on day 4 (distinct within the day)
+    assert out[(d2, 0)] == 1  # u2's own cohort
+    assert set(out) == {(d1, 0), (d1, 1), (d1, 3), (d2, 0)}

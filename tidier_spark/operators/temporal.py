@@ -17,7 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "session_agg", "session_agg_sql", "funnel", "funnel_sql"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "session_agg",
+    "session_agg_sql",
+    "funnel",
+    "funnel_sql",
+    "cohort_retention",
+    "cohort_retention_sql",
+]
 
 
 def asof_join(
@@ -271,3 +280,70 @@ def funnel_sql(
         WITH {', '.join(ctes)}
         SELECT s1.{key_col}, {tcols}, ({stage})::BIGINT AS stage
         FROM s1 {joins}"""
+
+
+_PERIOD_US = {
+    "day": 24 * 3600 * 1_000_000,
+    "week": 7 * 24 * 3600 * 1_000_000,
+}
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the period (day / ISO week) of
+    their FIRST event; for each (cohort, periods-since-cohort) cell, how
+    many of the cohort's users were active.  The classic retention
+    triangle.
+
+    Output: ``(cohort_us, period_offset, n_users)`` — cohort period start
+    as epoch-µs (engine-portable integer), offset in whole periods (exact
+    integer division of truncated timestamps; the session runs UTC so
+    periods are fixed-width — no DST).
+
+    Plan: first-event period via one min-aggregation on the key; one join
+    back keyed on the same column (co-partitioned under AQE — no second
+    shuffle of the events); COUNT(DISTINCT user) per cell over ≤
+    |cohorts|·|offsets| groups.  The distinct is per (cohort, offset)
+    cell — Spark plans it as a two-phase partial-distinct aggregate, no
+    row explosion.
+    """
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}")
+    p = F.unix_micros(F.date_trunc(period, F.col(time_col)))
+    first = df.groupBy(key_col).agg(F.min(p).alias("__cohort_us"))
+    j = df.select(F.col(key_col), p.alias("__p_us")).join(first, key_col)
+    return (
+        j.groupBy(
+            F.col("__cohort_us").alias("cohort_us"),
+            ((F.col("__p_us") - F.col("__cohort_us")) / F.lit(_PERIOD_US[period]))
+            .cast("long")
+            .alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(key_col)).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "week",
+) -> str:
+    """DuckDB mirror of :func:`cohort_retention` (same truncation — both
+    engines truncate 'week' to the ISO Monday, 'day' to midnight)."""
+    p = f"epoch_us(date_trunc('{period}', {time_col}))"
+    period_us = _PERIOD_US[period]
+    return f"""
+        WITH first AS (
+          SELECT {key_col}, min({p}) AS cohort_us
+          FROM {table} GROUP BY 1
+        )
+        SELECT cohort_us,
+               (({p} - cohort_us) // {period_us})::BIGINT AS period_offset,
+               count(DISTINCT e.{key_col})::BIGINT AS n_users
+        FROM {table} e JOIN first f ON e.{key_col} = f.{key_col}
+        GROUP BY 1, 2"""
