@@ -35,9 +35,17 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
-    # warm up the JVM/codegen/python-worker pools so the first timed query
-    # isn't charged session startup
+    # warm up the JVM/codegen AND the Python worker pool so the first timed
+    # query isn't charged session/interpreter startup (one pandas batch per
+    # core — mapInPandas workers are reused across queries)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        yield from it
+
+    spark.range(int(cpus) * 2, numPartitions=int(cpus)).mapInPandas(
+        _warm, "id long"
+    ).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -575,7 +575,9 @@ def embedding_near_dup(
 
         return pairs
 
-    src = df.select(id_col, vec_col)
+    # fan out the streamed query side: a single-file scan is one input
+    # split and would serialize the matmul on one core
+    src = _fan_out(df.select(id_col, vec_col))
     partials = []
     for ci in range(n_chunks):
         chunk_df = (
