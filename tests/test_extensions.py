@@ -667,3 +667,56 @@ def test_dedup_against_cross_side_only(spark):
     out = {r.doc_id: (r.ref_id, r.jaccard) for r in dedup_against(new, ref).collect()}
     assert out[1][0] == 0 and out[1][1] == 1.0
     assert out[3][0] == 4 and out[3][1] == 1.0
+
+
+# --- real PPM codec pipeline ----------------------------------------------
+
+
+def test_ppm_roundtrip_and_registry(spark):
+    import numpy as np
+
+    from tidier_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    payload = M.encode_ppm(px)
+    assert (M.decode_ppm_pixels(payload) == px).all()
+    assert M.ppm_decoder(payload) == (9, 12, 0)
+    # comment lines in the header are honored
+    with_comment = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    assert (M.decode_ppm_pixels(with_comment) == px).all()
+    # the registry carries a REAL decoder for image/ppm out of the box
+    assert M._DECODERS["image/ppm"] is M.ppm_decoder
+
+
+def test_image_stats_and_thumbnails(spark):
+    import numpy as np
+
+    from tidier_spark.operators import multimodal as M
+
+    def gradient(i):
+        # deterministic per-image gradient: channel c = (x + y*3 + i + c) % 256
+        y, x = np.mgrid[0:20, 0:30]
+        return np.stack(
+            [(x + 3 * y + i + c) % 256 for c in range(3)], axis=-1
+        ).astype(np.uint8)
+
+    imgs = [(i, M.encode_ppm(gradient(i))) for i in range(8)]
+    df = spark.createDataFrame(imgs, "media_id long, payload binary")
+
+    stats = {r.media_id: r for r in M.image_stats(df).collect()}
+    for i in range(8):
+        px = gradient(i)
+        expect = px.reshape(-1, 3).sum(axis=0, dtype=np.int64) / (20 * 30)
+        assert stats[i].width == 30 and stats[i].height == 20
+        assert (stats[i].mean_r, stats[i].mean_g, stats[i].mean_b) == tuple(expect)
+
+    thumbs = {r.media_id: r for r in M.image_thumbnails(df, 6, 4).collect()}
+    for i in range(8):
+        px = gradient(i)
+        yi = (np.arange(4) * 20) // 4
+        xi = (np.arange(6) * 30) // 6
+        expect = px[yi][:, xi]
+        got = M.decode_ppm_pixels(bytes(thumbs[i].thumb))
+        assert got.shape == (4, 6, 3)
+        assert (got == expect).all()

@@ -4,10 +4,13 @@ Design (per the 100 TB brief): image/audio/video live as ``binary`` columns
 with a typed metadata struct alongside.  Decode / feature-extraction runs as
 Arrow-batched pandas iterators over ``mapInPandas`` — the payload bytes
 never round-trip through Python row objects, and batches stream (bounded
-memory regardless of partition size).  The actual codec call is STUBBED
-(image/audio libs absent in this container) behind
-:func:`register_decoder` — the Spark-side schema, partitioning, UDF
-signature and batch shape are real and tested.
+memory regardless of partition size).  Codec calls route through
+:func:`register_decoder`; formats needing external libs (jpeg/mp3/...)
+stay STUBBED (libs absent in this container), but binary PPM has a REAL
+pure-numpy decoder registered out of the box — decode → channel stats →
+nearest-neighbor resize are exercised end-to-end on real pixels, so the
+Spark-side schema, partitioning, UDF signature and batch shape are
+proven, not just typed.
 
 Scale notes:
 * payload columns are pruned unless referenced — metadata-only queries
@@ -33,6 +36,11 @@ __all__ = [
     "extract_features",
     "register_decoder",
     "fake_decoder",
+    "encode_ppm",
+    "ppm_decoder",
+    "decode_ppm_pixels",
+    "image_stats",
+    "image_thumbnails",
 ]
 
 # Canonical media-table shape: id, modality, payload, typed metadata.
@@ -144,3 +152,141 @@ SELECT doc_id AS media_id,
        CAST(({n} * 33) % 600000 AS BIGINT) AS duration_ms
 FROM {table}
 """
+
+
+# --- real lib-free image codec: binary PPM (netpbm P6) ---------------------
+#
+# The container has no PIL/libav, so the general registry stays stubbed for
+# jpeg/mp3/..., but PPM (P6) is decodable with numpy alone — a REAL decoder
+# proving the registry + pixel pipeline end-to-end: header parse → pixel
+# ndarray → channel stats → nearest-neighbor resize, all Arrow-batched.
+
+
+def encode_ppm(pixels) -> bytes:
+    """(h, w, 3) uint8 ndarray → binary PPM bytes (test/fixture helper)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM P6 is RGB — expected (h, w, 3)")
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm_pixels(payload: bytes):
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8 ndarray.
+
+    Pure header parse + ``np.frombuffer`` — zero-copy over the payload
+    bytes.  Comment lines (#) per the netpbm spec are honored.
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments run #..newline); pixel data starts after the single
+    # whitespace byte following maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def ppm_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Registry-compatible decoder: PPM → (width, height, 0)."""
+    px = decode_ppm_pixels(payload)
+    return (px.shape[1], px.shape[0], 0)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """Per-image channel means over REAL decoded pixels (PPM payloads) —
+    the feature-extraction stage, Arrow-batched, partition-preserving
+    (no shuffle); means are exact sums of uint8 over a single division.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list[Any]] = {k.name: [] for k in IMAGE_STATS_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm_pixels(bytes(payload))
+                # sum in int64 (exact), ONE division per channel
+                means = px.reshape(-1, 3).sum(axis=0, dtype=np.int64) / (
+                    px.shape[0] * px.shape[1]
+                )
+                rows["media_id"].append(int(mid))
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["mean_r"].append(float(means[0]))
+                rows["mean_g"].append(float(means[1]))
+                rows["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+
+def image_thumbnails(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Deterministic nearest-neighbor resize (index sampling — no
+    interpolation libs, bit-reproducible) → re-encoded PPM thumbnails.
+    Decode → resize → encode streams batch-at-a-time; the output payload
+    is bounded at out_w·out_h·3 bytes per image regardless of input size.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list[Any]] = {k.name: [] for k in THUMB_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm_pixels(bytes(payload))
+                h, w = px.shape[:2]
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                thumb = px[yi][:, xi]
+                rows["media_id"].append(int(mid))
+                rows["thumb"].append(encode_ppm(thumb))
+                rows["thumb_w"].append(out_w)
+                rows["thumb_h"].append(out_h)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(batches, THUMB_SCHEMA)
+
+
+# a real decoder exists for PPM images out of the box
+register_decoder("image/ppm", ppm_decoder)
