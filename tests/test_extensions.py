@@ -720,3 +720,64 @@ def test_image_stats_and_thumbnails(spark):
         got = M.decode_ppm_pixels(bytes(thumbs[i].thumb))
         assert got.shape == (4, 6, 3)
         assert (got == expect).all()
+
+
+def test_chunk_documents_invariants(tables):
+    """Every token is covered when stride <= chunk; chunk ids are dense;
+    all chunks except possibly the last per doc are full-width."""
+    from tidier_spark.operators.corpus import chunk_documents
+    from tidier_spark.operators.text import token_count
+
+    docs = tables["documents"]
+    chunks = chunk_documents(docs, chunk_tokens=16, stride=12)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.min("chunk_len").alias("min_len"),
+            F.max("chunk_len").alias("max_len"),
+        )
+        .join(docs.select("doc_id", token_count("text").alias("n_toks")), "doc_id")
+        .collect()
+    )
+    for r in per_doc:
+        assert r.max_id == r.n_chunks - 1  # dense 0..n-1
+        assert r.max_len <= 16
+        # stride 12 + chunk 16: last chunk start = 1 + 12*(n-1) and must
+        # reach the final token
+        assert 12 * (r.n_chunks - 1) + r.max_len >= r.n_toks or r.n_chunks == 1
+        if r.n_chunks > 1:
+            assert r.min_len > 0
+
+
+def test_weighted_sample_counts_per_group(tables):
+    from tidier_spark.operators.corpus import weighted_sample
+
+    docs = tables["documents"].withColumn("w", F.expr("n_chars div 100 + 1"))
+    out = weighted_sample(docs, 7, weight_col="w", by="lang")
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in full.items():
+        assert sizes.get(lang, 0) == min(7, n)
+
+
+def test_cohort_retention_offset_zero_is_cohort_size(tables):
+    """The offset-0 cell counts every user of the cohort (each user is
+    active in their own first period by construction)."""
+    from tidier_spark.operators.temporal import cohort_retention
+
+    ev = tables["events"]
+    tri = cohort_retention(ev, "user_id", "ts", period="day")
+    zero = {r.cohort_us: r.n_users for r in tri.where("period_offset = 0").collect()}
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.unix_micros(F.date_trunc("day", F.min("ts"))).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert zero == {r.c: r.n for r in first}
+    # retention never exceeds the cohort size
+    for r in tri.collect():
+        assert r.n_users <= zero[r.cohort_us]
