@@ -781,3 +781,55 @@ def test_cohort_retention_offset_zero_is_cohort_size(tables):
     # retention never exceeds the cohort size
     for r in tri.collect():
         assert r.n_users <= zero[r.cohort_us]
+
+
+def test_wav_roundtrip_and_audio_stats(spark):
+    import math
+
+    import numpy as np
+
+    from tidier_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    clips = []
+    expect = {}
+    for i in range(5):
+        n = 1600 * (i + 1)  # 0.1s..0.5s at 16kHz
+        s = rng.integers(-20000, 20000, size=n, dtype=np.int16)
+        clips.append((i, M.encode_wav(s, 16_000)))
+        expect[i] = (
+            n,
+            int(n * 1000 // 16_000),
+            int(np.abs(s.astype(np.int32)).max()),
+            math.sqrt(int((s.astype(np.int64) ** 2).sum()) / n),
+        )
+    # registry decoder reports duration
+    assert M.wav_decoder(clips[2][1]) == (0, 0, expect[2][1])
+
+    df = spark.createDataFrame(clips, "media_id long, payload binary")
+    out = {r.media_id: r for r in M.audio_stats(df).collect()}
+    for i, (n, dur, peak, rms) in expect.items():
+        r = out[i]
+        assert (r.n_samples, r.duration_ms, r.peak) == (n, dur, peak)
+        assert r.rms == rms
+        assert r.sample_rate == 16_000
+
+
+def test_frame_sample_ppm_stream(spark):
+    import numpy as np
+
+    from tidier_spark.operators import multimodal as M
+
+    def frame(i):
+        return np.full((4, 6, 3), i, dtype=np.uint8)
+
+    video = b"".join(M.encode_ppm(frame(i)) for i in range(12))
+    df = spark.createDataFrame([(9, video)], "media_id long, payload binary")
+    rows = sorted(
+        M.frame_sample(df, every=5).collect(), key=lambda r: r.frame_no
+    )
+    assert [r.frame_no for r in rows] == [0, 5, 10]
+    for r in rows:
+        px = M.decode_ppm_pixels(bytes(r.frame))
+        assert (px == r.frame_no).all()
+        assert (r.width, r.height) == (6, 4)

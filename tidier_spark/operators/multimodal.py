@@ -41,6 +41,11 @@ __all__ = [
     "decode_ppm_pixels",
     "image_stats",
     "image_thumbnails",
+    "encode_wav",
+    "wav_decoder",
+    "decode_wav_samples",
+    "audio_stats",
+    "frame_sample",
 ]
 
 # Canonical media-table shape: id, modality, payload, typed metadata.
@@ -290,3 +295,151 @@ def image_thumbnails(df: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFra
 
 # a real decoder exists for PPM images out of the box
 register_decoder("image/ppm", ppm_decoder)
+
+
+# --- real lib-free audio codec: WAV (RIFF PCM 16-bit) ----------------------
+
+
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """1-D int16 ndarray → mono 16-bit PCM WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_samples(payload: bytes):
+    """WAV bytes → (samples int16 ndarray flattened across channels,
+    sample_rate, n_channels).  stdlib ``wave`` + ``np.frombuffer``."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate, nch = w.getframerate(), w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), rate, nch
+
+
+def wav_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Registry-compatible: WAV → (0, 0, duration_ms)."""
+    samples, rate, nch = decode_wav_samples(payload)
+    return (0, 0, int(len(samples) // nch * 1000 // rate))
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Per-clip loudness features over REAL decoded PCM: peak |amplitude|
+    and RMS (int64 sum of squares → one sqrt).  Arrow-batched,
+    partition-preserving."""
+    import math
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list[Any]] = {f.name: [] for f in AUDIO_STATS_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate, nch = decode_wav_samples(bytes(payload))
+                n = len(s)
+                sq = int((s.astype(np.int64) ** 2).sum())
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(int(n // nch * 1000 // rate))
+                rows["peak"].append(int(np.abs(s.astype(np.int32)).max()) if n else 0)
+                rows["rms"].append(math.sqrt(sq / n) if n else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+# --- video-as-frame-stream: concatenated P6 (ffmpeg image2pipe) ------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every: int = 5) -> DataFrame:
+    """Sample every ``every``-th frame from concatenated-PPM video streams
+    (the byte format ``ffmpeg -f image2pipe -c:v ppm`` emits): walk the
+    payload frame by frame — each P6 header gives the exact frame length,
+    so skipped frames are never materialized — and emit the kept frames
+    as standalone PPM payloads.
+
+    One row in, ~n_frames/every rows out; Arrow-batched, no shuffle; peak
+    memory = one frame, not one video.
+    """
+
+    def split_frames(payload: bytes):
+        pos, idx = 0, 0
+        while pos < len(payload):
+            if payload[pos : pos + 2] != b"P6":
+                raise ValueError(f"bad frame header at byte {pos}")
+            # reuse the PPM header walk to find pixel-data start + dims
+            hdr_pos, fields = pos + 2, []
+            while len(fields) < 3:
+                while payload[hdr_pos : hdr_pos + 1].isspace():
+                    hdr_pos += 1
+                if payload[hdr_pos : hdr_pos + 1] == b"#":
+                    hdr_pos = payload.index(b"\n", hdr_pos) + 1
+                    continue
+                start = hdr_pos
+                while not payload[hdr_pos : hdr_pos + 1].isspace():
+                    hdr_pos += 1
+                fields.append(int(payload[start:hdr_pos]))
+            hdr_pos += 1
+            w, h, _ = fields
+            end = hdr_pos + w * h * 3
+            yield idx, payload[pos:end], w, h
+            pos, idx = end, idx + 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list[Any]] = {f.name: [] for f in FRAME_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx, frame, w, h in split_frames(bytes(payload)):
+                    if idx % every:
+                        continue
+                    rows["media_id"].append(int(mid))
+                    rows["frame_no"].append(idx)
+                    rows["frame"].append(frame)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+# real lib-free audio decoder registered alongside the PPM one
+register_decoder("audio/wav", wav_decoder)
