@@ -1731,6 +1731,16 @@ def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "doc_id", "text")
 
 
+def _q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hashing-trick featurizer (model-free text→vector): md5-bucketed
+    # token counts in sparse (doc, bucket, n) form — one explode + one
+    # groupBy keyed by doc id.
+    from tidier_spark.operators.quality import hashed_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_features(docs, dim=64)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily cohort retention triangle (the fixture spans ~30 days):
     # first-event day per user (one min-agg), join back on the same key
@@ -1894,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rows": _q_shuffle_rows,
         "dedup_against": _q_dedup_against,
         "cohort_retention": _q_cohort_retention,
+        "hashed_features": _q_hashed_features,
     }
 
 
@@ -2273,7 +2284,14 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rows": _shuffle_rows_oracle(),
         "dedup_against": _dedup_against_oracle(),
         "cohort_retention": _cohort_retention_oracle(),
+        "hashed_features": _hashed_features_oracle(),
     }
+
+
+def _hashed_features_oracle() -> str:
+    from tidier_spark.operators.quality import hashed_features_sql
+
+    return hashed_features_sql("documents", dim=64)
 
 
 def _cohort_retention_oracle() -> str:

@@ -833,3 +833,20 @@ def test_frame_sample_ppm_stream(spark):
         px = M.decode_ppm_pixels(bytes(r.frame))
         assert (px == r.frame_no).all()
         assert (r.width, r.height) == (6, 4)
+
+
+def test_hashed_features_totals_and_range(tables):
+    from tidier_spark.operators.quality import hashed_features
+    from tidier_spark.operators.text import token_count
+
+    docs = tables["documents"]
+    hf = hashed_features(docs, dim=32)
+    # bucket counts conserve the token total per doc, buckets in range
+    sums = (
+        hf.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+        .join(docs.select("doc_id", token_count("text").alias("n_toks")), "doc_id")
+        .collect()
+    )
+    assert sums and all(r.tot == r.n_toks for r in sums)
+    rng = hf.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < 32

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_signals", "salient_terms"]
+__all__ = [
+    "repetition_signals",
+    "salient_terms",
+    "hashed_features",
+    "hashed_features_sql",
+]
 
 
 def _all_shingles(text_col: str, n: int) -> F.Column:
@@ -184,3 +189,64 @@ def salient_terms_sql(
                    AS rank
           FROM tf JOIN dfreq USING (term)
         ) WHERE rank <= {k}"""
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 128,
+) -> DataFrame:
+    """Hashing-trick featurizer: token counts bucketed by
+    ``hash60(token) % dim`` — the model-free text→vector stage that feeds
+    ANN / clustering / dedup when no embedding model is in the loop
+    (sklearn's HashingVectorizer semantics, md5-hashed so any engine
+    reproduces the same buckets).
+
+    Emits the SPARSE form ``(id, bucket, n)`` — empty buckets carry no
+    rows, so shuffle volume is Σ distinct-buckets-per-doc ≤ min(dim,
+    n_tokens) per document, and the output joins directly onto bucketed
+    similarity pipelines.  Densify per consumer with a 1-row-per-bucket
+    pivot or ``map_from_entries`` when a fixed-width array is genuinely
+    needed.
+
+    Plan: tokenize → explode → one groupBy on (id, bucket) with map-side
+    partial counts.  One shuffle, keys led by the doc id (no hot keys).
+    """
+    from .dedup import _fan_out
+    from .text import hash60, tokens
+
+    fanned = _fan_out(df)
+    tok = fanned.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    return (
+        tok.withColumn("bucket", F.pmod(hash60(F.col("__tok")), F.lit(dim)))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col(id_col),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+def hashed_features_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 128,
+) -> str:
+    """DuckDB mirror of :func:`hashed_features` (same md5-bucket math)."""
+    from .text import hash60_sql, tokens_sql
+
+    return f"""
+        SELECT {id_col},
+               (({hash60_sql('tok')}) % {dim})::BIGINT AS bucket,
+               count(*)::BIGINT AS n
+        FROM (
+          SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok
+          FROM {table}
+        )
+        GROUP BY 1, 2"""
