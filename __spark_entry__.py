@@ -1731,6 +1731,18 @@ def _q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(docs, "doc_id", "text")
 
 
+def _q_separate_unite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tidyr separate → unite roundtrip: split c_name on '#' into
+    # (prefix, num), re-unite with '-'.  Pure projection — zero shuffles.
+    from tidier_spark.verbs import separate, unite
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    s = separate(c, "c_name", ["prefix", "num"], sep="#")
+    return unite(s, "tag", ["prefix", "num"], sep="-", keep=True).select(
+        "c_custkey", "prefix", "num", "tag"
+    )
+
+
 def _q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hashing-trick featurizer (model-free text→vector): md5-bucketed
     # token counts in sparse (doc, bucket, n) form — one explode + one
@@ -1905,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "cohort_retention": _q_cohort_retention,
         "hashed_features": _q_hashed_features,
+        "separate_unite": _q_separate_unite,
     }
 
 
@@ -2285,6 +2298,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle(),
         "cohort_retention": _cohort_retention_oracle(),
         "hashed_features": _hashed_features_oracle(),
+        "separate_unite": """
+            SELECT c_custkey,
+                   string_split_regex(c_name, '#')[1] AS prefix,
+                   string_split_regex(c_name, '#')[2] AS num,
+                   concat_ws('-', string_split_regex(c_name, '#')[1],
+                             string_split_regex(c_name, '#')[2]) AS tag
+            FROM customer""",
     }
 
 
