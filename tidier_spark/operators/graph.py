@@ -55,8 +55,12 @@ def connected_components(
     fraction of the documents — the loop's shuffle volume is bounded by
     it, not by |nodes|.
     """
-    sym = edges.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
-        edges.selectExpr(f"{dst} AS u", f"{src} AS v")
+    # Persist the EDGE LIST itself before symmetrizing: edges usually
+    # arrive as an expensive pipeline (minhash banding + jaccard verify),
+    # and the two union orientations would otherwise execute it twice.
+    edges_c = edges.persist()
+    sym = edges_c.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
+        edges_c.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
     sym = sym.persist()
     labels = sym.select("u").distinct().withColumn("lab", F.col("u"))
@@ -90,6 +94,7 @@ def connected_components(
         prev_sum = new_sum
 
     sym.unpersist()
+    edges_c.unpersist()
     return (
         nodes.select(F.col(id_col))
         .join(labels, F.col(id_col) == F.col("u"), "left")
