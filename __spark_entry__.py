@@ -362,12 +362,17 @@ def _q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (driver-side quantizer, mapInPandas assignment/probing, list_id
     # equi-join, join-based exact re-rank) hash-checkable against the
     # brute-force oracle, not just rows-counted.  The approximate entry
-    # above keeps the realistic n_probe.
+    # above keeps the realistic n_probe.  Runs on a deterministic quarter
+    # of the vectors: full probe is deliberately all-pairs (that is the
+    # point of the check), so the pair volume is capped to keep the
+    # verification cheap — the plan shape is identical at any size.
     from pyspark.sql import functions as F
 
     from tidier_spark.operators import similarity as S
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 4 == 0
+    )
     return S.ivf_topk(emb, k=3, n_lists=16, n_probe=16).select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
@@ -2157,8 +2162,10 @@ def oracle_sql() -> dict[str, str]:
         # lsh_topk / ivf_topk: intentionally no oracle — approximate ANN
         # (recall<1 by construction); the driver's rows-only check applies.
         # ivf_topk_full probes every list → provably exact → brute-force
-        # oracle.
-        "ivf_topk_full": _cosine_topk_oracle(),
+        # oracle (over the same deterministic quarter of the vectors).
+        "ivf_topk_full": _cosine_topk_oracle(
+            "(SELECT * FROM embeddings WHERE vec_id % 4 = 0) e4"
+        ),
         "multimodal_features": _multimodal_oracle(),
         "props_json": """
             SELECT event_id, k,
@@ -2891,10 +2898,10 @@ def _simhash_pairs_oracle() -> str:
     return D.simhash_pairs_sql(max_hamming=25)
 
 
-def _cosine_topk_oracle() -> str:
+def _cosine_topk_oracle(table: str = "embeddings") -> str:
     from tidier_spark.operators import similarity as S
 
-    inner = S.cosine_topk_sql(k=3)
+    inner = S.cosine_topk_sql(table=table, k=3)
     return (
         "SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank"
         f" FROM ({inner})"
