@@ -432,6 +432,25 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "value_right")
 
 
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of: nearest right row AT OR AFTER each left row (the
+    # "next quote" direction).  Same union+window lowering with the sort
+    # flipped; the oracle runs DuckDB's native ASOF with t.ts <= q.ts.
+    from tidier_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    trades = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    quotes = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        time_col="ts",
+        value_cols=["value"],
+        direction="forward",
+    ).select("event_id", "value_right")
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators.temporal import sessionize
 
@@ -1855,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json": _q_props_json,
         "r_semantics": _q_r_semantics,
         "asof_join": _q_asof_join,
+        "asof_forward": _q_asof_forward,
         "sessionize": _q_sessionize,
         "rollup_agg": _q_rollup,
         "analytic_fns": _q_analytic_fns,
@@ -2043,6 +2063,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') q
               ON t.user_id = q.user_id AND t.ts >= q.ts""",
+        "asof_forward": """
+            SELECT t.event_id, q.value AS value_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') t
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') q
+              ON t.user_id = q.user_id AND t.ts <= q.ts""",
         "sessionize": """
             SELECT event_id,
                    sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)

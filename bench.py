@@ -63,6 +63,11 @@ def main() -> None:
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = float("nan")
             continue
+        finally:
+            # queries persist intermediates (signature/shingle frames) and
+            # never unpersist — drop them between queries so later entries
+            # aren't measured under earlier entries' cache pressure
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(v for v in timings.values() if v == v), 3)
