@@ -48,6 +48,8 @@ def main() -> None:
     ).count()
 
     qs = entrymod.queries()
+    if len(sys.argv) > 1:  # optional subset: python bench.py q1 q2 ...
+        qs = {k: qs[k] for k in sys.argv[1:]}
     timings: dict[str, float] = {}
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name, fn in qs.items():

@@ -12,10 +12,13 @@ Pregel pattern expressed as bounded DataFrame iterations:
   no separate "fold with self" left-join pass; shuffles only on node ids;
 * iteration count is bounded by the graph DIAMETER, not its size — dup
   clusters are short chains/cliques, so a handful of rounds converge;
-* every iteration persists its labels and unpersists the previous ones,
-  and the loop checkpoints lineage by localCheckpoint every few rounds —
-  without this the plan tree doubles per iteration and the optimizer
-  chokes long before the data does (the classic iterative-Spark trap);
+* the symmetrized edge list is localCheckpoint-ed BEFORE the loop and
+  every round's labels are localCheckpoint-ed too: persist() truncates
+  execution but not the logical plan, so without the checkpoint every
+  iteration re-analyzes the full upstream pipeline (minhash banding +
+  verification) and the plan deepens per round — measured 1.5-2.6 s of
+  pure optimizer time per iteration on a 500-row label frame at sf0.1,
+  0.35 s once truncated (the classic iterative-Spark trap);
 * convergence exploits monotonicity: labels only ever DECREASE, so the
   label-sum strictly drops iff anything changed — the per-round change
   check is a scalar aggregate (decimal sum, overflow-safe for 64-bit
@@ -41,7 +44,6 @@ def connected_components(
     dst: str = "id_b",
     id_col: str = "id",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Label every node with min(node id) of its connected component.
 
@@ -55,46 +57,50 @@ def connected_components(
     fraction of the documents — the loop's shuffle volume is bounded by
     it, not by |nodes|.
     """
-    # Persist the EDGE LIST itself before symmetrizing: edges usually
-    # arrive as an expensive pipeline (minhash banding + jaccard verify),
-    # and the two union orientations would otherwise execute it twice.
+    # Persist the EDGE LIST itself before symmetrizing (the two union
+    # orientations would otherwise execute the upstream pair pipeline
+    # twice), then EAGERLY checkpoint the symmetrized frame: this cuts
+    # the expensive edge lineage (minhash banding + jaccard verify) out
+    # of every iteration's logical plan.  On a cluster, swap
+    # localCheckpoint for reliable checkpoint() if executor loss during
+    # the loop must be survivable.
     edges_c = edges.persist()
-    sym = edges_c.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
-        edges_c.selectExpr(f"{dst} AS u", f"{src} AS v")
+    sym = (
+        edges_c.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .unionAll(edges_c.selectExpr(f"{dst} AS u", f"{src} AS v"))
+        .localCheckpoint()
     )
-    sym = sym.persist()
-    labels = sym.select("u").distinct().withColumn("lab", F.col("u"))
-    labels = labels.persist()
+    edges_c.unpersist()
+    labels = (
+        sym.select("u").distinct().withColumn("lab", F.col("u")).localCheckpoint()
+    )
 
     def label_sum(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
-    prev_sum = label_sum(labels)  # also materializes the persist
-    for it in range(max_iter):
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
         # min over {own label} ∪ {neighbor labels}: the self-label rides
         # the same groupBy via union, so isolated nodes survive and no
-        # second join is needed
-        new_labels = (
+        # second join is needed.  eager=False: label_sum materializes the
+        # checkpoint in the same job, so each round runs exactly one job
+        # over a two-frame plan of checkpointed inputs.
+        labels = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "lab")
             .unionByName(labels)
             .groupBy("u")
             .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=False)
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
-        new_sum = label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
+        # previous rounds' checkpoint blocks are freed by the
+        # ContextCleaner once their DataFrames go out of scope
+        new_sum = label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-
-    sym.unpersist()
-    edges_c.unpersist()
     return (
         nodes.select(F.col(id_col))
         .join(labels, F.col(id_col) == F.col("u"), "left")
