@@ -1563,6 +1563,166 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q2 (minimum-cost supplier).  The fixture set has no partsupp
+    # table, so supply cost per (part, supplier) is derived from lineitem
+    # as min unit price observed.  The correlated "cost = (SELECT min …)"
+    # subquery lowers to a window min over p_partkey — one shuffle, no
+    # rescan; region dims broadcast.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_p100"),
+            "n_name",
+        )
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("cost_p100")
+    )
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    w = Window.partitionBy("p_partkey")
+    cand = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(eu, F.col("l_suppkey") == eu.s_suppkey)
+        .withColumn("__min_cost", F.min("cost_p100").over(w))
+    )
+    return cand.where(F.col("cost_p100") == F.col("__min_cost")).select(
+        "p_partkey", "s_name", "acctbal_p100", "n_name", "cost_p100"
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q9 (product-type profit by nation and year).  partsupp's
+    # ps_supplycost is substituted with the part's retail price as unit
+    # cost.  Profit stays integral: revenue in e4 units minus cost
+    # (retailprice pennies × 100 × integer quantity) — exact int64
+    # arithmetic on both engines.  part filter broadcasts; the big join
+    # chain shuffles lineitem once per non-broadcast side.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", F.round(F.col("p_retailprice") * 100).alias("rp_c"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _tpch_rev_e4() - F.col("rp_c") * 100 * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_e4"))
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 (important stock).  Inventory value per part is adapted to
+    # the sum of lineitem extended prices shipped by one nation's
+    # suppliers; parts above 0.1% of the nation's total qualify.  The
+    # global total is a 1-row aggregate broadcast into the HAVING filter —
+    # the grouped frame is persisted so it feeds both the total and the
+    # filter without recomputation.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    vals = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("value_p100")
+        )
+        .persist()
+    )
+    total = vals.agg((F.sum("value_p100") * 0.001).alias("__thr"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(F.col("value_p100") > F.col("__thr"))
+        .select("p_partkey", "value_p100")
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 (part/supplier relationship): distinct supplier count per
+    # (brand, type, size) from lineitem, excluding one brand, one type,
+    # and complaint suppliers (adapted: negative account balance).  The
+    # exclusion list is a broadcast anti-join; the distinct agg shuffles
+    # on the grouping key once.
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#17")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q20 (potential part promotion): suppliers in a region who
+    # shipped more than a threshold quantity of any "small%" part in 1996.
+    # partsupp availability is adapted to shipped volume.  Nested IN
+    # subqueries lower to semi-joins: part filter → lineitem semi-join,
+    # qualifying suppkeys → supplier semi-join; dims broadcast.
+    from pyspark.sql import functions as F
+
+    p = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Ordered conversion funnel (view → click → purchase): one filtered
     # min-agg per step chained by per-key joins, all shuffling on the
@@ -1930,6 +2090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": _q_tpch_q19,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
         "funnel": _q_funnel,
         "complete_grid": _q_complete_grid,
         "grouping_sets": _q_grouping_sets,
@@ -2177,6 +2342,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _TPCH_Q19_ORACLE,
         "tpch_q21": _TPCH_Q21_ORACLE,
         "tpch_q22": _TPCH_Q22_ORACLE,
+        "tpch_q2": _TPCH_Q2_ORACLE,
+        "tpch_q9": _TPCH_Q9_ORACLE,
+        "tpch_q11": _TPCH_Q11_ORACLE,
+        "tpch_q16": _TPCH_Q16_ORACLE,
+        "tpch_q20": _TPCH_Q20_ORACLE,
         "tpch_q7": _TPCH_Q7_ORACLE,
         "tpch_q10": _TPCH_Q10_ORACLE,
         "funnel": _funnel_oracle(),
@@ -2793,6 +2963,85 @@ _TPCH_Q22_ORACLE = """
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '2001-01-01')
     GROUP BY 1"""
+
+
+_TPCH_Q2_ORACLE = """
+    WITH eu AS (
+      SELECT s_suppkey, s_name,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_p100, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    supply AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS cost_p100
+      FROM lineitem GROUP BY 1, 2),
+    cand AS (
+      SELECT p.p_partkey, eu.s_name, eu.acctbal_p100, eu.n_name,
+             supply.cost_p100,
+             min(supply.cost_p100) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN supply ON p.p_partkey = supply.l_partkey
+      JOIN eu ON supply.l_suppkey = eu.s_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'SMALL')
+    SELECT p_partkey, s_name, acctbal_p100, n_name, cost_p100
+    FROM cand WHERE cost_p100 = min_cost"""
+
+
+_TPCH_Q9_ORACLE = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(round(l_extendedprice * 100)
+                    * (100 - round(l_discount * 100))
+                    - round(p_retailprice * 100) * 100
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2"""
+
+
+_TPCH_Q11_ORACLE = """
+    WITH vals AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS value_p100
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1)
+    SELECT p_partkey, value_p100 FROM vals
+    WHERE value_p100 > (SELECT sum(value_p100) * 0.001 FROM vals)"""
+
+
+_TPCH_Q16_ORACLE = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#17' AND p_type <> 'PROMO'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3"""
+
+
+_TPCH_Q20_ORACLE = """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'small%')
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 40)"""
 
 
 # the merged state after the synthetic change batch of _updates_frame:
