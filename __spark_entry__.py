@@ -451,6 +451,43 @@ def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "value_right")
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-interval attribution: clicks landing inside 1-hour "promo
+    # windows" (purchases of a user cohort).  interval_join lowers the
+    # range predicate to a time-bucket EQUI-join (explode intervals to
+    # covered buckets, join points on their bucket, refine exactly) —
+    # never the BroadcastNestedLoopJoin a raw range predicate plans as.
+    # The DuckDB oracle runs its native IEJoin range join: genuinely
+    # differential implementations.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import interval_join
+
+    ev = read_table(spark, sf_dir, "events")
+    windows = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 100 == 0)
+    ).select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("ts"), F.col("value")
+    )
+    j = interval_join(
+        clicks,
+        windows,
+        time_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=3600,
+    )
+    return j.groupBy("w_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.round(F.col("value") * 100)).cast("long").alias("value_c"),
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators.temporal import sessionize
 
@@ -2035,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_semantics": _q_r_semantics,
         "asof_join": _q_asof_join,
         "asof_forward": _q_asof_forward,
+        "interval_join": _q_interval_join,
         "sessionize": _q_sessionize,
         "rollup_agg": _q_rollup,
         "analytic_fns": _q_analytic_fns,
@@ -2235,6 +2273,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') q
               ON t.user_id = q.user_id AND t.ts <= q.ts""",
+        "interval_join": """
+            SELECT w.w_id, count(*)::BIGINT AS n_clicks,
+                   CAST(sum(round(c.value * 100)) AS BIGINT) AS value_c
+            FROM (SELECT event_id, ts, value FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id AS w_id, epoch_us(ts) AS s_us,
+                         epoch_us(ts) + 3600000000 AS e_us
+                  FROM events
+                  WHERE event_type = 'purchase' AND user_id % 100 = 0) w
+              ON epoch_us(c.ts) >= w.s_us AND epoch_us(c.ts) < w.e_us
+            GROUP BY 1""",
         "sessionize": """
             SELECT event_id,
                    sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)

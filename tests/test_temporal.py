@@ -160,3 +160,79 @@ def test_cohort_retention_known_triangle(spark):
     assert out[(d1, 3)] == 1  # only u1 on day 4 (distinct within the day)
     assert out[(d2, 0)] == 1  # u2's own cohort
     assert set(out) == {(d1, 0), (d1, 1), (d1, 3), (d2, 0)}
+
+
+def _ij_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "k1"), (2, "2024-01-01 01:30:00", "k1"),
+         (3, "2024-01-01 02:00:00", "k2"), (4, "2024-03-01 00:00:00", "k1")],
+        "pid long, ts string, k string",
+    ).selectExpr("pid", "CAST(ts AS TIMESTAMP) AS ts", "k")
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 02:00:00", "k1"),
+         (11, "2024-01-01 01:00:00", "2024-01-01 01:00:00", "k1"),  # empty
+         (12, "2023-12-31 23:00:00", "2024-01-01 02:30:00", "k2")],
+        "iid long, s string, e string, k string",
+    ).selectExpr(
+        "iid", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e", "k"
+    )
+    return pts, iv
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    from tidier_spark.operators.temporal import interval_join
+
+    pts, iv = _ij_frames(spark)
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts.select("pid", "ts"),
+            iv.select("iid", "s", "e"),
+            time_col="ts", start_col="s", end_col="e", bucket_seconds=1800,
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv.select("iid", "s", "e"))
+        .where((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    assert got == naive
+    # boundary semantics: t==start included (pid 1 in iid 10),
+    # t==end excluded (pid 3 NOT in iid 10), empty interval matches nothing
+    assert (1, 10) in got and (3, 10) not in got
+    assert not any(i == 11 for _, i in got)
+
+
+def test_interval_join_keyed_and_left(spark):
+    from tidier_spark.operators.temporal import interval_join
+
+    pts, iv = _ij_frames(spark)
+    out = interval_join(
+        pts, iv, on="k", time_col="ts", start_col="s", end_col="e",
+        bucket_seconds=3600, how="left",
+    )
+    rows = {r.pid: r.iid for r in out.collect()}
+    # keyed: pid 3 (k2) matches only the k2 interval; pid 2 matches 10 via k1
+    assert rows[3] == 12 and rows[2] == 10
+    # left semantics: pid 4 (no covering interval) survives with NULL
+    assert rows[4] is None
+    assert out.count() == 4
+
+
+def test_interval_join_plan_is_equi_join(tables):
+    from tidier_spark.operators.temporal import interval_join
+    from tidier_spark.plans import explain_str
+
+    ev = tables["events"]
+    win = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("w_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    pts = ev.where("event_type = 'click'").select("event_id", "ts")
+    r = interval_join(
+        pts, win, time_col="ts", start_col="s", end_col="e", bucket_seconds=3600
+    )
+    plan = explain_str(r, "simple")
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan

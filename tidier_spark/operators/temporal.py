@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "interval_join",
     "sessionize",
     "session_agg",
     "session_agg_sql",
@@ -86,6 +87,70 @@ def asof_join(
     for oc in out_vals:
         filled = filled.withColumn(oc, pick(F.col(oc), ignorenulls=True).over(w))
     return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: each left row (at ``time_col``) matched to
+    every right interval with ``start <= t < end`` (half-open), optionally
+    also requiring equality on ``on`` keys.
+
+    Spark has no native range join — a raw ``l.t >= r.start AND l.t <
+    r.end`` predicate plans as BroadcastNestedLoopJoin (all-pairs compare;
+    at 100 TB, never).  The scale-safe lowering is TIME BUCKETING:
+
+    * each interval explodes to the fixed-width buckets it covers;
+    * each point computes its single bucket;
+    * the join is an EQUI-join on (bucket [, keys]) + the exact range
+      refinement — shuffle-partitionable, AQE-skew-splittable.
+
+    A point matches an interval only via the point's own bucket, so the
+    explode introduces NO duplicate matches and no distinct is needed.
+    Pick ``bucket_seconds`` near the typical interval length: cost is
+    ~(interval_len / bucket) replicated interval rows per interval vs
+    finer join selectivity — the classic block-size trade-off.  Column
+    names must be disjoint across the two frames except the ``on`` keys.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    b_us = bucket_seconds * 1_000_000
+
+    t_us = F.unix_micros(F.col(time_col))
+    # integer div, not float-divide-and-floor: epoch-µs magnitudes make
+    # float quotients boundary-hazardous (repo-wide determinism rule)
+    lb = left.withColumn("__lb", F.expr(f"unix_micros({time_col}) div {b_us}"))
+
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    covered = F.when(
+        e_us > s_us,
+        F.sequence(
+            F.expr(f"unix_micros({start_col}) div {b_us}"),
+            F.expr(f"(unix_micros({end_col}) - 1) div {b_us}"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    rb = right.withColumn("__rb", F.explode(covered))
+    ren = {k: f"__r_{k}" for k in keys}
+    for k, rk in ren.items():
+        rb = rb.withColumnRenamed(k, rk)
+
+    cond = F.col("__lb") == F.col("__rb")
+    for k, rk in ren.items():
+        cond = cond & (F.col(k) == F.col(rk))
+    cond = cond & (t_us >= s_us) & (t_us < e_us)
+    return lb.join(rb, cond, how).drop("__lb", "__rb", *ren.values())
 
 
 def sessionize(
