@@ -1892,6 +1892,82 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KLL quantile sketches + MERGEABILITY: per ship-month partial
+    # sketches folded into per-flag quantiles without re-reading data —
+    # the persistable-quantile-state analog of sketch_distinct.  Contract
+    # check is on RANK error (KLL's actual guarantee): the merged p50/p90
+    # estimate must land between the exact quantile values at p ± 2%.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import kll_merged_quantiles, kll_partials
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "p100", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(p100, array(0.48, 0.52, 0.88, 0.92))").alias("__bounds"),
+        F.expr("percentile(p100, 0.5)").alias("p50_exact"),
+        F.expr("percentile(p100, 0.9)").alias("p90_exact"),
+    )
+    parts = kll_partials(
+        li.withColumn("ship_month", F.trunc("l_shipdate", "month")),
+        "p100",
+        by="l_returnflag",
+        part="ship_month",
+    )
+    merged = kll_merged_quantiles(parts, [0.5, 0.9], by="l_returnflag")
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.col("approx_q")[0] >= F.col("__bounds")[0])
+            & (F.col("approx_q")[0] <= F.col("__bounds")[1])
+        ).alias("p50_ok"),
+        (
+            (F.col("approx_q")[1] >= F.col("__bounds")[2])
+            & (F.col("approx_q")[1] <= F.col("__bounds")[3])
+        ).alias("p90_ok"),
+    )
+
+
+def _q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theta-sketch set algebra: distinct-user overlap of two event
+    # segments in ONE aggregation pass (exact needs 3 full id shuffles).
+    # Estimates are engine-specific → contract check within 5% (~3σ at
+    # lg_k=12) of the exact counts, which ARE hash-checked.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import theta_overlap
+
+    ev = read_table(spark, sf_dir, "events")
+    est = theta_overlap(ev, "user_id", "event_type", "view", "purchase")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        views.agg(F.countDistinct("user_id").alias("e_a"))
+        .crossJoin(buys.agg(F.countDistinct("user_id").alias("e_b")))
+        .crossJoin(
+            views.union(buys).agg(F.countDistinct("user_id").alias("e_u"))
+        )
+        .crossJoin(
+            views.intersect(buys).agg(F.count(F.lit(1)).alias("e_i"))
+        )
+    )
+    ok = lambda est_c, ex: F.abs(F.col(est_c) - F.col(ex)) <= 0.05 * F.col(ex)  # noqa: E731
+    return est.crossJoin(F.broadcast(exact)).select(
+        "e_a",
+        "e_b",
+        "e_u",
+        "e_i",
+        ok("n_a", "e_a").alias("a_ok"),
+        ok("n_b", "e_b").alias("b_ok"),
+        ok("n_union", "e_u").alias("union_ok"),
+        ok("n_intersection", "e_i").alias("inter_ok"),
+    )
+
+
 def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GENUINELY STREAMED tumbling-window rollup: readStream over the events
     # parquet, watermarked event-time window agg through the streaming
@@ -2138,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "sketch_distinct": _q_sketch_distinct,
         "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_kll": _q_sketch_kll,
+        "sketch_theta": _q_sketch_theta,
         "stream_rollup": _q_stream_rollup,
         "chunk_docs": _q_chunk_docs,
         "weighted_sample": _q_weighted_sample,
@@ -2533,6 +2611,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey) AS n_exact,
                    TRUE AS hll_ok, TRUE AS merged_ok
             FROM lineitem GROUP BY 1""",
+        "sketch_kll": """
+            SELECT l_returnflag,
+                   quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
+                   quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
+                   TRUE AS p50_ok, TRUE AS p90_ok
+            FROM lineitem GROUP BY 1""",
+        "sketch_theta": """
+            WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+            SELECT (SELECT count(DISTINCT user_id) FROM v)::BIGINT AS e_a,
+                   (SELECT count(DISTINCT user_id) FROM p)::BIGINT AS e_b,
+                   (SELECT count(DISTINCT user_id)
+                    FROM (SELECT * FROM v UNION ALL SELECT * FROM p))::BIGINT AS e_u,
+                   (SELECT count(*)
+                    FROM (SELECT DISTINCT user_id FROM v
+                          INTERSECT SELECT DISTINCT user_id FROM p))::BIGINT AS e_i,
+                   TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok,
+                   TRUE AS inter_ok""",
         "sketch_quantiles": """
             SELECT l_returnflag,
                    quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,

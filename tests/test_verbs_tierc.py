@@ -547,3 +547,58 @@ def test_stream_dedup_drops_replayed_rows(spark, sf_dir):
     n_batch = read_table(spark, sf_dir, "events").count()
     assert got.count() == n_batch
     assert got.distinct().count() == n_batch
+
+
+def test_kll_partials_merge_rank_contract(tables):
+    # merged per-month KLL sketches must land within +-2% rank of exact
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import kll_merged_quantiles, kll_partials
+
+    li = tables["lineitem"].withColumn(
+        "p100", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    parts = kll_partials(
+        li.withColumn("m", F.trunc("l_shipdate", "month")), "p100", part="m"
+    )
+    est = kll_merged_quantiles(parts, [0.5]).collect()[0]["approx_q"][0]
+    lo, hi = (
+        li.agg(F.expr("percentile(p100, array(0.48, 0.52))")).collect()[0][0]
+    )
+    assert lo <= est <= hi, (lo, est, hi)
+
+
+def test_theta_overlap_known_sets(spark):
+    # A = {0..599}, B = {400..999}: |A|=600 |B|=600 |A∪B|=1000 |A∩B|=200
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import theta_overlap
+
+    df = spark.range(1200).selectExpr(
+        "CASE WHEN id < 600 THEN 'a' ELSE 'b' END AS seg",
+        "CASE WHEN id < 600 THEN id ELSE id - 200 END AS u",
+    )
+    r = theta_overlap(df, "u", "seg", "a", "b").collect()[0]
+    # lg_k=12 >> set size: estimates are exact in this regime
+    assert (r.n_a, r.n_b, r.n_union, r.n_intersection) == (600, 600, 1000, 200)
+
+
+def test_theta_merge_partials(tables):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import theta_merge, theta_partials
+
+    o = tables["orders"].withColumn("m", F.trunc("o_orderdate", "month"))
+    parts = theta_partials(o, "o_custkey", by="o_orderpriority", part="m")
+    merged = {
+        r.o_orderpriority: r.approx_n_merged
+        for r in theta_merge(parts, by="o_orderpriority").collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= 0.05 * n, (k, merged[k], n)

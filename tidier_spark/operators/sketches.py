@@ -1,5 +1,5 @@
-"""Approximate sketches: HLL distinct counts, approximate quantiles, and
-mergeable partial aggregation.
+"""Approximate sketches: HLL/theta distinct counts, GK/KLL quantiles, and
+mergeable partial aggregation (build per batch, merge forever).
 
 The reference has no sketch support (its `n_distinct` is exact,
 `/root/reference/R/mutate.R:152` translation table) — but at 100 TB exact
@@ -37,6 +37,11 @@ __all__ = [
     "hll_partials",
     "hll_merge",
     "approx_quantiles",
+    "kll_partials",
+    "kll_merged_quantiles",
+    "theta_partials",
+    "theta_merge",
+    "theta_overlap",
 ]
 
 
@@ -113,3 +118,119 @@ def approx_quantiles(
         F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
     ).alias("approx_q")
     return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def kll_partials(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    part: object = None,
+    k: int = 1600,
+) -> DataFrame:
+    """One KLL quantile sketch per (group, partial) cell over a BIGINT
+    column — the quantile analog of :func:`hll_partials`.
+
+    Unlike ``percentile_approx`` (whose GK summary exists only inside a
+    single aggregation), KLL sketches are first-class VALUES: persist the
+    per-batch cells, and any later slice's quantiles come from
+    :func:`kll_merged_quantiles` without touching raw data.  Normalized
+    rank error ~0.8% at the default k=1600.
+    """
+    keys = _keys(by) + _keys(part)
+    agg = F.kll_sketch_agg_bigint(F.col(col), F.lit(k)).alias("kll_sketch")
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def kll_merged_quantiles(
+    df: DataFrame,
+    probs: list[float],
+    *,
+    by: object = None,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge previously-built KLL sketches per group and read quantiles.
+
+    Spark exposes KLL merge only as a 2-ary scalar
+    (``kll_sketch_merge_bigint``), not an aggregate — so the group's
+    sketches are collected and folded with a higher-order ``aggregate``.
+    The collected list is one KB-sized sketch per PARTIAL (ingest batch),
+    not per row: its size is the partial count, bounded and small by
+    construction.  Output: ``approx_q`` array aligned with ``probs``.
+    """
+    keys = _keys(by)
+    arr = ", ".join(f"{float(p)!r}D" for p in probs)
+    fold = (
+        f"kll_sketch_get_quantile_bigint("
+        f"aggregate(slice(__ks, 2, size(__ks) - 1), __ks[0], "
+        f"(acc, x) -> kll_sketch_merge_bigint(acc, x)), array({arr}))"
+    )
+    g = (
+        df.groupBy(*keys).agg(F.collect_list(sketch_col).alias("__ks"))
+        if keys
+        else df.agg(F.collect_list(sketch_col).alias("__ks"))
+    )
+    return g.select(*keys, F.expr(fold).alias("approx_q"))
+
+
+def theta_partials(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    part: object = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One theta sketch per (group, partial) cell.
+
+    Theta sketches estimate distinct counts like HLL but additionally
+    support INTERSECTION and DIFFERENCE — the only way to answer "how
+    many distinct users did both X and Y" over 100 TB without shuffling
+    every raw id: per-segment KB-sized sketches combine in milliseconds.
+    """
+    keys = _keys(by) + _keys(part)
+    agg = F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias("theta_sketch")
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def theta_merge(
+    df: DataFrame, *, by: object = None, sketch_col: str = "theta_sketch"
+) -> DataFrame:
+    """Union theta sketches per group (``theta_union_agg`` is a real
+    aggregate — no fold needed) and estimate the distinct count."""
+    keys = _keys(by)
+    est = F.theta_sketch_estimate(
+        F.theta_union_agg(F.col(sketch_col))
+    ).alias("approx_n_merged")
+    return df.groupBy(*keys).agg(est) if keys else df.agg(est)
+
+
+def theta_overlap(
+    df: DataFrame,
+    col: str,
+    seg_col: str,
+    seg_a: object,
+    seg_b: object,
+) -> DataFrame:
+    """Distinct-count overlap of two segments in ONE pass: ``(n_a, n_b,
+    n_union, n_intersection)`` estimates from two filtered theta-sketch
+    aggregates combined with ``theta_union`` / ``theta_intersection``.
+
+    The exact equivalent is two count-distincts plus an INTERSECT — three
+    full shuffles of the id column; this is one aggregation whose state
+    is two KB-sized sketches.
+    """
+    a = F.theta_sketch_agg(
+        F.when(F.col(seg_col) == seg_a, F.col(col))
+    ).alias("__a")
+    b = F.theta_sketch_agg(
+        F.when(F.col(seg_col) == seg_b, F.col(col))
+    ).alias("__b")
+    return df.agg(a, b).select(
+        F.theta_sketch_estimate("__a").alias("n_a"),
+        F.theta_sketch_estimate("__b").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union("__a", "__b")).alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("__a", "__b")).alias(
+            "n_intersection"
+        ),
+    )
