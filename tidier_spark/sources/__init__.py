@@ -61,13 +61,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rejects outright (PARQUET_TYPE_ILLEGAL), so it is safe to pin always.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    return _normalize_timestamps(df)
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Pin every event-time column to TIMESTAMP (with local tz).
+
+    The driver's parquet has shipped `events.ts` as both TIMESTAMP(NANOS)
+    (read as bigint under `nanosAsLong`) and TIMESTAMP(MICROS, naive)
+    (read as TIMESTAMP_NTZ); normalize both to a UTC-instant TIMESTAMP so
+    window index math (`unix_micros`, INTERVAL range frames) resolves
+    regardless of which encoding the fixture used.  Session tz is pinned
+    UTC, so the NTZ→LTZ cast preserves the wall value DuckDB reads.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
-
             # integer division — float division would lose precision on
             # epoch-nano magnitudes (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -103,12 +119,7 @@ def read_stream_table(
         df = reader.parquet(sf_dir)
     else:
         df = reader.parquet(path)
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
