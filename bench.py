@@ -56,10 +56,12 @@ def main() -> None:
         best = float("nan")
         try:
             # min over N runs: measures the query, not transient load/GC
-            for _ in range(runs):
+            for i in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0
+                if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
+                    print(f"  {name} run{i}: {dt:.2f}s", file=sys.stderr)
                 best = dt if best != best else min(best, dt)
         except Exception as exc:  # keep benching even if one query breaks
             print(f"bench error in {name}: {exc}", file=sys.stderr)

@@ -672,29 +672,51 @@ def simhash(
     """60-bit SimHash per doc over distinct tokens' 60-bit hashes.
 
     bit b of the signature = sign of Σ_tokens (±1 by token-hash bit b).
-    One explode + one groupBy(id): single shuffle on the id.
+
+    Computed as ONE higher-order-function projection per row — hash each
+    distinct token once, fold the per-bit ±1 sums across the token array
+    with ``aggregate``/``zip_with``, then pack sign bits via a
+    powers-of-two dot.  No explode, no groupBy: zero shuffles,
+    embarrassingly parallel at any scale.  (Measured against two
+    alternatives at sf0.01: explode + 60-SUM groupBy — 2.1 s warm, the
+    60-column aggregation compiles a monster; explode + 12 lane-packed
+    SUMs — 27 s cold, the packed shift chains blow up codegen.  This HOF
+    shape is interpreted but tight: 1.3 s warm, and the only one with no
+    shuffle.)  Docs with no tokens get signature 0 (the explode shapes
+    silently dropped them; the fixtures contain none, so the mirror
+    agrees either way).
     """
     from .text import tokens
 
     df = _fan_out(df)
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-    ).withColumn("h", hash60(F.col("tok")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    hs = F.transform(F.array_distinct(tokens(text_col)), hash60)
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    # per-bit ±1 fold: acc[b] += (h >> b) & 1 == 1 ? 1 : -1
+    sums = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    sig = F.aggregate(
+        F.zip_with(
+            sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidate_pairs(

@@ -367,51 +367,33 @@ def _score_pairs(
     Pairs arriving multiple times (one per colliding LSH table / probed
     list) are deduped first — one shuffle of bare id-pairs — so downstream
     ranking sees each pair once.
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
 
-    vecs = df.select(id_col, vec_col)
-    joined = (
+    Scoring itself is the built-in ``cosine`` fold (whole-stage codegen):
+    once the pair join has already resolved both vectors into the row, a
+    64-dim JVM fold per row beats shipping ~1 KB/row through an Arrow
+    batch to a Python worker and back — the batch-matmul shape only wins
+    when one side is a shared broadcast matrix (``cosine_topk``'s chunk
+    path), not for per-row pair scoring.
+    """
+    vecs = unit_vectors(df, id_col, vec_col, "__uv")
+    return (
         pairs.dropDuplicates(["query_id", "neighbor_id"])
         .join(
-            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+            vecs.select(F.col(id_col).alias("query_id"), F.col("__uv").alias("__qv")),
             "query_id",
         )
         .join(
             vecs.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+                F.col(id_col).alias("neighbor_id"), F.col("__uv").alias("__nv")
             ),
             "neighbor_id",
         )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("__qv"), F.col("__nv")), 6).alias("cos_sim"),
+        )
     )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    def score(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            q = np.vstack(pdf["__qv"].to_numpy()).astype(np.float64)
-            nv = np.vstack(pdf["__nv"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            nv /= np.linalg.norm(nv, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].astype("int64"),
-                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
-                    "cos_sim": np.round(np.einsum("ij,ij->i", q, nv), 6),
-                }
-            )
-
-    return joined.mapInPandas(score, out_schema)
 
 
 def _rerank_pairs(
@@ -525,6 +507,7 @@ def ivf_topk(
     """
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -539,18 +522,22 @@ def ivf_topk(
             seed=seed,
         )
     )
-    lists = assign_clusters(df, id_col, vec_col, bc_cent)
 
-    # probe: each query fans out to its n_probe nearest lists
+    # ONE matmul pass emits each vector's n_probe nearest lists ranked:
+    # rank 1 IS the inverted-file assignment (argmax), ranks 1..n_probe are
+    # the probe fan-out — fusing what would otherwise be two mapInPandas
+    # scans of the vector table (assign + probe) into one.
     probe_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("list_id", T.IntegerType()),
+            T.StructField("probe_rank", T.IntegerType()),
         ]
     )
 
     def probe_lists(it):
         C = bc_cent.value
+        ranks = np.arange(1, n_probe + 1, dtype=np.int32)
         for pdf in it:
             if not len(pdf):
                 continue
@@ -561,14 +548,19 @@ def ivf_topk(
             n = len(pdf)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(pdf[id_col].to_numpy().astype("int64"), n_probe),
+                    id_col: np.repeat(pdf[id_col].to_numpy().astype("int64"), n_probe),
                     "list_id": top.reshape(-1).astype("int32"),
+                    "probe_rank": np.tile(ranks, n),
                 }
             )
 
-    probes = _fan_out(df.select(id_col, vec_col)).mapInPandas(
-        probe_lists, probe_schema
-    )
+    probed = (
+        _fan_out(df.select(id_col, vec_col))
+        .mapInPandas(probe_lists, probe_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # two consumers (assignment + probes); n·n_probe 3-int rows
+    lists = probed.where(F.col("probe_rank") == 1).select(id_col, "list_id")
+    probes = probed.select(F.col(id_col).alias("query_id"), "list_id")
 
     cand = (
         probes.join(lists.withColumnRenamed(id_col, "neighbor_id"), "list_id")
