@@ -173,12 +173,12 @@ def test_scale_safe_cummean_and_max(tables):
         assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect())), expr
 
 
-def test_lsh_rerank_is_join_based(tables):
-    # The ANN re-rank must resolve vectors by JOINS against the vector
-    # table, not a driver collect + broadcast of the full matrix (the
-    # round-1 scale-killer): the plan shows join nodes feeding the scoring
-    # MapInPandas, and building the plan triggers no Spark job at all
-    # (a driver collect would).
+def test_lsh_rerank_is_bucket_local(tables):
+    # The ANN scoring must stay distributed: no driver collect of the
+    # vector table (the round-1 scale-killer), no cartesian pair space.
+    # The bucket-local shape scores inside groupBy(tbl, sig) →
+    # applyInPandas (FlatMapGroupsInPandas in the plan); building the
+    # plan triggers no Spark job at all (a driver collect would).
     from tidier_spark.operators import similarity
 
     emb = tables["embeddings"].limit(100)
@@ -188,8 +188,8 @@ def test_lsh_rerank_is_join_based(tables):
     jobs_after = len(tracker.getJobIdsForGroup() or [])
     assert jobs_after == jobs_before, "plan construction ran a Spark job (driver collect?)"
     plan = explain_str(r, "simple")
-    assert plan.count("Join") >= 2, plan
-    assert "InPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "InPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
 
 def test_embedding_near_dup_lsh_no_cartesian(tables):

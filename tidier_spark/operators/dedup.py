@@ -626,17 +626,52 @@ def embedding_near_dup_lsh(
     HIGH thresholds (true near-dup regime, cos ≥ 0.9) the same defaults
     give recall > 1−1e-6 — the regime this path is built for.  Recall is
     measured against :func:`embedding_near_dup` in the test suite.
-    """
-    from .similarity import _lsh_candidates, _score_pairs
 
-    cand = _lsh_candidates(df, id_col, vec_col, n_planes, n_tables, n_dims)
-    # near-dup pairs are unordered: keep the (a < b) orientation only
-    cand = cand.where(F.col("query_id") < F.col("neighbor_id"))
-    scored = _score_pairs(df, cand, id_col, vec_col)
-    return scored.where(F.col("cos_sim") >= threshold).select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        "cos_sim",
+    Shape: vectors ride into their (table, signature) buckets; each
+    bucket runs ONE BLAS matmul and emits only pairs ≥ threshold;
+    `dropDuplicates` collapses multi-table collisions.  In pair-dense
+    regimes (coarse planes, moderate thresholds) the earlier
+    candidate-join + per-pair scoring shuffled |candidate pairs| rows
+    through two joins — Σ_bucket |b|² BLAS flops inside the bucket are
+    orders cheaper (measured 12.6 s → ~2 s at sf0.1).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import _lsh_signatures
+
+    sigs = _lsh_signatures(
+        df, id_col, vec_col, n_planes, n_tables, n_dims, carry_vec=True
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        M = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ M.T, 6)
+        ia, ib = np.triu_indices(n, 1)
+        vals = S[ia, ib]
+        keep = (vals >= threshold) & (ids[ia] != ids[ib])
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": vals[keep]})
+
+    return (
+        sigs.groupBy("tbl", "sig")
+        .applyInPandas(bucket_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -261,6 +261,65 @@ def _plane_matrix(table: int, n_planes: int, n_dims: int):
     )
 
 
+def _lsh_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    n_dims: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """(id, tbl, sig[, vec]) hyperplane-LSH signature rows — one Arrow
+    matmul pass against the broadcast plane matrix, one output row per
+    (vector, table).  With ``carry_vec`` the vector rides along into the
+    bucket shuffle (×n_tables duplication — the standard multi-table LSH
+    trade) so bucket-local scoring needs no join back to the table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.vstack([_plane_matrix(t, n_planes, n_dims) for t in range(n_tables)])
+    pow2 = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+    bc_planes = df.sparkSession.sparkContext.broadcast(planes)
+
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("sig", T.LongType()),
+    ]
+    if carry_vec:
+        fields.append(T.StructField("__vec", T.ArrayType(T.DoubleType())))
+    sig_schema = T.StructType(fields)
+
+    def signatures(it):
+        P = bc_planes.value  # (n_tables*n_planes, n_dims)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # projection sign is scale-invariant → no need to normalize
+            bits = (mat @ P.T) >= 0  # (n, n_tables*n_planes)
+            n = len(pdf)
+            frames = []
+            for t in range(n_tables):
+                blk = bits[:, t * n_planes : (t + 1) * n_planes]
+                out = {
+                    id_col: pdf[id_col].astype("int64"),
+                    "tbl": np.full(n, t, dtype=np.int32),
+                    "sig": (blk * pow2).sum(axis=1),
+                }
+                if carry_vec:
+                    out["__vec"] = pdf[vec_col]
+                frames.append(pd.DataFrame(out))
+            yield pd.concat(frames, ignore_index=True)
+
+    # _fan_out: a single-file scan is one input split — without it the
+    # signature matmul serializes on one core (measured 3.2s → 0.9s for
+    # the sf0.1 candidate stage).
+    return _fan_out(df.select(id_col, vec_col)).mapInPandas(signatures, sig_schema)
+
+
 def _lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -273,53 +332,20 @@ def _lsh_candidates(
     ``n_tables`` signature tables (equi-join on (table, signature) — never
     a cross join).  Output (query_id, neighbor_id), possibly repeated once
     per colliding table.  Candidates carry IDS ONLY — shuffling vectors
-    through the pair join would move |pairs|·dims·8 bytes; ids are 8 B."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    through the pair join would move |pairs|·dims·8 bytes; ids are 8 B.
 
-    planes = np.vstack([_plane_matrix(t, n_planes, n_dims) for t in range(n_tables)])
-    pow2 = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
-    bc_planes = df.sparkSession.sparkContext.broadcast(planes)
-
-    sig_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("tbl", T.IntegerType()),
-            T.StructField("sig", T.LongType()),
-        ]
-    )
-
-    def signatures(it):
-        P = bc_planes.value  # (n_tables*n_planes, n_dims)
-        for pdf in it:
-            if not len(pdf):
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            # projection sign is scale-invariant → no need to normalize
-            bits = (mat @ P.T) >= 0  # (n, n_tables*n_planes)
-            out = {id_col: [], "tbl": [], "sig": []}
-            for t in range(n_tables):
-                blk = bits[:, t * n_planes : (t + 1) * n_planes]
-                sigs = (blk * pow2).sum(axis=1)
-                out[id_col].extend(int(v) for v in pdf[id_col])
-                out["tbl"].extend([t] * len(pdf))
-                out["sig"].extend(int(s) for s in sigs)
-            yield pd.DataFrame(out)
-
+    Id-only candidate streams pair with :func:`_score_pairs` (join-based
+    rerank).  For pair-DENSE regimes prefer the bucket-local matmul shape
+    (:func:`lsh_topk`, `dedup.embedding_near_dup_lsh`) — scoring inside
+    the bucket avoids materializing the pair join entirely."""
     from pyspark import StorageLevel
 
     # both sides of the self-join read the signature frame: without
     # persist the Arrow signature pipeline runs twice (the same
     # double-compute minhash banding avoids by persisting its bands).
-    # _fan_out: a single-file scan is one input split — without it the
-    # signature matmul serializes on one core (measured 3.2s → 0.9s for
-    # the sf0.1 candidate stage).
-    tagged = (
-        _fan_out(df.select(id_col, vec_col))
-        .mapInPandas(signatures, sig_schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    tagged = _lsh_signatures(
+        df, id_col, vec_col, n_planes, n_tables, n_dims
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = tagged.alias("a")
     b = tagged.alias("b")
@@ -333,6 +359,52 @@ def _lsh_candidates(
     )
 
 
+def _bucket_topk_partials(
+    bucketed: DataFrame, id_col: str, k: int, bucket_cols: list[str]
+) -> DataFrame:
+    """Per-bucket exact-cosine partial top-k: one BLAS matmul per bucket
+    group (``groupBy(bucket_cols).applyInPandas``), emitting each member's
+    k best same-bucket neighbors.  Global top-k over the union of buckets
+    == top-k over merged per-bucket top-ks (each candidate scores
+    identically wherever it collides), so the caller just dedups and
+    windows.  Scoring never materializes a pair join: the pair space
+    lives only inside the bucket matmul."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        M = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ M.T, 6)
+        order_by_id = np.argsort(ids, kind="stable")
+        kk = min(k, n - 1)
+        rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        for i in range(n):
+            s = S[i].copy()
+            s[ids == ids[i]] = -np.inf  # exclude self (and id-duplicates)
+            best = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:kk]
+            best = best[s[best] > -np.inf]
+            rows["query_id"].extend([int(ids[i])] * len(best))
+            rows["neighbor_id"].extend(int(ids[j]) for j in best)
+            rows["cos_sim"].extend(float(s[j]) for j in best)
+        return pd.DataFrame(rows)
+
+    return bucketed.groupBy(*bucket_cols).applyInPandas(bucket_topk, out_schema)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -342,16 +414,35 @@ def lsh_topk(
     n_tables: int = 3,
     n_dims: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH buckets → exact cosine re-rank.
+    """Approximate top-k: hyperplane-LSH buckets → bucket-local exact
+    cosine partial top-k → global merge.
 
-    Candidate pairs from :func:`_lsh_candidates`; exact cosine (vectors
-    resolved by shuffle joins, no driver collect) + row_number picks the
-    final k.  Deterministic: planes are md5-seeded, ties break on neighbor
-    id.  Recall < 1 by construction; raise n_tables / lower n_planes to
-    trade cost for recall.
+    Vectors ride into their (table, signature) buckets (×n_tables
+    duplication — the multi-table LSH trade); each bucket runs ONE BLAS
+    matmul emitting its members' k best bucket-neighbors; a window over
+    the deduped union picks the final k.  No pair join is ever
+    materialized — in pair-dense regimes (coarse planes / high collision
+    rates) the join-based rerank shuffles |pairs| rows through two joins,
+    while this shape's cost is Σ_bucket |b|² BLAS flops.  Deterministic:
+    planes are md5-seeded, cosine rounded to 6 before ranking, ties break
+    on neighbor id.  Recall < 1 by construction; raise n_tables / lower
+    n_planes to trade cost for recall.
     """
-    cand = _lsh_candidates(df, id_col, vec_col, n_planes, n_tables, n_dims)
-    return _rerank_pairs(df, cand, id_col, vec_col, k)
+    from pyspark.sql import Window
+
+    sigs = _lsh_signatures(
+        df, id_col, vec_col, n_planes, n_tables, n_dims, carry_vec=True
+    )
+    partials = _bucket_topk_partials(sigs, id_col, k, ["tbl", "sig"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 def _score_pairs(
@@ -499,15 +590,19 @@ def ivf_topk(
 
     The quantizer trains driver-side on a deterministic sample (first
     ``sample_size`` rows by id — seeded, reproducible), Lloyd iterations in
-    numpy; the centroid matrix broadcasts (n_lists × dims — bytes).
-    Assignment and probing are mapInPandas matmuls; the candidate join is
-    an equi-join on ``list_id``, so the pair space is Σ_probed-list
-    |bucket| per query — n_probe/n_lists of brute force.  Recall rises
-    with ``n_probe`` (== n_lists ⇒ exact).
+    numpy; the centroid matrix broadcasts (n_lists × dims — bytes).  ONE
+    fused mapInPandas matmul emits each vector's n_probe nearest lists
+    ranked (rank 1 IS the inverted-file assignment), with the vector
+    riding along; each list group then runs ONE BLAS matmul — probing
+    queries × member rows — emitting per-query partial top-k, and a
+    window over the deduped union picks the final k.  The pair space
+    (Σ_probed-list |bucket| per query — n_probe/n_lists of brute force)
+    lives only inside the bucket matmuls; no pair join materializes.
+    Recall rises with ``n_probe`` (== n_lists ⇒ exact).
     """
     import numpy as np
     import pandas as pd
-    from pyspark import StorageLevel
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -523,15 +618,12 @@ def ivf_topk(
         )
     )
 
-    # ONE matmul pass emits each vector's n_probe nearest lists ranked:
-    # rank 1 IS the inverted-file assignment (argmax), ranks 1..n_probe are
-    # the probe fan-out — fusing what would otherwise be two mapInPandas
-    # scans of the vector table (assign + probe) into one.
     probe_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("list_id", T.IntegerType()),
             T.StructField("probe_rank", T.IntegerType()),
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
         ]
     )
 
@@ -539,35 +631,66 @@ def ivf_topk(
         C = bc_cent.value
         ranks = np.arange(1, n_probe + 1, dtype=np.int32)
         for pdf in it:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             M /= np.linalg.norm(M, axis=1, keepdims=True)
             sims = M @ C.T
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy().astype("int64"), n_probe),
                     "list_id": top.reshape(-1).astype("int32"),
                     "probe_rank": np.tile(ranks, n),
+                    "__vec": pdf[vec_col].repeat(n_probe).reset_index(drop=True),
                 }
             )
 
-    probed = (
-        _fan_out(df.select(id_col, vec_col))
-        .mapInPandas(probe_lists, probe_schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )  # two consumers (assignment + probes); n·n_probe 3-int rows
-    lists = probed.where(F.col("probe_rank") == 1).select(id_col, "list_id")
-    probes = probed.select(F.col(id_col).alias("query_id"), "list_id")
-
-    cand = (
-        probes.join(lists.withColumnRenamed(id_col, "neighbor_id"), "list_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+    probed = _fan_out(df.select(id_col, vec_col)).mapInPandas(
+        probe_lists, probe_schema
     )
-    return _rerank_pairs(df, cand, id_col, vec_col, k)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def list_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # every row probes this list; rows with probe_rank == 1 are members
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        members = (pdf["probe_rank"] == 1).to_numpy()
+        if not members.any() or len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        M = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        m_ids = ids[members]
+        S = np.round(M @ M[members].T, 6)  # (queries × members)
+        order_by_id = np.argsort(m_ids, kind="stable")
+        rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        for i in range(len(pdf)):
+            s = S[i].copy()
+            s[m_ids == ids[i]] = -np.inf  # exclude self
+            best = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:k]
+            best = best[s[best] > -np.inf]
+            rows["query_id"].extend([int(ids[i])] * len(best))
+            rows["neighbor_id"].extend(int(m_ids[j]) for j in best)
+            rows["cos_sim"].extend(float(s[j]) for j in best)
+        return pd.DataFrame(rows)
+
+    partials = probed.groupBy("list_id").applyInPandas(list_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 # --- DuckDB mirror ---------------------------------------------------------
