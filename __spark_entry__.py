@@ -1055,13 +1055,19 @@ def _q_slice_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.verbs import slice_max
 
     li = read_table(spark, sf_dir, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     order = F.struct(
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        price_c.alias("p"),
         F.col("l_orderkey"),
         F.col("l_linenumber"),
         F.col("l_suppkey"),
     )
-    top = slice_max(li, order, by="l_returnflag", with_ties=False, prop=0.01)
+    # approx_prefilter: sketch-cut on the leading order key, then exact
+    # rank over ~1% survivors — identical rows, no giant per-group sort
+    top = slice_max(
+        li, order, by="l_returnflag", with_ties=False, prop=0.01,
+        approx_prefilter=price_c,
+    )
     return top.select(
         "l_returnflag",
         "l_orderkey",
@@ -1905,10 +1911,17 @@ def _q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").withColumn(
         "p100", F.round(F.col("l_extendedprice") * 100).cast("long")
     )
+    # one percentile aggregate (single sort buffer per group) — separate
+    # percentile() calls each buffer the whole group independently
     exact = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(p100, array(0.48, 0.52, 0.88, 0.92))").alias("__bounds"),
-        F.expr("percentile(p100, 0.5)").alias("p50_exact"),
-        F.expr("percentile(p100, 0.9)").alias("p90_exact"),
+        F.expr(
+            "percentile(p100, array(0.48, 0.52, 0.88, 0.92, 0.5, 0.9))"
+        ).alias("__bounds")
+    ).select(
+        "l_returnflag",
+        "__bounds",
+        F.col("__bounds")[4].alias("p50_exact"),
+        F.col("__bounds")[5].alias("p90_exact"),
     )
     parts = kll_partials(
         li.withColumn("ship_month", F.trunc("l_shipdate", "month")),

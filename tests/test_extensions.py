@@ -468,6 +468,36 @@ def test_slice_prop_group_fraction(tables):
         assert got[flag] == math.floor(0.1 * n)
 
 
+def test_slice_prop_refined_equals_plain(tables):
+    # the sketch-cut-then-rank plan must return EXACTLY the plain
+    # window-rank result (the margin proof in _slice_prop_refined)
+    from pyspark.sql import functions as F
+
+    from tidier_spark.verbs import slice_max
+
+    li = tables["lineitem"]
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    order = F.struct(
+        price_c.alias("p"),
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_suppkey"),
+    )
+    key = ["l_returnflag", "l_orderkey", "l_linenumber"]
+    plain = {
+        tuple(r[c] for c in key)
+        for r in slice_max(
+            li, order, by="l_returnflag", with_ties=False, prop=0.05
+        ).collect()
+    }
+    refined = {
+        tuple(r[c] for c in key)
+        for r in slice_max(
+            li, order, by="l_returnflag", with_ties=False, prop=0.05,
+            approx_prefilter=price_c,
+        ).collect()
+    }
+    assert refined == plain
+
+
 def test_stream_session_agg_equals_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 

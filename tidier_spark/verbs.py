@@ -160,9 +160,12 @@ def _slice_ranked(
     asc: bool,
     with_ties: bool,
     prop: float | None = None,
+    approx_prefilter: str | Column | None = None,
 ) -> DataFrame:
     keys = [by] if isinstance(by, (str, Column)) else list(by or [])
     c = F.col(order_col) if isinstance(order_col, str) else order_col
+    if prop is not None and approx_prefilter is not None:
+        return _slice_prop_refined(df, c, by, asc, with_ties, prop, approx_prefilter)
     w = Window.partitionBy(*[F.col(k) if isinstance(k, str) else k for k in keys]).orderBy(
         c.asc() if asc else c.desc()
     )
@@ -184,6 +187,66 @@ def _slice_ranked(
     return df.withColumn("__rk", rk).where(F.col("__rk") <= F.lit(n)).drop("__rk")
 
 
+_PREFILTER_MARGIN = 0.02  # quantile-space slack ≫ percentile_approx rank error
+_PREFILTER_ACC = 10_000
+
+
+def _slice_prop_refined(
+    df: DataFrame,
+    order: Column,
+    by: object,
+    asc: bool,
+    with_ties: bool,
+    prop: float,
+    prefilter: str | Column,
+) -> DataFrame:
+    """EXACT ``slice_min/max(prop=)`` with an approximate pre-cut — the
+    100 TB shape for ranked fraction-slicing.
+
+    The plain path ranks EVERY row inside one window partition per group
+    (a full per-group sort; with few groups, a handful of giant tasks).
+    Here a bounded-state sketch pass finds, per group, a loosened
+    quantile cut on ``prefilter`` (a non-null numeric column that equals
+    or leads the ranking order); only survivors — ~(prop + margin) of
+    each group — enter the exact ranking window.  Results are identical:
+    the cut sits at quantile prop + ``_PREFILTER_MARGIN`` while
+    ``percentile_approx``'s rank error at accuracy 10⁴ is 10⁻⁴·n, so any
+    row of the true slice would need > margin·n rows ordered above it to
+    be cut — contradicting membership in the floor(prop·n) slice (the
+    limit uses the TRUE group count from the sketch pass, not the
+    survivor count).
+
+    Requires string group keys (the cut joins back on them; per-group
+    stats rows are broadcast — bytes per group).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if not all(isinstance(k, str) for k in keys):
+        raise ValueError("approx_prefilter requires string group keys")
+    pf = F.col(prefilter) if isinstance(prefilter, str) else prefilter
+    q = (
+        min(1.0, prop + _PREFILTER_MARGIN)
+        if asc
+        else max(0.0, 1.0 - prop - _PREFILTER_MARGIN)
+    )
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n_g"),
+        F.percentile_approx(pf, F.lit(q), F.lit(_PREFILTER_ACC)).alias("__thr"),
+    )
+    joined = df.join(F.broadcast(stats), on=keys) if keys else df.crossJoin(
+        F.broadcast(stats)
+    )
+    cand = joined.where(pf <= F.col("__thr") if asc else pf >= F.col("__thr"))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        order.asc() if asc else order.desc()
+    )
+    rk = (F.rank() if with_ties else F.row_number()).over(w)
+    return (
+        cand.withColumn("__rk", rk)
+        .where(F.col("__rk") <= F.floor(F.lit(prop) * F.col("__n_g")))
+        .drop("__rk", "__n_g", "__thr")
+    )
+
+
 def slice_min(
     df: DataFrame,
     order_col: str | Column,
@@ -191,12 +254,20 @@ def slice_min(
     by: object = None,
     with_ties: bool = True,
     prop: float | None = None,
+    approx_prefilter: str | Column | None = None,
 ) -> DataFrame:
     """Smallest-n rows (optionally per group) — `dplyr::slice_min`
     (used in the reference example, `R/mutate.R:81`).  Windowed rank, not a
     global sort: one shuffle on the keys, early filter.  ``prop=`` keeps
-    floor(prop·group_size) rows instead of a fixed n (dplyr parity)."""
-    return _slice_ranked(df, order_col, n, by, asc=True, with_ties=with_ties, prop=prop)
+    floor(prop·group_size) rows instead of a fixed n (dplyr parity).
+    ``approx_prefilter=`` (with ``prop=``): a non-null numeric column
+    equal to / leading the order — enables the sketch-cut-then-rank plan
+    (see :func:`_slice_prop_refined`); identical results, and the exact
+    per-group sort shrinks to ~prop of the data."""
+    return _slice_ranked(
+        df, order_col, n, by, asc=True, with_ties=with_ties, prop=prop,
+        approx_prefilter=approx_prefilter,
+    )
 
 
 def slice_max(
@@ -206,8 +277,12 @@ def slice_max(
     by: object = None,
     with_ties: bool = True,
     prop: float | None = None,
+    approx_prefilter: str | Column | None = None,
 ) -> DataFrame:
-    return _slice_ranked(df, order_col, n, by, asc=False, with_ties=with_ties, prop=prop)
+    return _slice_ranked(
+        df, order_col, n, by, asc=False, with_ties=with_ties, prop=prop,
+        approx_prefilter=approx_prefilter,
+    )
 
 
 def slice_head(df: DataFrame, n: int, by: object = None, order_by: object = None) -> DataFrame:
