@@ -766,6 +766,29 @@ def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sum_qty", F.col("sum_qty_cents") / 100).drop("sum_qty_cents")
 
 
+def _q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hot/cold split join == the plain join, exactly: hottest part keys
+    # meet their (broadcast) part rows without shuffling, the cold rest
+    # takes the normal shuffle path, union restores the full bag.
+    # Summarized per brand so the entry output is compact.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.skew import skew_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    p = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = skew_join(li, p, on="l_partkey", how="inner", n_hot=32)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("rev_c"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+
+
 def _q_frame_apply_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tier C: arbitrary Python reducer per window frame (np.median over a
     # 7-row frame) vs DuckDB's native quantile_cont — two genuinely
@@ -1981,6 +2004,60 @@ def _q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group feature scaling, all three methods on the penny-quantized
+    # value: one bounded stats agg per method, broadcast back, row-local
+    # projection.  z-score variance comes from exact decimal sums (the
+    # stddev built-ins are NOT engine-portable), so every double op has
+    # exact operands and the rounded outputs hash-match DuckDB.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.quality import scale_features
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+    )
+    r = scale_features(ev, ["vc"], method="zscore", by="event_type", suffix="_z")
+    r = scale_features(r, ["vc"], method="minmax", by="event_type", suffix="_mm")
+    r = scale_features(r, ["vc"], method="robust", by="event_type", suffix="_rb")
+    return r.select(
+        "event_id",
+        "event_type",
+        F.round("vc_z", 6).alias("z"),
+        F.round("vc_mm", 6).alias("mm"),
+        F.round("vc_rb", 6).alias("rb"),
+    )
+
+
+def _q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable heavy-hitters: per ship-month approx_top_k sketches of
+    # the part key folded into the global top-10 — the frequent-items
+    # member of the sketch family.  maxItemsTracked exceeds the fixture's
+    # distinct-part cardinality, so counts are EXACT and the whole row
+    # set hash-matches the exact GROUP BY / ORDER BY / LIMIT oracle
+    # (deterministic re-rank: freq desc, item asc).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import topk_merged, topk_partials
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.trunc("l_shipdate", "month")
+    )
+    parts = topk_partials(
+        li, "l_partkey", part="ship_month", max_items_tracked=100_000
+    )
+    return topk_merged(parts, 10, max_items_tracked=100_000).select(
+        F.col("item").cast("long").alias("l_partkey"),
+        F.col("est_freq").alias("n"),
+        "topk_rank",
+    )
+
+
 def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GENUINELY STREAMED tumbling-window rollup: readStream over the events
     # parquet, watermarked event-time window agg through the streaming
@@ -2179,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_pct": _q_diff_pct,
         "nest_roundtrip": _q_nest_roundtrip,
         "salted_agg": _q_salted_agg,
+        "skew_join": _q_skew_join,
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
         "grouped_apply_demean": _q_grouped_apply_demean,
@@ -2229,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": _q_sketch_quantiles,
         "sketch_kll": _q_sketch_kll,
         "sketch_theta": _q_sketch_theta,
+        "sketch_topk": _q_sketch_topk,
+        "scale_features": _q_scale_features,
         "stream_rollup": _q_stream_rollup,
         "chunk_docs": _q_chunk_docs,
         "weighted_sample": _q_weighted_sample,
@@ -2559,6 +2639,13 @@ def oracle_sql() -> dict[str, str]:
                    max(l_quantity) AS max_qty,
                    avg(round(l_extendedprice * 100)) AS avg_cents
             FROM lineitem GROUP BY 1""",
+        "skew_join": """
+            SELECT p.p_brand,
+                   count(*) AS n,
+                   CAST(sum(round(l.l_extendedprice * 100)) AS BIGINT) AS rev_c,
+                   CAST(sum(l.l_quantity) AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1""",
         "frame_apply_median": """
             SELECT event_id,
                    quantile_cont(value, 0.5) OVER (
@@ -2630,6 +2717,33 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
             FROM lineitem GROUP BY 1""",
+        "scale_features": """
+            WITH e AS (SELECT event_id, event_type,
+                              round(value * 100)::BIGINT AS vc
+                       FROM events),
+                 st AS (SELECT event_type,
+                               count(vc) AS n, sum(vc) AS s, sum(vc * vc) AS ss,
+                               min(vc) AS mn, max(vc) AS mx,
+                               quantile_cont(vc, [0.25, 0.5, 0.75]) AS q
+                        FROM e GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   round((e.vc::DOUBLE - s::DOUBLE / n::DOUBLE)
+                         / nullif(sqrt((n * ss - s * s)::DOUBLE
+                                       / nullif(n::DOUBLE * (n::DOUBLE - 1.0),
+                                                0.0)), 0.0), 6) AS z,
+                   round((e.vc::DOUBLE - mn::DOUBLE)
+                         / nullif(mx::DOUBLE - mn::DOUBLE, 0.0), 6) AS mm,
+                   round((e.vc::DOUBLE - q[2])
+                         / nullif(q[3] - q[1], 0.0), 6) AS rb
+            FROM e JOIN st USING (event_type)""",
+        "sketch_topk": """
+            WITH c AS (SELECT l_partkey, count(*) AS n
+                       FROM lineitem GROUP BY 1),
+                 r AS (SELECT l_partkey, n,
+                              row_number() OVER (ORDER BY n DESC, l_partkey)
+                                AS topk_rank
+                       FROM c)
+            SELECT l_partkey, n, topk_rank FROM r WHERE topk_rank <= 10""",
         "sketch_theta": """
             WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
                  p AS (SELECT user_id FROM events WHERE event_type = 'purchase')

@@ -135,6 +135,20 @@ def test_salted_agg_two_exchanges(tables):
     assert count_exchanges(r) == 2
 
 
+def test_skew_join_hot_leg_is_broadcast(tables):
+    # the hot mass must meet its right rows WITHOUT shuffling: the split
+    # semi/anti classifiers and the hot-leg join are all broadcast joins
+    from tidier_spark.skew import skew_join
+
+    li = tables["lineitem"].select("l_partkey", "l_quantity")
+    p = tables["part"].select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plan = explain_str(skew_join(li, p, on="l_partkey", n_hot=8), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "Union" in plan, plan
+
+
 def test_scale_safe_cumsum_multi_task(tables):
     # the two-pass prefix lowering must NOT funnel rows through a single
     # partition: the local-prefix stage runs on the range partitioner's

@@ -253,6 +253,42 @@ def test_salted_agg_rejects_nonalgebraic(tables):
         salted_agg(tables["lineitem"], "l_returnflag", {"m": "median(l_quantity)"})
 
 
+def test_skew_join_matches_plain(tables):
+    from collections import Counter
+
+    from tidier_spark.skew import skew_join
+
+    li = tables["lineitem"].select("l_partkey", "l_quantity")
+    p = tables["part"].select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    for how in ("inner", "left"):
+        plain = Counter(
+            (r["l_partkey"], r["l_quantity"], r["p_brand"])
+            for r in li.join(p, "l_partkey", how).collect()
+        )
+        split = Counter(
+            (r["l_partkey"], r["l_quantity"], r["p_brand"])
+            for r in skew_join(li, p, on="l_partkey", how=how, n_hot=8).collect()
+        )
+        assert split == plain, how
+
+
+def test_skew_join_left_keeps_unmatched(spark):
+    from tidier_spark.skew import skew_join
+
+    left = spark.createDataFrame(
+        [(1, "a")] * 5 + [(2, "b"), (3, "c")], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
+    rows = {
+        (r["k"], r["v"], r["w"])
+        for r in skew_join(left, right, on="k", how="left", n_hot=1).collect()
+    }
+    assert (3, "c", None) in rows
+    assert sum(1 for t in rows if t[0] == 1) == 1 and (1, "a", "x") in rows
+
+
 def test_set_ops_oracle(tables, sf_dir):
     from tidier_spark.verbs import intersect_, setdiff, union_
 
@@ -469,6 +505,52 @@ def test_hll_partials_merge_within_tolerance(tables):
     assert merged.keys() == exact.keys()
     for k, n in exact.items():
         assert abs(merged[k] - n) <= 0.05 * n, (k, merged[k], n)
+
+
+def test_scale_features_methods(spark):
+    from tidier_spark.operators.quality import scale_features
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 7), ("b", 7)], ["g", "x"]
+    )
+    z = {
+        (r["g"], r["x"]): r["x_scaled"]
+        for r in scale_features(df, ["x"], "zscore", by="g").collect()
+    }
+    assert abs(z[("a", 2)]) < 1e-12 and abs(z[("a", 3)] - 1.0) < 1e-12
+    assert z[("b", 7)] is None  # constant column → NULL, not a crash
+    mm = {
+        (r["g"], r["x"]): r["x_scaled"]
+        for r in scale_features(df, ["x"], "minmax", by="g").collect()
+    }
+    assert mm[("a", 1)] == 0.0 and mm[("a", 3)] == 1.0
+    assert mm[("b", 7)] is None  # constant column → NULL, not a crash
+    rb = {
+        (r["g"], r["x"]): r["x_scaled"]
+        for r in scale_features(df, ["x"], "robust", by="g").collect()
+    }
+    assert rb[("a", 2)] == 0.0 and rb[("a", 3)] == 1.0
+
+
+def test_topk_sketch_merge_exact_when_tracked(tables):
+    # Heavy-hitters mergeability: partial sketches sliced per month fold
+    # into the same top-k as exact counting whenever maxItemsTracked
+    # covers the distinct cardinality (no eviction → exact counts), with
+    # the deterministic (freq desc, item asc) re-rank.
+    from tidier_spark.operators.sketches import topk_merged, topk_partials
+
+    o = tables["orders"].withColumn("m", F.trunc("o_orderdate", "month"))
+    parts = topk_partials(o, "o_custkey", part="m", max_items_tracked=50_000)
+    got = [
+        (r["item"], r["est_freq"], r["topk_rank"])
+        for r in topk_merged(parts, 5, max_items_tracked=50_000)
+        .orderBy("topk_rank")
+        .collect()
+    ]
+    exact = o.groupBy("o_custkey").count().collect()
+    ranked = sorted(exact, key=lambda r: (-r["count"], r["o_custkey"]))[:5]
+    want = [(r["o_custkey"], r["count"], i + 1) for i, r in enumerate(ranked)]
+    assert got == want
 
 
 def test_approx_quantiles_rank_contract(tables):

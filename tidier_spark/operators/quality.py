@@ -30,6 +30,7 @@ __all__ = [
     "salient_terms",
     "hashed_features",
     "hashed_features_sql",
+    "scale_features",
 ]
 
 
@@ -230,6 +231,89 @@ def hashed_features(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+def scale_features(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "zscore",
+    by: object = None,
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Per-column feature scaling — the metadata-normalization stage of a
+    training pipeline (quality scores, lengths, embedding norms → one
+    comparable scale before mixing/weighting).
+
+    ONE bounded aggregation computes the per-group stats; the stats frame
+    (a row per group — bytes) broadcasts back, and scaling itself is a
+    row-local projection: no second shuffle, no window over the data.
+
+    Methods, over integer-valued columns (quantize floats first — the
+    repo-wide determinism rule):
+
+    * ``zscore`` — (x − μ) / σ with σ from EXACT decimal(38) sums
+      (``sqrt((n·Σx² − (Σx)²) / (n(n−1)))``): every operand is exact, so
+      the double division/sqrt is correctly rounded and engine-portable —
+      unlike ``stddev`` built-ins, whose streaming-vs-two-pass float
+      paths differ across engines.
+    * ``minmax`` — (x − min) / (max − min), NULL for constant columns.
+    * ``robust`` — (x − median) / IQR, exact linear-interpolated
+      quantiles (half-integer operands — still exact doubles).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    aggs: list = []
+    for c in cols:
+        x = F.col(c)
+        if method == "zscore":
+            aggs += [
+                F.count(x).alias(f"__n_{c}"),
+                F.sum(x.cast("decimal(38,0)")).alias(f"__s_{c}"),
+                F.sum((x * x).cast("decimal(38,0)")).alias(f"__ss_{c}"),
+            ]
+        elif method == "minmax":
+            aggs += [F.min(x).alias(f"__mn_{c}"), F.max(x).alias(f"__mx_{c}")]
+        elif method == "robust":
+            aggs.append(
+                F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"__q_{c}")
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    out = joined
+    drop: list[str] = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "zscore":
+            n = F.col(f"__n_{c}").cast("double")
+            s = F.col(f"__s_{c}").cast("double")
+            ss = F.col(f"__ss_{c}").cast("double")
+            # exact-operand arithmetic: n·Σx² and (Σx)² are exact in
+            # decimal; the cast to double then one subtraction/division/
+            # sqrt chain is correctly rounded — mirror the same op order
+            # nullif guards (ANSI mode): n=1 → no sample variance;
+            # constant column → σ=0 → NULL, matching minmax/robust
+            var = (
+                (F.col(f"__n_{c}").cast("decimal(38,0)") * F.col(f"__ss_{c}"))
+                - (F.col(f"__s_{c}") * F.col(f"__s_{c}"))
+            ).cast("double") / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+            scaled = (x - s / n) / F.nullif(F.sqrt(var), F.lit(0.0))
+            drop += [f"__n_{c}", f"__s_{c}", f"__ss_{c}"]
+        elif method == "minmax":
+            mn = F.col(f"__mn_{c}").cast("double")
+            mx = F.col(f"__mx_{c}").cast("double")
+            scaled = (x - mn) / F.nullif(mx - mn, F.lit(0.0))
+            drop += [f"__mn_{c}", f"__mx_{c}"]
+        else:  # robust
+            q = F.col(f"__q_{c}")
+            scaled = (x - q[1]) / F.nullif(q[2] - q[0], F.lit(0.0))
+            drop.append(f"__q_{c}")
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    return out.drop(*drop)
 
 
 def hashed_features_sql(

@@ -42,6 +42,8 @@ __all__ = [
     "theta_partials",
     "theta_merge",
     "theta_overlap",
+    "topk_partials",
+    "topk_merged",
 ]
 
 
@@ -233,4 +235,70 @@ def theta_overlap(
         F.theta_sketch_estimate(F.theta_intersection("__a", "__b")).alias(
             "n_intersection"
         ),
+    )
+
+
+def topk_partials(
+    df: DataFrame,
+    col: str,
+    *,
+    by: object = None,
+    part: object = None,
+    max_items_tracked: int = 10_000,
+) -> DataFrame:
+    """One heavy-hitters sketch per (group, partial) cell
+    (``approx_top_k_accumulate``) — the frequent-items member of the
+    mergeable-sketch family (HLL distincts, KLL quantiles, theta set
+    algebra).  State per cell is O(max_items_tracked) regardless of row
+    count; counts are EXACT whenever the cell's distinct cardinality
+    stays within ``max_items_tracked`` (the sketch only approximates
+    once it must evict).
+    """
+    keys = _keys(by) + _keys(part)
+    agg = F.expr(
+        f"approx_top_k_accumulate({col}, {int(max_items_tracked)})"
+    ).alias("topk_sketch")
+    return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+
+
+def topk_merged(
+    df: DataFrame,
+    k: int,
+    *,
+    by: object = None,
+    sketch_col: str = "topk_sketch",
+    max_items_tracked: int = 10_000,
+    overfetch: int = 8,
+) -> DataFrame:
+    """Combine previously-built heavy-hitters sketches per group and emit
+    the top ``k`` items as rows ``(item, est_freq, topk_rank)``.
+
+    ``approx_top_k_combine`` is a real aggregate (unlike KLL's 2-ary
+    merge), so partial sketches from any slicing — per day, per ingest
+    batch, per shard — fold into the group answer without re-reading
+    data.  The estimate's own ordering is engine-internal (equal counts
+    in arbitrary order), so ``overfetch``·k items are pulled from the
+    sketch and re-ranked deterministically (freq desc, item asc) before
+    the cut — a boundary tie group smaller than (overfetch−1)·k items
+    then cannot change the reported top k.
+    """
+    from pyspark.sql import Window
+
+    keys = _keys(by)
+    est_k = min(int(k) * max(1, int(overfetch)), int(max_items_tracked))
+    comb = F.expr(
+        f"approx_top_k_estimate("
+        f"approx_top_k_combine({sketch_col}, {int(max_items_tracked)}), {est_k})"
+    ).alias("__top")
+    g = df.groupBy(*keys).agg(comb) if keys else df.agg(comb)
+    ex = g.select(*keys, F.explode("__top").alias("__e")).select(
+        *keys,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("est_freq"),
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("est_freq").desc(), F.col("item").asc()
+    )
+    return ex.withColumn("topk_rank", F.row_number().over(w).cast("long")).where(
+        F.col("topk_rank") <= k
     )
