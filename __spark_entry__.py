@@ -1150,6 +1150,45 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(g, name="stream_sessions_result", output_mode="complete")
 
 
+def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL stream-stream interval join: purchases within one hour of a
+    # view by the same user, both sides watermarked so state is bounded
+    # in both directions (the unbounded-stream requirement), replayed
+    # through the streaming engine (AvailableNow) and hash-compared to
+    # the batch SQL oracle.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_interval_join
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    j = stream_interval_join(
+        views,
+        buys,
+        "user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="30 minutes",
+    )
+    out = j.select(
+        "user_id",
+        F.col("l_view_id").alias("view_id"),
+        F.col("r_buy_id").alias("buy_id"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))).alias(
+            "gap_us"
+        ),
+    )
+    return run_stream(out, name="stream_attribution_result", output_mode="append")
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cluster-bucketed embedding near-dup — approximate by
     # design (no oracle; rows-only driver check).  The exactness proof is
@@ -2277,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": _q_profile_events,
         "slice_prop": _q_slice_prop,
         "stream_sessions": _q_stream_sessions,
+        "stream_attribution": _q_stream_attribution,
         "semantic_dedup": _q_semantic_dedup,
         "pii_scrub": _q_pii_scrub,
         "histogram": _q_histogram,
@@ -2547,6 +2587,18 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": _profile_events_oracle(),
         "slice_prop": _SLICE_PROP_ORACLE,
         "stream_sessions": _session_agg_oracle(),
+        "stream_attribution": """
+            SELECT v.user_id,
+                   v.event_id AS view_id,
+                   b.event_id AS buy_id,
+                   epoch_us(b.ts) - epoch_us(v.ts) AS gap_us
+            FROM events v
+            JOIN events b
+              ON v.user_id = b.user_id
+             AND v.event_type = 'view'
+             AND b.event_type = 'purchase'
+             AND b.ts >= v.ts
+             AND b.ts <= v.ts + INTERVAL 1 HOUR""",
         "pii_scrub": _pii_scrub_oracle(),
         "histogram": _histogram_oracle(),
         "det_sample": _det_sample_oracle(),

@@ -519,6 +519,42 @@ def test_stream_session_agg_equals_batch(spark, sf_dir):
     assert batch.exceptAll(streamed).count() == 0
 
 
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    # the watermarked stream-stream interval join, replayed through the
+    # streaming engine, must emit exactly the batch join's rows
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_interval_join
+
+    def legs(ev):
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("vid"), "ts"
+        )
+        buys = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("bid"), "ts"
+        )
+        return views, buys
+
+    kw = dict(left_ts="ts", right_ts="ts", lower="0 seconds", upper="2 hours")
+    batch = stream_interval_join(
+        *legs(read_table(spark, sf_dir, "events")), "user_id", **kw
+    )
+    streamed = run_stream(
+        stream_interval_join(
+            *legs(read_stream_table(spark, sf_dir, "events")),
+            "user_id",
+            watermark="30 minutes",
+            **kw,
+        ),
+        name="t_stream_ij_parity",
+        output_mode="append",
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert batch.count() > 0
+
+
 def test_semantic_dedup_single_cluster_equals_exact(tables):
     # with n_clusters=1 the bucketed SemDeDup path must reproduce the
     # exact all-pairs operator bit for bit (same rounding, same contract)

@@ -20,9 +20,17 @@ grouping keys (same as any streaming agg).
 from .sliding import (  # noqa: F401
     run_stream,
     stream_dedup,
+    stream_interval_join,
     stream_session_agg,
     stream_trailing_agg,
     stream_windowed_agg,
 )
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "stream_dedup", "run_stream"]
+__all__ = [
+    "stream_windowed_agg",
+    "stream_trailing_agg",
+    "stream_session_agg",
+    "stream_dedup",
+    "stream_interval_join",
+    "run_stream",
+]

@@ -18,7 +18,14 @@ from pyspark.sql.types import (
 
 from ..mutate import _translate
 
-__all__ = ["stream_windowed_agg", "stream_trailing_agg", "stream_session_agg", "stream_dedup", "run_stream"]
+__all__ = [
+    "stream_windowed_agg",
+    "stream_trailing_agg",
+    "stream_session_agg",
+    "stream_dedup",
+    "stream_interval_join",
+    "run_stream",
+]
 
 
 def run_stream(
@@ -241,4 +248,62 @@ def stream_dedup(
         return stream.dropDuplicates(keys)
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         keys
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    ``right_ts ∈ [left_ts + lower, left_ts + upper]`` (inclusive), equal
+    ``key`` — e.g. "purchases within an hour of a view by the same user".
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so the state store provably discards a row once
+    the other side's watermark passes its interval — bounded state, the
+    requirement for an unbounded 100 TB stream (an unconstrained
+    stream-stream join would buffer forever).  Works identically on
+    batch frames (same condition, no watermark) for backfill parity.
+
+    Columns are prefixed ``l_`` / ``r_`` (key and timestamps keep one
+    copy each) to avoid ambiguity in the joined schema.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    lren = left.select(
+        *keys, *[F.col(c).alias(f"l_{c}") for c in lcols]
+    )
+    rren = right.select(
+        *keys, *[F.col(c).alias(f"r_{c}") for c in rcols]
+    )
+    lts, rts = f"l_{left_ts}", f"r_{right_ts}"
+    if left.isStreaming or right.isStreaming:
+        lren = lren.withWatermark(lts, watermark)
+        rren = rren.withWatermark(rts, watermark)
+    cond = None
+    for k in keys:
+        c = lren[k] == rren[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(rts) >= F.col(lts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = lren.join(rren, cond, how)
+    # the equi-key columns appear once per side after a raw-condition
+    # join: keep the left copy
+    return joined.select(
+        *[lren[k] for k in keys],
+        *[F.col(f"l_{c}") for c in lcols],
+        *[F.col(f"r_{c}") for c in rcols],
     )
