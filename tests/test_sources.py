@@ -61,3 +61,60 @@ def test_parquet_pushdown_after_write(tables, tmp_path, spark):
     write_parquet(tables["lineitem"].select("l_orderkey", "l_quantity"), path)
     r = spark.read.parquet(path).where("l_quantity > 30")
     assert any("l_quantity" in p for p in pushed_filters(r))
+
+def _file_spans(path: str, cols: list[str]) -> dict[str, float]:
+    """Mean per-file normalized min/max span of each column — 1.0 means
+    every file covers the whole value range (no clustering), small means
+    parquet file stats can prune reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    lo = {c: float("inf") for c in cols}
+    hi = {c: float("-inf") for c in cols}
+    spans = {c: [] for c in cols}
+    per_file = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmins = {c: float("inf") for c in cols}
+        fmaxs = {c: float("-inf") for c in cols}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    fmins[name] = min(fmins[name], float(col.statistics.min))
+                    fmaxs[name] = max(fmaxs[name], float(col.statistics.max))
+        per_file.append((fmins, fmaxs))
+        for c in cols:
+            lo[c] = min(lo[c], fmins[c])
+            hi[c] = max(hi[c], fmaxs[c])
+    for fmins, fmaxs in per_file:
+        for c in cols:
+            spans[c].append((fmaxs[c] - fmins[c]) / max(hi[c] - lo[c], 1e-12))
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_write_clusters_both_columns(tables, tmp_path):
+    # Morton layout: every file covers a small RECTANGLE of the 2-D key
+    # space, so the per-file stat span shrinks on BOTH columns — a plain
+    # sort clusters only its leading column (asserted as the contrast)
+    ev = tables["events"].select("event_id", "user_id", "value")
+    zpath = str(tmp_path / "ev_z")
+    write_parquet(ev, zpath, zorder_by=["user_id", "value"], n_files=8)
+    spath = str(tmp_path / "ev_s")
+    write_parquet(ev, spath, sort_by=["user_id"], n_files=8)
+
+    z = _file_spans(zpath, ["user_id", "value"])
+    s = _file_spans(spath, ["user_id", "value"])
+    # z-order clusters BOTH dimensions
+    assert z["user_id"] < 0.6 and z["value"] < 0.6, z
+    # plain sort: leading column tightly clustered, the other far less
+    # clustered than under z-order
+    assert s["user_id"] < 0.2, s
+    assert s["value"] > z["value"] + 0.2, (s, z)
+    # layout must not change the data
+    back = ev.sparkSession.read.parquet(zpath)
+    assert back.count() == ev.count()

@@ -38,6 +38,7 @@ __all__ = [
     "read_table",
     "read_stream_table",
     "load_star",
+    "morton_key",
     "register_views",
 ]
 
@@ -165,16 +166,75 @@ def read_json(
     return reader.json(path)
 
 
+def morton_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out: str = "__zkey"
+) -> DataFrame:
+    """Attach a Z-order (Morton) key over two numeric columns: each column
+    min-max quantized to ``bits`` bits from ONE broadcast stats pass, then
+    bit-interleaved with the magic-number spread (5 shift-mask ops per
+    column — a tiny whole-stage-codegen expression, no UDF).
+
+    Callers range-partition and sort by ``out`` so every output file
+    covers a small rectangle of the (col1, col2) space — parquet min/max
+    stats then prune files for predicates on EITHER column, where a plain
+    sort clusters only its leading column.  Two columns (the practical
+    sweet spot: each added dimension halves per-column resolution); NULLs
+    quantize to 0.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) != 2:
+        raise ValueError("morton_key interleaves exactly two columns")
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16]")
+    stats = df.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            )
+        ]
+    )
+    with_stats = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+
+    def quantized(c: str):
+        x = F.col(c).cast("double")
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        q = F.floor((x - mn) / F.nullif(mx - mn, F.lit(0.0)) * top)
+        return F.coalesce(F.least(q, F.lit(top)), F.lit(0)).cast("long")
+
+    def spread(x):
+        # interleave-ready: insert a zero bit between every bit of x
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    key = spread(quantized(cols[0])).bitwiseOR(
+        F.shiftleft(spread(quantized(cols[1])), 1)
+    )
+    return with_stats.withColumn(out, key).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
     *,
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    n_files: int | None = None,
     table: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Parquet sink with the two layout levers that matter at 100 TB:
+    """Parquet sink with the layout levers that matter at 100 TB:
 
     * ``partition_by`` — directory partitioning: readers prune whole
       partitions for predicates on those columns (keep cardinality
@@ -182,7 +242,30 @@ def write_parquet(
     * ``bucket_by=(n, cols)`` — hash bucketing (requires ``table``, a
       metastore name): co-locates equal keys so later joins/aggregations
       on the bucket columns skip their shuffle entirely.
+    * ``sort_by`` — range-partition + sort: every file covers a narrow
+      key range, so parquet min/max stats prune files/row-groups for
+      predicates on the leading sort column.
+    * ``zorder_by=[c1, c2]`` — Morton-interleaved layout
+      (:func:`morton_key`): files cover small RECTANGLES of the 2-D
+      space, pruning predicates on either column — the multi-column
+      clustering a plain sort can't give.
+
+    ``n_files`` bounds the range partitioning width for sort/zorder
+    (default: ``spark.sql.shuffle.partitions``).
     """
+    if sort_by and zorder_by:
+        raise ValueError("choose one of sort_by / zorder_by")
+    if zorder_by:
+        keyed = morton_key(df, list(zorder_by), out="__zkey")
+        n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = (
+            keyed.repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif sort_by:
+        n = n_files or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
