@@ -2043,6 +2043,26 @@ def _q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_across_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dplyr across(): one expression dict fans mean/max over three
+    # measure columns → ONE aggregation pass (6 aggregates, map-side
+    # partial combine), penny-quantized for engine-portable hashing.
+    from tidier_spark.verbs import across, summarise
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        across(
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            {
+                "sum_c": "cast(sum(round({col} * 100)) as long)",
+                "max_c": "cast(max(round({col} * 100)) as long)",
+            },
+        ),
+        by="l_returnflag",
+    )
+
+
 def _q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-group feature scaling, all three methods on the penny-quantized
     # value: one bounded stats agg per method, broadcast back, row-local
@@ -2349,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_theta": _q_sketch_theta,
         "sketch_topk": _q_sketch_topk,
         "scale_features": _q_scale_features,
+        "across_agg": _q_across_agg,
         "stream_rollup": _q_stream_rollup,
         "chunk_docs": _q_chunk_docs,
         "weighted_sample": _q_weighted_sample,
@@ -2768,6 +2789,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
                    quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
+            FROM lineitem GROUP BY 1""",
+        "across_agg": """
+            SELECT l_returnflag,
+                   sum(round(l_quantity * 100))::BIGINT AS l_quantity_sum_c,
+                   max(round(l_quantity * 100))::BIGINT AS l_quantity_max_c,
+                   sum(round(l_extendedprice * 100))::BIGINT
+                     AS l_extendedprice_sum_c,
+                   max(round(l_extendedprice * 100))::BIGINT
+                     AS l_extendedprice_max_c,
+                   sum(round(l_discount * 100))::BIGINT AS l_discount_sum_c,
+                   max(round(l_discount * 100))::BIGINT AS l_discount_max_c
             FROM lineitem GROUP BY 1""",
         "scale_features": """
             WITH e AS (SELECT event_id, event_type,

@@ -507,6 +507,30 @@ def test_hll_partials_merge_within_tolerance(tables):
         assert abs(merged[k] - n) <= 0.05 * n, (k, merged[k], n)
 
 
+def test_across_builds_expr_dict(tables, sf_dir):
+    from tidier_spark.verbs import across, summarise
+
+    d = across(["x", "y"], ["mean", "max"])
+    assert d == {
+        "x_mean": "mean(x)", "x_max": "max(x)",
+        "y_mean": "mean(y)", "y_max": "max(y)",
+    }
+    d2 = across(["x"], {"p90": "percentile({col}, 0.9)"}, names="{fn}_of_{col}")
+    assert d2 == {"p90_of_x": "percentile(x, 0.9)"}
+    r = summarise(
+        tables["lineitem"],
+        across(["l_quantity"], {"s": "cast(sum(round({col}*100)) as long)"}),
+        by="l_returnflag",
+    )
+    assert_matches_oracle(
+        r,
+        """SELECT l_returnflag,
+                  sum(round(l_quantity*100))::BIGINT AS l_quantity_s
+           FROM lineitem GROUP BY 1""",
+        sf_dir,
+    )
+
+
 def test_scale_features_methods(spark):
     from tidier_spark.operators.quality import scale_features
 

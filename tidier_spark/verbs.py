@@ -23,6 +23,7 @@ __all__ = [
     "where",
     "distinct",
     "summarise",
+    "across",
     "count",
     "slice_min",
     "slice_max",
@@ -144,6 +145,38 @@ def summarise(
     if cube:
         return df.cube(*keys).agg(*aggs)
     return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def across(
+    cols: list[str],
+    fns: str | list[str] | dict[str, str],
+    names: str = "{col}_{fn}",
+) -> dict[str, str]:
+    """dplyr ``across()``: build the expression dict for applying ``fns``
+    to every column in ``cols`` — splat into :func:`summarise` /
+    ``mutate_``.
+
+    ``fns`` may be a single function name (``"mean"``), a list
+    (``["mean", "max"]``), or ``{label: template}`` where the template
+    uses ``{col}`` (e.g. ``{"p90": "percentile({col}, 0.9)"}``).
+    ``names`` controls output naming with ``{col}`` / ``{fn}``
+    placeholders, exactly dplyr's ``.names``.
+
+    >>> summarise(df, across(["x", "y"], ["mean", "max"]), by="g")
+    emits x_mean, x_max, y_mean, y_max in one aggregation pass.
+    """
+    if isinstance(fns, str):
+        fns = [fns]
+    items = (
+        list(fns.items())
+        if isinstance(fns, dict)
+        else [(f, f + "({col})") for f in fns]
+    )
+    out: dict[str, str] = {}
+    for c in cols:
+        for label, template in items:
+            out[names.format(col=c, fn=label)] = template.format(col=c)
+    return out
 
 
 def count(df: DataFrame, *by: str, name: str = "n") -> DataFrame:
