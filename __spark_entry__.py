@@ -2081,15 +2081,15 @@ def _q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("long").alias("vc"),
         )
     )
-    r = scale_features(ev, ["vc"], method="zscore", by="event_type", suffix="_z")
-    r = scale_features(r, ["vc"], method="minmax", by="event_type", suffix="_mm")
-    r = scale_features(r, ["vc"], method="robust", by="event_type", suffix="_rb")
+    r = scale_features(
+        ev, ["vc"], method=["zscore", "minmax", "robust"], by="event_type"
+    )
     return r.select(
         "event_id",
         "event_type",
-        F.round("vc_z", 6).alias("z"),
-        F.round("vc_mm", 6).alias("mm"),
-        F.round("vc_rb", 6).alias("rb"),
+        F.round("vc_zscore", 6).alias("z"),
+        F.round("vc_minmax", 6).alias("mm"),
+        F.round("vc_robust", 6).alias("rb"),
     )
 
 

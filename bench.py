@@ -51,7 +51,10 @@ def main() -> None:
     if len(sys.argv) > 1:  # optional subset: python bench.py q1 q2 ...
         qs = {k: qs[k] for k in sys.argv[1:]}
     timings: dict[str, float] = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3: this box shows periodic multi-second stalls (contiguous
+    # slow stretches unrelated to the queries); two runs can both land in
+    # one stall window, three rarely do.  Marginal cost is warm-run time.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name, fn in qs.items():
         best = float("nan")
         try:

@@ -236,7 +236,7 @@ def hashed_features(
 def scale_features(
     df: DataFrame,
     cols: list[str],
-    method: str = "zscore",
+    method: str | list[str] = "zscore",
     by: object = None,
     suffix: str = "_scaled",
 ) -> DataFrame:
@@ -244,9 +244,12 @@ def scale_features(
     training pipeline (quality scores, lengths, embedding norms → one
     comparable scale before mixing/weighting).
 
-    ONE bounded aggregation computes the per-group stats; the stats frame
-    (a row per group — bytes) broadcasts back, and scaling itself is a
-    row-local projection: no second shuffle, no window over the data.
+    ONE bounded aggregation computes the per-group stats for EVERY
+    requested method; the stats frame (a row per group — bytes)
+    broadcasts back, and scaling itself is a row-local projection: no
+    second shuffle, no window over the data.  ``method`` may be a list —
+    all methods still share the single stats pass; output columns are
+    then named ``{col}_{method}`` (a single method uses ``suffix``).
 
     Methods, over integer-valued columns (quantize floats first — the
     repo-wide determinism rule):
@@ -260,24 +263,26 @@ def scale_features(
     * ``robust`` — (x − median) / IQR, exact linear-interpolated
       quantiles (half-integer operands — still exact doubles).
     """
+    methods = [method] if isinstance(method, str) else list(method)
+    bad = set(methods) - {"zscore", "minmax", "robust"}
+    if bad:
+        raise ValueError(f"unknown method(s) {sorted(bad)!r}")
     keys = [by] if isinstance(by, str) else list(by or [])
     aggs: list = []
     for c in cols:
         x = F.col(c)
-        if method == "zscore":
+        if "zscore" in methods:
             aggs += [
                 F.count(x).alias(f"__n_{c}"),
                 F.sum(x.cast("decimal(38,0)")).alias(f"__s_{c}"),
                 F.sum((x * x).cast("decimal(38,0)")).alias(f"__ss_{c}"),
             ]
-        elif method == "minmax":
+        if "minmax" in methods:
             aggs += [F.min(x).alias(f"__mn_{c}"), F.max(x).alias(f"__mx_{c}")]
-        elif method == "robust":
+        if "robust" in methods:
             aggs.append(
                 F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"__q_{c}")
             )
-        else:
-            raise ValueError(f"unknown method {method!r}")
     stats = df.groupBy(*keys).agg(*aggs)
     joined = (
         df.join(F.broadcast(stats), on=keys)
@@ -288,31 +293,36 @@ def scale_features(
     drop: list[str] = []
     for c in cols:
         x = F.col(c).cast("double")
-        if method == "zscore":
-            n = F.col(f"__n_{c}").cast("double")
-            s = F.col(f"__s_{c}").cast("double")
-            ss = F.col(f"__ss_{c}").cast("double")
-            # exact-operand arithmetic: n·Σx² and (Σx)² are exact in
-            # decimal; the cast to double then one subtraction/division/
-            # sqrt chain is correctly rounded — mirror the same op order
-            # nullif guards (ANSI mode): n=1 → no sample variance;
-            # constant column → σ=0 → NULL, matching minmax/robust
-            var = (
-                (F.col(f"__n_{c}").cast("decimal(38,0)") * F.col(f"__ss_{c}"))
-                - (F.col(f"__s_{c}") * F.col(f"__s_{c}"))
-            ).cast("double") / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
-            scaled = (x - s / n) / F.nullif(F.sqrt(var), F.lit(0.0))
+        for m in methods:
+            if m == "zscore":
+                n = F.col(f"__n_{c}").cast("double")
+                s = F.col(f"__s_{c}").cast("double")
+                # exact-operand arithmetic: n·Σx² and (Σx)² are exact in
+                # decimal; the cast to double then one subtraction/
+                # division/sqrt chain is correctly rounded — mirror the
+                # same op order in any SQL mirror.  nullif guards (ANSI
+                # mode): n=1 → no sample variance; constant column →
+                # σ=0 → NULL, matching minmax/robust
+                var = (
+                    (F.col(f"__n_{c}").cast("decimal(38,0)") * F.col(f"__ss_{c}"))
+                    - (F.col(f"__s_{c}") * F.col(f"__s_{c}"))
+                ).cast("double") / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+                scaled = (x - s / n) / F.nullif(F.sqrt(var), F.lit(0.0))
+            elif m == "minmax":
+                mn = F.col(f"__mn_{c}").cast("double")
+                mx = F.col(f"__mx_{c}").cast("double")
+                scaled = (x - mn) / F.nullif(mx - mn, F.lit(0.0))
+            else:  # robust
+                q = F.col(f"__q_{c}")
+                scaled = (x - q[1]) / F.nullif(q[2] - q[0], F.lit(0.0))
+            name = f"{c}{suffix}" if len(methods) == 1 else f"{c}_{m}"
+            out = out.withColumn(name, scaled)
+        if "zscore" in methods:
             drop += [f"__n_{c}", f"__s_{c}", f"__ss_{c}"]
-        elif method == "minmax":
-            mn = F.col(f"__mn_{c}").cast("double")
-            mx = F.col(f"__mx_{c}").cast("double")
-            scaled = (x - mn) / F.nullif(mx - mn, F.lit(0.0))
+        if "minmax" in methods:
             drop += [f"__mn_{c}", f"__mx_{c}"]
-        else:  # robust
-            q = F.col(f"__q_{c}")
-            scaled = (x - q[1]) / F.nullif(q[2] - q[0], F.lit(0.0))
+        if "robust" in methods:
             drop.append(f"__q_{c}")
-        out = out.withColumn(f"{c}{suffix}", scaled)
     return out.drop(*drop)
 
 
