@@ -1189,6 +1189,36 @@ def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream(out, name="stream_attribution_result", output_mode="append")
 
 
+def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # foreachBatch MERGE sink: the events stream replays through the
+    # engine in bounded micro-batches, each reduced to latest-per-user
+    # and upserted into a versioned parquet snapshot table; the final
+    # snapshot must equal the batch latest-row-per-user result (oracle).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import stream_merge_parquet
+
+    path = tempfile.mkdtemp(prefix="tidier_stream_upsert_")
+    final = stream_merge_parquet(
+        read_stream_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        path,
+        keys="user_id",
+        order_cols=["ts", "event_id"],
+        name="stream_upsert_entry",
+    )
+    return final.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: cluster-bucketed embedding near-dup — approximate by
     # design (no oracle; rows-only driver check).  The exactness proof is
@@ -2337,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_prop": _q_slice_prop,
         "stream_sessions": _q_stream_sessions,
         "stream_attribution": _q_stream_attribution,
+        "stream_upsert": _q_stream_upsert,
         "semantic_dedup": _q_semantic_dedup,
         "pii_scrub": _q_pii_scrub,
         "histogram": _q_histogram,
@@ -2620,6 +2651,15 @@ def oracle_sql() -> dict[str, str]:
              AND b.event_type = 'purchase'
              AND b.ts >= v.ts
              AND b.ts <= v.ts + INTERVAL 1 HOUR""",
+        "stream_upsert": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   round(value * 100)::BIGINT AS value_c
+            FROM (SELECT user_id, event_id, ts, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                  FROM events)
+            WHERE rn = 1""",
         "pii_scrub": _pii_scrub_oracle(),
         "histogram": _histogram_oracle(),
         "det_sample": _det_sample_oracle(),

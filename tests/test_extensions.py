@@ -555,6 +555,39 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
     assert batch.count() > 0
 
 
+def test_stream_merge_parquet_equals_batch_latest_wins(spark, sf_dir, tmp_path):
+    # foreachBatch MERGE sink: replaying the events stream in bounded
+    # micro-batches and upserting each into the versioned parquet table
+    # must end at exactly the batch latest-row-per-user result
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import stream_merge_parquet
+
+    cols = ["user_id", "event_id", "ts", "value"]
+    final = stream_merge_parquet(
+        read_stream_table(spark, sf_dir, "events").select(*cols),
+        str(tmp_path / "merged"),
+        keys="user_id",
+        order_cols=["ts", "event_id"],
+        name="t_stream_merge",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
+    assert final.count() == batch.count() > 0
+
+
 def test_semantic_dedup_single_cluster_equals_exact(tables):
     # with n_clusters=1 the bucketed SemDeDup path must reproduce the
     # exact all-pairs operator bit for bit (same rounding, same contract)

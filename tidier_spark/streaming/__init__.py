@@ -17,6 +17,7 @@ drops late data deterministically; both operators shuffle once on the
 grouping keys (same as any streaming agg).
 """
 
+from .sink import read_merged, stream_merge_parquet  # noqa: F401
 from .sliding import (  # noqa: F401
     run_stream,
     stream_dedup,
@@ -32,5 +33,7 @@ __all__ = [
     "stream_session_agg",
     "stream_dedup",
     "stream_interval_join",
+    "stream_merge_parquet",
+    "read_merged",
     "run_stream",
 ]
