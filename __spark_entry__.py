@@ -1147,7 +1147,12 @@ def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap_seconds=4 * 3600,
         aggs={"sum_v": (F.sum(F.round(F.col("value") * 100)) / 100)},
     )
-    return run_stream(g, name="stream_sessions_result", output_mode="complete")
+    return run_stream(
+        g,
+        name="stream_sessions_result",
+        output_mode="complete",
+        state_partitions=8,  # bounded replay: see run_stream docstring
+    )
 
 
 def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,7 +1191,12 @@ def _q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
-    return run_stream(out, name="stream_attribution_result", output_mode="append")
+    return run_stream(
+        out,
+        name="stream_attribution_result",
+        output_mode="append",
+        state_partitions=8,
+    )
 
 
 def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,6 +1220,7 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys="user_id",
         order_cols=["ts", "event_id"],
         name="stream_upsert_entry",
+        state_partitions=8,
     )
     return final.select(
         "user_id",
@@ -2167,7 +2178,12 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="1 day",
         by="event_type",
     )
-    out = run_stream(r, name="stream_rollup_result", output_mode="complete")
+    out = run_stream(
+        r,
+        name="stream_rollup_result",
+        output_mode="complete",
+        state_partitions=8,
+    )
     return out.select(
         F.col("window_start").cast("long").alias("bucket_epoch"),
         "event_type",

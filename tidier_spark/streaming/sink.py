@@ -57,6 +57,7 @@ def stream_merge_parquet(
     name: str = "stream_merge",
     timeout_seconds: int = 300,
     keep_versions: int = 2,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``stream`` through the streaming engine, merging each
     micro-batch into the keyed table at ``path`` (AvailableNow — the
@@ -64,7 +65,9 @@ def stream_merge_parquet(
 
     ``order_cols``: explicit within-batch latest-wins order (descending;
     ties must be broken by a unique column — arrival order is never a
-    correctness input).
+    correctness input).  ``state_partitions``: see
+    :func:`tidier_spark.streaming.run_stream` (scoped shuffle-partition
+    capacity knob for the per-batch window/merge).
     """
     from ..operators.merge import upsert
 
@@ -91,15 +94,23 @@ def stream_merge_parquet(
         for old in vs[: max(0, len(vs) - (keep_versions - 1))]:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
 
-    q = (
-        stream.writeStream.foreachBatch(do_batch)
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(path, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_seconds)
+        q = (
+            stream.writeStream.foreachBatch(do_batch)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_seconds)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return read_merged(spark, path)

@@ -34,6 +34,7 @@ def run_stream(
     name: str,
     output_mode: str = "complete",
     timeout_seconds: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion over the data currently
     available (``Trigger.AvailableNow``) and return the final result.
@@ -44,21 +45,38 @@ def run_stream(
     100 TB this is how a backfill runs — same code as the live stream,
     bounded micro-batches, no unbounded state.
 
+    ``state_partitions`` sizes the stateful shuffle (pinned from the
+    session conf at query START and thereafter by the checkpoint): a
+    state-store instance exists per partition per stateful operator, so
+    this is a capacity knob — total executor cores at cluster scale,
+    small for bounded replays (32 stores on a laptop-sized input is
+    measured 3× overhead).  Results are partition-count-invariant; the
+    conf is scoped to this query and restored after.
+
     The memory sink is for results that fit the driver (aggregated output,
     not raw events) — production sinks are ``writeStream.format("parquet"
     | "kafka")``; swap the sink, keep the plan.
     """
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = stream.sparkSession
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_seconds)
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(timeout_seconds)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return stream.sparkSession.table(name)
 
 
