@@ -292,14 +292,39 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucketed-not-all-pairs near-dup (the 100 TB path): LSH candidate
-    # buckets → join-resolved exact cosine → threshold.  Approximate by
-    # construction (recall < 1) — rows-only check; precision-1/recall
-    # differential vs the exact path lives in
-    # tests/test_extensions.py::test_embedding_near_dup_lsh_precision_and_recall.
+    # buckets → bucket-local exact cosine → threshold.  Approximate by
+    # construction (recall < 1), so the driver-hashable contract is a
+    # GUARANTEE ROW: the LSH pair set must be a subset of the exact pair
+    # set (precision 1 — candidates are verified with exact cosine) with
+    # recall ≥ 0.9 (measured 0.99–1.0 on the fixtures).  n_exact is
+    # data-dependent and recomputed independently by the DuckDB oracle's
+    # brute-force pair scan, so the row is a real differential, not a
+    # constant.
+    from pyspark.sql import functions as F
+
     from tidier_spark.operators import dedup as D
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup_lsh(emb, threshold=0.4)
+    exact = D.embedding_near_dup(emb, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("__e")
+    )
+    approx = D.embedding_near_dup_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("__l")
+    )
+    return (
+        exact.join(approx, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("__e").alias("n_exact"),
+            F.count("__l").alias("n_lsh"),
+            F.count(F.when(F.col("__e").isNotNull() & F.col("__l").isNotNull(), 1)).alias("n_hit"),
+        )
+        .select(
+            F.lit("embedding_lsh_pairs").alias("metric"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_lsh") == F.col("n_hit")).alias("subset_ok"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+        )
+    )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,28 +356,64 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Approximate ANN — no SQL oracle by design (recall<1); rows-only check.
+    # Approximate ANN (recall < 1 by construction) — the driver-hashable
+    # contract is a recall@k GUARANTEE ROW: LSH top-3 must recover ≥ 55%
+    # of the exact top-3 pairs (measured 0.68–0.74 on the fixtures; the
+    # synthetic embeddings are near-uniform, the hardest regime for
+    # hyperplane LSH).  n_exact comes from the exact path and is
+    # independently recomputed by the DuckDB brute-force oracle, so the
+    # row is a live differential.  The raw approximate path stays the
+    # library API (lsh_topk); pytest holds the recall differential.
     from pyspark.sql import functions as F
 
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(emb, k=3, n_planes=4, n_tables=8).select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = S.lsh_topk(emb, k=3, n_planes=4, n_tables=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.lit("lsh_recall_at_3").alias("metric"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.55).alias("recall_ok"),
+        )
     )
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF (coarse k-means quantizer) ANN — the second scale path beside
-    # hyperplane LSH.  Approximate: rows-only check (n_probe=n_lists would
-    # be exact; see test_ivf_topk_full_probe_is_exact).
+    # hyperplane LSH.  Approximate, so the driver-hashable contract is a
+    # recall@k GUARANTEE ROW (≥ 0.7 with half the lists probed; measured
+    # 0.82–0.86 on the fixtures).  n_exact is recomputed independently by
+    # the DuckDB brute-force oracle.  ivf_topk_full (below) separately
+    # proves the machinery EXACT under full probing.
     from pyspark.sql import functions as F
 
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, k=3, n_lists=16, n_probe=4).select(
-        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = S.ivf_topk(emb, k=3, n_lists=16, n_probe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.lit("ivf_recall_at_3").alias("metric"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.7).alias("recall_ok"),
+        )
     )
 
 
@@ -1231,14 +1292,20 @@ def _q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SemDeDup: cluster-bucketed embedding near-dup — approximate by
-    # design (no oracle; rows-only driver check).  The exactness proof is
-    # the pytest differential: n_clusters=1 == embedding_near_dup bit for
-    # bit, and bucketed output ⊆ exact with measured recall.
+    # SemDeDup cluster-bucketed embedding near-dup, run in its provably
+    # EXACT configuration (n_clusters=1: the quantizer trains, every
+    # vector is assigned, the per-cluster pairwise stage runs — and the
+    # output equals brute force bit for bit), hash-checked against the
+    # DuckDB all-pairs oracle.  A deterministic quarter of the vectors
+    # keeps the single-cluster pair volume bounded (the all-pairs cost is
+    # the point of the exactness check, not the production shape); the
+    # approximate n_clusters=k path is recall-differentialed in pytest.
+    from pyspark.sql import functions as F
+
     from tidier_spark.operators.dedup import semantic_dedup_pairs
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=8)
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 1)
+    return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=1)
 
 
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2309,7 +2376,97 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS DELIBERATE: the driver's correctness run covers the
+    # FIRST 50 entries in registration order, so the dict leads with the
+    # entries that still need a driver-confirmed green row (round-2 hash
+    # fixes, new guarantee-row oracles, streaming, UDF tiers, sketches,
+    # TPC-H, heavy training-pipeline ops), then the remaining
+    # never-checked block, and finally the entries the round-2 driver run
+    # already confirmed green.  Re-shuffle each round as rows go green.
     return {
+        # -- round-2 driver hash-fails, fixed this round (oracle-side
+        #    BIGINT casts) — need driver re-confirmation
+        "sessionize": _q_sessionize,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        # -- former no_oracle/rows-only entries, now oracled
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "semantic_dedup": _q_semantic_dedup,
+        # -- streaming quartet (mimic-green, never driver-checked)
+        "stream_sessions": _q_stream_sessions,
+        "stream_attribution": _q_stream_attribution,
+        "stream_upsert": _q_stream_upsert,
+        "stream_rollup": _q_stream_rollup,
+        # -- UDF/UDAF/UDTF tier
+        "frame_apply_median": _q_frame_apply_median,
+        "frame_apply_wmean": _q_frame_apply_wmean,
+        "grouped_apply_demean": _q_grouped_apply_demean,
+        "udtf_sentences": _q_udtf_sentences,
+        # -- skew/salting/grouping machinery
+        "salted_agg": _q_salted_agg,
+        "skew_join": _q_skew_join,
+        "grouping_sets": _q_grouping_sets,
+        "slice_prop": _q_slice_prop,
+        # -- sketches
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_kll": _q_sketch_kll,
+        "sketch_theta": _q_sketch_theta,
+        "sketch_topk": _q_sketch_topk,
+        # -- TPC-H (full set)
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
+        # -- heavy training-pipeline ops (complete the driver's first 50)
+        "dedup_against": _q_dedup_against,
+        "dup_clusters": _q_dup_clusters,
+        "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
+        "shuffle_rows": _q_shuffle_rows,
+        # ---- entry #51 onward: not covered by this round's driver
+        #      correctness window ----
+        # -- never-driver-checked remainder (front of the r04 queue)
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "repetition_signals": _q_repetition_signals,
+        "salient_terms": _q_salient_terms,
+        "hash_split": _q_hash_split,
+        "session_agg": _q_session_agg,
+        "merge_upsert": _q_merge_upsert,
+        "snapshot_diff": _q_snapshot_diff,
+        "profile_events": _q_profile_events,
+        "pii_scrub": _q_pii_scrub,
+        "histogram": _q_histogram,
+        "det_sample": _q_det_sample,
+        "funnel": _q_funnel,
+        "complete_grid": _q_complete_grid,
+        "scale_features": _q_scale_features,
+        "across_agg": _q_across_agg,
+        "chunk_docs": _q_chunk_docs,
+        "weighted_sample": _q_weighted_sample,
+        "cohort_retention": _q_cohort_retention,
+        "hashed_features": _q_hashed_features,
+        "separate_unite": _q_separate_unite,
+        # -- driver-green in CORRECTNESS_r02 (regression backstop)
         "o1_project": _q_o1_project,
         "o2_cumsum": _q_o2_cumsum,
         "o2_desc_rank": _q_o2_desc_rank,
@@ -2325,18 +2482,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inf_frame": _q_inf_frame,
         "compound_expr": _q_compound_expr,
         "text_analysis": _q_text_analysis,
-        "text_tokens_bpe": _q_text_tokens_bpe,
         "corpus_clean": _q_corpus_clean,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "cosine_topk": _q_cosine_topk,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
         "ivf_topk_full": _q_ivf_topk_full,
         "multimodal_features": _q_multimodal_features,
         "props_json": _q_props_json,
@@ -2344,7 +2497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "asof_forward": _q_asof_forward,
         "interval_join": _q_interval_join,
-        "sessionize": _q_sessionize,
         "rollup_agg": _q_rollup,
         "analytic_fns": _q_analytic_fns,
         "median_frame": _q_median_frame,
@@ -2360,71 +2512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_up": _q_fill_up,
         "diff_pct": _q_diff_pct,
         "nest_roundtrip": _q_nest_roundtrip,
-        "salted_agg": _q_salted_agg,
-        "skew_join": _q_skew_join,
-        "frame_apply_median": _q_frame_apply_median,
-        "frame_apply_wmean": _q_frame_apply_wmean,
-        "grouped_apply_demean": _q_grouped_apply_demean,
-        "udtf_sentences": _q_udtf_sentences,
-        "boilerplate_ngrams": _q_boilerplate_ngrams,
-        "pack_sequences": _q_pack_sequences,
-        "dup_clusters": _q_dup_clusters,
-        "repetition_signals": _q_repetition_signals,
-        "salient_terms": _q_salient_terms,
-        "contamination": _q_contamination,
-        "hash_split": _q_hash_split,
-        "session_agg": _q_session_agg,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q5": _q_tpch_q5,
-        "tpch_q18": _q_tpch_q18,
-        "merge_upsert": _q_merge_upsert,
-        "snapshot_diff": _q_snapshot_diff,
-        "profile_events": _q_profile_events,
-        "slice_prop": _q_slice_prop,
-        "stream_sessions": _q_stream_sessions,
-        "stream_attribution": _q_stream_attribution,
-        "stream_upsert": _q_stream_upsert,
-        "semantic_dedup": _q_semantic_dedup,
-        "pii_scrub": _q_pii_scrub,
-        "histogram": _q_histogram,
-        "det_sample": _q_det_sample,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q7": _q_tpch_q7,
-        "tpch_q10": _q_tpch_q10,
-        "tpch_q4": _q_tpch_q4,
-        "tpch_q6": _q_tpch_q6,
-        "tpch_q8": _q_tpch_q8,
-        "tpch_q12": _q_tpch_q12,
-        "tpch_q13": _q_tpch_q13,
-        "tpch_q14": _q_tpch_q14,
-        "tpch_q15": _q_tpch_q15,
-        "tpch_q17": _q_tpch_q17,
-        "tpch_q19": _q_tpch_q19,
-        "tpch_q21": _q_tpch_q21,
-        "tpch_q22": _q_tpch_q22,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q9": _q_tpch_q9,
-        "tpch_q11": _q_tpch_q11,
-        "tpch_q16": _q_tpch_q16,
-        "tpch_q20": _q_tpch_q20,
-        "funnel": _q_funnel,
-        "complete_grid": _q_complete_grid,
-        "grouping_sets": _q_grouping_sets,
-        "sketch_distinct": _q_sketch_distinct,
-        "sketch_quantiles": _q_sketch_quantiles,
-        "sketch_kll": _q_sketch_kll,
-        "sketch_theta": _q_sketch_theta,
-        "sketch_topk": _q_sketch_topk,
-        "scale_features": _q_scale_features,
-        "across_agg": _q_across_agg,
-        "stream_rollup": _q_stream_rollup,
-        "chunk_docs": _q_chunk_docs,
-        "weighted_sample": _q_weighted_sample,
-        "shuffle_rows": _q_shuffle_rows,
-        "dedup_against": _q_dedup_against,
-        "cohort_retention": _q_cohort_retention,
-        "hashed_features": _q_hashed_features,
-        "separate_unite": _q_separate_unite,
     }
 
 
@@ -2565,10 +2652,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "sessionize": """
             SELECT event_id,
-                   sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)
+                   -- CAST: DuckDB sum(int) OVER (...) yields HUGEINT, which
+                   -- pandas materializes as float64 -> driver hash drift.
+                   CAST(sum(CASE WHEN gap_us > 14400000000::BIGINT THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
-                     AS session_id
+                     AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          epoch_us(ts) - lag(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
@@ -2705,10 +2794,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _dedup_simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "cosine_topk": _cosine_topk_oracle(),
-        # lsh_topk / ivf_topk: intentionally no oracle — approximate ANN
-        # (recall<1 by construction); the driver's rows-only check applies.
-        # ivf_topk_full probes every list → provably exact → brute-force
-        # oracle (over the same deterministic quarter of the vectors).
+        # lsh_topk / ivf_topk are approximate ANN (recall<1 by
+        # construction), so their entries emit GUARANTEE ROWS: n_exact is
+        # recomputed here by brute force (a live differential), and the
+        # recall/subset booleans assert the quantitative bound the Spark
+        # side measured.  ivf_topk_full probes every list → provably
+        # exact → full brute-force oracle (same deterministic quarter).
+        "lsh_topk": _recall_guarantee_oracle("lsh_recall_at_3"),
+        "ivf_topk": _recall_guarantee_oracle("ivf_recall_at_3"),
+        "dedup_embedding_lsh": _lsh_pairs_guarantee_oracle(),
+        "semantic_dedup": _dedup_embedding_oracle(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 1) e4"
+        ),
         "ivf_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 0) e4"
         ),
@@ -3054,8 +3151,11 @@ def _pack_sequences_oracle() -> str:
           FROM t
         )
         SELECT doc_id, n_tokens,
-               (cum - n_tokens) // 2048 AS bin_id,
-               (cum - n_tokens) % 2048 AS bin_offset
+               -- CAST: cum is a windowed sum -> HUGEINT in DuckDB, and
+               -- HUGEINT arithmetic stays HUGEINT -> pandas float64 ->
+               -- driver hash drift vs Spark's bigint.
+               CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+               CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         FROM c"""
 
 
@@ -3568,10 +3668,37 @@ def _dedup_ngram_oracle() -> str:
     return f"SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ({inner})"
 
 
-def _dedup_embedding_oracle() -> str:
+def _dedup_embedding_oracle(table: str = "embeddings") -> str:
     from tidier_spark.operators import dedup as D
 
-    return D.embedding_near_dup_sql(threshold=0.4)
+    return D.embedding_near_dup_sql(table=table, threshold=0.4)
+
+
+def _recall_guarantee_oracle(metric: str) -> str:
+    """Oracle for the approximate-ANN guarantee rows: n_exact is the
+    brute-force top-3 row count (independently recomputed by DuckDB —
+    a live differential vs the Spark exact path), and recall_ok asserts
+    the Spark-measured recall met its declared bound."""
+    from tidier_spark.operators import similarity as S
+
+    inner = S.cosine_topk_sql(table="embeddings", k=3)
+    return f"""
+        SELECT '{metric}' AS metric,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               true AS recall_ok
+        FROM ({inner})"""
+
+
+def _lsh_pairs_guarantee_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+
+    inner = D.embedding_near_dup_sql(threshold=0.4)
+    return f"""
+        SELECT 'embedding_lsh_pairs' AS metric,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               true AS subset_ok,
+               true AS recall_ok
+        FROM ({inner})"""
 
 
 def _dedup_simhash_oracle() -> str:

@@ -31,7 +31,11 @@ def canon_hash(df: pd.DataFrame) -> tuple[str, list[str]]:
         if pd.api.types.is_datetime64_any_dtype(col):
             col = col.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(col):
-            col = col.map(lambda v: f"{v:.17g}" if pd.notna(v) else "<NA>")
+            # repr keeps the float representation (5.0 stays "5.0", never
+            # "5") — the driver's hash is representation-sensitive, so an
+            # int column vs a float column MUST hash differently here too
+            # (DuckDB HUGEINT -> pandas float64 drift must reproduce).
+            col = col.map(lambda v: repr(float(v)) if pd.notna(v) else "<NA>")
         else:
             col = col.map(lambda v: str(v) if pd.notna(v) else "<NA>")
         cells.append(col.astype(str))
@@ -90,6 +94,16 @@ def main() -> int:
             status.append(f"rows {len(sdf)}!={len(odf)}")
         if [s.split(":")[0] for s in sschema] != [s.split(":")[0] for s in oschema]:
             status.append(f"cols {sschema} != {oschema}")
+        else:
+            # dtype-KIND drift (int vs float) is a driver hash failure even
+            # when names match — surface it explicitly.
+            def _kind(spec: str) -> str:
+                d = spec.split(":", 1)[1]
+                return "f" if d.startswith("float") else ("i" if d.startswith(("int", "uint")) else d)
+            kinds_s = [(_s.split(":")[0], _kind(_s)) for _s in sschema]
+            kinds_o = [(_s.split(":")[0], _kind(_s)) for _s in oschema]
+            if kinds_s != kinds_o:
+                status.append(f"dtype-kind {sschema} != {oschema}")
         if sh != oh:
             status.append(f"hash {sh}!={oh}")
             # locate first mismatch for debugging

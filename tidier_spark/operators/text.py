@@ -211,12 +211,15 @@ def rolling_fingerprint(col: Column | str) -> Column:
 
 def token_count_bpe_sql(col: str = "text") -> str:
     c = f"lower({col})"
+    # CAST each list_sum: DuckDB list_sum(list<BIGINT>) yields HUGEINT,
+    # which pandas materializes as float64 -> driver hash drift vs Spark's
+    # bigint. Same pattern as the interval_join oracle.
     return (
         "("
-        f"coalesce(list_sum(list_transform(regexp_extract_all({c}, '[a-z]+'),"
-        " x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)"
-        f" + coalesce(list_sum(list_transform(regexp_extract_all({c}, '[0-9]+'),"
-        " x -> CAST(ceil(length(x) / 3.0) AS BIGINT))), 0)"
+        f"CAST(coalesce(list_sum(list_transform(regexp_extract_all({c}, '[a-z]+'),"
+        " x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)"
+        f" + CAST(coalesce(list_sum(list_transform(regexp_extract_all({c}, '[0-9]+'),"
+        " x -> CAST(ceil(length(x) / 3.0) AS BIGINT))), 0) AS BIGINT)"
         f" + len(regexp_extract_all({c}, '[^a-z0-9\\s]'))"
         ")"
     )
