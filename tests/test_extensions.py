@@ -588,6 +588,68 @@ def test_stream_merge_parquet_equals_batch_latest_wins(spark, sf_dir, tmp_path):
     assert final.count() == batch.count() > 0
 
 
+def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
+    # CDC regression: a LATER micro-batch carrying an OLDER row for a key
+    # must NOT overwrite the snapshot's newer row — the merge is ordered
+    # by order_cols across batches, not by arrival.  Files are fed one
+    # per trigger (maxFilesPerTrigger=1) with forced mtimes so the
+    # out-of-order file definitely arrives in a second micro-batch.
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import stream_merge_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: the NEWER rows (ts=100); batch 2: late-arriving OLDER rows
+    t1 = pa.table(
+        {"user_id": [1, 2], "event_id": [11, 21], "ts": [100, 100], "value": [1.0, 2.0]}
+    )
+    t2 = pa.table(
+        {"user_id": [1, 3], "event_id": [10, 30], "ts": [50, 200], "value": [9.0, 3.0]}
+    )
+    pq.write_table(t1, src / "b1.parquet")
+    pq.write_table(t2, src / "b2.parquet")
+    now = _time.time()
+    _os.utime(src / "b1.parquet", (now - 60, now - 60))
+    _os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    table_path = str(tmp_path / "merged_ooo")
+    final = stream_merge_parquet(
+        stream,
+        table_path,
+        keys="user_id",
+        order_cols=["ts", "event_id"],
+        name="t_stream_merge_ooo",
+    )
+    got = {r["user_id"]: (r["ts"], r["value"]) for r in final.collect()}
+    # key 1: the later batch's ts=50 row must lose to the snapshot's ts=100
+    assert got == {1: (100, 1.0), 2: (100, 2.0), 3: (200, 3.0)}
+    # the replay really was multi-batch (two committed snapshot versions)
+    committed = [
+        d for d in _os.listdir(table_path)
+        if d.startswith("v=") and _os.path.isfile(_os.path.join(table_path, d, "_SUCCESS"))
+    ]
+    assert len(committed) >= 2
+    # a partial (crashed-write) version without _SUCCESS is never read
+    from tidier_spark.streaming.sink import read_merged
+
+    fake = _os.path.join(table_path, "v=99")
+    _os.makedirs(fake)
+    with open(_os.path.join(fake, "part-junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    again = {r["user_id"]: (r["ts"], r["value"]) for r in read_merged(spark, table_path).collect()}
+    assert again == got
+
+
 def test_semantic_dedup_single_cluster_equals_exact(tables):
     # with n_clusters=1 the bucketed SemDeDup path must reproduce the
     # exact all-pairs operator bit for bit (same rounding, same contract)

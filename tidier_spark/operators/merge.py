@@ -27,14 +27,23 @@ def upsert(
     updates: DataFrame,
     keys: str | list[str],
     delete_col: str | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Latest-wins merge: rows from ``updates`` replace same-key rows in
     ``target``; new keys are inserted.  If ``delete_col`` names a boolean
     column in ``updates``, true-rows delete the key instead (the full
     MERGE INTO triad: update / insert / delete).
 
-    Plan: tag sides, unionByName, keep rank-1 per key with the update
-    side winning — one shuffle, no join.
+    ``order_cols`` makes the merge ORDER-aware: the per-key winner is the
+    row with the greatest ``order_cols`` tuple across BOTH sides, with
+    the update side winning exact ties.  Without it, the update side
+    always wins — correct only when every update is known newer than the
+    snapshot (single-writer batch flow); a multi-batch/CDC caller MUST
+    pass order_cols, else a late batch carrying an older row would
+    overwrite a newer snapshot row.
+
+    Plan: tag sides, unionByName, keep rank-1 per key — one shuffle,
+    no join.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     t = target.withColumn("__prio", F.lit(1))
@@ -48,7 +57,8 @@ def upsert(
         )
         t = t.withColumn("__del", F.lit(False))
     allr = t.unionByName(u)
-    w = Window.partitionBy(*ks).orderBy(F.col("__prio").asc())
+    order = [F.col(c).desc() for c in (order_cols or [])] + [F.col("__prio").asc()]
+    w = Window.partitionBy(*ks).orderBy(*order)
     return (
         allr.withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (~F.col("__del")))

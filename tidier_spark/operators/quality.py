@@ -275,7 +275,12 @@ def scale_features(
             aggs += [
                 F.count(x).alias(f"__n_{c}"),
                 F.sum(x.cast("decimal(38,0)")).alias(f"__s_{c}"),
-                F.sum((x * x).cast("decimal(38,0)")).alias(f"__ss_{c}"),
+                # cast BEFORE squaring: int×int squares in the native
+                # integer type and overflows past ~3e9 (long) before the
+                # decimal cast ever sees it; decimal(19)² widens exactly.
+                F.sum(
+                    x.cast("decimal(19,0)") * x.cast("decimal(19,0)")
+                ).alias(f"__ss_{c}"),
             ]
         if "minmax" in methods:
             aggs += [F.min(x).alias(f"__mn_{c}"), F.max(x).alias(f"__mx_{c}")]
@@ -284,11 +289,20 @@ def scale_features(
                 F.expr(f"percentile({c}, array(0.25, 0.5, 0.75))").alias(f"__q_{c}")
             )
     stats = df.groupBy(*keys).agg(*aggs)
-    joined = (
-        df.join(F.broadcast(stats), on=keys)
-        if keys
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if keys:
+        # null-SAFE equality: groupBy treats NULL as its own group, so the
+        # stats join-back must too — a plain equi-join would silently drop
+        # every row whose group key is NULL.
+        st = stats
+        for k in keys:
+            st = st.withColumnRenamed(k, f"__k_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(st), cond).drop(*[f"__k_{k}" for k in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     out = joined
     drop: list[str] = []
     for c in cols:

@@ -30,12 +30,23 @@ from pyspark.sql import functions as F
 __all__ = ["stream_merge_parquet", "read_merged"]
 
 
-def _versions(path: str) -> list[int]:
+def _versions(path: str, committed_only: bool = True) -> list[int]:
+    """Snapshot versions under ``path``.  A version only counts as
+    COMMITTED when Spark's ``_SUCCESS`` marker exists inside it — a
+    crashed/killed write leaves a partial ``v=N`` directory whose
+    existence alone must never make it the merge base or a read target.
+    ``committed_only=False`` lists every directory (committed or not) so
+    the writer can pick a fresh version number past any partial leftover.
+    """
     if not os.path.isdir(path):
         return []
     out = []
     for d in os.listdir(path):
         if d.startswith("v=") and d[2:].isdigit():
+            if committed_only and not os.path.isfile(
+                os.path.join(path, d, "_SUCCESS")
+            ):
+                continue
             out.append(int(d[2:]))
     return sorted(out)
 
@@ -86,10 +97,18 @@ def stream_merge_parquet(
             .drop("__rn")
         )
         vs = _versions(path)
+        # order-aware cross-batch merge: the snapshot row wins when its
+        # order_cols tuple is newer than the incoming batch's (late data
+        # in a later micro-batch must NOT overwrite a newer row) — the
+        # snapshot retains the order columns, so the same latest-wins
+        # order applies across batches, matching the batch oracle.
         merged = (
-            upsert(read_merged(spark, path), latest, ks) if vs else latest
+            upsert(read_merged(spark, path), latest, ks, order_cols=order_cols)
+            if vs
+            else latest
         )
-        nxt = (vs[-1] + 1) if vs else 0
+        all_vs = _versions(path, committed_only=False)
+        nxt = (all_vs[-1] + 1) if all_vs else 0
         merged.write.mode("overwrite").parquet(os.path.join(path, f"v={nxt}"))
         for old in vs[: max(0, len(vs) - (keep_versions - 1))]:
             shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
@@ -107,7 +126,13 @@ def stream_merge_parquet(
             .start()
         )
         try:
-            q.awaitTermination(timeout_seconds)
+            finished = q.awaitTermination(timeout_seconds)
+            if not finished:
+                raise TimeoutError(
+                    f"stream {name!r} did not finish its AvailableNow replay "
+                    f"within {timeout_seconds}s — refusing to return a "
+                    "partial snapshot"
+                )
         finally:
             q.stop()
     finally:

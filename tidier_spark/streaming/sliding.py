@@ -71,7 +71,13 @@ def run_stream(
             .start()
         )
         try:
-            q.awaitTermination(timeout_seconds)
+            finished = q.awaitTermination(timeout_seconds)
+            if not finished:
+                raise TimeoutError(
+                    f"stream {name!r} did not finish its AvailableNow replay "
+                    f"within {timeout_seconds}s — refusing to return a "
+                    "partial result table"
+                )
         finally:
             q.stop()
     finally:

@@ -265,9 +265,19 @@ def _slice_prop_refined(
         F.count(F.lit(1)).alias("__n_g"),
         F.percentile_approx(pf, F.lit(q), F.lit(_PREFILTER_ACC)).alias("__thr"),
     )
-    joined = df.join(F.broadcast(stats), on=keys) if keys else df.crossJoin(
-        F.broadcast(stats)
-    )
+    if keys:
+        # null-SAFE join-back: the plain window path keeps NULL group keys
+        # as their own partition, so the prefilter path must too.
+        st = stats
+        for k in keys:
+            st = st.withColumnRenamed(k, f"__k_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(st), cond).drop(*[f"__k_{k}" for k in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     cand = joined.where(pf <= F.col("__thr") if asc else pf >= F.col("__thr"))
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         order.asc() if asc else order.desc()
