@@ -182,8 +182,9 @@ def test_lsh_topk_no_duplicate_pairs(tables):
 
 
 def test_cosine_topk_chunked_equals_single(tables):
-    # the bounded-memory multi-chunk path must reproduce the single-chunk
-    # (and oracle-checked) result exactly
+    # the executor-side grid plan (chunk_size < table → blocked all-pairs
+    # via applyInPandas cells, no driver pull) must reproduce the
+    # single-chunk broadcast (and oracle-checked) result exactly
     emb = tables["embeddings"].limit(150)
     one = {tuple(r) for r in similarity.cosine_topk(emb, k=3).collect()}
     many = {
@@ -193,6 +194,7 @@ def test_cosine_topk_chunked_equals_single(tables):
 
 
 def test_embedding_near_dup_chunked_equals_single(tables):
+    # grid plan vs broadcast plan differential (see cosine_topk above)
     emb = tables["embeddings"]
     one = {tuple(r) for r in dedup.embedding_near_dup(emb, threshold=0.4).collect()}
     many = {

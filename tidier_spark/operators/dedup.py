@@ -521,28 +521,26 @@ def embedding_near_dup(
     """EXACT vector pairs with cosine ≥ threshold (rounded to 6 decimals
     before the comparison so the cut is engine-independent).
 
-    Scale shape: the candidate side is pulled chunk-at-a-time (≤
-    ``chunk_size`` rows — bounded driver AND executor memory; never a
-    full-table collect), each chunk broadcast for a streamed matmul over
-    query batches.  Compute is inherently all-pairs because exactness at an
-    arbitrary threshold admits no pruning; for the bucketed-candidate
-    variant (approximate, subquadratic) see :func:`embedding_near_dup_lsh`.
-    Chunks partition the ``id_b`` side disjointly, so the union of chunk
-    outputs has no duplicate pairs.
+    Scale shape: when the table fits one chunk (≤ ``chunk_size`` rows) the
+    candidate matrix broadcasts once and query batches stream through a
+    matmul (the broadcast-dim shape).  Larger tables switch to the fully
+    EXECUTOR-SIDE grid plan (same as :func:`similarity._cosine_topk_grid`):
+    both sides hash into blocks, each grid cell is one ``applyInPandas``
+    matmul emitting only its ≥-threshold pairs — no driver pull, no
+    serial chunk pump, no localCheckpoint materialization.  Compute is
+    inherently all-pairs because exactness at an arbitrary threshold
+    admits no pruning; for the bucketed-candidate variant (approximate,
+    subquadratic) see :func:`embedding_near_dup_lsh`.
     """
     import math
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as SF
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     cand_src = df.select(id_col, vec_col)
     n = cand_src.count()
-    n_chunks = max(1, math.ceil(n / chunk_size))
-    if n_chunks > 1:
-        cand_src = cand_src.persist()
 
     out_schema = T.StructType(
         [
@@ -551,6 +549,38 @@ def embedding_near_dup(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
+
+    if n > chunk_size:
+        from .similarity import _grid_sides
+
+        n_blocks = max(1, math.ceil(n / chunk_size))
+        grid = _grid_sides(df, None, id_col, vec_col, n_blocks, n_blocks)
+
+        def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            qm = pdf["side"].to_numpy() == 0
+            cm = ~qm
+            if not qm.any() or not cm.any():
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            q_ids = pdf["gid"].to_numpy()[qm]
+            c_ids = pdf["gid"].to_numpy()[cm]
+            Q = np.vstack(pdf["gvec"].to_numpy()[qm]).astype(np.float64)
+            C = np.vstack(pdf["gvec"].to_numpy()[cm]).astype(np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            S = np.round(Q @ C.T, 6)
+            # emit only query_id < cand_id: each unordered pair lands in
+            # exactly one cell in that orientation, so the union of cell
+            # outputs has no duplicates and needs no dedup shuffle
+            qi, ci = np.nonzero((S >= threshold) & (q_ids[:, None] < c_ids[None, :]))
+            return pd.DataFrame(
+                {
+                    "id_a": q_ids[qi].astype("int64"),
+                    "id_b": c_ids[ci].astype("int64"),
+                    "cos_sim": S[qi, ci],
+                }
+            )
+
+        return grid.groupBy("qa", "cb").applyInPandas(cell_pairs, out_schema)
 
     def chunk_pairs(bc):
         def pairs(it):
@@ -578,31 +608,12 @@ def embedding_near_dup(
     # fan out the streamed query side: a single-file scan is one input
     # split and would serialize the matmul on one core
     src = _fan_out(df.select(id_col, vec_col))
-    partials = []
-    for ci in range(n_chunks):
-        chunk_df = (
-            cand_src.where(
-                SF.pmod(SF.xxhash64(SF.col(id_col)), SF.lit(n_chunks)) == ci
-            )
-            if n_chunks > 1
-            else cand_src
-        )
-        pdf = chunk_df.toPandas()
-        ids = pdf[id_col].to_numpy()
-        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ids, mat))
-        part = src.mapInPandas(chunk_pairs(bc), out_schema)
-        if n_chunks > 1:
-            part = part.localCheckpoint(eager=True)
-            bc.unpersist()
-        partials.append(part)
-
-    if n_chunks == 1:
-        return partials[0]
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), partials)
+    pdf = cand_src.toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    return src.mapInPandas(chunk_pairs(bc), out_schema)
 
 
 def embedding_near_dup_lsh(

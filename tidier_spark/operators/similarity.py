@@ -127,11 +127,6 @@ def cosine_topk(
     )
 
 
-def _chunk_pred(id_col: str, n_chunks: int, ci: int):
-    """Deterministic candidate→chunk assignment (hash-mod on the id)."""
-    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == ci
-
-
 def _cosine_topk_blas(
     df: DataFrame,
     id_col: str,
@@ -140,14 +135,17 @@ def _cosine_topk_blas(
     queries: DataFrame | None,
     chunk_size: int,
 ) -> DataFrame:
-    """Exact BLAS top-k with BOUNDED memory: the candidate side is pulled
-    chunk-at-a-time (never the whole table — the round-1 full-table
-    ``toPandas()`` was a driver OOM at scale), each chunk broadcast for a
-    streamed matmul partial top-k, partials merged with a window.
+    """Exact BLAS top-k, two shapes by candidate count:
 
-    Per chunk the driver holds ≤ chunk_size × dims doubles; partial results
-    are ≤ n_queries × k rows per chunk.  The single-chunk fast path (test
-    scale) is exactly the round-1 plan.
+    * candidates fit one chunk (≤ ``chunk_size``): broadcast the candidate
+      matrix once and stream query batches through a ``mapInPandas``
+      matmul — the classic broadcast-dim shape (one bounded driver pull,
+      same as a broadcast hash join's build side).
+    * larger: fully EXECUTOR-SIDE grid plan (:func:`_cosine_topk_grid`) —
+      both sides hash into blocks, each (query-block, candidate-block)
+      grid cell is one ``applyInPandas`` group running one matmul, and a
+      window merges per-cell partial top-ks.  No driver serialization
+      point at any size (the round-2 driver-pump chunk loop is gone).
     """
     import math
 
@@ -158,9 +156,10 @@ def _cosine_topk_blas(
     spark = df.sparkSession
     cand_src = df.select(id_col, vec_col)
     n = cand_src.count()
-    n_chunks = max(1, math.ceil(n / chunk_size))
-    if n_chunks > 1:
-        cand_src = cand_src.persist()
+    if n > chunk_size:
+        return _cosine_topk_grid(
+            df, id_col, vec_col, k, queries, chunk_size, n_cand=n
+        )
 
     out_schema = T.StructType(
         [
@@ -200,38 +199,116 @@ def _cosine_topk_blas(
 
         return topk_batches
 
-    partials = []
-    for ci in range(n_chunks):
-        chunk_df = (
-            cand_src.where(_chunk_pred(id_col, n_chunks, ci))
-            if n_chunks > 1
-            else cand_src
-        )
-        pdf = chunk_df.toPandas()
-        c_ids = pdf[id_col].to_numpy()
-        c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((c_ids, c_mat))
-        part = src.mapInPandas(chunk_topk(bc), out_schema)
-        if n_chunks > 1:
-            # materialize on executors so the chunk's broadcast can be freed
-            # before the next chunk is pulled (bounded cluster memory)
-            part = part.localCheckpoint(eager=True)
-            bc.unpersist()
-        partials.append(part)
+    pdf = cand_src.toPandas()
+    c_ids = pdf[id_col].to_numpy()
+    c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    return src.mapInPandas(chunk_topk(bc), out_schema)
 
-    if n_chunks == 1:
-        return partials[0]
-    from functools import reduce
 
+def _grid_sides(
+    df: DataFrame,
+    queries: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    n_q_blocks: int,
+    n_c_blocks: int,
+) -> DataFrame:
+    """Tagged union for the executor-side all-pairs grid: every query row
+    is replicated to each candidate block, every candidate row to each
+    query block, so each unordered (query, candidate) combination lands
+    in EXACTLY ONE (qa, cb) group.  Shuffle volume is
+    |Q|·n_c_blocks + |C|·n_q_blocks vector rows — the classic √P grid
+    replication bound — and nothing ever touches the driver."""
+    q_src = (queries if queries is not None else df).select(id_col, vec_col)
+    c_src = df.select(id_col, vec_col)
+    cbs = F.array([F.lit(i) for i in range(n_c_blocks)])
+    qas = F.array([F.lit(i) for i in range(n_q_blocks)])
+    q_side = q_src.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_q_blocks)).cast("int").alias("qa"),
+        F.explode(cbs).alias("cb"),
+        F.lit(0).alias("side"),
+        F.col(id_col).alias("gid"),
+        F.col(vec_col).cast("array<double>").alias("gvec"),
+    )
+    c_side = c_src.select(
+        F.explode(qas).alias("qa"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_c_blocks)).cast("int").alias("cb"),
+        F.lit(1).alias("side"),
+        F.col(id_col).alias("gid"),
+        F.col(vec_col).cast("array<double>").alias("gvec"),
+    )
+    return q_side.unionByName(c_side)
+
+
+def _cosine_topk_grid(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    queries: DataFrame | None,
+    chunk_size: int,
+    n_cand: int,
+) -> DataFrame:
+    """Exact top-k as a block-partitioned grid join — the 100 TB shape for
+    an inherently O(n·m) search.  Queries hash into A blocks, candidates
+    into B blocks (each ≤ ~chunk_size rows); every (qa, cb) cell is one
+    ``applyInPandas`` group running one matmul and emitting its queries'
+    k best cell-candidates; a window over the cell partials (candidate
+    blocks partition disjointly, so no pair repeats) picks the global k.
+    All data flows executor→executor; the driver only plans."""
+    import math
+
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
-    merged = reduce(lambda a, b: a.unionByName(b), partials)
+    q_src = (queries if queries is not None else df).select(id_col, vec_col)
+    n_q = q_src.count()
+    A = max(1, math.ceil(n_q / chunk_size))
+    B = max(1, math.ceil(n_cand / chunk_size))
+    grid = _grid_sides(df, queries, id_col, vec_col, A, B)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf["side"].to_numpy() == 0
+        cm = ~qm
+        if not qm.any() or not cm.any():
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        q_ids = pdf["gid"].to_numpy()[qm]
+        c_ids = pdf["gid"].to_numpy()[cm]
+        Q = np.vstack(pdf["gvec"].to_numpy()[qm]).astype(np.float64)
+        C = np.vstack(pdf["gvec"].to_numpy()[cm]).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        S = np.round(Q @ C.T, 6)
+        order_by_id = np.argsort(c_ids, kind="stable")
+        kk = min(k, len(c_ids))
+        rows: dict[str, list] = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+        for i, qid in enumerate(q_ids):
+            s = np.where(c_ids == qid, -np.inf, S[i])
+            best = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:kk]
+            best = best[s[best] > -np.inf]
+            rows["query_id"].extend([int(qid)] * len(best))
+            rows["neighbor_id"].extend(int(c_ids[j]) for j in best)
+            rows["cos_sim"].extend(float(s[j]) for j in best)
+        return pd.DataFrame(rows)
+
+    partials = grid.groupBy("qa", "cb").applyInPandas(cell_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        merged.withColumn("rank", F.row_number().over(w).cast("long"))
+        partials.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
