@@ -2364,15 +2364,28 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental cross-corpus dedup: odd doc_ids ("new crawl") vs even
     # doc_ids ("existing corpus") — banded-LSH join across sides only
     # (the reference never self-joins), exact-Jaccard verification on
-    # candidates, best reference match per new doc.
+    # candidates, best reference match per new doc.  Both sides slice the
+    # same table, so the shingle frame is computed ONCE and sliced — the
+    # precomputed-reference-shingles path a real incremental pipeline
+    # uses (dedup_against docstring).
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    from tidier_spark.operators.dedup import dedup_against
+    from tidier_spark.operators.dedup import _distinct_shingles, dedup_against
 
     docs = read_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs, "doc_id", "text", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     new = docs.where(F.col("doc_id") % 2 == 1)
     ref = docs.where(F.col("doc_id") % 2 == 0)
-    return dedup_against(new, ref, threshold=0.3)
+    return dedup_against(
+        new,
+        ref,
+        threshold=0.3,
+        shingles_new=sh.where(F.col("doc_id") % 2 == 1),
+        shingles_ref=sh.where(F.col("doc_id") % 2 == 0),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -634,6 +634,31 @@ def test_complete_fills_missing_combos(spark):
     assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): 30.0, (2, "b"): 0.0}
 
 
+def test_complete_nesting_uses_observed_combos(spark):
+    # a tuple factor is tidyr::nesting(): only OBSERVED (k, g) pairs are
+    # expanded (one composite distinct — no per-column cross), still
+    # crossed against the other factors
+    from tidier_spark import complete
+
+    df = spark.createDataFrame(
+        [(1, "a", "x", 10.0), (1, "b", "x", 20.0), (2, "a", "y", 30.0)],
+        "k int, g string, s string, v double",
+    )
+    rows = {
+        (r["k"], r["g"], r["s"]): r["v"]
+        for r in complete(df, ("k", "g"), "s", fill={"v": 0.0}).collect()
+    }
+    # observed (k,g) pairs: (1,a),(1,b),(2,a) — never (2,b) — crossed by s
+    assert rows == {
+        (1, "a", "x"): 10.0,
+        (1, "a", "y"): 0.0,
+        (1, "b", "x"): 20.0,
+        (1, "b", "y"): 0.0,
+        (2, "a", "x"): 0.0,
+        (2, "a", "y"): 30.0,
+    }
+
+
 def test_stream_dedup_drops_replayed_rows(spark, sf_dir):
     # at-least-once simulation: the same source unioned with itself (every
     # event delivered twice); dropDuplicatesWithinWatermark must restore

@@ -280,6 +280,8 @@ def dedup_against(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.3,
+    shingles_new: DataFrame | None = None,
+    shingles_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: which NEW documents are near-dups of an existing
     REFERENCE corpus — the shape of every "don't re-ingest what the last
@@ -289,10 +291,14 @@ def dedup_against(
 
     Same banded-LSH machinery as :func:`near_dup_pairs` but the band join
     is new×ref ONLY — no within-side pairs, so a huge reference corpus
-    never self-joins.  At 100 TB the reference side's band signatures are
-    computed once and can be persisted as a table; the per-crawl cost is
-    the new side's signatures + one equi-join on (band, sig) + exact
-    verification bounded by candidate volume.
+    never self-joins.  At 100 TB the reference side's shingles/signatures
+    are computed once and persisted as a table — pass them back in via
+    ``shingles_ref`` (schema ``(id_col, shingle)``, one row per distinct
+    shingle per doc, e.g. from ``_distinct_shingles`` or a parquet
+    round-trip) so the per-crawl cost is the new side's signatures + one
+    equi-join on (band, sig) + candidate-bounded verification.  When both
+    sides slice one source table, compute the shingle frame once and pass
+    both slices — one shingling pass instead of two.
     """
     if k % bands:
         raise ValueError(f"k={k} must divide into bands={bands}")
@@ -317,11 +323,24 @@ def dedup_against(
             .select(out_id, "bs.band", "bs.sig")
         )
 
-    sh_new = _distinct_shingles(new_df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # caller-supplied shingle frames are reused as-is (the caller owns
+    # their persistence — e.g. one cached frame sliced two ways, or a
+    # parquet-backed reference table); internally computed ones are
+    # persisted because both the signature and verification stages scan
+    # them.
+    sh_new = (
+        shingles_new
+        if shingles_new is not None
+        else _distinct_shingles(new_df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    sh_ref = _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh_ref = (
+        shingles_ref
+        if shingles_ref is not None
+        else _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cand = (
         banded(new_df, sh_new, "doc_id_n")

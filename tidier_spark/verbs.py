@@ -503,7 +503,7 @@ def _fill(df, cols, by, order_by, direction):
 
 def complete(
     df: DataFrame,
-    *cols: str,
+    *cols: str | tuple[str, ...],
     fill: dict[str, object] | None = None,
 ) -> DataFrame:
     """Materialize every combination of the ``cols`` values
@@ -511,18 +511,26 @@ def complete(
     left-joined back onto the data; absent rows appear with NULLs (or the
     ``fill`` defaults per column).
 
-    Scale shape: each distinct-value frame is an aggregated (tiny) side —
-    the crosses are broadcast nested-loop joins over dimension-sized
-    inputs, and the final left join hashes on the full key.  The frame
-    EXPANDS to ∏|distinct| rows — that product, not the input size, is the
-    scale bound, same as in R.
+    A TUPLE factor is `tidyr::nesting()`: its columns contribute only the
+    OBSERVED combinations — one composite-key ``distinct()`` — instead of
+    crossing each column separately.  ``complete(df, ("a", "b"), "c")``
+    expands observed (a, b) pairs × distinct c.
+
+    Scale shape: each factor frame is an aggregated (tiny) side — the
+    crosses are broadcast nested-loop joins over dimension-sized inputs,
+    and the final left join hashes on the full key.  The frame EXPANDS to
+    ∏|factor| rows — that product, not the input size, is the scale
+    bound, same as in R; nesting() factors both shrink the product and
+    replace a BNLJ chain with one distinct.
     """
     if len(cols) < 1:
         raise ValueError("complete() needs at least one column")
-    grid = df.select(cols[0]).distinct()
-    for c in cols[1:]:
-        grid = grid.crossJoin(df.select(c).distinct())
-    out = grid.join(df, on=list(cols), how="left")
+    groups = [(c,) if isinstance(c, str) else tuple(c) for c in cols]
+    flat = [c for g in groups for c in g]
+    grid = df.select(*groups[0]).distinct()
+    for g in groups[1:]:
+        grid = grid.crossJoin(df.select(*g).distinct())
+    out = grid.join(df, on=flat, how="left")
     if fill:
         out = out.fillna(fill)
     return out.select(*df.columns)
