@@ -2388,6 +2388,38 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming incremental corpus dedup: odd doc_ids replay as a stream
+    # and are deduped per micro-batch against the static even-id corpus
+    # (banded-LSH join vs the precomputed reference signature store +
+    # exact-Jaccard verify).  The reference side is fixed, so the
+    # survivor set is batch-decomposition-invariant and hash-checks
+    # against the batch anti-join oracle.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import stream_dedup_against
+
+    path = tempfile.mkdtemp(prefix="tidier_stream_dedup_against_")
+    docs = read_table(spark, sf_dir, "documents")
+    new_stream = read_stream_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 2 == 1
+    )
+    survivors = stream_dedup_against(
+        new_stream,
+        docs.where(F.col("doc_id") % 2 == 0),
+        path,
+        threshold=0.3,
+        name="stream_dedup_against_entry",
+        state_partitions=8,
+    )
+    return survivors.select(
+        "doc_id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
     # FIRST 50 entries in registration order, so the dict leads with the
@@ -2459,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry #51 onward: not covered by this round's driver
         #      correctness window ----
         # -- never-driver-checked remainder (front of the r04 queue)
+        "stream_dedup_against": _q_stream_dedup_against,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3022,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "shuffle_rows": _shuffle_rows_oracle(),
         "dedup_against": _dedup_against_oracle(),
+        "stream_dedup_against": _stream_dedup_against_oracle(),
         "cohort_retention": _cohort_retention_oracle(),
         "hashed_features": _hashed_features_oracle(),
         "separate_unite": """
@@ -3078,6 +3112,17 @@ def _dedup_against_oracle() -> str:
         "(SELECT * FROM documents WHERE doc_id % 2 = 0) rt",
         threshold=0.3,
     )
+
+
+def _stream_dedup_against_oracle() -> str:
+    # survivors = the streamed (odd-id) docs minus dedup_against matches —
+    # the batch anti-join the streaming replay must reproduce regardless
+    # of micro-batching (the reference side is static).
+    return f"""
+        SELECT doc_id, md5(text) AS text_md5
+        FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT doc_id FROM ({_dedup_against_oracle()}))"""
 
 
 def _text_analysis_oracle() -> str:

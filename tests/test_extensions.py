@@ -652,6 +652,38 @@ def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
     assert again == got
 
 
+def test_stream_dedup_against_equals_batch(spark, sf_dir, tmp_path):
+    # streaming incremental dedup vs a STATIC reference corpus must equal
+    # the batch anti-join regardless of micro-batching: the new side is
+    # written as 3 files and replayed one file per trigger
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.dedup import dedup_against
+    from tidier_spark.sources import read_table
+    from tidier_spark.streaming import stream_dedup_against
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    src = str(tmp_path / "new_src")
+    new.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    surv = stream_dedup_against(
+        stream, ref, str(tmp_path / "sda"), threshold=0.3,
+        name="t_stream_dedup_against",
+    )
+    matches = dedup_against(new, ref, threshold=0.3)
+    expected = new.join(matches.select("doc_id"), "doc_id", "left_anti")
+    got_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
+    assert got_ids == want_ids
+    assert 0 < len(want_ids) < new.count() or len(want_ids) == new.count()
+
+
 def test_semantic_dedup_single_cluster_equals_exact(tables):
     # with n_clusters=1 the bucketed SemDeDup path must reproduce the
     # exact all-pairs operator bit for bit (same rounding, same contract)

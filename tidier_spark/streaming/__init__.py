@@ -17,7 +17,11 @@ drops late data deterministically; both operators shuffle once on the
 grouping keys (same as any streaming agg).
 """
 
-from .sink import read_merged, stream_merge_parquet  # noqa: F401
+from .sink import (  # noqa: F401
+    read_merged,
+    stream_dedup_against,
+    stream_merge_parquet,
+)
 from .sliding import (  # noqa: F401
     run_stream,
     stream_dedup,
@@ -34,6 +38,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_merge_parquet",
+    "stream_dedup_against",
     "read_merged",
     "run_stream",
 ]

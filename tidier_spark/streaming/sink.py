@@ -27,7 +27,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stream_merge_parquet", "read_merged"]
+__all__ = ["stream_merge_parquet", "read_merged", "stream_dedup_against"]
 
 
 def _versions(path: str, committed_only: bool = True) -> list[int]:
@@ -139,3 +139,107 @@ def stream_merge_parquet(
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return read_merged(spark, path)
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    ref_df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    name: str = "stream_dedup_against",
+    timeout_seconds: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming incremental corpus dedup: replay a stream of NEW documents
+    against a STATIC reference corpus, keeping only docs that are not
+    near-dups (best banded-LSH + exact-Jaccard match < ``threshold``) —
+    the streaming edition of :func:`tidier_spark.operators.dedup.
+    dedup_against`, i.e. the "don't re-ingest what the last crawl already
+    has" stage running as ingestion rather than as a batch job.
+
+    Per micro-batch: the batch's distinct shingles + band signatures are
+    computed, equi-joined against the reference's PRECOMPUTED signature
+    store (the reference shingle frame is built once, persisted, and
+    reused by every batch — at 100 TB this is a parquet-backed signature
+    table), candidates are verified with exact Jaccard, and surviving
+    rows append to ``path/survivors``.  Because the reference side is
+    fixed, the result is independent of how the stream is batched —
+    which is what makes the operator exactly batch-oracle-checkable
+    (survivors == new docs minus ``dedup_against`` matches).
+
+    State story: the streaming engine holds NO aggregation state (each
+    batch is a self-contained join against the static store); the only
+    growth is the survivor sink.  For dedup against an EVOLVING corpus
+    (survivors feeding back into the store) the merge becomes
+    arrival-order-dependent — that variant belongs on a transactional
+    store (Delta/Iceberg MERGE) and is intentionally not modeled here.
+    """
+    from pyspark import StorageLevel
+
+    from ..operators.dedup import _distinct_shingles, dedup_against
+
+    spark = stream.sparkSession
+    sh_ref = _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    out_dir = os.path.join(path, "survivors")
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sh_b = _distinct_shingles(batch_df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            matches = dedup_against(
+                batch_df,
+                ref_df,
+                id_col,
+                text_col,
+                k,
+                bands,
+                shingle_n,
+                threshold,
+                shingles_new=sh_b,
+                shingles_ref=sh_ref,
+            )
+            survivors = batch_df.join(
+                matches.select(id_col), id_col, "left_anti"
+            )
+            survivors.write.mode("append").parquet(out_dir)
+        finally:
+            sh_b.unpersist()
+
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(do_batch)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_seconds)
+            if not finished:
+                raise TimeoutError(
+                    f"stream {name!r} did not finish its AvailableNow replay "
+                    f"within {timeout_seconds}s — refusing to return a "
+                    "partial survivor set"
+                )
+        finally:
+            q.stop()
+    finally:
+        sh_ref.unpersist()
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.read.parquet(out_dir)
