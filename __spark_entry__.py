@@ -2420,6 +2420,18 @@ def _q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unigram-LM quality scoring (the perplexity-filter stage) in EXACT
+    # integer bits: float ln() is not reproducible across engines (Java
+    # Math.log vs libm differ in the last ulp — measured 13% of values at
+    # 6 decimals), so surprisal is floor-log2 information via integer
+    # bit-lengths, and bits_per_token one exact-operand division.
+    from tidier_spark.operators.text import unigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
     # FIRST 50 entries in registration order, so the dict leads with the
@@ -2492,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      correctness window ----
         # -- never-driver-checked remainder (front of the r04 queue)
         "stream_dedup_against": _q_stream_dedup_against,
+        "lm_surprisal": _q_lm_surprisal,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3056,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_rows": _shuffle_rows_oracle(),
         "dedup_against": _dedup_against_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
+        "lm_surprisal": _lm_surprisal_oracle(),
         "cohort_retention": _cohort_retention_oracle(),
         "hashed_features": _hashed_features_oracle(),
         "separate_unite": """
@@ -3123,6 +3137,12 @@ def _stream_dedup_against_oracle() -> str:
         FROM documents
         WHERE doc_id % 2 = 1
           AND doc_id NOT IN (SELECT doc_id FROM ({_dedup_against_oracle()}))"""
+
+
+def _lm_surprisal_oracle() -> str:
+    from tidier_spark.operators.text import unigram_surprisal_sql
+
+    return unigram_surprisal_sql()
 
 
 def _text_analysis_oracle() -> str:

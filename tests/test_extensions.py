@@ -652,6 +652,22 @@ def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
     assert again == got
 
 
+def test_unigram_surprisal_orders_rarity(spark):
+    # common-token docs must score fewer bits/token than rare-token docs;
+    # a tokenless doc keeps n_tokens=0 and NULL bits_per_token
+    from tidier_spark.operators.text import unigram_surprisal
+
+    rows = [(1, "the the the the"), (2, "the zyx the qwv"), (3, "...")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in unigram_surprisal(df).collect()}
+    assert got[3]["n_tokens"] == 0 and got[3]["bits_per_token"] is None
+    assert got[1]["bits_per_token"] < got[2]["bits_per_token"]
+    # exact integer check: total=10 tokens (bitlen 4); 'the' freq 6
+    # (bitlen 3) → 1 bit; zyx/qwv freq 1 (bitlen 1) → 3 bits
+    assert got[1]["surprisal_bits"] == 4 * 1
+    assert got[2]["surprisal_bits"] == 2 * 1 + 2 * 3
+
+
 def test_stream_dedup_against_equals_batch(spark, sf_dir, tmp_path):
     # streaming incremental dedup vs a STATIC reference corpus must equal
     # the batch anti-join regardless of micro-batching: the new side is
