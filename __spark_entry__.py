@@ -2420,6 +2420,41 @@ def _q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental aggregate maintenance: a per-user rollup snapshot built
+    # from the historical 4/5 of events is folded together with the
+    # "newly arrived" 1/5 — WITHOUT re-aggregating history — and must
+    # equal the full recompute (the oracle) bit for bit.  Measures stay
+    # mergeable (count + penny sum + min/max); avg derives as sum/count.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.merge import update_rollup
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    measures = {
+        "n_events": ("count", "event_id"),
+        "sum_vc": ("sum", "vc"),
+        "min_vc": ("min", "vc"),
+        "max_vc": ("max", "vc"),
+    }
+    hist = ev.where(F.col("event_id") % 5 != 0)
+    delta = ev.where(F.col("event_id") % 5 == 0)
+    snapshot = update_rollup(None, hist, "user_id", measures)
+    merged = update_rollup(snapshot, delta, "user_id", measures)
+    return merged.select(
+        "user_id",
+        "n_events",
+        "sum_vc",
+        "min_vc",
+        "max_vc",
+        F.round(F.col("sum_vc") / F.col("n_events"), 6).alias("avg_vc"),
+    )
+
+
 def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unigram-LM quality scoring (the perplexity-filter stage) in EXACT
     # integer bits: float ln() is not reproducible across engines (Java
@@ -2505,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-driver-checked remainder (front of the r04 queue)
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
+        "incremental_rollup": _q_incremental_rollup,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3070,6 +3106,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
+        "incremental_rollup": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_vc,
+                   CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS min_vc,
+                   CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS max_vc,
+                   round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                         / count(*), 6) AS avg_vc
+            FROM events GROUP BY 1""",
         "cohort_retention": _cohort_retention_oracle(),
         "hashed_features": _hashed_features_oracle(),
         "separate_unite": """

@@ -652,6 +652,39 @@ def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
     assert again == got
 
 
+def test_update_rollup_equals_full_recompute(tables):
+    # folding history + delta (and delta split into two steps) must equal
+    # the one-shot aggregate exactly
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.merge import update_rollup
+
+    ev = tables["events"].select(
+        "user_id", "event_id", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    measures = {
+        "n": ("count", "event_id"),
+        "s": ("sum", "vc"),
+        "mn": ("min", "vc"),
+        "mx": ("max", "vc"),
+    }
+    full = update_rollup(None, ev, "user_id", measures)
+    three_step = update_rollup(
+        update_rollup(
+            update_rollup(None, ev.where(F.col("event_id") % 3 == 0), "user_id", measures),
+            ev.where(F.col("event_id") % 3 == 1),
+            "user_id",
+            measures,
+        ),
+        ev.where(F.col("event_id") % 3 == 2),
+        "user_id",
+        measures,
+    )
+    assert three_step.exceptAll(full).count() == 0
+    assert full.exceptAll(three_step).count() == 0
+    assert full.count() > 0
+
+
 def test_unigram_surprisal_orders_rarity(spark):
     # common-token docs must score fewer bits/token than rare-token docs;
     # a tokenless doc keeps n_tokens=0 and NULL bits_per_token

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["upsert", "snapshot_diff"]
+__all__ = ["upsert", "snapshot_diff", "update_rollup"]
 
 
 def upsert(
@@ -93,4 +93,46 @@ def snapshot_diff(
         j.withColumn("change", change)
         .where(F.col("change").isNotNull())
         .select(*ks, "change")
+    )
+
+
+def update_rollup(
+    snapshot: DataFrame | None,
+    batch: DataFrame,
+    keys: str | list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a new batch of rows into an
+    existing per-key aggregate SNAPSHOT without re-reading history — the
+    materialized-view-delta pattern every long-lived rollup table needs
+    (at 100 TB you never recompute a lifetime aggregate because a day of
+    data arrived).
+
+    ``measures`` maps output column → ``(fn, src_col)`` with fn ∈
+    {'sum', 'count', 'min', 'max'} — the self-mergeable aggregates: the
+    batch reduces to one partial row per key (map-side combine + one
+    shuffle on the key), then partials union with the snapshot and
+    combine with the SAME fold (sum for sum/count, min for min, max for
+    max).  Non-mergeable aggregates (avg, stddev) must be DERIVED from
+    mergeable ones (avg = sum/count) — store the parts, not the ratio.
+    ``snapshot=None`` bootstraps the table.  Incremental result ==
+    full recompute, bit for bit (integer/decimal measures; double sums
+    re-associate like any distributed sum).
+    """
+    _COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _FIRST = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    bad = {fn for fn, _ in measures.values()} - set(_COMBINE)
+    if bad:
+        raise ValueError(f"non-mergeable aggregate(s) {sorted(bad)!r}")
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    partial = batch.groupBy(*ks).agg(
+        *[_FIRST[fn](src).alias(out) for out, (fn, src) in measures.items()]
+    )
+    if snapshot is None:
+        return partial
+    merged = snapshot.select(*ks, *measures).unionByName(
+        partial.select(*ks, *measures)
+    )
+    return merged.groupBy(*ks).agg(
+        *[_COMBINE[fn](out).alias(out) for out, (fn, _) in measures.items()]
     )

@@ -147,8 +147,6 @@ def _cosine_topk_blas(
       window merges per-cell partial top-ks.  No driver serialization
       point at any size (the round-2 driver-pump chunk loop is gone).
     """
-    import math
-
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

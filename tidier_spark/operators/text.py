@@ -378,8 +378,6 @@ def unigram_surprisal(
     the corpus); the 1-row total crossJoins as a broadcast.  No Python
     workers, no driver state.
     """
-    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
-
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     totals = freqs.agg(F.sum("freq").alias("total"))
