@@ -2420,6 +2420,104 @@ def _q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandasWithState custom stateful operator: per-user trailing
+    # 1-hour mean over event time, replayed through the real streaming
+    # engine and hash-checked against the batch RANGE-frame oracle.
+    # Portability pinning: the order key gets a unique event_id micro
+    # offset (RANGE peers would otherwise make the result depend on
+    # within-batch processing order) and values are penny-quantized so
+    # the Python running sum and DuckDB's window avg are both exact.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_trailing_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("user_id"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) + F.col("event_id")
+        ).alias("ts2"),
+        F.round(F.col("value") * 100).alias("vc"),
+    )
+    out = stream_trailing_agg(
+        src,
+        key_col="user_id",
+        time_col="ts2",
+        value_col="vc",
+        trailing_seconds=3600,
+        timeout_minutes=None,  # bounded replay: expiry would spin batches
+    )
+    res = run_stream(
+        out,
+        name="stream_trailing_entry",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.select(
+        F.col("key").alias("user_id"),
+        F.col("ts").alias("ts2"),
+        F.col("value").alias("vc"),
+        F.round("trail_avg", 6).alias("trail_avg"),
+    )
+
+
+def _q_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seeded Bernoulli sampling (stratified_sample / mix_datasets) uses
+    # Spark's per-partition RNG — not SQL-reproducible — so the entry
+    # emits GUARANTEE ROWS: per-stratum totals (independently recomputed
+    # by the oracle) plus a boolean asserting the sampled fraction sits
+    # within 6-sigma binomial bounds of the requested rate.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import mix_datasets, stratified_sample
+
+    fracs = {"click": 0.5, "view": 0.25, "purchase": 1.0}
+    ev = read_table(spark, sf_dir, "events")
+    sampled = stratified_sample(ev, "event_type", fracs, seed=42)
+    n_s = sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    n_t = (
+        ev.where(F.col("event_type").isin(*fracs))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    frac = F.when(F.lit(False), F.lit(0.0))
+    for k, v in fracs.items():
+        frac = frac.when(F.col("event_type") == k, F.lit(v))
+    bound = 6.0 * F.sqrt(frac * (1 - frac) / F.col("n_total")) + 1.0 / F.col("n_total")
+    strata = (
+        n_t.join(n_s, "event_type", "left")
+        .na.fill({"n_sampled": 0})
+        .select(
+            F.col("event_type").alias("stratum"),
+            F.col("n_total").cast("long").alias("n_total"),
+            (
+                F.abs(F.col("n_sampled") / F.col("n_total") - frac) <= bound
+            ).alias("ok"),
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    even = docs.where(F.col("doc_id") % 2 == 0)
+    odd = docs.where(F.col("doc_id") % 2 == 1)
+    mixed = mix_datasets([even, odd], [1.0, 0.5], seed=42)
+    mix_row = (
+        even.groupBy()
+        .agg(F.count(F.lit(1)).alias("n_even"))
+        .crossJoin(odd.groupBy().agg(F.count(F.lit(1)).alias("n_odd")))
+        .crossJoin(mixed.groupBy().agg(F.count(F.lit(1)).alias("n_mixed")))
+        .select(
+            F.lit("doc_mix").alias("stratum"),
+            (F.col("n_even") + F.col("n_odd")).cast("long").alias("n_total"),
+            (
+                F.abs(F.col("n_mixed") - (F.col("n_even") + 0.5 * F.col("n_odd")))
+                <= 6.0 * F.sqrt(0.25 * F.col("n_odd")) + 1.0
+            ).alias("ok"),
+        )
+    )
+    return strata.unionByName(mix_row)
+
+
 def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental aggregate maintenance: a per-user rollup snapshot built
     # from the historical 4/5 of events is folded together with the
@@ -2541,6 +2639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
+        "stream_trailing": _q_stream_trailing,
+        "stratified_mix": _q_stratified_mix,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3106,6 +3206,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
+        "stream_trailing": """
+            SELECT user_id,
+                   make_timestamp(epoch_us(ts) + event_id) AS ts2,
+                   CAST(round(value * 100) AS DOUBLE) AS vc,
+                   round(avg(round(value * 100)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY epoch_us(ts) + event_id
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+                     AS trail_avg
+            FROM events""",
+        "stratified_mix": """
+            SELECT event_type AS stratum,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   true AS ok
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1
+            UNION ALL
+            SELECT 'doc_mix' AS stratum,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   true AS ok
+            FROM documents""",
         "incremental_rollup": """
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,

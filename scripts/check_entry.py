@@ -99,7 +99,13 @@ def main() -> int:
             # when names match — surface it explicitly.
             def _kind(spec: str) -> str:
                 d = spec.split(":", 1)[1]
-                return "f" if d.startswith("float") else ("i" if d.startswith(("int", "uint")) else d)
+                if d.startswith("float"):
+                    return "f"
+                if d.startswith(("int", "uint")):
+                    return "i"
+                if d.startswith("datetime64"):
+                    return "t"  # ns-vs-us is normalized before hashing
+                return d
             kinds_s = [(_s.split(":")[0], _kind(_s)) for _s in sschema]
             kinds_o = [(_s.split(":")[0], _kind(_s)) for _s in oschema]
             if kinds_s != kinds_o:

@@ -188,6 +188,9 @@ def test_stream_trailing_agg_streaming(spark, sf_dir, tmp_path):
         time_col="ts",
         value_col="value",
         trailing_seconds=3600,
+        # bounded replay: processing-time expiry would keep the engine
+        # spinning empty micro-batches until the awaitTermination deadline
+        timeout_minutes=None,
     )
     q = (
         out.writeStream.format("memory")
@@ -196,7 +199,7 @@ def test_stream_trailing_agg_streaming(spark, sf_dir, tmp_path):
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "trailing replay did not finish"
     got = {
         (r["key"], r["ts"]): round(r["trail_avg"], 6)
         for r in spark.sql("SELECT * FROM trail_test").collect()

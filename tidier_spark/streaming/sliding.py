@@ -126,7 +126,7 @@ def stream_trailing_agg(
     time_col: str,
     value_col: str,
     trailing_seconds: int,
-    timeout_minutes: int = 30,
+    timeout_minutes: int | None = 30,
 ) -> DataFrame:
     """Per-key trailing-window mean over event time, exactly tidier's O5
     flagship frame (`README.md:25-54`) as a *streaming* stateful operator.
@@ -137,6 +137,12 @@ def stream_trailing_agg(
     and backfill agree exactly).  State per key = the event
     buffer inside the trailing span (bounded by frame width × event rate);
     idle keys expire after ``timeout_minutes`` of processing time.
+
+    ``timeout_minutes=None`` disables state expiry (NoTimeout).  Use it
+    for BOUNDED AvailableNow replays: a processing-time timeout keeps the
+    streaming engine scheduling extra micro-batches to fire expirations,
+    so a replay that should end with the data never terminates; expiry is
+    a liveness feature for unbounded production streams only.
 
     Implementation: ``applyInPandasWithState`` — the Spark-native form of a
     custom stateful operator (SURVEY brief: "applyInPandasWithState for
@@ -194,7 +200,8 @@ def stream_trailing_agg(
             out["ts"] = out["ts"].astype("datetime64[us]")
             outs.append(out)
         state.update((ts_list, val_list))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         for o in outs:
             yield o
 
@@ -210,7 +217,11 @@ def stream_trailing_agg(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 
