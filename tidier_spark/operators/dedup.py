@@ -45,6 +45,7 @@ __all__ = [
     "embedding_near_dup_lsh",
     "simhash",
     "simhash_candidate_pairs",
+    "banded_signatures",
     "contamination_check",
     "contamination_sql",
     "semantic_dedup_pairs",
@@ -271,6 +272,41 @@ def near_dup_pairs(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    out_id: str | None = None,
+    _shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """Banded MinHash signature table ``(out_id, band, sig)`` — one row per
+    (doc, band).  This IS the persistable reference store for incremental
+    dedup: compute it once per corpus (or per crawl increment), write it
+    as a table, and every later :func:`dedup_against` /
+    ``stream_dedup_against`` batch joins against it instead of
+    re-aggregating the reference side's min-hashes."""
+    if k % bands:
+        raise ValueError(f"k={k} must divide into bands={bands}")
+    r = k // bands
+    oid = out_id or id_col
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, _shingle_df=_shingle_df)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh_{b * r + i}") for i in range(r)])
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col).alias(oid), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(oid, "bs.band", "bs.sig")
+
+
 def dedup_against(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -282,6 +318,7 @@ def dedup_against(
     threshold: float = 0.3,
     shingles_new: DataFrame | None = None,
     shingles_ref: DataFrame | None = None,
+    bands_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental dedup: which NEW documents are near-dups of an existing
     REFERENCE corpus — the shape of every "don't re-ingest what the last
@@ -291,36 +328,24 @@ def dedup_against(
 
     Same banded-LSH machinery as :func:`near_dup_pairs` but the band join
     is new×ref ONLY — no within-side pairs, so a huge reference corpus
-    never self-joins.  At 100 TB the reference side's shingles/signatures
-    are computed once and persisted as a table — pass them back in via
-    ``shingles_ref`` (schema ``(id_col, shingle)``, one row per distinct
-    shingle per doc, e.g. from ``_distinct_shingles`` or a parquet
-    round-trip) so the per-crawl cost is the new side's signatures + one
-    equi-join on (band, sig) + candidate-bounded verification.  When both
-    sides slice one source table, compute the shingle frame once and pass
-    both slices — one shingling pass instead of two.
+    never self-joins.  At 100 TB the reference side is a PERSISTED STORE,
+    not a recompute: pass ``shingles_ref`` (``(id_col, shingle)`` rows —
+    the verification input) and ``bands_ref``
+    (:func:`banded_signatures` output named ``ref_id`` — the candidate
+    join input) from tables built once per corpus, so the per-crawl cost
+    is the new side's signatures + one equi-join on (band, sig) +
+    candidate-bounded verification.  When both sides slice one source
+    table, compute the shingle frame once and pass both slices — one
+    shingling pass instead of two.
     """
     if k % bands:
         raise ValueError(f"k={k} must divide into bands={bands}")
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    r = k // bands
-
     def banded(side: DataFrame, sh: DataFrame, out_id: str) -> DataFrame:
-        sigs = minhash_signatures(side, id_col, text_col, k, shingle_n, _shingle_df=sh)
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(",", *[F.col(f"mh_{b * r + i}") for i in range(r)])
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-        return (
-            sigs.select(F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bs"))
-            .select(out_id, "bs.band", "bs.sig")
+        return banded_signatures(
+            side, id_col, text_col, k, bands, shingle_n, out_id, _shingle_df=sh
         )
 
     # caller-supplied shingle frames are reused as-is (the caller owns
@@ -342,9 +367,12 @@ def dedup_against(
             StorageLevel.MEMORY_AND_DISK
         )
     )
+    ref_bands = (
+        bands_ref if bands_ref is not None else banded(ref_df, sh_ref, "ref_id")
+    )
     cand = (
         banded(new_df, sh_new, "doc_id_n")
-        .join(banded(ref_df, sh_ref, "ref_id"), on=["band", "sig"])
+        .join(ref_bands, on=["band", "sig"])
         .select(F.col("doc_id_n"), F.col("ref_id"))
         .distinct()
     )

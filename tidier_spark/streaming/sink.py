@@ -182,12 +182,23 @@ def stream_dedup_against(
     """
     from pyspark import StorageLevel
 
-    from ..operators.dedup import _distinct_shingles, dedup_against
+    from ..operators.dedup import (
+        _distinct_shingles,
+        banded_signatures,
+        dedup_against,
+    )
 
     spark = stream.sparkSession
+    # the REFERENCE STORE: shingles (verification input) and banded
+    # signatures (candidate-join input), both computed once and persisted
+    # — every micro-batch joins against these instead of re-aggregating
+    # the reference side (at 100 TB: parquet tables, not cache)
     sh_ref = _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    bands_ref = banded_signatures(
+        ref_df, id_col, text_col, k, bands, shingle_n, "ref_id", _shingle_df=sh_ref
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out_dir = os.path.join(path, "survivors")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -208,6 +219,7 @@ def stream_dedup_against(
                 threshold,
                 shingles_new=sh_b,
                 shingles_ref=sh_ref,
+                bands_ref=bands_ref,
             )
             survivors = batch_df.join(
                 matches.select(id_col), id_col, "left_anti"
@@ -240,6 +252,7 @@ def stream_dedup_against(
             q.stop()
     finally:
         sh_ref.unpersist()
+        bands_ref.unpersist()
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.read.parquet(out_dir)
