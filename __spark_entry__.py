@@ -2518,6 +2518,29 @@ def _q_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strata.unionByName(mix_row)
 
 
+_VALIDATE_RULES = {
+    "event_id": [("not_null",), ("unique",)],
+    "user_id": [("not_null",), ("between", 0, 10_000_000)],
+    "value": [("between", -1_000_000, 1_000_000)],
+    "event_type": [
+        ("in_set", "click", "view", "purchase", "signup", "error"),
+        ("matches", "^[a-z]+$"),
+    ],
+}
+
+
+def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deequ-style data-quality gate: the whole rule set folds into ONE
+    # aggregation pass (conditional counts + count_distinct), unpivoted
+    # to a row per rule — the validation report a pipeline checks before
+    # shipping a table.  n_violations are recomputed independently by
+    # the SQL oracle.
+    from tidier_spark.operators.expectations import validate
+
+    ev = read_table(spark, sf_dir, "events")
+    return validate(ev, _VALIDATE_RULES)
+
+
 def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental aggregate maintenance: a per-user rollup snapshot built
     # from the historical 4/5 of events is folded together with the
@@ -2641,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "stream_trailing": _q_stream_trailing,
         "stratified_mix": _q_stratified_mix,
+        "validate_events": _q_validate_events,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3206,6 +3230,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
+        "validate_events": _validate_events_oracle(),
         "stream_trailing": """
             SELECT user_id,
                    make_timestamp(epoch_us(ts) + event_id) AS ts2,
@@ -3307,6 +3332,12 @@ def _stream_dedup_against_oracle() -> str:
         FROM documents
         WHERE doc_id % 2 = 1
           AND doc_id NOT IN (SELECT doc_id FROM ({_dedup_against_oracle()}))"""
+
+
+def _validate_events_oracle() -> str:
+    from tidier_spark.operators.expectations import validate_sql
+
+    return validate_sql("events", _VALIDATE_RULES)
 
 
 def _lm_surprisal_oracle() -> str:

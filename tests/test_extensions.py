@@ -652,6 +652,31 @@ def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
     assert again == got
 
 
+def test_validate_reports_exact_violation_counts(spark):
+    from tidier_spark.operators.expectations import validate
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (2, None, -1.0), (None, "zz", 7.0)],
+        "id long, tag string, v double",
+    )
+    got = {
+        (r["column"], r["rule"]): (r["n_violations"], r["ok"])
+        for r in validate(
+            df,
+            {
+                "id": [("not_null",), ("unique",)],
+                "tag": [("in_set", "a", "b"), ("matches", "^[a-z]$")],
+                "v": [("between", 0, 10)],
+            },
+        ).collect()
+    }
+    assert got[("id", "not_null")] == (1, False)
+    assert got[("id", "unique")] == (1, False)  # two id=2 rows
+    assert got[("tag", "in_set")] == (1, False)  # 'zz'; NULL passes
+    assert got[("tag", "matches")] == (1, False)
+    assert got[("v", "between_0_10")] == (2, False)  # 50.0 and -1.0
+
+
 def test_update_rollup_equals_full_recompute(tables):
     # folding history + delta (and delta split into two steps) must equal
     # the one-shot aggregate exactly

@@ -1,0 +1,163 @@
+"""Data-quality expectations: declarative constraint checks over a table.
+
+The validation gate every production pipeline runs before data ships
+(the Deequ/Great-Expectations shape, re-expressed as ONE Spark
+aggregation): each rule compiles to a conditional-count aggregate, the
+whole rule set folds into a single ``agg()`` pass — one scan, map-side
+partial combine, no shuffle beyond the final 1-row reduce — and the
+result unpivots to one row per rule ``(column, rule, n_violations, ok)``.
+
+Rules (constraint grammar):
+
+* ``("not_null",)`` — NULL values violate
+* ``("unique",)`` — rows sharing a value violate (counted as
+  n_rows − n_distinct; NULLs ignored, matching SQL UNIQUE)
+* ``("between", lo, hi)`` — values outside [lo, hi] violate (NULL passes;
+  combine with not_null to forbid)
+* ``("in_set", v1, v2, ...)`` — values outside the set violate
+* ``("matches", regex)`` — non-matching strings violate
+
+Uniqueness is the one rule a single conditional count can't express; it
+rides ``count_distinct`` in the same aggregate pass (exact — the
+mergeable-sketch variant for 100 TB is ``approx_count_distinct``, noted
+in the docstring knob).
+
+Scale: everything is one ``groupBy().agg()`` over conditional sums —
+the cheapest possible full-table pass; at 100 TB swap ``count_distinct``
+for ``approx_count_distinct(rsd)`` if exact uniqueness is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate", "validate_sql"]
+
+
+def _rule_name(rule: tuple) -> str:
+    kind = rule[0]
+    if kind == "between":
+        return f"between_{rule[1]}_{rule[2]}"
+    if kind == "in_set":
+        return "in_set"
+    if kind == "matches":
+        return "matches"
+    return kind
+
+
+def _violation_expr(col: str, rule: tuple):
+    kind = rule[0]
+    c = F.col(col)
+    if kind == "not_null":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0))
+    if kind == "between":
+        lo, hi = rule[1], rule[2]
+        return F.sum(
+            F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1).otherwise(0)
+        )
+    if kind == "in_set":
+        vals = list(rule[1:])
+        return F.sum(F.when(c.isNotNull() & ~c.isin(*vals), 1).otherwise(0))
+    if kind == "matches":
+        return F.sum(
+            F.when(c.isNotNull() & ~c.rlike(rule[1]), 1).otherwise(0)
+        )
+    if kind == "unique":
+        # resolved after the agg: n_nonnull − n_distinct
+        return None
+    raise ValueError(f"unknown rule {kind!r}")
+
+
+def validate(df: DataFrame, rules: dict[str, list[tuple]]) -> DataFrame:
+    """Run ``rules`` (column → list of rule tuples) in ONE aggregate pass.
+
+    Returns one row per (column, rule): ``(column, rule, n_violations,
+    ok)``, ordered deterministically by (column, rule).
+    """
+    aggs = []
+    post = []  # (column, rule_name, builder over the agg row)
+    for col, col_rules in sorted(rules.items()):
+        for rule in col_rules:
+            if not isinstance(rule, tuple):
+                rule = (rule,)
+            name = _rule_name(rule)
+            slot = f"__v_{col}_{name}"
+            if rule[0] == "unique":
+                aggs.append(
+                    F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0)).alias(
+                        f"__n_{col}"
+                    )
+                )
+                aggs.append(F.count_distinct(F.col(col)).alias(f"__d_{col}"))
+                post.append(
+                    (col, name, F.col(f"__n_{col}") - F.col(f"__d_{col}"))
+                )
+            else:
+                aggs.append(_violation_expr(col, rule).alias(slot))
+                post.append((col, name, F.col(slot)))
+    stats = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(col).alias("column"),
+            F.lit(name).alias("rule"),
+            F.coalesce(expr, F.lit(0)).cast("long").alias("n_violations"),
+        )
+        for col, name, expr in post
+    ]
+    return (
+        stats.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.column", "r.rule", "r.n_violations")
+        .withColumn("ok", F.col("n_violations") == 0)
+        .orderBy("column", "rule")
+    )
+
+
+def validate_sql(table: str, rules: dict[str, list[tuple]]) -> str:
+    """DuckDB mirror of :func:`validate` — same rule grammar, same output
+    contract, CASTs pinned (DuckDB integer aggregates are HUGEINT →
+    pandas float64 without them)."""
+    selects = []
+    for col, col_rules in sorted(rules.items()):
+        for rule in col_rules:
+            if not isinstance(rule, tuple):
+                rule = (rule,)
+            name = _rule_name(rule)
+            kind = rule[0]
+            if kind == "not_null":
+                v = f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+            elif kind == "between":
+                v = (
+                    f"sum(CASE WHEN {col} IS NOT NULL AND"
+                    f" ({col} < {rule[1]} OR {col} > {rule[2]}) THEN 1 ELSE 0 END)"
+                )
+            elif kind == "in_set":
+                vals = ", ".join(
+                    f"'{x}'" if isinstance(x, str) else str(x) for x in rule[1:]
+                )
+                v = (
+                    f"sum(CASE WHEN {col} IS NOT NULL AND"
+                    f" {col} NOT IN ({vals}) THEN 1 ELSE 0 END)"
+                )
+            elif kind == "matches":
+                v = (
+                    f"sum(CASE WHEN {col} IS NOT NULL AND"
+                    f" NOT regexp_matches({col}, '{rule[1]}') THEN 1 ELSE 0 END)"
+                )
+            elif kind == "unique":
+                v = (
+                    f"sum(CASE WHEN {col} IS NOT NULL THEN 1 ELSE 0 END)"
+                    f" - count(DISTINCT {col})"
+                )
+            else:
+                raise ValueError(f"unknown rule {kind!r}")
+            selects.append(
+                f'SELECT \'{col}\' AS "column", \'{name}\' AS rule,\n'
+                f"       CAST(coalesce({v}, 0) AS BIGINT) AS n_violations\n"
+                f"FROM {table}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        f'SELECT "column", rule, n_violations, n_violations = 0 AS ok\n'
+        f'FROM ({union})\nORDER BY "column", rule'
+    )
