@@ -2541,6 +2541,19 @@ def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(ev, _VALIDATE_RULES)
 
 
+def _q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edit-distance self-join (entity matching): customer-name pairs
+    # within Levenshtein distance 1 via FastSS deletion-neighborhood
+    # candidates (equi-join on single-deletion variants — complete for
+    # d<=1, never a cross join) + exact levenshtein verify.  The oracle
+    # is the brute-force quadratic scan — fine at check scale, never the
+    # Spark plan.
+    from tidier_spark.operators.fuzzy import fuzzy_self_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    return fuzzy_self_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
 def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental aggregate maintenance: a per-user rollup snapshot built
     # from the historical 4/5 of events is folded together with the
@@ -2665,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_trailing": _q_stream_trailing,
         "stratified_mix": _q_stratified_mix,
         "validate_events": _q_validate_events,
+        "fuzzy_names": _q_fuzzy_names,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3231,6 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
         "validate_events": _validate_events_oracle(),
+        "fuzzy_names": _fuzzy_names_oracle(),
         "stream_trailing": """
             SELECT user_id,
                    make_timestamp(epoch_us(ts) + event_id) AS ts2,
@@ -3332,6 +3347,12 @@ def _stream_dedup_against_oracle() -> str:
         FROM documents
         WHERE doc_id % 2 = 1
           AND doc_id NOT IN (SELECT doc_id FROM ({_dedup_against_oracle()}))"""
+
+
+def _fuzzy_names_oracle() -> str:
+    from tidier_spark.operators.fuzzy import fuzzy_self_join_sql
+
+    return fuzzy_self_join_sql("customer", "c_custkey", "c_name", max_dist=1)
 
 
 def _validate_events_oracle() -> str:

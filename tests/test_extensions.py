@@ -652,6 +652,41 @@ def test_stream_merge_multi_batch_out_of_order(spark, tmp_path):
     assert again == got
 
 
+def test_fuzzy_self_join_distance1_complete(spark):
+    # deletion-neighborhood candidates must find EVERY pair at edit
+    # distance <= 1 — substitution, insertion/deletion, repeated-char
+    # runs — and nothing farther
+    from itertools import combinations
+
+    from tidier_spark.operators.fuzzy import fuzzy_self_join
+
+    names = ["abcd", "abxd", "abd", "abcde", "zzzz", "abce", "aabcd"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join(df, "id", "s").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    want = {
+        (i, j): lev(names[i], names[j])
+        for i, j in combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
 def test_validate_reports_exact_violation_counts(spark):
     from tidier_spark.operators.expectations import validate
 
