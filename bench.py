@@ -93,14 +93,17 @@ def main() -> None:
         "n_queries": len(timings),
     }
     line = json.dumps(record, separators=(",", ":"))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
-            "w",
-        ) as fh:
-            fh.write(line + "\n")
-    except OSError:
-        pass  # read-only checkout: stdout still carries the record
+    if len(sys.argv) <= 1:  # full board only — subsets must not clobber
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+                ),
+                "w",
+            ) as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries the record
     print(line)
 
 
