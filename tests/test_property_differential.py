@@ -138,3 +138,87 @@ def test_random_range_frame_matches_duckdb(spec, tables, sf_dir):
         FROM events
         WINDOW w AS ({part} ORDER BY ts RANGE BETWEEN {lo} AND {hi})"""
     assert_matches_oracle(r, sql, sf_dir)
+
+
+# --- round-3 operators -----------------------------------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="ab#0", min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_fuzzy_join_complete_on_random_strings(names, spark):
+    # the deletion-neighborhood candidate filter must find EXACTLY the
+    # Levenshtein<=1 pairs on arbitrary strings (tiny alphabet maximizes
+    # collisions, empty strings included)
+    from itertools import combinations
+
+    from tidier_spark.operators.fuzzy import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join(df, "id", "s").collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (i, j): lev(names[i], names[j])
+        for i, j in combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(0, 4),
+)
+def test_update_rollup_any_split_matches_full(rows, split, spark):
+    # folding any 2-way split of the rows must equal the one-shot
+    # aggregate — the mergeability property update_rollup rests on
+    from tidier_spark.operators.merge import update_rollup
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], "k long, i long, v long"
+    )
+    measures = {
+        "n": ("count", "i"),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    full = update_rollup(None, df, "k", measures)
+    a = df.where(df.i % 5 < split)
+    b = df.where(df.i % 5 >= split)
+    inc = update_rollup(update_rollup(None, a, "k", measures), b, "k", measures)
+    got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in inc.collect()}
+    want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in full.collect()}
+    assert got == want
