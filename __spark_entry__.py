@@ -2312,6 +2312,44 @@ def _q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_features(docs, dim=64)
 
 
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style repeated-span removal: excise every 3-token span occurring
+    # in >= 3 distinct documents, reassemble the survivors in order.
+    # Explode is map-only; the bad-span set is a heavy-hitter aggregate
+    # that BROADCASTS back as a left-anti probe; reassembly is one
+    # exchange keyed by the unique doc id.
+    from tidier_spark.operators.corpus import remove_repeated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, span_tokens=3, min_docs=3)
+
+
+def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-style linear quality-classifier inference with a
+    # hash-derived weight table — exact BIGINT milli-score, map-only
+    # (scores at scan throughput; swapping in trained weights keeps the
+    # plan shape).
+    from tidier_spark.operators.quality import classifier_score
+
+    docs = read_table(spark, sf_dir, "documents")
+    return classifier_score(docs)
+
+
+def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language top-quality-quartile gate (score -> prune stage of the
+    # corpus pipeline).  Exact ntile path for oracle parity; the
+    # approx-threshold path (no per-group sort) is the 100 TB variant,
+    # differentially tested in pytest.
+    from tidier_spark.operators.quality import quantile_prune
+    from tidier_spark.operators.text import analyze_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = analyze_documents(docs).select("doc_id", "lang_pred", "quality")
+    return quantile_prune(
+        a, "quality", by="lang_pred", tiles=4, keep=1, tiebreak="doc_id"
+    ).select("doc_id", "lang_pred", "tile")
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily cohort retention triangle (the fixture spans ~30 days):
     # first-event day per user (one min-agg), join back on the same key
@@ -2610,6 +2648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-checked block, and finally the entries the round-2 driver run
     # already confirmed green.  Re-shuffle each round as rows go green.
     return {
+        # -- round-3 additions (never driver-checked)
+        "repeated_spans": _q_repeated_spans,
+        "classifier_score": _q_classifier_score,
+        "quantile_prune": _q_quantile_prune,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -2957,6 +2999,9 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    sum(round(value * 100)) / 100 AS sum_v
             FROM events GROUP BY 1, 2""",
+        "repeated_spans": _repeated_spans_oracle(),
+        "classifier_score": _classifier_score_oracle(),
+        "quantile_prune": _quantile_prune_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3365,6 +3410,32 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _repeated_spans_oracle() -> str:
+    from tidier_spark.operators.corpus import remove_repeated_spans_sql
+
+    return remove_repeated_spans_sql("documents", span_tokens=3, min_docs=3)
+
+
+def _classifier_score_oracle() -> str:
+    from tidier_spark.operators.quality import classifier_score_sql
+
+    return classifier_score_sql("documents")
+
+
+def _quantile_prune_oracle() -> str:
+    from tidier_spark.operators import text as T
+
+    quality = T.quality_sql_columns("text")["quality"]
+    lang = T.detect_language_sql("text")
+    return f"""
+        SELECT doc_id, lang_pred, tile FROM (
+          SELECT doc_id, {lang} AS lang_pred,
+                 ntile(4) OVER (PARTITION BY {lang}
+                   ORDER BY {quality} DESC, doc_id)::BIGINT AS tile
+          FROM documents
+        ) WHERE tile <= 1"""
 
 
 def _text_analysis_oracle() -> str:

@@ -1154,3 +1154,76 @@ def test_hashed_features_totals_and_range(tables):
     assert sums and all(r.tot == r.n_toks for r in sums)
     rng = hf.agg(F.min("bucket"), F.max("bucket")).collect()[0]
     assert rng[0] >= 0 and rng[1] < 32
+
+
+def test_remove_repeated_spans_invariants(tables):
+    from tidier_spark.operators.corpus import remove_repeated_spans
+    from tidier_spark.operators.text import tokens
+
+    docs = tables["documents"]
+    out = remove_repeated_spans(docs, span_tokens=3, min_docs=3)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc survives as a row
+    assert all(0 <= r.n_kept <= r.n_spans for r in rows)
+    assert any(r.n_kept < r.n_spans for r in rows)  # non-trivial removal
+    # clean_text token count == 3 * full kept spans (+ short tail span)
+    for r in rows:
+        n_toks = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_toks <= 3 * r.n_kept
+
+    # min_docs beyond corpus size removes nothing: clean_text is the
+    # token-normalized original in order
+    noop = remove_repeated_spans(docs, span_tokens=3, min_docs=10**6)
+    orig = docs.select("doc_id", F.concat_ws(" ", tokens("text")).alias("norm"))
+    diff = (
+        noop.join(orig, "doc_id")
+        .where((F.col("clean_text") != F.col("norm")) | (F.col("n_kept") != F.col("n_spans")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_classifier_score_additive_and_empty(spark):
+    from tidier_spark.operators.quality import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "alpha beta gamma"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in classifier_score(df).collect()}
+    # bag-of-words additivity: score(doc3) = score(doc1) + score(doc2)
+    assert got[3].score_milli == got[1].score_milli + got[2].score_milli
+    assert got[4].score_milli == 0 and got[4].label is False
+    assert all(g.label == (g.score_milli > 0) for g in got.values())
+
+
+def test_quantile_prune_exact_and_approx(tables):
+    from tidier_spark.operators.quality import quantile_prune
+    from tidier_spark.operators.text import analyze_documents
+
+    a = analyze_documents(tables["documents"]).select(
+        "doc_id", "lang_pred", "quality"
+    )
+    # keep=tiles returns everything, tiles balanced within 1 per group
+    full = quantile_prune(a, "quality", by="lang_pred", tiles=4, keep=4,
+                          tiebreak="doc_id")
+    assert full.count() == a.count()
+    sizes = (
+        full.groupBy("lang_pred", "tile").count()
+        .groupBy("lang_pred")
+        .agg((F.max("count") - F.min("count")).alias("spread"))
+        .collect()
+    )
+    assert all(r.spread <= 1 for r in sizes)
+
+    # approx path: subset of input, keeps every group's max row, tile NULL
+    approx = quantile_prune(a, "quality", by="lang_pred", tiles=4, keep=1,
+                            exact=False)
+    assert approx.count() <= a.count()
+    tops = (
+        a.groupBy("lang_pred").agg(F.max("quality").alias("quality"))
+        .join(approx, ["lang_pred", "quality"], "left_anti")
+        .count()
+    )
+    assert tops == 0
+    assert all(r.tile is None for r in approx.select("tile").limit(5).collect())

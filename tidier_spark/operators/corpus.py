@@ -30,6 +30,8 @@ __all__ = [
     "weighted_sample_sql",
     "shuffle_rows",
     "shuffle_rows_sql",
+    "remove_repeated_spans",
+    "remove_repeated_spans_sql",
 ]
 
 
@@ -487,3 +489,137 @@ def shuffle_rows_sql(
                  ORDER BY md5({id_col}::VARCHAR || ':{salt}'), {id_col}
                )::BIGINT AS {out}
         FROM {table}"""
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 4,
+) -> DataFrame:
+    """C4-style repeated-span removal: delete every non-overlapping
+    ``span_tokens``-token span whose text occurs in ≥ ``min_docs``
+    DISTINCT documents (boilerplate, licence blurbs, navigation chrome),
+    then reassemble each document from its surviving spans in order.
+
+    This is the corpus-level complement of :func:`boilerplate_ngrams`
+    (which only REPORTS the heavy hitters): here the offending content is
+    actually excised and the document text rebuilt — the C4 "three-sentence
+    span" dedup rule re-expressed over fixed token windows, since span
+    boundaries must be deterministic and engine-portable.
+
+    Plan shape (100 TB reading): tokenize + explode spans is map-only with
+    fan-out n/span_tokens per doc; the bad-span list is one hash aggregate
+    over per-doc-distinct 60-bit span hashes (map-side combine, keys are
+    uniform hashes — no skew); by construction it holds only spans with
+    document-frequency ≥ min_docs, i.e. a heavy-hitter set orders of
+    magnitude smaller than the corpus, so the removal join BROADCASTS as a
+    left-anti probe (no second shuffle of the span rows).  Reassembly
+    groups by the doc id — the one unavoidable wide exchange, keyed by the
+    (unique) document id.  The span branch is computed twice (once narrow
+    for the bad-set, once full for reassembly); column pruning makes the
+    first pass (id, hash) only.
+    """
+    from .dedup import _fan_out
+    from .text import hash60, tokens
+
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    k = span_tokens
+    toks = _fan_out(df).select(F.col(id_col), tokens(text_col).alias("__t"))
+    base = toks.select(
+        F.col(id_col),
+        F.col("__t"),
+        F.ceil(F.size("__t") / F.lit(k)).cast("long").alias("n_spans"),
+    )
+    seq = F.when(
+        F.col("n_spans") > 0,
+        F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1),
+    ).otherwise(F.array().cast("array<long>"))
+    spans = (
+        base.select(F.col(id_col), F.col("__t"), F.explode(seq).alias("span_id"))
+        .select(
+            F.col(id_col),
+            F.col("span_id"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__t"), (F.col("span_id") * k + 1).cast("int"), k),
+            ).alias("span_text"),
+        )
+        .withColumn("__h", hash60(F.col("span_text")))
+    )
+    bad = (
+        spans.select(id_col, "__h")
+        .dropDuplicates([id_col, "__h"])
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__h")
+    )
+    kept = spans.join(F.broadcast(bad), "__h", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_id", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(id_col, "n_spans")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def remove_repeated_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 16,
+    min_docs: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`remove_repeated_spans` (same span schedule,
+    same 60-bit md5 span hash, same distinct-doc-frequency threshold)."""
+    from .text import hash60_sql, tokens_sql
+
+    k = span_tokens
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {tokens_sql(text_col)} AS t,
+                 CAST(ceil(len({tokens_sql(text_col)}) / {k}.0) AS BIGINT) AS n_spans
+          FROM {table}
+        ),
+        spans AS (
+          SELECT {id_col}, ci::BIGINT AS span_id,
+                 array_to_string(list_slice(t, ci * {k} + 1, ci * {k} + {k}), ' ')
+                   AS span_text
+          FROM (SELECT {id_col}, t, unnest(range(0, n_spans)) AS ci FROM base)
+        ),
+        hashed AS (
+          SELECT {id_col}, span_id, span_text,
+                 {hash60_sql('span_text')} AS h
+          FROM spans
+        ),
+        bad AS (
+          SELECT h FROM (SELECT DISTINCT {id_col}, h FROM hashed)
+          GROUP BY h HAVING count(*) >= {min_docs}
+        ),
+        agg AS (
+          SELECT {id_col}, count(*)::BIGINT AS n_kept,
+                 string_agg(span_text, ' ' ORDER BY span_id) AS clean_text
+          FROM hashed WHERE h NOT IN (SELECT h FROM bad)
+          GROUP BY {id_col}
+        )
+        SELECT b.{id_col}, b.n_spans,
+               coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(a.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN agg a USING ({id_col})"""

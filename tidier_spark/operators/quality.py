@@ -31,6 +31,9 @@ __all__ = [
     "hashed_features",
     "hashed_features_sql",
     "scale_features",
+    "classifier_score",
+    "classifier_score_sql",
+    "quantile_prune",
 ]
 
 
@@ -358,3 +361,125 @@ def hashed_features_sql(
           FROM {table}
         )
         GROUP BY 1, 2"""
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "score_milli",
+) -> DataFrame:
+    """Linear bag-of-tokens classifier INFERENCE (the fastText-style
+    quality-classifier stage of a pretraining pipeline): each token carries
+    a weight from a hash-derived table, the document score is the sum over
+    token occurrences, and ``label`` is the sign.
+
+    The weight table is ``hash60(token) % 2001 − 1000`` — milli-units in
+    [−1000, 1000], so the score is an EXACT BIGINT (`score_milli`; divide
+    by 1000·n_tokens downstream for a mean-weight score).  Swapping in real
+    trained weights means replacing the hash expression with a broadcast
+    ``map_from_entries`` lookup over the model's vocabulary — the plan
+    shape (map-only projection, no shuffle, no UDF) is identical; the
+    hash-derived table keeps the operator self-contained and
+    engine-portable for differential testing.
+
+    Scale: one whole-stage-codegen projection over the scan.  Nothing
+    shuffles; a 100 TB corpus scores at scan throughput.
+    """
+    from .text import hash60, tokens
+
+    score = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + (hash60(x) % 2001 - F.lit(1000)),
+    )
+    return df.select(F.col(id_col), score.alias(out)).withColumn(
+        "label", F.col(out) > 0
+    )
+
+
+def classifier_score_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "score_milli",
+) -> str:
+    """DuckDB mirror of :func:`classifier_score` (same hash-weight table;
+    CAST collapses DuckDB's HUGEINT list_sum to BIGINT — the driver-hash
+    drift rule)."""
+    from .text import hash60_sql, tokens_sql
+
+    w = f"({hash60_sql('x')} % 2001 - 1000)"
+    return f"""
+        SELECT {id_col},
+               CAST(coalesce(list_sum(list_transform(
+                 {tokens_sql(text_col)}, x -> {w})), 0) AS BIGINT) AS {out},
+               CAST(coalesce(list_sum(list_transform(
+                 {tokens_sql(text_col)}, x -> {w})), 0) AS BIGINT) > 0 AS label
+        FROM {table}"""
+
+
+def quantile_prune(
+    df: DataFrame,
+    order_col: str,
+    by: str | list[str] | None = None,
+    tiles: int = 4,
+    keep: int = 1,
+    tiebreak: str | None = None,
+    exact: bool = True,
+    out: str = "tile",
+) -> DataFrame:
+    """Per-group quantile gate: keep the rows in the top ``keep`` of
+    ``tiles`` quantile buckets of ``order_col`` (descending) within each
+    ``by`` group — "keep the top quality quartile per language", the
+    standard corpus-pruning stage between scoring and mixing.
+
+    ``exact=True`` ranks with ``ntile`` over a per-group sort (descending
+    ``order_col``, then ``tiebreak`` ascending for a total, deterministic
+    order) — integer-exact and oracle-matchable, but the per-group sort is
+    a full exchange of the group's rows; with few distinct groups (e.g.
+    languages) the partitions are FEW AND HUGE, so this path is for
+    fixture-scale parity checks and high-cardinality groups only.
+
+    ``exact=False`` is the 100 TB path: ONE bounded aggregation computes
+    the per-group ``1 − keep/tiles`` quantile threshold
+    (``approx_percentile``), the tiny stats frame broadcasts back, and the
+    gate is a row-local ``>=`` filter — no per-group sort, no skew, two
+    narrow passes over the data.  Boundary rows may differ from the exact
+    path by the sketch's rank error; ``out`` is NULL (no tile number is
+    computed).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    if not 1 <= keep <= tiles:
+        raise ValueError("need 1 <= keep <= tiles")
+    if exact:
+        order = [F.col(order_col).desc()]
+        if tiebreak:
+            order.append(F.col(tiebreak).asc())
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn(out, F.ntile(tiles).over(w).cast("long"))
+            .where(F.col(out) <= keep)
+        )
+    q = 1.0 - keep / tiles
+    stats = df.groupBy(*keys).agg(
+        F.expr(f"approx_percentile({order_col}, {q})").alias("__thr")
+    )
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+            cond = c if cond is None else (cond & c)
+        gated = (
+            df.alias("l")
+            .join(F.broadcast(stats.alias("r")), cond)
+            .where(F.col(order_col) >= F.col("__thr"))
+            .select([F.col(f"l.{c}") for c in df.columns])
+        )
+    else:
+        gated = (
+            df.join(F.broadcast(stats))
+            .where(F.col(order_col) >= F.col("__thr"))
+            .select(df.columns)
+        )
+    return gated.withColumn(out, F.lit(None).cast("long"))
