@@ -2350,6 +2350,33 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed BPE vocabulary training: one corpus pass builds the
+    # word-count vocabulary; every merge round then runs on the (small)
+    # vocab frame — one hash agg + a 1-row argmax collect per round, the
+    # graph.py bounded-convergence pattern.  Greedy merges via the
+    # wrapped-string replace trick — engine-portable, so the merge table
+    # hash-matches the oracle's unrolled-CTE mirror.
+    from tidier_spark.operators.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=6)
+
+
+def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train-then-tokenize end-to-end: learn 6 merges, then apply them
+    # corpus-wide (a map-only replace chain per token — no UDF, no
+    # shuffle) and count subword tokens per document.
+    from tidier_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    return bpe_apply(docs, merges)
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily cohort retention triangle (the fixture spans ~30 days):
     # first-event day per user (one min-agg), join back on the same key
@@ -2652,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": _q_repeated_spans,
         "classifier_score": _q_classifier_score,
         "quantile_prune": _q_quantile_prune,
+        "bpe_train": _q_bpe_train,
+        "bpe_subwords": _q_bpe_subwords,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3002,6 +3031,8 @@ def oracle_sql() -> dict[str, str]:
         "repeated_spans": _repeated_spans_oracle(),
         "classifier_score": _classifier_score_oracle(),
         "quantile_prune": _quantile_prune_oracle(),
+        "bpe_train": _bpe_train_oracle(),
+        "bpe_subwords": _bpe_subwords_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3410,6 +3441,18 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _bpe_train_oracle() -> str:
+    from tidier_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql("documents", n_merges=6)
+
+
+def _bpe_subwords_oracle() -> str:
+    from tidier_spark.operators.bpe import bpe_subwords_sql
+
+    return bpe_subwords_sql("documents", n_merges=6)
 
 
 def _repeated_spans_oracle() -> str:

@@ -1227,3 +1227,52 @@ def test_quantile_prune_exact_and_approx(tables):
     )
     assert tops == 0
     assert all(r.tile is None for r in approx.select("tile").limit(5).collect())
+
+
+def test_bpe_train_hand_example(spark):
+    from tidier_spark.operators.bpe import bpe_apply, bpe_train
+
+    # corpus: "aaab aaab ab" -> vocab {aaab:2, ab:1}
+    # round 1 pairs: (a,a): 2*2=4  (a,b): 2+1=3  -> merge (a,a)->aa
+    #   aaab -> [aa, a, b], ab -> [a, b]
+    # round 2 pairs: (aa,a):2 (a,b):2+1=3 -> merge (a,b)->ab
+    df = spark.createDataFrame([(1, "aaab aaab ab")], "doc_id long, text string")
+    m = bpe_train(df, n_merges=2).collect()
+    assert [(r.rank, r.left_sym, r.right_sym, r.pair_n) for r in m] == [
+        (1, "a", "a", 4),
+        (2, "a", "b", 3),
+    ]
+    # apply: aaab -> [aa, ab] (greedy: aa first, then ab), ab -> [ab]
+    got = {r.doc_id: r.n_subwords for r in bpe_apply(df, [("a", "a"), ("a", "b")]).collect()}
+    assert got[1] == 2 + 2 + 1
+
+
+def test_bpe_apply_no_merges_is_char_count(tables):
+    from tidier_spark.operators.bpe import bpe_apply
+    from tidier_spark.operators.text import tokens
+
+    docs = tables["documents"].limit(50)
+    zero = bpe_apply(docs, [])
+    chars = docs.select(
+        "doc_id",
+        F.aggregate(
+            tokens("text"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("n_chars_tok"),
+    )
+    diff = (
+        zero.join(chars, "doc_id")
+        .where(F.col("n_subwords") != F.col("n_chars_tok"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_bpe_merges_reduce_subword_count(tables):
+    from tidier_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = tables["documents"]
+    merges = [(r.left_sym, r.right_sym) for r in bpe_train(docs, n_merges=3).collect()]
+    assert len(merges) == 3
+    with_m = bpe_apply(docs, merges).agg(F.sum("n_subwords")).collect()[0][0]
+    without = bpe_apply(docs, []).agg(F.sum("n_subwords")).collect()[0][0]
+    assert with_m < without  # merges strictly shrink the token stream

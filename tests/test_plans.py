@@ -299,3 +299,38 @@ def test_shuffle_rows_multi_task(tables):
     s = shuffle_rows(tables["documents"])
     txt = explain_str(s, "simple")
     assert "rangepartitioning" in txt.lower(), txt
+
+
+def test_repeated_spans_broadcast_anti_probe(tables):
+    # the bad-span (heavy-hitter) set must reach the span rows as a
+    # BROADCAST left-anti probe — a shuffled anti-join of the full span
+    # fan-out would be the 100 TB bottleneck
+    from tidier_spark.operators.corpus import remove_repeated_spans
+
+    r = remove_repeated_spans(tables["documents"], span_tokens=3, min_docs=3)
+    plan = explain_str(r, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_classifier_score_is_map_only(tables):
+    # linear classifier inference must not shuffle: one codegen projection
+    from tidier_spark.operators.quality import classifier_score
+
+    r = classifier_score(tables["documents"])
+    assert count_exchanges(r) == 0, explain_str(r, "simple")
+    cols = read_schema(r)
+    assert set(cols) == {"doc_id", "text"}, cols
+
+
+def test_quantile_prune_approx_no_pergroup_sort(tables):
+    # the scale path must gate via a broadcast threshold join, not a
+    # per-group global sort (ntile's Sort+Window over few huge partitions)
+    from tidier_spark.operators.quality import quantile_prune
+
+    r = quantile_prune(
+        tables["documents"].select("doc_id", "source", "n_chars"),
+        "n_chars", by="source", tiles=4, keep=1, exact=False,
+    )
+    plan = explain_str(r, "simple")
+    assert "Window" not in plan, plan
+    assert has_broadcast_join(r), plan

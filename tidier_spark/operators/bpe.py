@@ -1,0 +1,250 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016, byte-pair
+encoding merges) — the tokenizer-training stage of a pretraining pipeline.
+
+The reference engine has no tokenizer operators (SURVEY.md §2.3
+"North-star extensions"); this is a Spark-first addition built on the key
+scaling fact of the algorithm: after ONE corpus-wide word count, every
+merge iteration runs on the VOCABULARY (|V| distinct words, weighted by
+their corpus counts), never on the corpus again.  At 100 TB the corpus
+pass is a single explode + hash aggregate; the iterations then touch a
+frame that is orders of magnitude smaller (vocabulary of a 100 TB crawl is
+~10⁷–10⁸ rows — executor-resident), with one driver-collected scalar (the
+argmax pair) per round, exactly the bounded-convergence-check pattern of
+``operators/graph.py``.
+
+Engine-portable greedy merging: a word's current segmentation is kept as a
+STRING of wrapped symbols — every symbol ``x`` is stored as ``␟x␟``
+(U+001F, can't occur in tokens), so symbols ``a·b·c`` serialize to
+``␟a␟␟b␟␟c␟``.  Applying merge (a, b) is then one ``replace(s, ␟a␟␟b␟,
+␟ab␟)``: string replace is non-overlapping left-to-right in both Spark and
+DuckDB, which IS greedy BPE merge order, and the double-delimiter wrapping
+means adjacent matches share no characters (``a a b b`` merges both pairs;
+``a a a`` merges only the first — the classic greedy result).  No UDF, no
+per-row Python; the oracle unrolls the same rounds as chained SQL CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "bpe_apply", "bpe_train_sql", "bpe_subwords_sql"]
+
+SEP = "\x1f"
+
+MERGE_SCHEMA = (
+    "rank long, left_sym string, right_sym string, merged string, pair_n long"
+)
+
+
+def _wrapped_chars(col: F.Column) -> F.Column:
+    """``abc`` → ``␟a␟␟b␟␟c␟`` (initial per-character segmentation)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
+    )
+    return F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP), F.lit(SEP))
+
+
+def _symbols(s: F.Column) -> F.Column:
+    """Inverse of the wrapping: ``␟aa␟␟b␟`` → [aa, b]."""
+    return F.split(s.substr(F.lit(2), F.length(s) - 2), SEP + SEP)
+
+
+def _adjacent_pairs(q: F.Column) -> F.Column:
+    # sequence(1, 0) DESCENDS in Spark — guard the <2-symbol case
+    return F.when(
+        F.size(q) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(q) - 1),
+            lambda i: F.struct(
+                F.element_at(q, i).alias("a"), F.element_at(q, i + 1).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table ``(rank, left_sym, right_sym, merged, pair_n)`` — the trained
+    artifact ``bpe_apply`` consumes.
+
+    Per round: adjacent-symbol pairs of every vocabulary word (weighted by
+    word count, overlapping pairs counted — the standard implementation),
+    ONE hash aggregate, argmax with total (count desc, pair asc) ordering,
+    then a map-only ``replace`` applies the merge.  The vocabulary frame is
+    persisted once and localCheckpoint'd per round so the plan stays O(1)
+    across iterations.
+    """
+    from .text import tokens
+
+    spark = df.sparkSession
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = words.select("w", "n", _wrapped_chars(F.col("w")).alias("s"))
+    cur = cur.localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        pairs = cur.select(
+            F.col("n"), F.explode(_adjacent_pairs(_symbols(F.col("s")))).alias("p")
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("pn"))
+            .orderBy(F.desc("pn"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, pn = best[0].a, best[0].b, best[0].pn
+        merges.append((r + 1, a, b, a + b, pn))
+        pat = F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
+        rep = F.lit(f"{SEP}{a}{b}{SEP}")
+        cur = cur.withColumn("s", F.replace(F.col("s"), pat, rep)).localCheckpoint()
+    return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: per word, apply the merges in
+    rank order (a chain of map-only ``replace`` calls — no UDF, no
+    shuffle), return ``(id, n_subwords)`` per document.
+
+    ``merges`` is [(left_sym, right_sym), ...] in rank order (e.g. from
+    ``bpe_train(...).collect()``).
+    """
+    from .text import tokens
+
+    def segment(word: F.Column) -> F.Column:
+        s = _wrapped_chars(word)
+        for a, b in merges:
+            s = F.replace(
+                s, F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"), F.lit(f"{SEP}{a}{b}{SEP}")
+            )
+        return F.size(_symbols(s))
+
+    n_sub = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + segment(w),
+    )
+    return df.select(F.col(id_col), n_sub.alias("n_subwords"))
+
+
+def bpe_train_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the same rounds unrolled as
+    chained CTEs (same wrapped-string representation, same greedy
+    ``replace`` merge, same (count desc, pair asc) argmax)."""
+    from .text import tokens_sql
+
+    S = "chr(31)"
+    ctes = [
+        f"""words AS (
+          SELECT w, count(*)::BIGINT AS n
+          FROM (SELECT unnest({tokens_sql(text_col)}) AS w FROM {table})
+          GROUP BY w
+        )""",
+        f"""s0 AS (
+          SELECT w, n,
+                 {S} || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)),
+                   {S} || {S}) || {S} AS s
+          FROM words
+        )""",
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""pc{r} AS (
+              SELECT (p).a AS a, (p).b AS b, CAST(sum(n) AS BIGINT) AS pn
+              FROM (
+                SELECT n, unnest(list_transform(range(1, len(q)),
+                         i -> struct_pack(a := q[i], b := q[i + 1]))) AS p
+                FROM (SELECT n, string_split(substr(s, 2, length(s) - 2),
+                                             {S} || {S}) AS q
+                      FROM s{r})
+              )
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""best{r} AS (
+              SELECT a, b, pn FROM pc{r}
+              ORDER BY pn DESC, a ASC, b ASC LIMIT 1
+            )"""
+        )
+        ctes.append(
+            f"""s{r + 1} AS (
+              SELECT w, n,
+                     replace(s, {S} || a || {S} || {S} || b || {S},
+                             {S} || a || b || {S}) AS s
+              FROM s{r}, best{r}
+            )"""
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT {r + 1}::BIGINT AS rank, a AS left_sym, b AS right_sym,
+                   a || b AS merged, pn AS pair_n FROM best{r}"""
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+def bpe_subwords_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> str:
+    """Train-then-apply mirror: the :func:`bpe_train_sql` CTE chain plus a
+    per-document application pass (the same replace chain over every
+    token, counting surviving symbols) — DuckDB analog of
+    ``bpe_apply(df, bpe_train(df))``."""
+    from .text import tokens_sql
+
+    S = "chr(31)"
+    train = bpe_train_sql(table, text_col, n_merges)
+    # reuse the training CTE chain, swap the final SELECT for the apply
+    # (the final SELECT is the only line-initial one — CTE bodies indent)
+    ctes_sql = train[len("WITH ") : train.rindex("\nSELECT")]
+    s_expr = (
+        f"{S} || array_to_string(list_transform(range(1, length(w) + 1),"
+        f" i -> substr(w, i, 1)), {S} || {S}) || {S}"
+    )
+    for r in range(n_merges):
+        s_expr = (
+            f"replace({s_expr}, {S} || b{r}.a || {S} || {S} || b{r}.b || {S},"
+            f" {S} || b{r}.a || b{r}.b || {S})"
+        )
+    froms = ", ".join(f"best{r} b{r}" for r in range(n_merges))
+    return f"""WITH {ctes_sql},
+        doctoks AS (
+          SELECT {id_col}, unnest({tokens_sql(text_col)}) AS w FROM {table}
+        ),
+        applied AS (
+          SELECT {id_col},
+                 len(string_split(substr({s_expr}, 2,
+                     length({s_expr}) - 2), {S} || {S}))::BIGINT AS n_sym
+          FROM doctoks, {froms}
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(a.n_subwords, 0) AS BIGINT) AS n_subwords
+        FROM {table} d LEFT JOIN (
+          SELECT {id_col}, sum(n_sym) AS n_subwords FROM applied GROUP BY 1
+        ) a USING ({id_col})"""
