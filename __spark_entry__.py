@@ -2350,6 +2350,23 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+_MIX_WEIGHTS = {f"src{i}": 1 + i % 3 for i in range(20)}
+
+
+def _q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget mixture: per-source keep-thresholds from exact integer
+    # ppm arithmetic (budget share / available tokens), row selection a
+    # pure function of (id, salt).  One bounded stats agg + broadcast
+    # gate — no wide shuffle of the corpus.
+    from tidier_spark.operators.corpus import budget_mix
+    from tidier_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return budget_mix(docs, budget_tokens=15000, weights=_MIX_WEIGHTS)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed BPE vocabulary training: one corpus pass builds the
     # word-count vocabulary; every merge round then runs on the (small)
@@ -2681,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_prune": _q_quantile_prune,
         "bpe_train": _q_bpe_train,
         "bpe_subwords": _q_bpe_subwords,
+        "budget_mix": _q_budget_mix,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3033,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_prune": _quantile_prune_oracle(),
         "bpe_train": _bpe_train_oracle(),
         "bpe_subwords": _bpe_subwords_oracle(),
+        "budget_mix": _budget_mix_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3441,6 +3460,12 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _budget_mix_oracle() -> str:
+    from tidier_spark.operators.corpus import budget_mix_sql
+
+    return budget_mix_sql("documents", budget_tokens=15000, weights=_MIX_WEIGHTS)
 
 
 def _bpe_train_oracle() -> str:

@@ -1276,3 +1276,29 @@ def test_bpe_merges_reduce_subword_count(tables):
     with_m = bpe_apply(docs, merges).agg(F.sum("n_subwords")).collect()[0][0]
     without = bpe_apply(docs, []).agg(F.sum("n_subwords")).collect()[0][0]
     assert with_m < without  # merges strictly shrink the token stream
+
+
+def test_budget_mix_shares_and_determinism(tables):
+    from tidier_spark.operators.corpus import budget_mix
+    from tidier_spark.operators.text import token_count
+
+    docs = tables["documents"].withColumn("n_tokens", token_count("text"))
+    weights = {f"src{i}": 1 + i % 3 for i in range(20)}
+    kept = budget_mix(docs, budget_tokens=15000, weights=weights)
+    # deterministic: same call, same rows
+    ids1 = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in budget_mix(docs, 15000, weights).collect()}
+    assert ids1 == ids2 and ids1
+    # kept token mass lands near each source's weighted share of budget
+    got = (
+        kept.join(docs.select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("source").agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    total_w = sum(weights.values())
+    for r in got:
+        target = 15000 * weights[r.source] // total_w
+        assert r.tok <= 2.0 * target + 200  # hash-Bernoulli slack at n=25
+    # unknown sources are dropped
+    w2 = {k: v for k, v in weights.items() if k != "src0"}
+    assert budget_mix(docs, 15000, w2).where(F.col("source") == "src0").count() == 0

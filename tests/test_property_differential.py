@@ -222,3 +222,57 @@ def test_update_rollup_any_split_matches_full(rows, split, spark):
     got = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in inc.collect()}
     want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"]) for r in full.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6), min_size=3, max_size=15
+    ),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_train_matches_python_reference(words, n_merges, spark):
+    # independent pure-Python greedy BPE (Sennrich): pair counts weighted
+    # by word frequency, (count desc, pair asc) argmax, left-to-right
+    # greedy merge — the wrapped-string replace lowering must match it
+    # exactly on arbitrary corpora
+    from collections import Counter
+
+    from tidier_spark.operators.bpe import bpe_train
+
+    def greedy(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    wc = Counter(words)
+    seqs = {w: list(w) for w in wc}
+    expected = []
+    for r in range(n_merges):
+        pc = Counter()
+        for w, n in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r + 1, a, b, a + b, n))
+        seqs = {w: greedy(s, a, b) for w, s in seqs.items()}
+
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_n)
+        for r in bpe_train(df, n_merges=n_merges).collect()
+    ]
+    assert got == expected

@@ -32,6 +32,8 @@ __all__ = [
     "shuffle_rows_sql",
     "remove_repeated_spans",
     "remove_repeated_spans_sql",
+    "budget_mix",
+    "budget_mix_sql",
 ]
 
 
@@ -623,3 +625,102 @@ def remove_repeated_spans_sql(
                coalesce(a.n_kept, 0)::BIGINT AS n_kept,
                coalesce(a.clean_text, '') AS clean_text
         FROM base b LEFT JOIN agg a USING ({id_col})"""
+
+
+def budget_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    salt: str = "mix",
+) -> DataFrame:
+    """Token-budget mixture: sample each source at the rate that fills its
+    weighted share of a global token budget — the "mix N sources to hit a
+    target token count at declared proportions" stage between scoring and
+    sequence prep.
+
+    All arithmetic is exact-integer and the per-row decision is a pure
+    function of ``(id, salt)``: a source's target is ``budget · wᵢ / Σw``
+    (integer division), its keep-threshold is ``min(1, target/available)``
+    expressed in ppm (again integer division), and a row survives when
+    ``hash60(id:salt) mod 1e6 < threshold`` — so the SAME rows are chosen
+    on any engine, layout, or cluster size, and re-weighting only moves
+    the thresholds.  Sources missing from ``weights`` are dropped
+    (explicit contract, mirroring ``stratified_sample``).
+
+    Plan: one bounded aggregation (per-source token totals — |sources|
+    rows), broadcast back, row-local filter.  No wide shuffle of the
+    corpus; at 100 TB this is a stats pass plus a map-only gate.
+    """
+    from .text import hash60
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    total_w = sum(int(w) for w in weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())],
+        f"{source_col} string, __wt long",
+    )
+    avail = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("long").alias("__avail")
+    )
+    thr = avail.join(wdf, source_col).select(
+        F.col(source_col),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(
+                f"(({int(budget_tokens)} * __wt) div {total_w})"
+                " * 1000000 div __avail"
+            ),
+        ).cast("long").alias("thr_ppm"),
+    )
+    key = F.pmod(
+        hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .where(key < F.col("thr_ppm"))
+        .select(F.col(id_col), F.col(source_col), F.col("thr_ppm"))
+    )
+
+
+def budget_mix_sql(
+    table: str = "documents",
+    budget_tokens: int = 15000,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_expr: str | None = None,
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of :func:`budget_mix` (same integer thresholds, same
+    md5 row hash)."""
+    from .text import tokens_sql
+
+    weights = weights or {}
+    total_w = sum(int(w) for w in weights.values())
+    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights.items()))
+    tok = tokens_expr or f"len({tokens_sql('text')})"
+    return f"""
+        WITH avail AS (
+          SELECT {source_col} AS src, CAST(sum({tok}) AS BIGINT) AS avail
+          FROM {table} GROUP BY 1
+        ),
+        w(src, wt) AS (VALUES {vals}),
+        thr AS (
+          SELECT src,
+                 least(1000000,
+                       (({budget_tokens} * wt) // {total_w})
+                         * 1000000 // avail)::BIGINT AS thr_ppm
+          FROM avail JOIN w USING (src)
+        )
+        SELECT d.{id_col}, d.{source_col}, t.thr_ppm
+        FROM {table} d JOIN thr t ON d.{source_col} = t.src
+        WHERE (('0x' || substr(md5(d.{id_col}::VARCHAR || ':{salt}'), 1, 15))::BIGINT
+               % 1000000) < t.thr_ppm"""
