@@ -2350,6 +2350,18 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+def _q_dup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Substring-granularity dedup (Lee et al. 2022): mask every token
+    # covered by a corpus-duplicated sliding 5-gram (the sliding
+    # complement of repeated_spans' fixed spans).  Gram fan-out map-only,
+    # one uniform-key hash agg, fingerprint equi-join back (dup set NOT
+    # assumed broadcastable), doc-id-keyed aggregation, row-local mask.
+    from tidier_spark.operators.dedup import excise_duplicate_regions
+
+    docs = read_table(spark, sf_dir, "documents")
+    return excise_duplicate_regions(docs, gram_tokens=5, min_count=2)
+
+
 _MIX_WEIGHTS = {f"src{i}": 1 + i % 3 for i in range(20)}
 
 
@@ -2699,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "bpe_subwords": _q_bpe_subwords,
         "budget_mix": _q_budget_mix,
+        "dup_regions": _q_dup_regions,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3052,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _bpe_train_oracle(),
         "bpe_subwords": _bpe_subwords_oracle(),
         "budget_mix": _budget_mix_oracle(),
+        "dup_regions": _dup_regions_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3460,6 +3474,12 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _dup_regions_oracle() -> str:
+    from tidier_spark.operators.dedup import excise_duplicate_regions_sql
+
+    return excise_duplicate_regions_sql("documents", gram_tokens=5, min_count=2)
 
 
 def _budget_mix_oracle() -> str:

@@ -1302,3 +1302,42 @@ def test_budget_mix_shares_and_determinism(tables):
     # unknown sources are dropped
     w2 = {k: v for k, v in weights.items() if k != "src0"}
     assert budget_mix(docs, 15000, w2).where(F.col("source") == "src0").count() == 0
+
+
+def test_excise_duplicate_regions_invariants(spark, tables):
+    from tidier_spark.operators.dedup import excise_duplicate_regions
+    from tidier_spark.operators.text import tokens
+
+    docs = tables["documents"]
+    out = excise_duplicate_regions(docs, gram_tokens=5, min_count=2)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r.n_covered <= r.n_tokens for r in rows)
+    assert any(r.n_covered > 0 for r in rows)  # non-trivial masking
+    for r in rows:
+        n_kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert n_kept == r.n_tokens - r.n_covered
+
+    # min_count beyond corpus size masks nothing
+    noop = excise_duplicate_regions(docs, gram_tokens=5, min_count=10**9)
+    orig = docs.select("doc_id", F.concat_ws(" ", tokens("text")).alias("norm"))
+    bad = (
+        noop.join(orig, "doc_id")
+        .where((F.col("n_covered") != 0) | (F.col("clean_text") != F.col("norm")))
+        .count()
+    )
+    assert bad == 0
+
+    # hand case: a 5-gram repeated across two docs is excised from both,
+    # the unique tails survive
+    df = spark.createDataFrame(
+        [(1, "p q r s t aaa"), (2, "p q r s t bbb"), (3, "x y z w v")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in excise_duplicate_regions(df, gram_tokens=5, min_count=2).collect()
+    }
+    assert got[1].clean_text == "aaa" and got[1].n_covered == 5
+    assert got[2].clean_text == "bbb"
+    assert got[3].n_covered == 0 and got[3].clean_text == "x y z w v"

@@ -56,6 +56,8 @@ __all__ = [
     "embedding_near_dup_sql",
     "simhash_sql",
     "simhash_pairs_sql",
+    "excise_duplicate_regions",
+    "excise_duplicate_regions_sql",
 ]
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -1150,3 +1152,156 @@ def semantic_dedup_pairs(
         )
 
     return clustered.groupBy("list_id").applyInPandas(pairs_in_cluster, out_schema)
+
+
+def excise_duplicate_regions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-granularity corpus dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every token covered by
+    ANY ``gram_tokens``-token window that occurs ≥ ``min_count`` times in
+    the corpus (across documents or within one) is excised, and the
+    surviving tokens reassembled in order.
+
+    This is the SLIDING complement of
+    :func:`~tidier_spark.operators.corpus.remove_repeated_spans`: spans
+    there are non-overlapping and whole-span-removed; here every
+    overlapping window position is tested, so a duplicated region of any
+    length ≥ gram_tokens is masked precisely (the published approach uses
+    a suffix array — the sliding fingerprint equi-join is the
+    shuffle-native equivalent at window granularity).
+
+    Plan: gram fan-out is map-only (n per doc, overlapping); occurrence
+    counts are ONE hash aggregate on uniform 60-bit fingerprints
+    (map-side combine, no skew); duplicated-gram hits join back on the
+    fingerprint (shuffle equi-join — the dup set is data-dependent and
+    NOT assumed broadcastable, unlike the heavy-hitter set of
+    remove_repeated_spans); per-doc start positions aggregate by the
+    unique doc id; masking is a row-local array pass (O(n·m) per doc with
+    m = dup starts — fold m into merged intervals first if a corpus shows
+    pathological m).
+    """
+    from .text import hash60, tokens
+
+    if gram_tokens < 1:
+        raise ValueError("gram_tokens must be >= 1")
+    L = gram_tokens
+    toks = _fan_out(df).select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    gram_struct = F.when(
+        n >= L,
+        F.transform(
+            F.sequence(F.lit(1), n - (L - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                hash60(F.concat_ws(" ", F.slice(t, i, L))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:long,h:long>>"))
+    grams = toks.select(F.col(id_col), F.explode(gram_struct).alias("g")).select(
+        F.col(id_col), F.col("g.p").alias("p"), F.col("g.h").alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("h")
+    )
+    starts = (
+        grams.join(dup, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("__starts"))
+    )
+    joined = toks.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("__t"),
+        F.coalesce(F.col("__starts"), F.array().cast("array<long>")).alias(
+            "__starts"
+        ),
+    )
+    s = F.col("__starts")
+    covered = F.filter(
+        F.sequence(F.lit(1), F.size("__t")),
+        lambda pos: F.exists(
+            s, lambda st: (st <= pos) & (pos <= st + (L - 1))
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t")),
+            lambda i: F.when(
+                ~F.exists(s, lambda st: (st <= i) & (i <= st + (L - 1))),
+                F.element_at(F.col("__t"), i),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    empty_guard = F.when(F.size("__t") > 0, covered).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    kept_guard = F.when(F.size("__t") > 0, kept).otherwise(
+        F.array().cast("array<string>")
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(empty_guard).cast("long").alias("n_covered"),
+        F.array_join(kept_guard, " ").alias("clean_text"),
+    )
+
+
+def excise_duplicate_regions_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 5,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`excise_duplicate_regions` (same sliding
+    60-bit gram fingerprints, occurrence threshold, and position mask)."""
+    from .text import hash60_sql, tokens_sql
+
+    L = gram_tokens
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
+        ),
+        grams AS (
+          SELECT {id_col}, (g).p AS p, (g).h AS h
+          FROM (
+            SELECT {id_col},
+                   unnest(list_transform(range(1, greatest(len(t) - {L - 1}, 0) + 1),
+                     i -> struct_pack(p := i::BIGINT,
+                       h := {hash60_sql(f"array_to_string(list_slice(t, i, i + {L - 1}), ' ')")}
+                     ))) AS g
+            FROM toks
+          )
+        ),
+        dup AS (
+          SELECT h FROM grams GROUP BY h HAVING count(*) >= {min_count}
+        ),
+        starts AS (
+          SELECT {id_col}, list_sort(list(p)) AS st
+          FROM grams JOIN dup USING (h) GROUP BY {id_col}
+        )
+        SELECT t.{id_col},
+               len(t.t)::BIGINT AS n_tokens,
+               len(list_filter(range(1, len(t.t) + 1),
+                   pos -> len(list_filter(coalesce(s.st, []),
+                          x -> x <= pos AND pos <= x + {L - 1})) > 0))::BIGINT
+                 AS n_covered,
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- array_join([]) is '' — normalize fully-covered docs
+               coalesce(array_to_string(
+                 list_filter(
+                   list_transform(range(1, len(t.t) + 1),
+                     i -> CASE WHEN len(list_filter(coalesce(s.st, []),
+                               x -> x <= i AND i <= x + {L - 1})) = 0
+                          THEN t.t[i] END),
+                   x -> x IS NOT NULL), ' '), '') AS clean_text
+        FROM toks t LEFT JOIN starts s USING ({id_col})"""
