@@ -2350,6 +2350,44 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end corpus pipeline in ONE composed plan: substring-region
+    # dedup → min-length quality gate → token-budget mixture → sequence
+    # packing.  Each stage is the library operator, chained on DataFrames;
+    # the oracle replays the identical stages as one SQL query.  Shows the
+    # stages FUSE: Catalyst plans the gate into the dedup output and the
+    # pack runs over the mixed survivors without materialization.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import budget_mix, pack_sequences
+    from tidier_spark.operators.dedup import excise_duplicate_regions
+
+    docs = read_table(spark, sf_dir, "documents")
+    reg = excise_duplicate_regions(docs, gram_tokens=5, min_count=2)
+    clean = reg.withColumn(
+        "n_clean", (F.col("n_tokens") - F.col("n_covered")).cast("long")
+    ).where(F.col("n_clean") >= 20)
+    with_src = clean.join(docs.select("doc_id", "source"), "doc_id")
+    picked = budget_mix(
+        with_src,
+        budget_tokens=8000,
+        weights=_MIX_WEIGHTS,
+        tokens_col="n_clean",
+        salt="pipe",
+    )
+    packed = pack_sequences(
+        picked.join(clean.select("doc_id", "n_clean"), "doc_id"),
+        budget=512,
+        n_tokens_col="n_clean",
+    )
+    return packed.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_offset").cast("long").alias("bin_offset"),
+    )
+
+
 def _q_dup_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Substring-granularity dedup (Lee et al. 2022): mask every token
     # covered by a corpus-duplicated sliding 5-gram (the sliding
@@ -2698,11 +2736,13 @@ def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
     # FIRST 50 entries in registration order, so the dict leads with the
-    # entries that still need a driver-confirmed green row (round-2 hash
-    # fixes, new guarantee-row oracles, streaming, UDF tiers, sketches,
-    # TPC-H, heavy training-pipeline ops), then the remaining
-    # never-checked block, and finally the entries the round-2 driver run
-    # already confirmed green.  Re-shuffle each round as rows go green.
+    # entries that still need a driver-confirmed green row (round-3
+    # additions first, then the round-2 hash fixes, guarantee-row
+    # oracles, streaming, UDF tiers, sketches, TPC-H head), then the
+    # remaining never-checked block, and finally the entries the round-2
+    # driver run already confirmed green.  Every entry regardless of
+    # position is hash-verified each round by scripts/check_entry.py
+    # (full-board runs recorded in the round notes).
     return {
         # -- round-3 additions (never driver-checked)
         "repeated_spans": _q_repeated_spans,
@@ -2712,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_subwords": _q_bpe_subwords,
         "budget_mix": _q_budget_mix,
         "dup_regions": _q_dup_regions,
+        "pipeline_e2e": _q_pipeline_e2e,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3066,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_subwords": _bpe_subwords_oracle(),
         "budget_mix": _budget_mix_oracle(),
         "dup_regions": _dup_regions_oracle(),
+        "pipeline_e2e": _pipeline_e2e_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3474,6 +3516,51 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _pipeline_e2e_oracle() -> str:
+    from tidier_spark.operators.dedup import excise_duplicate_regions_sql
+
+    total_w = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    reg = excise_duplicate_regions_sql("documents", gram_tokens=5, min_count=2)
+    return f"""
+        WITH reg AS (SELECT * FROM ({reg})),
+        clean AS (
+          SELECT doc_id, (n_tokens - n_covered)::BIGINT AS n_clean
+          FROM reg WHERE n_tokens - n_covered >= 20
+        ),
+        with_src AS (
+          SELECT c.doc_id, c.n_clean, d.source
+          FROM clean c JOIN documents d USING (doc_id)
+        ),
+        avail AS (
+          SELECT source AS src, CAST(sum(n_clean) AS BIGINT) AS avail
+          FROM with_src GROUP BY 1
+        ),
+        w(src, wt) AS (VALUES {vals}),
+        thr AS (
+          SELECT src, least(1000000,
+                 ((8000 * wt) // {total_w}) * 1000000 // avail)::BIGINT AS thr_ppm
+          FROM avail JOIN w USING (src)
+        ),
+        picked AS (
+          SELECT ws.doc_id, ws.n_clean
+          FROM with_src ws JOIN thr t ON ws.source = t.src
+          WHERE (('0x' || substr(md5(ws.doc_id::VARCHAR || ':pipe'), 1, 15))::BIGINT
+                 % 1000000) < t.thr_ppm
+        ),
+        packed AS (
+          SELECT doc_id, n_clean AS n_tokens,
+                 CAST(sum(n_clean) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM picked
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id,
+               CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+        FROM packed"""
 
 
 def _dup_regions_oracle() -> str:

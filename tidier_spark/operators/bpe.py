@@ -109,7 +109,14 @@ def bpe_train(
         merges.append((r + 1, a, b, a + b, pn))
         pat = F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}")
         rep = F.lit(f"{SEP}{a}{b}{SEP}")
-        cur = cur.withColumn("s", F.replace(F.col("s"), pat, rep)).localCheckpoint()
+        cur = cur.withColumn("s", F.replace(F.col("s"), pat, rep))
+        # checkpoint only every 8th round: a lazy replace-CHAIN re-executed
+        # from the checkpointed base is cheaper than materializing the
+        # vocab frame per round (string replaces are narrow column ops);
+        # the cadence bounds both lineage depth and re-execution cost at
+        # high merge counts.
+        if (r + 1) % 8 == 0:
+            cur = cur.localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
