@@ -2350,6 +2350,17 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+def _q_srp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Signed-random-projection document embedding: exact-integer ±1 hash
+    # signs summed over token occurrences, one codegen projection + a
+    # map-only posexplode — the model-free text→vector stage that feeds
+    # the ANN layer when no model embedding exists.
+    from tidier_spark.operators.quality import srp_embedding
+
+    docs = read_table(spark, sf_dir, "documents")
+    return srp_embedding(docs, dim=8)
+
+
 def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # End-to-end corpus pipeline in ONE composed plan: substring-region
     # dedup → min-length quality gate → token-budget mixture → sequence
@@ -2753,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_mix": _q_budget_mix,
         "dup_regions": _q_dup_regions,
         "pipeline_e2e": _q_pipeline_e2e,
+        "srp_embedding": _q_srp_embedding,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3108,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_mix": _budget_mix_oracle(),
         "dup_regions": _dup_regions_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
+        "srp_embedding": _srp_embedding_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3516,6 +3529,12 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _srp_embedding_oracle() -> str:
+    from tidier_spark.operators.quality import srp_embedding_sql
+
+    return srp_embedding_sql("documents", dim=8)
 
 
 def _pipeline_e2e_oracle() -> str:

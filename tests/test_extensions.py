@@ -1341,3 +1341,23 @@ def test_excise_duplicate_regions_invariants(spark, tables):
     assert got[1].clean_text == "aaa" and got[1].n_covered == 5
     assert got[2].clean_text == "bbb"
     assert got[3].n_covered == 0 and got[3].clean_text == "x y z w v"
+
+
+def test_srp_embedding_properties(spark):
+    from tidier_spark.operators.quality import srp_embedding
+
+    df = spark.createDataFrame(
+        [(1, "red blue green"), (2, "red blue green"), (3, "xx yy zz ww"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = srp_embedding(df, dim=8).collect()
+    vec = {}
+    for r in rows:
+        vec.setdefault(r.doc_id, {})[r.dim] = r.value
+    assert all(len(v) == 8 for v in vec.values())
+    assert vec[1] == vec[2]          # same text -> identical vector
+    assert vec[1] != vec[3]          # different token profile -> different
+    assert all(v == 0 for v in vec[4].values())  # empty doc -> zero vector
+    # each component is a sum of n_tokens signs: |value| <= n_tokens, parity matches
+    for d, n in [(1, 3), (3, 4)]:
+        assert all(abs(v) <= n and (v - n) % 2 == 0 for v in vec[d].values())

@@ -34,6 +34,8 @@ __all__ = [
     "classifier_score",
     "classifier_score_sql",
     "quantile_prune",
+    "srp_embedding",
+    "srp_embedding_sql",
 ]
 
 
@@ -483,3 +485,66 @@ def quantile_prune(
             .select(df.columns)
         )
     return gated.withColumn(out, F.lit(None).cast("long"))
+
+
+def srp_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+) -> DataFrame:
+    """Signed-random-projection document embedding (Charikar 2002 SimHash
+    family, kept UNquantized): dimension ``j`` is the sum over token
+    occurrences of a hash-derived ±1 sign — a sparse random projection of
+    the bag-of-tokens vector.  The model-free text→dense-vector stage:
+    cosine similarity of these integer vectors approximates token-profile
+    similarity, so the output feeds the ANN/near-dup layer
+    (``cosine_topk``, ``embedding_near_dup``) when no model embedding
+    exists — closing the text → features → embedding → search loop inside
+    the engine.
+
+    Components are EXACT integers (±1 sums), so results hash identically
+    across engines.  Emitted long-form ``(id, dim, value)`` — array
+    columns stringify differently across pandas bridges, and the long
+    form joins directly onto bucketed similarity pipelines.
+
+    Scale: the per-document dim-vector is computed in ONE codegen
+    projection over the scan (O(n_tokens · dim) arithmetic, no shuffle,
+    no UDF); the long-form fan-out is a map-only posexplode of ``dim``
+    rows per document.
+    """
+    from .text import hash60, tokens
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            tokens(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.when(
+                hash60(F.concat_ws("#", w, j.cast("string"))) % 2 == 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    return df.select(F.col(id_col), F.posexplode(vec).alias("dim", "value")).select(
+        F.col(id_col), F.col("dim").cast("long"), F.col("value").cast("long")
+    )
+
+
+def srp_embedding_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`srp_embedding` (same per-(token, dim)
+    hash signs; CAST collapses HUGEINT list_sum)."""
+    from .text import hash60_sql, tokens_sql
+
+    keyed = "w || '#' || j::VARCHAR"
+    sign = f"CASE WHEN {hash60_sql(keyed)} % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+        SELECT {id_col}, j::BIGINT AS dim,
+               CAST(coalesce(list_sum(list_transform(
+                 {tokens_sql(text_col)}, w -> {sign})), 0) AS BIGINT) AS value
+        FROM {table}, (SELECT unnest(range(0, {dim})) AS j)"""
