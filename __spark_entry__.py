@@ -2350,6 +2350,19 @@ def _q_quantile_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "tile")
 
 
+def _q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style regular-grid rollup + gap fill (TimescaleDB
+    # time_bucket_gapfill shape): daily penny-exact sums per user,
+    # missing days materialized from a per-key span (bounded sequence
+    # explode, never a calendar cross join) and LOCF-filled.
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev, "user_id", "ts", "value", bucket_seconds=86400, fill="locf"
+    )
+
+
 def _q_srp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signed-random-projection document embedding: exact-integer ±1 hash
     # signs summed over token occurrences, one codegen projection + a
@@ -2765,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_regions": _q_dup_regions,
         "pipeline_e2e": _q_pipeline_e2e,
         "srp_embedding": _q_srp_embedding,
+        "gapfill_rollup": _q_gapfill_rollup,
         # -- round-2 driver hash-fails, fixed this round (oracle-side
         #    BIGINT casts) — need driver re-confirmation
         "sessionize": _q_sessionize,
@@ -3121,6 +3135,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_regions": _dup_regions_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "srp_embedding": _srp_embedding_oracle(),
+        "gapfill_rollup": _gapfill_rollup_oracle(),
         "text_analysis": _text_analysis_oracle(),
         "text_tokens_bpe": _text_tokens_bpe_oracle(),
         "corpus_clean": _corpus_clean_oracle(),
@@ -3529,6 +3544,14 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _gapfill_rollup_oracle() -> str:
+    from tidier_spark.operators.temporal import time_bucket_gapfill_sql
+
+    return time_bucket_gapfill_sql(
+        "events", "user_id", "ts", "value", bucket_seconds=86400, fill="locf"
+    )
 
 
 def _srp_embedding_oracle() -> str:

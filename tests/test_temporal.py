@@ -236,3 +236,34 @@ def test_interval_join_plan_is_equi_join(tables):
     )
     plan = explain_str(r, "simple")
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_time_bucket_gapfill_grid_and_fills(tables):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    ev = tables["events"]
+    out = time_bucket_gapfill(ev, "user_id", "ts", "value",
+                              bucket_seconds=86400, fill="locf")
+    # event conservation
+    assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+    # grid completeness: per key, row count == span/bucket + 1, no dup buckets
+    g = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("bucket_us").alias("dist"),
+        ((F.max("bucket_us") - F.min("bucket_us")) / 86400000000 + 1).alias("want"),
+    )
+    bad = g.where((F.col("rows") != F.col("dist")) | (F.col("rows") != F.col("want"))).count()
+    assert bad == 0
+    # filled rows have n == 0 and carry the previous v100 (locf)
+    assert out.where(F.col("filled") & (F.col("n") != 0)).count() == 0
+    assert out.where(F.col("filled")).count() > 0
+    # zero fill: filled rows are exactly v100 == 0 with filled flag
+    zer = time_bucket_gapfill(ev, "user_id", "ts", "value",
+                              bucket_seconds=86400, fill="zero")
+    assert zer.where(F.col("filled") & (F.col("v100") != 0)).count() == 0
+    # null fill: filled rows are NULL
+    nul = time_bucket_gapfill(ev, "user_id", "ts", "value",
+                              bucket_seconds=86400, fill="null")
+    assert nul.where(F.col("filled") & F.col("v100").isNotNull()).count() == 0

@@ -27,6 +27,8 @@ __all__ = [
     "funnel_sql",
     "cohort_retention",
     "cohort_retention_sql",
+    "time_bucket_gapfill",
+    "time_bucket_gapfill_sql",
 ]
 
 
@@ -412,3 +414,118 @@ def cohort_retention_sql(
                count(DISTINCT e.{key_col})::BIGINT AS n_users
         FROM {table} e JOIN first f ON e.{key_col} = f.{key_col}
         GROUP BY 1, 2"""
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    bucket_seconds: int = 86400,
+    fill: str = "locf",
+) -> DataFrame:
+    """Hypertable-style regular-grid rollup with gap filling (the
+    TimescaleDB ``time_bucket_gapfill`` shape): bucket each key's events
+    onto a fixed time grid, aggregate, MATERIALIZE the key's missing
+    buckets between its first and last event, and fill them.
+
+    Returns ``(key, bucket_us, n, v100, filled)``: bucket start in
+    epoch-µs, event count, penny-exact value sum (``Σ round(value·100)``
+    — the repo-wide float-determinism rule), and whether the row was
+    gap-filled.  ``fill='locf'`` carries the last observed ``v100``
+    forward (n stays 0); ``fill='zero'`` fills zeros; ``fill='null'``
+    leaves NULL.
+
+    Plan (100 TB reading): ONE shuffle aggregates (key, bucket) with
+    map-side combine; the per-key grid is generated from a per-key 1-row
+    (min, max) aggregate via ``sequence`` + ``explode`` — fan-out bounded
+    by the key's time span over the bucket width, never a global
+    calendar cross join; the fill is one window per key ordered by
+    bucket.  Grid join and window share the key partitioning, so AQE
+    plans them without a second exchange of the data rows.
+    """
+    if fill not in ("locf", "zero", "null"):
+        raise ValueError("fill must be locf|zero|null")
+    b_us = int(bucket_seconds) * 1_000_000
+    bucket = (F.unix_micros(F.col(time_col)) / F.lit(b_us)).cast("long") * b_us
+    agg = (
+        df.select(
+            F.col(key_col),
+            bucket.alias("bucket_us"),
+            F.round(F.col(value_col) * 100).cast("long").alias("__v"),
+        )
+        .groupBy(key_col, "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__v").alias("v100"))
+    )
+    span = agg.groupBy(key_col).agg(
+        F.min("bucket_us").alias("__lo"), F.max("bucket_us").alias("__hi")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(b_us))
+        ).alias("bucket_us"),
+    )
+    joined = grid.join(agg, [key_col, "bucket_us"], "left")
+    filled_flag = F.col("n").isNull()
+    v = F.col("v100")
+    if fill == "locf":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        v = F.last("v100", ignorenulls=True).over(w)
+    elif fill == "zero":
+        v = F.coalesce(F.col("v100"), F.lit(0))
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket_us").cast("long"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        v.cast("long").alias("v100"),
+        filled_flag.alias("filled"),
+    )
+
+
+def time_bucket_gapfill_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86400,
+    fill: str = "locf",
+) -> str:
+    """DuckDB mirror of :func:`time_bucket_gapfill` (same epoch-µs grid,
+    penny sums, and fill rules)."""
+    b_us = int(bucket_seconds) * 1_000_000
+    fills = {
+        "locf": """last_value(v100 IGNORE NULLS) OVER (
+                     PARTITION BY key ORDER BY bucket_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "zero": "coalesce(v100, 0)",
+        "null": "v100",
+    }
+    return f"""
+        WITH agg AS (
+          SELECT {key_col} AS key,
+                 (epoch_us({time_col}) // {b_us}) * {b_us} AS bucket_us,
+                 count(*)::BIGINT AS n,
+                 CAST(sum(round({value_col} * 100)) AS BIGINT) AS v100
+          FROM {table} GROUP BY 1, 2
+        ),
+        span AS (
+          SELECT key, min(bucket_us) AS lo, max(bucket_us) AS hi FROM agg
+          GROUP BY 1
+        ),
+        grid AS (
+          SELECT key, unnest(range(lo, hi + 1, {b_us})) AS bucket_us FROM span
+        ),
+        j AS (
+          SELECT g.key, g.bucket_us, a.n, a.v100
+          FROM grid g LEFT JOIN agg a USING (key, bucket_us)
+        )
+        SELECT key AS {key_col}, bucket_us::BIGINT AS bucket_us,
+               coalesce(n, 0)::BIGINT AS n,
+               CAST({fills[fill]} AS BIGINT) AS v100,
+               n IS NULL AS filled
+        FROM j"""
