@@ -2259,6 +2259,48 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-static enrichment: the streaming micro-batches broadcast-join
+    # a STATIC dimension (customer → nation) before the watermarked
+    # windowed aggregate — the canonical "enrich events with reference
+    # data in flight" shape.  The static side re-reads per micro-batch at
+    # the current snapshot (Spark's stream-static contract); the join
+    # never adds streaming state.  Hash-matched against the equivalent
+    # batch join+rollup oracle.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    # deterministic event→customer mapping on the fixture key space
+    enriched = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    )
+    r = stream_windowed_agg(
+        enriched,
+        {"n": "count(*)", "sum_v": "sum(round(value * 100)) / 100"},
+        time_col="ts",
+        window="1 day",
+        by="c_nationkey",
+    )
+    out = run_stream(
+        r,
+        name="stream_enrich_result",
+        output_mode="complete",
+        state_partitions=8,
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("bucket_epoch"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        "n",
+        "sum_v",
+    )
+
+
 def _q_grouped_apply_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tier C: applyInPandas per-group transform (nest+future_map analog).
     # Demean in penny space: integer sums are exact in float64, so the
@@ -2793,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_attribution": _q_stream_attribution,
         "stream_upsert": _q_stream_upsert,
         "stream_rollup": _q_stream_rollup,
+        "stream_enrich": _q_stream_enrich,
         # -- UDF/UDAF/UDTF tier
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
@@ -3417,6 +3460,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    sum(round(value * 100)) / 100 AS sum_v
             FROM events GROUP BY 1, 2""",
+        "stream_enrich": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, e.ts)) AS BIGINT)
+                     AS bucket_epoch,
+                   CAST(c.c_nationkey AS BIGINT) AS nation,
+                   count(*) AS n,
+                   sum(round(e.value * 100)) / 100 AS sum_v
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2""",
         "chunk_docs": _chunk_docs_oracle(),
         "weighted_sample": _weighted_sample_oracle(),
         "shuffle_rows": _shuffle_rows_oracle(),
