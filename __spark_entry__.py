@@ -2259,6 +2259,27 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest-in-time as-of join: per click, the purchase closest in time
+    # either direction (ties to backward).  Both directional picks share
+    # ONE exchange; the oracle crosses implementations via two chained
+    # native DuckDB ASOF joins + a distance CASE.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, "user_id", "ts", ["value"], direction="nearest"
+    ).select("event_id", "value_right")
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stream-static enrichment: the streaming micro-batches broadcast-join
     # a STATIC dimension (customer → nation) before the watermarked
@@ -2836,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert": _q_stream_upsert,
         "stream_rollup": _q_stream_rollup,
         "stream_enrich": _q_stream_enrich,
+        "asof_nearest": _q_asof_nearest,
         # -- UDF/UDAF/UDTF tier
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
@@ -3084,6 +3106,21 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') q
               ON t.user_id = q.user_id AND t.ts <= q.ts""",
+        "asof_nearest": """
+            SELECT t.event_id,
+                   CASE WHEN f.fts IS NULL
+                          OR (b.bts IS NOT NULL
+                              AND epoch_us(t.ts) - epoch_us(b.bts)
+                                  <= epoch_us(f.fts) - epoch_us(t.ts))
+                        THEN b.bvalue ELSE f.fvalue END AS value_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') t
+            ASOF LEFT JOIN (SELECT user_id AS bu, ts AS bts, value AS bvalue
+                            FROM events WHERE event_type = 'purchase') b
+              ON t.user_id = b.bu AND t.ts >= b.bts
+            ASOF LEFT JOIN (SELECT user_id AS fu, ts AS fts, value AS fvalue
+                            FROM events WHERE event_type = 'purchase') f
+              ON t.user_id = f.fu AND t.ts <= f.fts""",
         "interval_join": """
             SELECT w.w_id, count(*)::BIGINT AS n_clicks,
                    CAST(sum(round(c.value * 100)) AS BIGINT) AS value_c

@@ -267,3 +267,34 @@ def test_time_bucket_gapfill_grid_and_fills(tables):
     nul = time_bucket_gapfill(ev, "user_id", "ts", "value",
                               bucket_seconds=86400, fill="null")
     assert nul.where(F.col("filled") & F.col("v100").isNotNull()).count() == 0
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from tidier_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 205.0), (3, "k", 400.0), (4, "z", 10.0)],
+        "event_id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("k", 90.0, 9.0), ("k", 210.0, 21.0), ("k", 300.0, 30.0)],
+        "k string, t double, v double",
+    )
+    got = {
+        r.event_id: r.v_right
+        for r in asof_join(
+            left, right, "k", "t", ["v"], direction="nearest", suffix="_right"
+        ).collect()
+    }
+    assert got[1] == 9.0    # 100: back 90 (d=10) vs fwd 210 (d=110)
+    assert got[2] == 21.0   # 205: back 90 (d=115) vs fwd 210 (d=5)
+    assert got[3] == 30.0   # 400: only backward exists (300)
+    assert got[4] is None   # key with no right rows
+
+    # equidistant -> backward wins
+    l2 = spark.createDataFrame([(9, "k", 150.0)], "event_id long, k string, t double")
+    r2 = spark.createDataFrame(
+        [("k", 100.0, 1.0), ("k", 200.0, 2.0)], "k string, t double, v double"
+    )
+    tie = asof_join(l2, r2, "k", "t", ["v"], direction="nearest").collect()[0]
+    assert tie.v_right == 1.0

@@ -43,7 +43,8 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the most recent right
     row with right.time ≤ left.time (direction="backward"; "forward" takes
-    the nearest right.time ≥ left.time) sharing the ``on`` keys.
+    the nearest right.time ≥ left.time; "nearest" takes whichever side is
+    closer in time, ties to backward) sharing the ``on`` keys.
 
     Technique: tag both sides, union, and take
     ``last(value, ignorenulls=True)`` over
@@ -52,8 +53,8 @@ def asof_join(
     rows with no prior right row get NULLs (left-join semantics).
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
 
     out_vals = [f"{c}{suffix}" for c in value_cols]
     l_tag = left
@@ -71,6 +72,52 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(l_tag.schema[c].dataType))
 
     u = l_tag.unionByName(r_tag)
+    if direction == "nearest":
+        # BOTH directional picks in one partitioning (two sorts share one
+        # exchange), then choose per row by time distance — ties and
+        # one-sided misses fall back to the backward match.
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(time_col).asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        dt = u.schema[time_col].dataType.simpleString()
+
+        def num(c: F.Column) -> F.Column:
+            return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
+
+        picked = u.withColumn(
+            "__rt", F.when(F.col("__side") == 0, F.col(time_col))
+        )
+        picked = picked.withColumn(
+            "__tb", F.last("__rt", ignorenulls=True).over(wb)
+        ).withColumn("__tf", F.first("__rt", ignorenulls=True).over(wf))
+        tmp = []
+        for oc in out_vals:
+            picked = picked.withColumn(
+                f"__b_{oc}", F.last(oc, ignorenulls=True).over(wb)
+            ).withColumn(f"__f_{oc}", F.first(oc, ignorenulls=True).over(wf))
+            tmp += [f"__b_{oc}", f"__f_{oc}"]
+        use_b = F.col("__tf").isNull() | (
+            F.col("__tb").isNotNull()
+            & (
+                (num(F.col(time_col)) - num(F.col("__tb")))
+                <= (num(F.col("__tf")) - num(F.col(time_col)))
+            )
+        )
+        for oc in out_vals:
+            picked = picked.withColumn(
+                oc, F.when(use_b, F.col(f"__b_{oc}")).otherwise(F.col(f"__f_{oc}"))
+            )
+        return (
+            picked.where(F.col("__side") == 1)
+            .drop("__side", "__rt", "__tb", "__tf", *tmp)
+        )
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
