@@ -2259,6 +2259,30 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch (the frequency sketch Spark's datasketches exprs
+    # lack), built as a d×w count table — structurally mergeable.  The
+    # driver-hashable contract: exact counts of the deterministic top-20
+    # tokens (oracle-recomputable), plus the CMS no-undercount guarantee
+    # (est ≥ true, certain by construction) asserted per row.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import cms_build, cms_query
+    from tidier_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    top = exact.orderBy(F.desc("true_n"), F.asc("tok")).limit(20)
+    cms = cms_build(toks, "tok", depth=4, width=256)
+    est = cms_query(cms, top.select("tok"), "tok", depth=4, width=256)
+    return top.join(est, "tok").select(
+        "tok",
+        F.col("true_n").cast("long"),
+        (F.col("est_n") >= F.col("true_n")).alias("cms_ok"),
+    )
+
+
 def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Nearest-in-time as-of join: per click, the purchase closest in time
     # either direction (ties to backward).  Both directional picks share
@@ -2858,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup": _q_stream_rollup,
         "stream_enrich": _q_stream_enrich,
         "asof_nearest": _q_asof_nearest,
+        "sketch_cms": _q_sketch_cms,
         # -- UDF/UDAF/UDTF tier
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
@@ -3465,6 +3490,7 @@ def oracle_sql() -> dict[str, str]:
                    round((e.vc::DOUBLE - q[2])
                          / nullif(q[3] - q[1], 0.0), 6) AS rb
             FROM e JOIN st USING (event_type)""",
+        "sketch_cms": _sketch_cms_oracle(),
         "sketch_topk": """
             WITH c AS (SELECT l_partkey, count(*) AS n
                        FROM lineitem GROUP BY 1),
@@ -3632,6 +3658,22 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _sketch_cms_oracle() -> str:
+    from tidier_spark.operators.text import tokens_sql
+
+    # exact top-20 token counts (same deterministic ranking); cms_ok is
+    # the CERTAIN no-undercount guarantee the Spark side must assert
+    return f"""
+        WITH toks AS (
+          SELECT unnest({tokens_sql('text')}) AS tok FROM documents
+        ),
+        exact AS (
+          SELECT tok, count(*)::BIGINT AS true_n FROM toks GROUP BY 1
+        )
+        SELECT tok, true_n, true AS cms_ok FROM exact
+        ORDER BY true_n DESC, tok ASC LIMIT 20"""
 
 
 def _gapfill_rollup_oracle() -> str:

@@ -1361,3 +1361,44 @@ def test_srp_embedding_properties(spark):
     # each component is a sum of n_tokens signs: |value| <= n_tokens, parity matches
     for d, n in [(1, 3), (3, 4)]:
         assert all(abs(v) <= n and (v - n) % 2 == 0 for v in vec[d].values())
+
+
+def test_cms_mergeable_and_never_undercounts(tables, spark):
+    from tidier_spark.operators.sketches import cms_build, cms_query
+    from tidier_spark.operators.text import tokens
+
+    docs = tables["documents"]
+    toks = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("tok"))
+    whole = cms_build(toks, "tok", depth=4, width=64)
+
+    # structural mergeability: per-half sketches sum to the whole sketch
+    a = cms_build(toks.where(F.col("doc_id") % 2 == 0), "tok", depth=4, width=64)
+    b = cms_build(toks.where(F.col("doc_id") % 2 == 1), "tok", depth=4, width=64)
+    merged = (
+        a.unionByName(b).groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+    )
+    diff = (
+        whole.alias("w")
+        .join(merged.alias("m"), ["j", "bucket"], "full")
+        .where(
+            F.coalesce(F.col("w.n"), F.lit(0)) != F.coalesce(F.col("m.n"), F.lit(0))
+        )
+        .count()
+    )
+    assert diff == 0
+
+    # no-undercount guarantee on every distinct token (width 64 forces
+    # heavy collisions — the bound must still hold)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_query(whole, exact.select("tok"), "tok", depth=4, width=64)
+    under = exact.join(est, "tok").where(F.col("est_n") < F.col("true_n")).count()
+    assert under == 0
+
+    # and with a width narrow enough to force collisions, overcounts
+    # genuinely occur (the sketch approximates, it is not an exact count
+    # in disguise) while the no-undercount bound STILL holds
+    tiny = cms_build(toks, "tok", depth=2, width=8)
+    est8 = cms_query(tiny, exact.select("tok"), "tok", depth=2, width=8)
+    j8 = exact.join(est8, "tok")
+    assert j8.where(F.col("est_n") < F.col("true_n")).count() == 0
+    assert j8.where(F.col("est_n") > F.col("true_n")).count() > 0

@@ -44,6 +44,8 @@ __all__ = [
     "theta_overlap",
     "topk_partials",
     "topk_merged",
+    "cms_build",
+    "cms_query",
 ]
 
 
@@ -301,4 +303,86 @@ def topk_merged(
     )
     return ex.withColumn("topk_rank", F.row_number().over(w).cast("long")).where(
         F.col("topk_rank") <= k
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch over the values of ``col`` — the frequency member
+    of the mergeable-sketch family Spark's datasketches exprs lack.
+    Returns the sketch AS A TABLE ``(j, bucket, n)``: row ``j`` of the
+    d×w count matrix, bucket ``hash60(j # value) % width``, summed count.
+
+    Mergeability is structural: sketches from any slicing (per shard, per
+    day) fold by summing ``n`` on (j, bucket) — plain aggregation, which
+    is exactly how this builds (one explode of ``depth`` rows per input
+    row, ONE hash aggregate with map-side combine; state is bounded by
+    d·w cells regardless of input size).  Point-query with
+    :func:`cms_query`; the classic guarantee holds: the estimate NEVER
+    undercounts, and overcounts by > 2N/width with probability ≤ 2^-depth.
+    """
+    from .text import hash60
+
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda j: F.struct(
+                j.cast("long").alias("j"),
+                F.pmod(
+                    hash60(
+                        F.concat_ws("#", j.cast("string"), F.col(col).cast("string"))
+                    ),
+                    F.lit(width),
+                ).cast("long").alias("bucket"),
+            ),
+        )
+    )
+    return (
+        df.select(rows.alias("r"))
+        .select(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    out: str = "est_n",
+) -> DataFrame:
+    """Point-query a :func:`cms_build` table: per item, the MIN over the
+    ``depth`` rows of the matching bucket counts.  The items frame fans
+    out ``depth`` rows, equi-joins the (small, ≤ d·w rows) sketch —
+    broadcast — and min-aggregates back on the item.  Estimates never
+    undercount the true frequency.
+    """
+    from .text import hash60
+
+    fan = items.select(
+        F.col(item_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            hash60(
+                F.concat_ws(
+                    "#", F.col("j").cast("string"), F.col(item_col).cast("string")
+                )
+            ),
+            F.lit(width),
+        ).cast("long"),
+    ).withColumn("j", F.col("j").cast("long"))
+    return (
+        fan.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias(out))
     )
