@@ -334,3 +334,21 @@ def test_quantile_prune_approx_no_pergroup_sort(tables):
     plan = explain_str(r, "simple")
     assert "Window" not in plan, plan
     assert has_broadcast_join(r), plan
+
+
+def test_srp_embedding_zero_shuffles(tables):
+    from tidier_spark.operators.quality import srp_embedding
+
+    r = srp_embedding(tables["documents"], dim=8)
+    assert count_exchanges(r) == 0, explain_str(r, "simple")
+
+
+def test_cms_query_broadcasts_sketch(tables):
+    from tidier_spark.operators.sketches import cms_build, cms_query
+    from tidier_spark.operators.text import tokens
+
+    toks = tables["documents"].select(F.explode(tokens("text")).alias("tok"))
+    cms = cms_build(toks, "tok", depth=4, width=64)
+    items = toks.select("tok").distinct()
+    r = cms_query(cms, items, "tok", depth=4, width=64)
+    assert has_broadcast_join(r), explain_str(r, "simple")

@@ -508,27 +508,36 @@ def srp_embedding(
     columns stringify differently across pandas bridges, and the long
     form joins directly onto bucketed similarity pipelines.
 
+    Dimension ``j``'s sign for a token is BIT ``j`` of the token's single
+    60-bit md5 hash — one md5 per token occurrence for ALL dimensions
+    (≤ 60), not one per (token, dim); the md5 is the dominant cost and
+    its bits are independent, which is exactly what SRP needs.
+
     Scale: the per-document dim-vector is computed in ONE codegen
-    projection over the scan (O(n_tokens · dim) arithmetic, no shuffle,
-    no UDF); the long-form fan-out is a map-only posexplode of ``dim``
-    rows per document.
+    projection over the scan (one hash + ``dim`` bit-tests per token, no
+    shuffle, no UDF); the long-form fan-out is a map-only posexplode of
+    ``dim`` rows per document.
     """
     from .text import hash60, tokens
 
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            tokens(text_col),
-            F.lit(0).cast("long"),
-            lambda acc, w: acc
-            + F.when(
-                hash60(F.concat_ws("#", w, j.cast("string"))) % 2 == 0, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        ),
+    if not 1 <= dim <= 60:
+        raise ValueError("dim must be in [1, 60] (signs are hash60 bits)")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda w: hash60(w)).alias("__hs"),
     )
-    return df.select(F.col(id_col), F.posexplode(vec).alias("dim", "value")).select(
-        F.col(id_col), F.col("dim").cast("long"), F.col("value").cast("long")
-    )
+    def bit_sum(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    comps = [
+        F.aggregate(F.col("__hs"), F.lit(0).cast("long"), bit_sum(j))
+        for j in range(dim)
+    ]
+    return hashed.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("dim", "value")
+    ).select(F.col(id_col), F.col("dim").cast("long"), F.col("value").cast("long"))
 
 
 def srp_embedding_sql(
@@ -537,12 +546,11 @@ def srp_embedding_sql(
     text_col: str = "text",
     dim: int = 8,
 ) -> str:
-    """DuckDB mirror of :func:`srp_embedding` (same per-(token, dim)
-    hash signs; CAST collapses HUGEINT list_sum)."""
+    """DuckDB mirror of :func:`srp_embedding` (same single-hash-per-token
+    bit signs; CAST collapses HUGEINT list_sum)."""
     from .text import hash60_sql, tokens_sql
 
-    keyed = "w || '#' || j::VARCHAR"
-    sign = f"CASE WHEN {hash60_sql(keyed)} % 2 = 0 THEN 1 ELSE -1 END"
+    sign = f"CASE WHEN (({hash60_sql('w')} >> j) & 1) = 0 THEN 1 ELSE -1 END"
     return f"""
         SELECT {id_col}, j::BIGINT AS dim,
                CAST(coalesce(list_sum(list_transform(
