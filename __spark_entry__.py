@@ -2259,6 +2259,23 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-table exact kNN join (retrieval shape: eval queries vs corpus):
+    # odd vec_ids query the even-id candidate set through the same
+    # chunked-BLAS/grid machinery as the self-search entry — queries= is
+    # a first-class parameter, not a special case.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    queries = emb.where(F.col("vec_id") % 2 == 1)
+    return S.cosine_topk(corpus, k=3, queries=queries).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-Min sketch (the frequency sketch Spark's datasketches exprs
     # lack), built as a d×w count table — structurally mergeable.  The
@@ -2883,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": _q_stream_enrich,
         "asof_nearest": _q_asof_nearest,
         "sketch_cms": _q_sketch_cms,
+        "knn_join": _q_knn_join,
         # -- UDF/UDAF/UDTF tier
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
@@ -3491,6 +3509,28 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(q[3] - q[1], 0.0), 6) AS rb
             FROM e JOIN st USING (event_type)""",
         "sketch_cms": _sketch_cms_oracle(),
+        "knn_join": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+                       FROM embeddings),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(
+                       list_sum(list_transform(range(1, len(q.vec) + 1),
+                                               i -> q.vec[i] * c.vec[i]))
+                       / (sqrt(list_sum(list_transform(q.vec, x -> x * x)))
+                          * sqrt(list_sum(list_transform(c.vec, x -> x * x)))),
+                       6) AS cos_sim
+              FROM (SELECT * FROM v WHERE vec_id % 2 = 1) q,
+                   (SELECT * FROM v WHERE vec_id % 2 = 0) c
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank
+            FROM ranked WHERE rank <= 3""",
         "sketch_topk": """
             WITH c AS (SELECT l_partkey, count(*) AS n
                        FROM lineitem GROUP BY 1),
