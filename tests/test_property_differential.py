@@ -12,6 +12,8 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from helpers import assert_matches_oracle
 from tidier_spark import mutate
 
@@ -276,3 +278,102 @@ def test_bpe_train_matches_python_reference(words, n_merges, spark):
         for r in bpe_train(df, n_merges=n_merges).collect()
     ]
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 20),           # day index
+            st.integers(-500, 500),       # value in pennies
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_gapfill_matches_python_reference(events, spark):
+    # independent dense-grid reference: bucket, aggregate, fill LOCF
+    from collections import defaultdict
+
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    DAY_US = 86_400_000_000
+    rows = [
+        (k, d * 86_400.0, p / 100.0) for k, d, p in events
+    ]
+    df = spark.createDataFrame(rows, "k long, tsec double, value double")
+    df = df.select(
+        "k", F.timestamp_micros((F.col("tsec") * 1_000_000).cast("long")).alias("ts"),
+        "value",
+    )
+    got = {
+        (r.k, r.bucket_us): (r.n, r.v100, r.filled)
+        for r in time_bucket_gapfill(df, "k", "ts", "value",
+                                     bucket_seconds=86400, fill="locf").collect()
+    }
+
+    agg = defaultdict(lambda: [0, 0])
+    for k, d, p in events:
+        cell = agg[(k, d * DAY_US)]
+        cell[0] += 1
+        cell[1] += p
+    want = {}
+    for k in {k for k, _, _ in events}:
+        buckets = sorted(b for (kk, b) in agg if kk == k)
+        last = None
+        for b in range(buckets[0] // DAY_US, buckets[-1] // DAY_US + 1):
+            bus = b * DAY_US
+            if (k, bus) in agg:
+                n, v = agg[(k, bus)]
+                last = v
+                want[(k, bus)] = (n, v, False)
+            else:
+                want[(k, bus)] = (0, last, True)
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    L=st.integers(2, 3),
+    m=st.integers(2, 3),
+)
+def test_excise_regions_matches_python_reference(docs, L, m, spark):
+    from collections import Counter
+
+    from tidier_spark.operators.dedup import excise_duplicate_regions
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_covered, r.clean_text)
+        for r in excise_duplicate_regions(
+            df, gram_tokens=L, min_count=m
+        ).collect()
+    }
+
+    toks = {i: d.split() for i, d in enumerate(docs)}
+    counts = Counter()
+    for t in toks.values():
+        for i in range(len(t) - L + 1):
+            counts[tuple(t[i : i + L])] += 1
+    dup = {g for g, c in counts.items() if c >= m}
+    for i, t in toks.items():
+        covered = set()
+        for p in range(len(t) - L + 1):
+            if tuple(t[p : p + L]) in dup:
+                covered.update(range(p, p + L))
+        clean = " ".join(tok for j, tok in enumerate(t) if j not in covered)
+        assert got[i] == (len(t), len(covered), clean)
