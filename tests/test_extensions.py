@@ -1402,3 +1402,23 @@ def test_cms_mergeable_and_never_undercounts(tables, spark):
     j8 = exact.join(est8, "tok")
     assert j8.where(F.col("est_n") < F.col("true_n")).count() == 0
     assert j8.where(F.col("est_n") > F.col("true_n")).count() > 0
+
+
+def test_budget_mix_layout_independent(tables):
+    # the kept set must be a pure function of (id, salt): any physical
+    # layout — partition count, ordering — picks the same rows
+    from tidier_spark.operators.corpus import budget_mix
+    from tidier_spark.operators.text import token_count
+
+    docs = tables["documents"].withColumn("n_tokens", token_count("text"))
+    weights = {f"src{i}": 1 for i in range(20)}
+    base = {r.doc_id for r in budget_mix(docs, 12000, weights).collect()}
+    shuffled = {
+        r.doc_id
+        for r in budget_mix(
+            docs.repartition(7).sortWithinPartitions(F.desc("doc_id")),
+            12000,
+            weights,
+        ).collect()
+    }
+    assert base == shuffled and base
