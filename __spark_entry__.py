@@ -2259,6 +2259,33 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Contrastive-training pair mining: per anchor vector, the highest-
+    # cosine neighbor that is NOT a near-duplicate (cos < 0.4) — the
+    # "hard negative" construction for embedding-model training.  Pure
+    # composition: exact top-k self-search → dup gate → rank-1 per
+    # anchor.  The ANN machinery is the scale path; nothing new shuffles.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = S.cosine_topk(emb, k=10).where(F.col("cos_sim") < 0.4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cos_sim"),
+        )
+    )
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two-table exact kNN join (retrieval shape: eval queries vs corpus):
     # odd vec_ids query the even-id candidate set through the same
@@ -2288,7 +2315,9 @@ def _q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidier_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    # persisted: BOTH the exact-count branch and the CMS build scan the
+    # tokenized explode — one tokenization pass instead of two
+    toks = docs.select(F.explode(tokens("text")).alias("tok")).persist()
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
     top = exact.orderBy(F.desc("true_n"), F.asc("tok")).limit(20)
     cms = cms_build(toks, "tok", depth=4, width=256)
@@ -2901,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _q_asof_nearest,
         "sketch_cms": _q_sketch_cms,
         "knn_join": _q_knn_join,
+        "hard_negatives": _q_hard_negatives,
         # -- UDF/UDAF/UDTF tier
         "frame_apply_median": _q_frame_apply_median,
         "frame_apply_wmean": _q_frame_apply_wmean,
@@ -3509,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(q[3] - q[1], 0.0), 6) AS rb
             FROM e JOIN st USING (event_type)""",
         "sketch_cms": _sketch_cms_oracle(),
+        "hard_negatives": _hard_negatives_oracle(),
         "knn_join": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
                        FROM embeddings),
@@ -3698,6 +3729,23 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _hard_negatives_oracle() -> str:
+    from tidier_spark.operators.similarity import cosine_topk_sql
+
+    topk = cosine_topk_sql(k=10)
+    return f"""
+        WITH gated AS (
+          SELECT * FROM ({topk}) WHERE cos_sim < 0.4
+        ),
+        rr AS (
+          SELECT query_id AS anchor_id, neighbor_id AS negative_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS r
+          FROM gated
+        )
+        SELECT anchor_id, negative_id, cos_sim FROM rr WHERE r = 1"""
 
 
 def _sketch_cms_oracle() -> str:
