@@ -2890,6 +2890,27 @@ def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs)
 
 
+def _q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user exponential moving average (α=1/2, 9-row lookback) in
+    # EXACT integer arithmetic: BIGINT weight dot products over lags
+    # sharing one WindowSpec (single shuffle, single Window exec), final
+    # value one exactly-rounded IEEE division — bit-stable across engines.
+    from tidier_spark.operators.temporal import ewma
+
+    ev = read_table(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "value", "event_id", lookback=8)
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-2 SCD history build (Kimball half-open intervals) from the
+    # event log: gaps-and-islands run detection + one collapse groupBy +
+    # one post-agg lead() — all partitioned on the key, no self-join.
+    from tidier_spark.operators.merge import scd2
+
+    ev = read_table(spark, sf_dir, "events")
+    return scd2(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
     # FIRST 50 entries in registration order, so the dict leads with the
@@ -2979,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- entry #51 onward: not covered by this round's driver
         #      correctness window ----
         # -- never-driver-checked remainder (front of the r04 queue)
+        "ewma_smooth": _q_ewma_smooth,
+        "scd2_history": _q_scd2_history,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3606,6 +3629,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _weighted_sample_oracle(),
         "shuffle_rows": _shuffle_rows_oracle(),
         "dedup_against": _dedup_against_oracle(),
+        "ewma_smooth": _ewma_smooth_oracle(),
+        "scd2_history": _scd2_history_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
         "validate_events": _validate_events_oracle(),
@@ -3762,6 +3787,18 @@ def _sketch_cms_oracle() -> str:
         )
         SELECT tok, true_n, true AS cms_ok FROM exact
         ORDER BY true_n DESC, tok ASC LIMIT 20"""
+
+
+def _ewma_smooth_oracle() -> str:
+    from tidier_spark.operators.temporal import ewma_sql
+
+    return ewma_sql("events", "user_id", "ts", "value", "event_id", lookback=8)
+
+
+def _scd2_history_oracle() -> str:
+    from tidier_spark.operators.merge import scd2_sql
+
+    return scd2_sql("events", "user_id", "ts", "event_type", "event_id")
 
 
 def _gapfill_rollup_oracle() -> str:

@@ -298,3 +298,81 @@ def test_asof_nearest_picks_closer_side(spark):
     )
     tie = asof_join(l2, r2, "k", "t", ["v"], direction="nearest").collect()[0]
     assert tie.v_right == 1.0
+
+
+def test_ewma_matches_python_reference(spark):
+    import random
+
+    from tidier_spark.operators.temporal import ewma
+
+    rng = random.Random(7)
+    rows = []
+    for uid in range(5):
+        for i in range(rng.randint(1, 25)):
+            rows.append(
+                (uid, f"2024-01-01 00:{i:02d}:00", uid * 100 + i,
+                 round(rng.uniform(0, 500), 2))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["event_id"]): (r["ewma_num"], r["ewma_den"], r["ewma100"])
+        for r in ewma(df, "user_id", "ts", "value", "event_id", lookback=8).collect()
+    }
+    # independent reference: per-user ordered loop over the last 9 values
+    by_user = {}
+    for uid, ts, eid, v in sorted(rows):
+        hist = by_user.setdefault(uid, [])
+        hist.append((eid, round(v * 100)))
+        num = den = 0
+        for j, (_, x) in enumerate(hist[-9:][::-1]):
+            num += x * (1 << (8 - j))
+            den += 1 << (8 - j)
+        assert got[(uid, eid)] == (num, den, num / den)
+    assert len(got) == len(rows)
+
+
+def test_ewma_single_window_exchange(tables):
+    from tidier_spark.operators.temporal import ewma
+
+    plan = ewma(
+        tables["events"], "user_id", "ts", "value", "event_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    # all 9 lags collapse into ONE Window exec after ONE shuffle
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_known_history(spark):
+    from tidier_spark.operators.merge import scd2
+
+    rows = [
+        # u1: A,A,B,A -> three runs (A 2-obs, B, A again — NOT merged)
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-01 01:00:00", 2, "A"),
+        (1, "2024-01-01 02:00:00", 3, "B"),
+        (1, "2024-01-01 03:00:00", 4, "A"),
+        # u2: single observation -> one current run
+        (2, "2024-01-01 00:00:00", 5, "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, attr string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = scd2(df, "user_id", "ts", "attr", "event_id")
+    runs = sorted(
+        [(r["user_id"], r["attr"], r["valid_from_us"], r["valid_to_us"],
+          r["is_current"], r["n_obs"]) for r in out.collect()],
+        key=lambda r: (r[0], r[2]),
+    )
+    h = 3_600_000_000  # one hour in µs
+    t0 = runs[0][2]  # first run start for u1
+    assert [r[:2] + (r[4], r[5]) for r in runs] == [
+        (1, "A", False, 2), (1, "B", False, 1), (1, "A", True, 1),
+        (2, "C", True, 1),
+    ]
+    # intervals chain half-open: each run's valid_to == next run's valid_from
+    assert runs[0][3] == runs[0][2] + 2 * h  # A run [t0, t0+2h)
+    assert runs[1][2] == runs[0][3] and runs[1][3] == runs[1][2] + h
+    assert runs[2][2] == runs[1][3] and runs[2][3] is None
+    assert runs[3][3] is None

@@ -29,6 +29,8 @@ __all__ = [
     "cohort_retention_sql",
     "time_bucket_gapfill",
     "time_bucket_gapfill_sql",
+    "ewma",
+    "ewma_sql",
 ]
 
 
@@ -576,3 +578,84 @@ def time_bucket_gapfill_sql(
                CAST({fills[fill]} AS BIGINT) AS v100,
                n IS NULL AS filled
         FROM j"""
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 8,
+) -> DataFrame:
+    """Windowed exponential moving average (α = 1/2) per key, in EXACT
+    integer arithmetic so it hash-matches any engine bit-for-bit.
+
+    The textbook recursive EWMA (y_i = αx_i + (1−α)y_{i−1}) is a scan no
+    SQL window expresses, and float prefix-sum tricks ((1−α)^{-j} weights)
+    overflow for long series.  This is the production-safe variant: a
+    *finite-lookback* EWMA over the last ``lookback``+1 rows with weights
+    2^(lookback−j) — i.e. α=1/2 truncated — computed as two BIGINT dot
+    products (numerator, denominator) over lag columns, then one exact
+    IEEE division.  Values are fixed-pointed via round(value*100) so both
+    sides of the dot product are integers; the final ``ewma`` double is
+    num/den — a single exactly-rounded op, deterministic on every engine.
+
+    Plan: all ``lookback``+1 lags share one WindowSpec (partitionBy key,
+    orderBy ts,tiebreak) → Catalyst emits a single Window exec after one
+    shuffle on the key; the frame is bounded, so state per row is O(K) —
+    scale-safe at any key cardinality (no single-partition window).
+
+    Reference analog: tidier's rows-frame mean over ``[-K, 0]``
+    (``R/mutate.R:164-176``) with geometric instead of uniform weights.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    x = F.round(F.col(value_col) * 100).cast("bigint")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(lookback + 1):
+        lx = F.lag(x, j).over(w)
+        wt = F.lit(1 << (lookback - j)).cast("bigint")
+        num = num + F.coalesce(lx * wt, F.lit(0).cast("bigint"))
+        den = den + F.when(lx.isNotNull(), wt).otherwise(F.lit(0).cast("bigint"))
+    return df.select(
+        F.col(key_col),
+        F.unix_micros(F.col(time_col)).alias("ts_us"),
+        F.col(tiebreak_col),
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        (num / den).alias("ewma100"),
+    )
+
+
+def ewma_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`ewma` — identical lag dot product; the
+    num/den division is exactly rounded IEEE on both engines."""
+    x = f"CAST(round({value_col} * 100) AS BIGINT)"
+    over = (
+        f"OVER (PARTITION BY {key_col} ORDER BY {time_col}, {tiebreak_col})"
+    )
+    nums, dens = [], []
+    for j in range(lookback + 1):
+        wt = 1 << (lookback - j)
+        nums.append(f"coalesce(lag({x}, {j}) {over} * {wt}, 0)")
+        dens.append(
+            f"CASE WHEN lag({x}, {j}) {over} IS NOT NULL THEN {wt} ELSE 0 END"
+        )
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return f"""
+        SELECT {key_col},
+               epoch_us({time_col})::BIGINT AS ts_us,
+               {tiebreak_col},
+               CAST({num} AS BIGINT) AS ewma_num,
+               CAST({den} AS BIGINT) AS ewma_den,
+               CAST({num} AS BIGINT) / CAST({den} AS BIGINT) AS ewma100
+        FROM {table}"""
