@@ -2890,6 +2890,20 @@ def _q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(docs)
 
 
+_BM25_QUERY = ["spark", "window", "filter", "vector", "stream"]
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 relevance retrieval over the corpus (eval-set mining shape):
+    # pre-log Robertson idf and fixed-order IEEE arithmetic snapped to a
+    # BIGINT fixed point, so the distributed score sum is bit-stable; the
+    # global top-k lowers to TakeOrdered (no single-partition sort).
+    from tidier_spark.operators.quality import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=25)
+
+
 def _q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user exponential moving average (α=1/2, 9-row lookback) in
     # EXACT integer arithmetic: BIGINT weight dot products over lags
@@ -3002,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never-driver-checked remainder (front of the r04 queue)
         "ewma_smooth": _q_ewma_smooth,
         "scd2_history": _q_scd2_history,
+        "bm25_topk": _q_bm25_topk,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3631,6 +3646,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle(),
         "ewma_smooth": _ewma_smooth_oracle(),
         "scd2_history": _scd2_history_oracle(),
+        "bm25_topk": _bm25_topk_oracle(),
         "stream_dedup_against": _stream_dedup_against_oracle(),
         "lm_surprisal": _lm_surprisal_oracle(),
         "validate_events": _validate_events_oracle(),
@@ -3787,6 +3803,12 @@ def _sketch_cms_oracle() -> str:
         )
         SELECT tok, true_n, true AS cms_ok FROM exact
         ORDER BY true_n DESC, tok ASC LIMIT 20"""
+
+
+def _bm25_topk_oracle() -> str:
+    from tidier_spark.operators.quality import bm25_topk_sql
+
+    return bm25_topk_sql("documents", _BM25_QUERY, k=25)
 
 
 def _ewma_smooth_oracle() -> str:

@@ -1422,3 +1422,57 @@ def test_budget_mix_layout_independent(tables):
         ).collect()
     }
     assert base == shuffled and base
+
+
+def test_bm25_matches_python_reference(tables, sf_dir):
+    import math
+    import re
+
+    import duckdb
+
+    from tidier_spark.operators.quality import bm25_topk
+
+    query = ["spark", "window", "filter"]
+    got = [
+        (r["rank"], r["doc_id"], r["score_fp"])
+        for r in bm25_topk(tables["documents"], query, k=10).collect()
+    ]
+    # independent reference: pure-Python BM25 over the same parquet
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    docs = {
+        did: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        for did, txt in rows
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfreq = {
+        q: sum(1 for t in docs.values() if q in t) for q in query
+    }
+    k1, b = 1.2, 0.75
+    scores = {}
+    for did, toks in docs.items():
+        s = 0
+        for q in query:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            idf = (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5)
+            sat = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(toks) / avgdl)))
+            s += math.floor(1_000_000 * (idf * sat))
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(i + 1, did, s) for i, (did, s) in enumerate(want)]
+
+
+def test_bm25_topk_plan_no_global_sort(tables):
+    from tidier_spark.operators.quality import bm25_topk
+
+    plan = (
+        bm25_topk(tables["documents"], ["spark", "vector"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # orderBy+limit must lower to TakeOrdered, not a full Sort+Exchange
+    assert "TakeOrderedAndProject" in plan

@@ -36,6 +36,8 @@ __all__ = [
     "quantile_prune",
     "srp_embedding",
     "srp_embedding_sql",
+    "bm25_topk",
+    "bm25_topk_sql",
 ]
 
 
@@ -556,3 +558,137 @@ def srp_embedding_sql(
                CAST(coalesce(list_sum(list_transform(
                  {tokens_sql(text_col)}, w -> {sign})), 0) AS BIGINT) AS value
         FROM {table}, (SELECT unnest(range(0, {dim})) AS j)"""
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 retrieval scoring of every document against a bag of query
+    terms, with the top-``k`` ranked result — the classic quality-
+    retrieval stage (relevance search over a corpus, "find docs like this
+    query" for curriculum selection or eval-set mining).
+
+    Engine-portable exactness: BM25 normally needs ``ln`` for idf, and
+    float ``ln`` is NOT bit-reproducible across engines (see
+    :func:`~tidier_spark.operators.text.unigram_surprisal`).  Here idf is
+    the *pre-log* Robertson ratio ``(N − df + 0.5)/(df + 0.5)`` — the
+    same docs order the same way for single-term weighting, and every op
+    in the per-(doc,term) contribution is an exactly-rounded IEEE double
+    op (+,−,×,÷) over integer-derived operands in a FIXED parenthesized
+    order, then ``floor(scale·x)`` snaps it to a BIGINT.  Per-doc scores
+    are sums of BIGINTs — order-independent, so the distributed aggregate
+    is bit-stable vs any oracle.
+
+    Plan: tokenize → explode (map-only) → tf groupBy on (doc,term) keyed
+    by the doc id → df-per-term from the tf frame (|query| rows, AQE
+    broadcasts it) → corpus stats (N, Σdl) as a 1-row broadcast cross
+    join → per-doc BIGINT sum → global top-k via TakeOrdered (orderBy +
+    limit lowers to a per-partition partial top-k + driver merge of k
+    rows — no single-partition sort), rank assigned over the k survivors
+    only.
+    """
+    from .text import token_count, tokens
+
+    terms = sorted(set(query_terms))
+    doclen = df.select(
+        F.col(id_col), token_count(text_col).alias("__dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
+        .where(F.col("__term").isin(terms))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    # fixed parenthesization — the oracle mirrors it token for token
+    idf = (F.col("__n") - F.col("__df") + F.lit(0.5)) / (
+        F.col("__df") + F.lit(0.5)
+    )
+    avgdl = F.col("__sumdl") / F.col("__n")
+    sat = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+    )
+    contrib = F.floor(F.lit(float(scale)) * (idf * sat)).cast("bigint")
+    scored = (
+        j.select(F.col(id_col), contrib.alias("__c"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("score_fp"))
+        .orderBy(F.col("score_fp").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score_fp").desc(), F.col(id_col).asc())
+    return scored.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col(id_col),
+        F.col("score_fp"),
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` — identical parenthesization so
+    every IEEE double op rounds identically."""
+    from .text import tokens_sql
+
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    toks = tokens_sql(text_col)
+    return f"""
+        WITH doclen AS (
+          SELECT {id_col}, len({toks})::BIGINT AS dl FROM {table}
+        ),
+        stats AS (
+          SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+          FROM doclen
+        ),
+        tf AS (
+          SELECT {id_col}, term, count(*)::BIGINT AS tf FROM (
+            SELECT {id_col}, unnest({toks}) AS term FROM {table}
+          ) WHERE term IN ({terms}) GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+        ),
+        contrib AS (
+          SELECT tf.{id_col},
+                 CAST(floor({float(scale)!r} * (
+                   (((n - df) + 0.5) / (df + 0.5)) *
+                   ((tf * {k1 + 1.0!r}) /
+                    (tf + {k1!r} * ({1.0 - b!r} + {b!r} * (dl / (sumdl / n)))))
+                 )) AS BIGINT) AS c
+          FROM tf
+          JOIN dfreq USING (term)
+          JOIN doclen USING ({id_col})
+          CROSS JOIN stats
+        )
+        SELECT row_number() OVER (ORDER BY score_fp DESC, {id_col} ASC)::BIGINT
+                 AS rank,
+               {id_col}, score_fp
+        FROM (
+          SELECT {id_col}, CAST(sum(c) AS BIGINT) AS score_fp
+          FROM contrib GROUP BY 1
+        )
+        ORDER BY score_fp DESC, {id_col} ASC LIMIT {k}"""
