@@ -1476,3 +1476,43 @@ def test_bm25_topk_plan_no_global_sort(tables):
     )
     # orderBy+limit must lower to TakeOrdered, not a full Sort+Exchange
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_topk_recall_with_rerank(tables):
+    emb = tables["embeddings"].limit(200)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(emb, k=3, shortlist=32).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.6, f"PQ top-3 recall too low: {recall:.2f}"
+
+
+def test_pq_full_shortlist_is_exact(tables):
+    emb = tables["embeddings"].limit(120)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, k=2).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.pq_topk(emb, k=2, shortlist=10_000).collect()
+    }
+    assert exact == full
+
+
+def test_pq_encode_is_deterministic_and_compact(tables):
+    emb = tables["embeddings"].limit(100)
+    books = similarity.train_pq_codebooks(emb, "vec_id", "embedding", m=8, n_codes=16)
+    bc = emb.sparkSession.sparkContext.broadcast(books)
+    a = similarity.pq_encode(emb, "vec_id", "embedding", bc).toPandas()
+    b = similarity.pq_encode(emb, "vec_id", "embedding", bc).toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert (a["vec_id"] == b["vec_id"]).all()
+    assert all(list(x) == list(y) for x, y in zip(a["codes"], b["codes"]))
+    assert all(len(c) == 8 and max(c) < 16 for c in a["codes"])
