@@ -324,9 +324,13 @@ def cms_build(
     d·w cells regardless of input size).  Point-query with
     :func:`cms_query`; the classic guarantee holds: the estimate NEVER
     undercounts, and overcounts by > 2N/width with probability ≤ 2^-depth.
-    """
-    from .text import hash60
 
+    Row hashing is JVM ``xxhash64`` seeded per sketch row — whole-stage
+    codegen, no string building, ~10× cheaper than an md5-family hash on
+    the hot explode.  Sketch tables merge across any Spark jobs that
+    share (depth, width); cross-ENGINE bucket reproduction is not part of
+    the contract (the guarantees are distributional, not value-level).
+    """
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
     rows = F.explode(
@@ -334,12 +338,9 @@ def cms_build(
             F.sequence(F.lit(0), F.lit(depth - 1)),
             lambda j: F.struct(
                 j.cast("long").alias("j"),
-                F.pmod(
-                    hash60(
-                        F.concat_ws("#", j.cast("string"), F.col(col).cast("string"))
-                    ),
-                    F.lit(width),
-                ).cast("long").alias("bucket"),
+                F.pmod(F.xxhash64(j, F.col(col)), F.lit(width))
+                .cast("long")
+                .alias("bucket"),
             ),
         )
     )
@@ -365,20 +366,13 @@ def cms_query(
     broadcast — and min-aggregates back on the item.  Estimates never
     undercount the true frequency.
     """
-    from .text import hash60
-
     fan = items.select(
         F.col(item_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
     ).withColumn(
         "bucket",
         F.pmod(
-            hash60(
-                F.concat_ws(
-                    "#", F.col("j").cast("string"), F.col(item_col).cast("string")
-                )
-            ),
-            F.lit(width),
+            F.xxhash64(F.col("j").cast("int"), F.col(item_col)), F.lit(width)
         ).cast("long"),
     ).withColumn("j", F.col("j").cast("long"))
     return (
