@@ -2921,6 +2921,35 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ (FAISS billion-scale index): coarse lists + m-byte codes +
+    # bucket-local LUT scoring + exact shortlist re-rank — the ANN path
+    # with NO corpus-sized broadcast or collect anywhere.  Guarantee row
+    # ≥ 0.6 recall@3 (measured 0.86 at sf0.01, 0.80 at sf0.1); n_exact
+    # independently recomputed by the DuckDB brute-force oracle.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = S.ivfpq_topk(emb, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.lit("ivfpq_recall_at_3").alias("metric"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= 0.6).alias("recall_ok"),
+        )
+    )
+
+
 def _q_pq_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Full-shortlist PQ (shortlist ≥ corpus): every vector survives into
     # the exact re-rank, so the result is PROVABLY exact — which makes
@@ -3068,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "pq_topk": _q_pq_topk,
         "pq_topk_full": _q_pq_topk_full,
+        "ivfpq_topk": _q_ivfpq_topk,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3699,6 +3729,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _scd2_history_oracle(),
         "bm25_topk": _bm25_topk_oracle(),
         "pq_topk": _recall_guarantee_oracle("pq_recall_at_3"),
+        "ivfpq_topk": _recall_guarantee_oracle("ivfpq_recall_at_3"),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),

@@ -1516,3 +1516,47 @@ def test_pq_encode_is_deterministic_and_compact(tables):
     assert (a["vec_id"] == b["vec_id"]).all()
     assert all(list(x) == list(y) for x, y in zip(a["codes"], b["codes"]))
     assert all(len(c) == 8 and max(c) < 16 for c in a["codes"])
+
+
+def test_ivfpq_topk_recall(tables):
+    emb = tables["embeddings"].limit(200)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            emb, k=3, n_lists=8, n_probe=4, shortlist=16
+        ).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.5, f"IVF-PQ top-3 recall too low: {recall:.2f}"
+
+
+def test_ivfpq_full_probe_full_shortlist_is_exact(tables):
+    emb = tables["embeddings"].limit(120)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, k=2).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.ivfpq_topk(
+            emb, k=2, n_lists=6, n_probe=6, shortlist=10_000
+        ).collect()
+    }
+    assert exact == full
+
+
+def test_ivfpq_no_corpus_broadcast_or_collect(tables):
+    # the IVF-PQ plan must not contain a driver collect of the corpus:
+    # the only Python stages are mapInPandas (route) + applyInPandas
+    # (bucket scoring); re-rank is a join.  Assert the plan shape.
+    emb = tables["embeddings"].limit(150)
+    plan = (
+        similarity.ivfpq_topk(emb, k=2, n_lists=4, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan   # bucket-local scoring
+    assert "MapInPandas" in plan             # routing/encode pass

@@ -37,6 +37,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
     "assign_clusters",
     "cosine_topk_sql",
 ]
@@ -972,6 +973,140 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("query_id", "neighbor_id", "pq_sim", "rank")
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+    shortlist: int = 32,
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFx,PQy`` index, the billion-scale workhorse):
+    coarse k-means routes vectors into inverted lists, vectors are stored
+    as ``m``-byte PQ codes, queries probe ``n_probe`` lists and score each
+    probed list's CODES through a per-query lookup table, and an exact
+    join-based re-rank resolves the final k from the shortlist.
+
+    Why this is THE 100 TB shape (vs :func:`pq_topk`'s broadcast): nothing
+    is collected or broadcast except the two trained artifacts (centroids
+    + codebooks — kilobytes).  The code table lives distributed, bucketed
+    by list id; each bucket's scoring is a LUT gather over only that
+    bucket's codes (n_probe/n_lists of the corpus per query, at m bytes
+    per vector); the only full-precision pair work is the
+    shortlist·n_queries re-rank join.  Every stage is an equi-join or
+    groupBy on list_id / vector id — co-partitioned, skew-bounded by
+    balanced k-means lists.
+
+    Determinism matches the other ANN paths (seeded training, stable ties,
+    6-decimal rounding before ranking).  Recall rises with ``n_probe`` and
+    ``shortlist``; the entry carries a recall guarantee row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    cent = train_quantizer(
+        df, id_col, vec_col, n_lists=n_lists,
+        kmeans_iters=kmeans_iters, sample_size=sample_size, seed=seed,
+    )
+    books = train_pq_codebooks(
+        df, id_col, vec_col, m=m, n_codes=n_codes,
+        kmeans_iters=kmeans_iters, sample_size=sample_size, seed=seed + 1,
+    )
+    bc_cent = spark.sparkContext.broadcast(cent)
+    bc_books = spark.sparkContext.broadcast(books)
+
+    member_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("probe_rank", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def route(it):
+        C = bc_cent.value
+        B = bc_books.value
+        mm, _, ds = B.shape
+        ranks = np.arange(1, n_probe + 1, dtype=np.int32)
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            # membership codes (rank-1 list is the inverted-file home)
+            codes = np.empty((n, mm), dtype=np.int32)
+            for s in range(mm):
+                sub = M[:, s * ds : (s + 1) * ds]
+                d2 = ((sub[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            sims = M @ C.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].to_numpy().astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_probe),
+                    "list_id": top.reshape(-1).astype("int32"),
+                    "probe_rank": np.tile(ranks, n),
+                    "codes": [codes[i // n_probe] for i in range(n * n_probe)],
+                    "__vec": pdf[vec_col].repeat(n_probe).reset_index(drop=True),
+                }
+            )
+
+    routed = _fan_out(df.select(id_col, vec_col)).mapInPandas(
+        route, member_schema
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+        ]
+    )
+
+    def list_shortlist(pdf: pd.DataFrame) -> pd.DataFrame:
+        B = bc_books.value
+        mm, _, ds = B.shape
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        members = (pdf["probe_rank"] == 1).to_numpy()
+        if not members.any() or len(pdf) < 2:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        m_ids = ids[members]
+        codes = np.vstack(pdf.loc[members, "codes"].to_numpy()).astype(np.int32)
+        Q = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        lut = np.einsum(
+            "qsd,scd->qsc", Q.reshape(len(Q), mm, ds), B, optimize=True
+        )
+        sims = np.zeros((len(Q), len(m_ids)))
+        for s in range(mm):
+            sims += lut[:, s, codes[:, s]]
+        sims = np.round(sims, 6)
+        order_by_id = np.argsort(m_ids, kind="stable")
+        rows = {"query_id": [], "neighbor_id": []}
+        for i in range(len(pdf)):
+            sim = sims[i].copy()
+            sim[m_ids == ids[i]] = -np.inf
+            best = order_by_id[np.argsort(-sim[order_by_id], kind="stable")][:shortlist]
+            best = best[sim[best] > -np.inf]
+            rows["query_id"].extend([int(ids[i])] * len(best))
+            rows["neighbor_id"].extend(int(m_ids[j]) for j in best)
+        return pd.DataFrame(rows)
+
+    pairs = routed.groupBy("list_id").applyInPandas(list_shortlist, pair_schema)
+    return _rerank_pairs(df, pairs, id_col, vec_col, k)
 
 
 # --- DuckDB mirror ---------------------------------------------------------
