@@ -2601,6 +2601,21 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train-then-ENCODE: the input_ids stage — every document to its
+    # ordered subword-id sequence via a map-literal symbol→id lookup
+    # (deterministic vocab: sorted chars then merge ranks).  Map-only
+    # after the two kilobyte-sized training artifacts; no UDF/shuffle.
+    from tidier_spark.operators.bpe import bpe_encode, bpe_train, corpus_chars
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    return bpe_encode(docs, merges, corpus_chars(docs))
+
+
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily cohort retention triangle (the fixture spans ~30 days):
     # first-event day per user (one min-agg), join back on the same key
@@ -3098,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "pq_topk_full": _q_pq_topk_full,
         "ivfpq_topk": _q_ivfpq_topk,
+        "bpe_encode": _q_bpe_encode,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3730,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_oracle(),
         "pq_topk": _recall_guarantee_oracle("pq_recall_at_3"),
         "ivfpq_topk": _recall_guarantee_oracle("ivfpq_recall_at_3"),
+        "bpe_encode": _bpe_encode_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3895,6 +3912,12 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _bpe_encode_oracle() -> str:
+    from tidier_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql("documents", n_merges=6)
 
 
 def _ewma_smooth_oracle() -> str:

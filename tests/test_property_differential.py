@@ -377,3 +377,63 @@ def test_excise_regions_matches_python_reference(docs, L, m, spark):
                 covered.update(range(p, p + L))
         clean = " ".join(tok for j, tok in enumerate(t) if j not in covered)
         assert got[i] == (len(t), len(covered), clean)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_encode_matches_python_reference(texts, n_merges, spark):
+    # full train→encode differential: Spark's map-literal id sequences
+    # must equal an independent pure-Python pipeline (greedy leftmost
+    # merge per rank, sorted-chars-then-ranks vocabulary)
+    import re
+
+    from tidier_spark.operators.bpe import bpe_encode, bpe_train, corpus_chars
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(df, n_merges=n_merges).collect()
+    ]
+    chars = corpus_chars(df)
+    got = {
+        r["doc_id"]: (r["n_subwords"], r["ids_csv"])
+        for r in bpe_encode(df, merges, chars).collect()
+    }
+
+    def greedy(s, a, b):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    vocab = {}
+    for i, c in enumerate(sorted(chars)):
+        vocab.setdefault(c, i + 1)
+    for r, (a, b) in enumerate(merges, start=1):
+        vocab.setdefault(a + b, len(chars) + r)
+    for i, t in enumerate(texts):
+        ids = []
+        for w in [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]:
+            s = list(w)
+            for a, b in merges:
+                s = greedy(s, a, b)
+            ids.extend(vocab[sym] for sym in s)
+        assert got[i] == (len(ids), ",".join(map(str, ids))), (t, merges)

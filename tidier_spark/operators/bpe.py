@@ -28,7 +28,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_apply", "bpe_train_sql", "bpe_subwords_sql"]
+__all__ = [
+    "bpe_train",
+    "bpe_apply",
+    "bpe_encode",
+    "corpus_chars",
+    "bpe_train_sql",
+    "bpe_subwords_sql",
+    "bpe_encode_sql",
+]
 
 SEP = "\x1f"
 
@@ -255,3 +263,159 @@ def bpe_subwords_sql(
         FROM {table} d LEFT JOIN (
           SELECT {id_col}, sum(n_sym) AS n_subwords FROM applied GROUP BY 1
         ) a USING ({id_col})"""
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    base_chars: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document to its BPE subword-ID SEQUENCE — the
+    ``input_ids`` stage of a pretraining pipeline (``bpe_apply`` only
+    counts; this emits the ids, order-preserved).
+
+    Vocabulary ids are deterministic: sorted base characters get
+    ``1..C``, merge ``r`` (1-based rank) gets ``C + r``; a merged string
+    reachable by two paths keeps its FIRST id.  Both artifacts
+    (``merges``, ``base_chars``) are driver-known after training —
+    kilobytes — so the symbol→id mapping compiles into a MAP LITERAL and
+    encoding stays a map-only projection: per token, the same wrapped
+    ``replace`` chain as :func:`bpe_apply`, split to symbols, flatten
+    across the document, ``transform`` through the map.  No UDF, no
+    explode, no shuffle — scan-throughput tokenization at any corpus
+    size.  (A 32k-merge production vocab is a ~500 KB literal; beyond
+    that, swap the literal for a broadcast join against the vocab frame —
+    same semantics.)
+
+    Output: ``(id, n_subwords, ids_csv)`` — the sequence as a
+    comma-joined string (engine-portable; split to an array downstream).
+    """
+    vocab: dict[str, int] = {}
+    for i, c in enumerate(sorted(base_chars)):
+        vocab.setdefault(c, i + 1)
+    base_n = len(base_chars)
+    for r, (a, b) in enumerate(merges, start=1):
+        vocab.setdefault(a + b, base_n + r)
+
+    from .text import tokens
+
+    def segment(word: F.Column) -> F.Column:
+        s = _wrapped_chars(word)
+        for a, b in merges:
+            s = F.replace(
+                s, F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"), F.lit(f"{SEP}{a}{b}{SEP}")
+            )
+        return _symbols(s)
+
+    kv: list[F.Column] = []
+    for sym, vid in vocab.items():
+        kv.extend([F.lit(sym), F.lit(vid)])
+    vmap = F.create_map(*kv)
+    subs = F.flatten(F.transform(tokens(text_col), segment))
+    ids = F.transform(subs, lambda s: F.element_at(vmap, s))
+    return df.select(
+        F.col(id_col),
+        F.size(subs).cast("long").alias("n_subwords"),
+        F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), ","
+        ).alias("ids_csv"),
+    )
+
+
+def corpus_chars(df: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters across the tokenized corpus — the base-vocab
+    artifact for :func:`bpe_encode` (one tiny distinct aggregate; its
+    result is alphabet-sized regardless of corpus size)."""
+    from .text import tokens
+
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .where(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def bpe_encode_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> str:
+    """Train-then-encode mirror of ``bpe_encode(df, bpe_train(df),
+    corpus_chars(df))`` — the training CTE chain, a chars CTE for the base
+    vocab (ids ``1..C`` sorted; merge r gets ``C + r``; duplicates keep
+    the minimum id), the same replace chain per token, and an
+    order-preserving ``list(... ORDER BY wpos, spos)`` re-assembly."""
+    from .text import tokens_sql
+
+    S = "chr(31)"
+    train = bpe_train_sql(table, text_col, n_merges)
+    ctes_sql = train[len("WITH ") : train.rindex("\nSELECT")]
+    s_expr = (
+        f"{S} || array_to_string(list_transform(range(1, length(w) + 1),"
+        f" i -> substr(w, i, 1)), {S} || {S}) || {S}"
+    )
+    for r in range(n_merges):
+        s_expr = (
+            f"replace({s_expr}, {S} || b{r}.a || {S} || {S} || b{r}.b || {S},"
+            f" {S} || b{r}.a || b{r}.b || {S})"
+        )
+    froms = ", ".join(f"best{r} b{r}" for r in range(n_merges))
+    merge_rows = " UNION ALL ".join(
+        f"SELECT a || b AS sym, (SELECT count(*) FROM chars) + {r + 1} AS vid"
+        f" FROM best{r}"
+        for r in range(n_merges)
+    )
+    return f"""WITH {ctes_sql},
+        chars AS (
+          SELECT c, row_number() OVER (ORDER BY c) AS vid FROM (
+            SELECT DISTINCT unnest(list_transform(range(1, length(w) + 1),
+                                   i -> substr(w, i, 1))) AS c
+            FROM words
+          )
+        ),
+        vocab AS (
+          SELECT sym, CAST(min(vid) AS BIGINT) AS vid FROM (
+            SELECT c AS sym, vid FROM chars
+            UNION ALL
+            {merge_rows}
+          ) GROUP BY sym
+        ),
+        doctoks AS (
+          SELECT {id_col}, wp.i AS wpos, wp.w FROM (
+            SELECT {id_col},
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(i := i, w := toks[i]))) AS wp
+            FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+          )
+        ),
+        symrows AS (
+          SELECT {id_col}, wpos, sp.i AS spos, sp.sym FROM (
+            SELECT {id_col}, wpos,
+                   unnest(list_transform(range(1, len(syms) + 1),
+                          i -> struct_pack(i := i, sym := syms[i]))) AS sp
+            FROM (
+              SELECT d.{id_col}, d.wpos,
+                     string_split(substr({s_expr}, 2, length({s_expr}) - 2),
+                                  {S} || {S}) AS syms
+              FROM doctoks d, {froms}
+            )
+          )
+        ),
+        encoded AS (
+          SELECT s.{id_col},
+                 count(*)::BIGINT AS n_subwords,
+                 array_to_string(list(v.vid ORDER BY s.wpos, s.spos), ',')
+                   AS ids_csv
+          FROM symrows s JOIN vocab v ON s.sym = v.sym
+          GROUP BY 1
+        )
+        SELECT d.{id_col},
+               CAST(coalesce(e.n_subwords, 0) AS BIGINT) AS n_subwords,
+               coalesce(e.ids_csv, '') AS ids_csv
+        FROM {table} d LEFT JOIN encoded e USING ({id_col})"""
