@@ -2601,6 +2601,16 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sequence-length bucketed batching (dynamic-batching stage): exact
+    # NTILE lowering here (oracle-checkable); the map-only sketch-boundary
+    # lowering is the scale path (exact=False; differential in pytest).
+    from tidier_spark.operators.corpus import length_buckets
+
+    docs = read_table(spark, sf_dir, "documents")
+    return length_buckets(docs, n_buckets=8, batch_size=16, exact=True)
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Train-then-ENCODE: the input_ids stage — every document to its
     # ordered subword-id sequence via a map-literal symbol→id lookup
@@ -3114,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_full": _q_pq_topk_full,
         "ivfpq_topk": _q_ivfpq_topk,
         "bpe_encode": _q_bpe_encode,
+        "length_buckets": _q_length_buckets,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3747,6 +3758,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _recall_guarantee_oracle("pq_recall_at_3"),
         "ivfpq_topk": _recall_guarantee_oracle("ivfpq_recall_at_3"),
         "bpe_encode": _bpe_encode_oracle(),
+        "length_buckets": _length_buckets_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3912,6 +3924,12 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _length_buckets_oracle() -> str:
+    from tidier_spark.operators.corpus import length_buckets_sql
+
+    return length_buckets_sql("documents", n_buckets=8, batch_size=16)
 
 
 def _bpe_encode_oracle() -> str:

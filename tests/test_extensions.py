@@ -1560,3 +1560,39 @@ def test_ivfpq_no_corpus_broadcast_or_collect(tables):
     )
     assert "FlatMapGroupsInPandas" in plan   # bucket-local scoring
     assert "MapInPandas" in plan             # routing/encode pass
+
+
+def test_length_buckets_approx_close_to_exact(tables):
+    from tidier_spark.operators.corpus import length_buckets
+
+    docs = tables["documents"]
+    ex = length_buckets(docs, n_buckets=4, batch_size=8, exact=True).toPandas()
+    ap = length_buckets(docs, n_buckets=4, batch_size=8, exact=False).toPandas()
+    n = len(ex)
+    # exact: perfectly equal-frequency
+    sizes = ex.groupby("bucket").size()
+    assert sizes.max() - sizes.min() <= 1
+    # approx: same bucket count, each within 25% of n/4 (sketch error at
+    # this accuracy is far tighter; the bound just guards regressions)
+    ap_sizes = ap.groupby("bucket").size()
+    assert set(ap_sizes.index) <= {1, 2, 3, 4}
+    assert all(abs(s - n / 4) <= n / 4 * 0.25 for s in ap_sizes)
+    # batches are contiguous 0..m with only the last partial
+    for (_, grp) in ex.groupby("bucket"):
+        counts = grp.groupby("batch").size().sort_index()
+        assert (counts.iloc[:-1] == 8).all()
+        assert counts.iloc[-1] <= 8
+
+
+def test_length_buckets_batches_are_length_sorted(tables):
+    from tidier_spark.operators.corpus import length_buckets
+
+    out = length_buckets(
+        tables["documents"], n_buckets=4, batch_size=8, exact=True
+    ).toPandas().sort_values(["bucket", "batch", "n_tokens"])
+    # bucket boundaries respect length order: max of bucket b <= min of b+1
+    for b in range(1, 4):
+        assert (
+            out[out.bucket == b].n_tokens.max()
+            <= out[out.bucket == b + 1].n_tokens.min()
+        )

@@ -9,7 +9,7 @@ sampling/mixing stages around it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import analyze_documents
@@ -34,6 +34,8 @@ __all__ = [
     "remove_repeated_spans_sql",
     "budget_mix",
     "budget_mix_sql",
+    "length_buckets",
+    "length_buckets_sql",
 ]
 
 
@@ -724,3 +726,89 @@ def budget_mix_sql(
         FROM {table} d JOIN thr t ON d.{source_col} = t.src
         WHERE (('0x' || substr(md5(d.{id_col}::VARCHAR || ':{salt}'), 1, 15))::BIGINT
                % 1000000) < t.thr_ppm"""
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    batch_size: int = 16,
+    exact: bool = True,
+) -> DataFrame:
+    """Sequence-length bucketed batching — group similarly-sized documents
+    so fixed-shape training batches waste minimal padding (the dynamic-
+    batching stage every LM data loader runs).  Output: ``(id, n_tokens,
+    bucket, batch)`` with equal-frequency buckets and deterministic
+    ``batch_size``-row batches inside each bucket (order: tokens, id).
+
+    Two lowerings, one semantics knob:
+
+    * ``exact=True`` — NTILE over the global (tokens, id) order: perfectly
+      equal-frequency, engine-portable (NTILE's floor/remainder split is
+      identical everywhere), and ORACLE-CHECKABLE — but the global window
+      is one sorted partition, so this is the fixture/verification path.
+    * ``exact=False`` — bucket boundaries from a ``percentile_approx``
+      sketch (one bounded-state aggregate), assignment via a broadcast
+      when-chain: MAP-ONLY after one small aggregate, no global sort
+      anywhere — the 100 TB path.  Buckets are equal-frequency within
+      sketch error; batch numbering is per-bucket (the window partitions
+      on the bucket id, and equal-frequency buckets are balanced by
+      construction — no hot partition).
+    """
+    from .text import token_count
+
+    base = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    )
+    if exact:
+        wg = Window.orderBy("n_tokens", id_col)
+        b = base.withColumn("bucket", F.ntile(n_buckets).over(wg).cast("long"))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = base.agg(
+            F.percentile_approx(
+                "n_tokens", F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            ).alias("q")
+        ).collect()[0]["q"]
+        expr = F.lit(n_buckets)
+        for i in range(len(bounds) - 1, -1, -1):
+            expr = F.when(F.col("n_tokens") <= F.lit(bounds[i]), i + 1).otherwise(
+                expr
+            )
+        b = base.withColumn("bucket", expr.cast("long"))
+    wb = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    return b.withColumn(
+        "batch",
+        ((F.row_number().over(wb) - 1) / F.lit(batch_size))
+        .cast("long"),
+    )
+
+
+def length_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    batch_size: int = 16,
+) -> str:
+    """DuckDB mirror of the exact :func:`length_buckets` lowering (NTILE +
+    per-bucket row_number batching)."""
+    from .text import tokens_sql
+
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, len({tokens_sql(text_col)})::BIGINT AS n_tokens
+          FROM {table}
+        ),
+        bucketed AS (
+          SELECT {id_col}, n_tokens,
+                 ntile({n_buckets}) OVER (ORDER BY n_tokens, {id_col})::BIGINT
+                   AS bucket
+          FROM base
+        )
+        SELECT {id_col}, n_tokens, bucket,
+               ((row_number() OVER (PARTITION BY bucket
+                                    ORDER BY n_tokens, {id_col}) - 1)
+                // {batch_size})::BIGINT AS batch
+        FROM bucketed"""
