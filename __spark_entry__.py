@@ -493,6 +493,26 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "value_right")
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-staleness as-of (pandas merge_asof tolerance): matches
+    # farther than 1h are discarded — the quote-too-old guard every
+    # point-in-time feature join needs.  Same single-exchange plan; the
+    # oracle post-filters DuckDB's native ASOF by the matched distance.
+    from tidier_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    trades = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    quotes = ev.where("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(
+        trades,
+        quotes,
+        on="user_id",
+        time_col="ts",
+        value_cols=["value"],
+        tolerance_us=3_600_000_000,
+    ).select("event_id", "value_right")
+
+
 def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Forward as-of: nearest right row AT OR AFTER each left row (the
     # "next quote" direction).  Same union+window lowering with the sort
@@ -3125,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "bpe_encode": _q_bpe_encode,
         "length_buckets": _q_length_buckets,
+        "asof_tolerance": _q_asof_tolerance,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3313,6 +3334,15 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
         "asof_join": """
             SELECT t.event_id, q.value AS value_right
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') t
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') q
+              ON t.user_id = q.user_id AND t.ts >= q.ts""",
+        "asof_tolerance": """
+            SELECT t.event_id,
+                   CASE WHEN epoch_us(t.ts) - epoch_us(q.ts) <= 3600000000
+                        THEN q.value END AS value_right
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') t
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events

@@ -376,3 +376,25 @@ def test_scd2_known_history(spark):
     assert runs[1][2] == runs[0][3] and runs[1][3] == runs[1][2] + h
     assert runs[2][2] == runs[1][3] and runs[2][3] is None
     assert runs[3][3] is None
+
+
+def test_asof_tolerance_discards_stale_matches(spark):
+    from tidier_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00"), (2, "2024-01-01 10:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 01:30:00", 10.0), (2, "2024-01-01 01:00:00", 20.0)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["id"]: r["v_right"]
+        for r in asof_join(
+            left, right, on="id", time_col="ts", value_cols=["v"],
+            tolerance_us=3_600_000_000,
+        ).collect()
+    }
+    # id 1: match 30min old -> kept; id 2: match 9h old -> discarded
+    assert got == {1: 10.0, 2: None}

@@ -42,6 +42,7 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the most recent right
     row with right.time ≤ left.time (direction="backward"; "forward" takes
@@ -53,10 +54,17 @@ def asof_join(
     ``partitionBy(on).orderBy(time, side)`` — right rows sort before left
     rows at equal times, so "at or before" includes exact matches.  Left
     rows with no prior right row get NULLs (left-join semantics).
+
+    ``tolerance_us`` (pandas ``merge_asof`` semantics): a match farther
+    than this many microseconds from the left row is DISCARDED — the
+    values null out, exactly as if no right row existed.  Same plan (the
+    matched right time already rides the window); one extra comparison.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if tolerance_us is not None and direction == "nearest":
+        raise ValueError("tolerance_us supports backward/forward directions")
 
     out_vals = [f"{c}{suffix}" for c in value_cols]
     l_tag = left
@@ -137,6 +145,21 @@ def asof_join(
     filled = u
     for oc in out_vals:
         filled = filled.withColumn(oc, pick(F.col(oc), ignorenulls=True).over(w))
+    if tolerance_us is not None:
+        filled = filled.withColumn(
+            "__rt", F.when(F.col("__side") == 0, F.col(time_col))
+        ).withColumn("__mt", pick(F.col("__rt"), ignorenulls=True).over(w))
+        dt = u.schema[time_col].dataType.simpleString()
+
+        def num(c: F.Column) -> F.Column:
+            return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
+
+        dist = F.abs(num(F.col(time_col)) - num(F.col("__mt")))
+        for oc in out_vals:
+            filled = filled.withColumn(
+                oc, F.when(dist <= F.lit(tolerance_us), F.col(oc))
+            )
+        filled = filled.drop("__rt", "__mt")
     return filled.where(F.col("__side") == 1).drop("__side")
 
 
