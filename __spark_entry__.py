@@ -2621,6 +2621,19 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Median/MAD robust outlier screen per event type (50% breakdown
+    # point — the screen mean/σ rules fail on).  Two tiny group-stat
+    # aggregates broadcast back; exact lowering here, percentile_approx
+    # knob is the 100 TB path.
+    from tidier_spark.operators.quality import robust_outliers
+
+    ev = read_table(spark, sf_dir, "events")
+    return robust_outliers(
+        ev, "value", by="event_type", id_cols=["event_id"]
+    )
+
+
 def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sequence-length bucketed batching (dynamic-batching stage): exact
     # NTILE lowering here (oracle-checkable); the map-only sketch-boundary
@@ -3146,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "length_buckets": _q_length_buckets,
         "asof_tolerance": _q_asof_tolerance,
+        "robust_outliers": _q_robust_outliers,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3789,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _recall_guarantee_oracle("ivfpq_recall_at_3"),
         "bpe_encode": _bpe_encode_oracle(),
         "length_buckets": _length_buckets_oracle(),
+        "robust_outliers": _robust_outliers_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3954,6 +3969,14 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _robust_outliers_oracle() -> str:
+    from tidier_spark.operators.quality import robust_outliers_sql
+
+    return robust_outliers_sql(
+        "events", "value", by="event_type", id_cols=["event_id"]
+    )
 
 
 def _length_buckets_oracle() -> str:

@@ -1596,3 +1596,46 @@ def test_length_buckets_batches_are_length_sorted(tables):
             out[out.bucket == b].n_tokens.max()
             <= out[out.bucket == b + 1].n_tokens.min()
         )
+
+
+def test_robust_outliers_matches_python_reference(spark):
+    import statistics
+
+    from tidier_spark.operators.quality import robust_outliers
+
+    vals = [10.0, 10.5, 11.0, 9.5, 10.2, 10.8, 9.9, 500.0,  # g "a": one spike
+            1.0, 1.1, 0.9, 1.05]                            # g "b": clean
+    rows = [(i, "a" if i < 8 else "b", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    got = {
+        r["event_id"]: (r["med"], r["mad"], r["is_outlier"])
+        for r in robust_outliers(
+            df, "value", by="g", id_cols=["event_id"]
+        ).collect()
+    }
+    for grp in ("a", "b"):
+        xs = [round(v * 100) for i, g, v in rows if g == grp]
+        med = statistics.median(xs)
+        mad = statistics.median([abs(x - med) for x in xs])
+        for i, g, v in rows:
+            if g != grp:
+                continue
+            x = round(v * 100)
+            assert got[i] == (med, mad, abs(x - med) > 3.5 * mad), (i, grp)
+    # the spike is flagged, everything else is not
+    assert got[7][2] is True
+    assert sum(1 for m, d, o in got.values() if o) == 1
+
+
+def test_robust_outliers_exact_vs_approx_same_flags(tables):
+    from tidier_spark.operators.quality import robust_outliers
+
+    ev = tables["events"]
+    ex = robust_outliers(ev, "value", by="event_type", id_cols=["event_id"])
+    ap = robust_outliers(
+        ev, "value", by="event_type", id_cols=["event_id"], exact=False
+    )
+    g1 = {r["event_id"]: r["is_outlier"] for r in ex.collect()}
+    g2 = {r["event_id"]: r["is_outlier"] for r in ap.collect()}
+    agree = sum(1 for k in g1 if g1[k] == g2[k]) / len(g1)
+    assert agree >= 0.99, f"approx lowering diverges: {agree:.3f}"

@@ -38,6 +38,8 @@ __all__ = [
     "srp_embedding_sql",
     "bm25_topk",
     "bm25_topk_sql",
+    "robust_outliers",
+    "robust_outliers_sql",
 ]
 
 
@@ -692,3 +694,97 @@ def bm25_topk_sql(
           FROM contrib GROUP BY 1
         )
         ORDER BY score_fp DESC, {id_col} ASC LIMIT {k}"""
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    k: float = 3.5,
+    id_cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Median/MAD outlier screen (the robust z-score): flag rows whose
+    penny-scaled value sits more than ``k`` median-absolute-deviations
+    from the group median.  Mean/stddev outlier rules break on the very
+    rows they hunt (the outliers drag the mean); median and MAD have a
+    50% breakdown point — the standard data-quality screen.
+
+    Two aggregate-then-broadcast passes: per-group median (one shuffle on
+    the keys, tiny result broadcast back), then per-group MAD of the
+    residuals (same shape).  Group stats are |groups| rows — AQE
+    broadcasts both joins; nothing else shuffles.  ``exact=False`` swaps
+    the sort-based exact percentile for ``percentile_approx`` (bounded
+    state, the 100 TB lowering — same plan shape, sketch accuracy).
+
+    Values are fixed-pointed via round(·×100) so both medians are exact
+    midpoint halves at worst — engine-portable doubles; the flag
+    comparison replays identically on any engine.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ids = id_cols or []
+    pct = (
+        (lambda c: F.percentile(c, F.lit(0.5)))
+        if exact
+        else (lambda c: F.percentile_approx(c, F.lit(0.5), F.lit(10_000)))
+    )
+    x = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(*ids, *keys, x.alias("vc"))
+    med = (
+        base.groupBy(*keys).agg(pct(F.col("vc")).alias("med"))
+        if keys
+        else base.agg(pct(F.col("vc")).alias("med"))
+    )
+    j1 = base.join(F.broadcast(med), keys) if keys else base.crossJoin(
+        F.broadcast(med)
+    )
+    resid = j1.withColumn("absdev", F.abs(F.col("vc") - F.col("med")))
+    mad = (
+        resid.groupBy(*keys).agg(pct(F.col("absdev")).alias("mad"))
+        if keys
+        else resid.agg(pct(F.col("absdev")).alias("mad"))
+    )
+    j2 = resid.join(F.broadcast(mad), keys) if keys else resid.crossJoin(
+        F.broadcast(mad)
+    )
+    return j2.select(
+        *ids,
+        *keys,
+        "vc",
+        "med",
+        "mad",
+        (F.col("absdev") > F.lit(k) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+def robust_outliers_sql(
+    table: str,
+    value_col: str,
+    by: str,
+    k: float = 3.5,
+    id_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of the exact :func:`robust_outliers` lowering (same
+    median-then-MAD chain; DuckDB ``median`` interpolates even-count
+    midpoints exactly like Spark ``percentile(·, 0.5)``)."""
+    ids = ", ".join(id_cols or [])
+    ids_pre = f"{ids}, " if ids else ""
+    return f"""
+        WITH base AS (
+          SELECT {ids_pre}{by},
+                 CAST(round({value_col} * 100) AS BIGINT) AS vc
+          FROM {table}
+        ),
+        med AS (
+          SELECT {by}, median(vc) AS med FROM base GROUP BY 1
+        ),
+        resid AS (
+          SELECT b.*, m.med, abs(b.vc - m.med) AS absdev
+          FROM base b JOIN med m USING ({by})
+        ),
+        mad AS (
+          SELECT {by}, median(absdev) AS mad FROM resid GROUP BY 1
+        )
+        SELECT {ids_pre}r.{by}, r.vc, r.med, d.mad,
+               r.absdev > {k!r} * d.mad AS is_outlier
+        FROM resid r JOIN mad d USING ({by})"""
