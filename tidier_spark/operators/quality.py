@@ -713,9 +713,13 @@ def robust_outliers(
     Two aggregate-then-broadcast passes: per-group median (one shuffle on
     the keys, tiny result broadcast back), then per-group MAD of the
     residuals (same shape).  Group stats are |groups| rows — AQE
-    broadcasts both joins; nothing else shuffles.  ``exact=False`` swaps
-    the sort-based exact percentile for ``percentile_approx`` (bounded
-    state, the 100 TB lowering — same plan shape, sketch accuracy).
+    broadcasts both joins; the data rows themselves NEVER shuffle (plan
+    snapshot in docs/PLANS.md).  ``exact=False`` swaps the sort-based
+    exact percentile for ``percentile_approx`` (bounded state, the
+    100 TB lowering — same plan shape, sketch accuracy).  MAD-after-
+    median is inherently two passes, and the lazy plan re-reads the base
+    projection per pass (3 pushed-down column scans total); at 100 TB
+    ``df.persist()`` the input first to trade memory for the re-scans.
 
     Values are fixed-pointed via round(·×100) so both medians are exact
     midpoint halves at worst — engine-portable doubles; the flag
