@@ -2621,6 +2621,18 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable time_weighted_average: LOCF duration-weighted daily
+    # average per user in exact BIGINT penny·µs arithmetic — one lead()
+    # window + one co-partitioned groupBy, no self-join.
+    from tidier_spark.operators.temporal import time_weighted_avg
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "user_id", "ts", "value", "event_id", bucket_seconds=86400
+    )
+
+
 def _q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Median/MAD robust outlier screen per event type (50% breakdown
     # point — the screen mean/σ rules fail on).  Two tiny group-stat
@@ -3160,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "asof_tolerance": _q_asof_tolerance,
         "robust_outliers": _q_robust_outliers,
+        "time_weighted": _q_time_weighted,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3804,6 +3817,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         "length_buckets": _length_buckets_oracle(),
         "robust_outliers": _robust_outliers_oracle(),
+        "time_weighted": _time_weighted_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3969,6 +3983,14 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _time_weighted_oracle() -> str:
+    from tidier_spark.operators.temporal import time_weighted_avg_sql
+
+    return time_weighted_avg_sql(
+        "events", "user_id", "ts", "value", "event_id", bucket_seconds=86400
+    )
 
 
 def _robust_outliers_oracle() -> str:

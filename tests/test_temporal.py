@@ -398,3 +398,33 @@ def test_asof_tolerance_discards_stale_matches(spark):
     }
     # id 1: match 30min old -> kept; id 2: match 9h old -> discarded
     assert got == {1: 10.0, 2: None}
+
+
+def test_time_weighted_avg_known_values(spark):
+    from tidier_spark.operators.temporal import time_weighted_avg
+
+    # one user, one day bucket: v=10 holds 6h, v=20 holds 6h, v=40 holds
+    # to the bucket edge (12h) -> TWA = (10*6 + 20*6 + 40*12)/24 = 27.5
+    rows = [
+        (1, "2024-01-05 00:00:00", 1, 10.0),
+        (1, "2024-01-05 06:00:00", 2, 20.0),
+        (1, "2024-01-05 12:00:00", 3, 40.0),
+        # second user: single sample at 23:00 holds 1h -> TWA = its value
+        (2, "2024-01-05 23:00:00", 4, 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user_id"]: (r["twa_num"], r["twa_den"], r["twa100"])
+        for r in time_weighted_avg(
+            df, "user_id", "ts", "value", "event_id", bucket_seconds=86400
+        ).collect()
+    }
+    h = 3_600_000_000
+    assert got[1] == (
+        1000 * 6 * h + 2000 * 6 * h + 4000 * 12 * h,
+        24 * h,
+        (1000 * 6 + 2000 * 6 + 4000 * 12) / 24,
+    )
+    assert got[2] == (725 * h, h, 725.0)

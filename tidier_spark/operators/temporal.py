@@ -31,6 +31,8 @@ __all__ = [
     "time_bucket_gapfill_sql",
     "ewma",
     "ewma_sql",
+    "time_weighted_avg",
+    "time_weighted_avg_sql",
 ]
 
 
@@ -682,3 +684,98 @@ def ewma_sql(
                CAST({den} AS BIGINT) AS ewma_den,
                CAST({num} AS BIGINT) / CAST({den} AS BIGINT) AS ewma100
         FROM {table}"""
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — the hypertable
+    ``time_weighted_average`` shape: each sample holds (LOCF) until the
+    next sample, the last sample in a bucket extends to the bucket edge,
+    and the average weights values by how long they held, not by how
+    often they were sampled.  Irregular telemetry averaged per day with
+    ``avg()`` over-counts chatty periods; this is the correct estimator.
+
+    Coverage is within-bucket only: the span before a bucket's first
+    sample carries no value (cross-bucket LOCF belongs to
+    :func:`time_bucket_gapfill`).  Output: ``(key, bucket_us, twa_num,
+    twa_den, twa100)`` — exact BIGINT penny·µs dot products and one
+    exactly-rounded division, bit-stable on any engine.
+
+    Plan: one lead() window partitioned by key (single shuffle), duration
+    clamp is a scalar projection, then one groupBy on (key, bucket) —
+    co-partitioned with the window exchange under AQE.  No self-join, no
+    per-key collection: scale-safe at any key cardinality.
+    """
+    b_us = bucket_seconds * 1_000_000
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    t = F.unix_micros(F.col(time_col))
+    # integer div, not float-divide-and-floor: epoch-µs magnitudes make
+    # the double quotient inexact (see interval_join)
+    bucket = F.expr(f"(unix_micros({time_col}) div {b_us}) * {b_us}")
+    nxt = F.lead(t).over(w)
+    end = bucket + F.lit(b_us)
+    dur = (F.least(F.coalesce(nxt, end), end) - t).cast("bigint")
+    vc = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        df.select(
+            F.col(key_col),
+            bucket.alias("bucket_us"),
+            (vc * dur).alias("__wv"),
+            dur.alias("__d"),
+        )
+        .groupBy(key_col, "bucket_us")
+        .agg(
+            F.sum("__wv").alias("twa_num"),
+            F.sum("__d").alias("twa_den"),
+        )
+        .select(
+            key_col,
+            "bucket_us",
+            "twa_num",
+            "twa_den",
+            (F.col("twa_num") / F.col("twa_den")).alias("twa100"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 86400,
+) -> str:
+    """DuckDB mirror of :func:`time_weighted_avg` (same LOCF-duration
+    weighting; sums cast to BIGINT pre-division to dodge HUGEINT drift)."""
+    b_us = bucket_seconds * 1_000_000
+    return f"""
+        WITH base AS (
+          SELECT {key_col},
+                 (epoch_us({time_col}) // {b_us}) * {b_us} AS bucket_us,
+                 epoch_us({time_col}) AS t,
+                 lead(epoch_us({time_col})) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY {time_col}, {tiebreak_col}) AS nxt,
+                 CAST(round({value_col} * 100) AS BIGINT) AS vc
+          FROM {table}
+        ),
+        spans AS (
+          SELECT {key_col}, bucket_us,
+                 vc * (least(coalesce(nxt, bucket_us + {b_us}),
+                             bucket_us + {b_us}) - t) AS wv,
+                 least(coalesce(nxt, bucket_us + {b_us}),
+                       bucket_us + {b_us}) - t AS d
+          FROM base
+        )
+        SELECT {key_col}, bucket_us::BIGINT AS bucket_us,
+               CAST(sum(wv) AS BIGINT) AS twa_num,
+               CAST(sum(d) AS BIGINT) AS twa_den,
+               CAST(sum(wv) AS BIGINT) / CAST(sum(d) AS BIGINT) AS twa100
+        FROM spans GROUP BY 1, 2"""
