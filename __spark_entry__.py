@@ -2621,6 +2621,17 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed Lloyd k-means over EVERY vector (codegen argmin
+    # assignment + one (cluster,dim) aggregate per round, driver state
+    # k×d) in exact BIGINT fixed point — hash-checked against a DuckDB
+    # oracle that unrolls the same rounds as CTEs (bpe_train discipline).
+    from tidier_spark.operators.similarity import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=4, iters=2)
+
+
 def _q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hypertable time_weighted_average: LOCF duration-weighted daily
     # average per user in exact BIGINT penny·µs arithmetic — one lead()
@@ -3173,6 +3184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": _q_asof_tolerance,
         "robust_outliers": _q_robust_outliers,
         "time_weighted": _q_time_weighted,
+        "kmeans_clusters": _q_kmeans_clusters,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3818,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _length_buckets_oracle(),
         "robust_outliers": _robust_outliers_oracle(),
         "time_weighted": _time_weighted_oracle(),
+        "kmeans_clusters": _kmeans_clusters_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3983,6 +3996,12 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _kmeans_clusters_oracle() -> str:
+    from tidier_spark.operators.similarity import kmeans_fit_sql
+
+    return kmeans_fit_sql("embeddings", k=4, iters=2)
 
 
 def _time_weighted_oracle() -> str:

@@ -1639,3 +1639,50 @@ def test_robust_outliers_exact_vs_approx_same_flags(tables):
     g2 = {r["event_id"]: r["is_outlier"] for r in ap.collect()}
     agree = sum(1 for k in g1 if g1[k] == g2[k]) / len(g1)
     assert agree >= 0.99, f"approx lowering diverges: {agree:.3f}"
+
+
+def test_kmeans_fit_matches_python_reference(tables):
+    import numpy as np
+
+    from tidier_spark.operators.similarity import kmeans_fit
+
+    emb = tables["embeddings"].limit(150)
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_fit(emb, k=3, iters=2).collect()}
+    rows = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in emb.collect()
+    )
+    X = {vid: [round(float(x) * 10_000) for x in v] for vid, v in rows}
+    cents = [X[vid] for vid, _ in rows[:3]]
+
+    def assign_all():
+        out = {}
+        for vid, x in X.items():
+            ds = [sum((a - b) ** 2 for a, b in zip(x, c)) for c in cents]
+            out[vid] = ds.index(min(ds))  # lowest cluster on ties
+        return out
+
+    for _ in range(2):
+        a = assign_all()
+        for c in range(3):
+            members = [X[v] for v, cl in a.items() if cl == c]
+            if members:
+                cents[c] = [
+                    (abs(s) // len(members)) * (1 if s >= 0 else -1)
+                    for s in (sum(col) for col in zip(*members))
+                ]
+    want = assign_all()
+    assert got == want
+    assert len(set(got.values())) > 1  # it actually partitions
+
+
+def test_kmeans_assignment_stays_jvm_side(tables):
+    from tidier_spark.operators.similarity import kmeans_fit
+
+    emb = tables["embeddings"].limit(100)
+    plan = (
+        kmeans_fit(emb, k=2, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-row assignment must be a codegen expression, never a Python UDF
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

@@ -38,6 +38,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "kmeans_fit",
+    "kmeans_fit_sql",
     "assign_clusters",
     "cosine_topk_sql",
 ]
@@ -1107,6 +1109,159 @@ def ivfpq_topk(
 
     pairs = routed.groupBy("list_id").applyInPandas(list_shortlist, pair_schema)
     return _rerank_pairs(df, pairs, id_col, vec_col, k)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Fully-DISTRIBUTED Lloyd k-means over every vector (unlike
+    :func:`train_quantizer`'s bounded-sample training): assignment is a
+    JVM codegen expression (zip_with square-distance fold + a least/when
+    argmin — no Python in the per-row path), the centroid update is one
+    (cluster, dim) hash aggregate with map-side combine (k·d groups),
+    and only the k×d centroid table ever reaches the driver.  The
+    iterative-algorithm pattern of ``graph.py``: per-round work is one
+    shuffle, driver state is O(k·d), rounds are bounded by ``iters``.
+
+    EXACT cross-engine arithmetic, so the result is oracle-checkable
+    (DuckDB unrolls the same rounds as CTEs — the bpe_train discipline):
+    components fixed-point at ``round(x·scale)`` BIGINT; distances are
+    BIGINT dot products; centroids floor-divide toward zero
+    (``(|s| div n)·sign(s)``) so both engines quantize identically; ties
+    in the argmin go to the lowest cluster id.  Init is the vectors of
+    the ``k`` smallest ids — deterministic, no RNG.
+
+    Returns ``(id, cluster)`` for the assignment under the FINAL
+    centroids (i.e. ``iters`` updates then one assignment pass).
+    """
+    import numpy as np
+
+    sess = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+        ).alias("__x"),
+    )
+    init = base.orderBy(id_col).limit(k).collect()
+    cents = [list(r["__x"]) for r in init]
+    dims = len(cents[0])
+
+    def dist_to(c: list[int]) -> F.Column:
+        arr = F.array(*[F.lit(int(v)) for v in c])
+        return F.aggregate(
+            F.zip_with(F.col("__x"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = [dist_to(cents[j]).alias(f"__d{j}") for j in range(len(cents))]
+        a = frame.select(id_col, "__x", *dists)
+        best = F.least(*[F.col(f"__d{j}") for j in range(len(cents))])
+        cl = F.lit(None).cast("int")
+        for j in range(len(cents) - 1, -1, -1):
+            cl = F.when(F.col(f"__d{j}") == best, F.lit(j)).otherwise(cl)
+        return a.select(id_col, "__x", cl.cast("long").alias("cluster"))
+
+    for _ in range(iters):
+        assigned = assign(base)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("__x")).alias("i", "v")
+            )
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {c: list(old) for c, old in enumerate(cents)}  # empty keeps old
+        acc: dict[int, list] = {}
+        for r in sums:
+            acc.setdefault(int(r["cluster"]), [None] * dims)[int(r["i"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        for c, pairs in acc.items():
+            new[c] = [
+                (abs(s) // n) * (1 if s >= 0 else -1) for s, n in pairs
+            ]
+        cents = [new[c] for c in range(len(cents))]
+
+    return assign(base).select(id_col, "cluster")
+
+
+def kmeans_fit_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 10_000,
+    dims: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`kmeans_fit`: the same rounds unrolled as
+    CTEs — same fixed point, same floor-toward-zero centroid division,
+    same lowest-cluster tie rule, same keep-old-on-empty-cluster rule."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> (v.x[i] - c.c[i]) * (v.x[i] - c.c[i])))"
+    )
+    ctes = [
+        f"""vecs AS (
+          SELECT {id_col} AS vid,
+                 list_transform({vec_col},
+                                x -> CAST(round(x * {scale}) AS BIGINT)) AS x
+          FROM {table}
+        )""",
+        f"""cent0 AS (
+          SELECT (row_number() OVER (ORDER BY vid)) - 1 AS cluster, x AS c
+          FROM (SELECT vid, x FROM vecs ORDER BY vid LIMIT {k})
+        )""",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""a{r} AS (
+              SELECT vid, x, cluster FROM (
+                SELECT v.vid, v.x, c.cluster,
+                       row_number() OVER (PARTITION BY v.vid
+                         ORDER BY {d2}, c.cluster) AS rn
+                FROM vecs v CROSS JOIN cent{r} c
+              ) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+              SELECT cluster, i,
+                     CAST(sum(x[i]) AS BIGINT) AS s,
+                     count(*)::BIGINT AS n
+              FROM a{r}, (SELECT unnest(range(1, {dims + 1})) AS i)
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""cent{r + 1} AS (
+              SELECT p.cluster,
+                     coalesce(
+                       (SELECT list((abs(s.s) // s.n) *
+                                    (CASE WHEN s.s >= 0 THEN 1 ELSE -1 END)
+                                    ORDER BY s.i)
+                        FROM s{r} s WHERE s.cluster = p.cluster),
+                       p.c) AS c
+              FROM cent{r} p
+            )"""
+        )
+    return f"""WITH {', '.join(ctes)}
+        SELECT vid AS {id_col}, cluster FROM (
+          SELECT v.vid, c.cluster,
+                 row_number() OVER (PARTITION BY v.vid
+                   ORDER BY {d2}, c.cluster) AS rn
+          FROM vecs v CROSS JOIN cent{iters} c
+        ) WHERE rn = 1"""
 
 
 # --- DuckDB mirror ---------------------------------------------------------
