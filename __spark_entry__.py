@@ -2621,6 +2621,17 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed batch-perceptron TRAINING (binary label<=4) in exact
+    # BIGINT arithmetic: codegen dot-product margins, one per-dim
+    # gradient aggregate per round, k×d driver state — hash-checked
+    # against a DuckDB oracle unrolling the same synchronous rounds.
+    from tidier_spark.operators.quality import perceptron_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return perceptron_fit(emb, iters=2)
+
+
 def _q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed Lloyd k-means over EVERY vector (codegen argmin
     # assignment + one (cluster,dim) aggregate per round, driver state
@@ -3185,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": _q_robust_outliers,
         "time_weighted": _q_time_weighted,
         "kmeans_clusters": _q_kmeans_clusters,
+        "perceptron": _q_perceptron,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3831,6 +3843,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": _robust_outliers_oracle(),
         "time_weighted": _time_weighted_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
+        "perceptron": _perceptron_oracle(),
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),
@@ -3996,6 +4009,12 @@ def _bm25_topk_oracle() -> str:
     from tidier_spark.operators.quality import bm25_topk_sql
 
     return bm25_topk_sql("documents", _BM25_QUERY, k=25)
+
+
+def _perceptron_oracle() -> str:
+    from tidier_spark.operators.quality import perceptron_fit_sql
+
+    return perceptron_fit_sql("embeddings", iters=2)
 
 
 def _kmeans_clusters_oracle() -> str:

@@ -1686,3 +1686,30 @@ def test_kmeans_assignment_stays_jvm_side(tables):
     # per-row assignment must be a codegen expression, never a Python UDF
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_perceptron_matches_python_reference(tables):
+    from tidier_spark.operators.quality import perceptron_fit
+
+    emb = tables["embeddings"].limit(120)
+    got = {
+        r["vec_id"]: (r["y"], r["margin"], r["correct"])
+        for r in perceptron_fit(emb, iters=2).collect()
+    }
+    rows = [
+        (r["vec_id"], [round(float(x) * 10_000) for x in r["embedding"]] + [10_000],
+         1 if r["label"] <= 4 else -1)
+        for r in emb.collect()
+    ]
+    w = [0] * 65
+    for _ in range(2):
+        grad = [0] * 65
+        for _, x, y in rows:
+            m = sum(a * b for a, b in zip(x, w))
+            if y * m <= 0:
+                for i, xi in enumerate(x):
+                    grad[i] += y * xi
+        w = [a + b for a, b in zip(w, grad)]
+    for vid, x, y in rows:
+        m = sum(a * b for a, b in zip(x, w))
+        assert got[vid] == (y, m, y * m > 0), vid

@@ -40,6 +40,8 @@ __all__ = [
     "bm25_topk_sql",
     "robust_outliers",
     "robust_outliers_sql",
+    "perceptron_fit",
+    "perceptron_fit_sql",
 ]
 
 
@@ -792,3 +794,140 @@ def robust_outliers_sql(
         SELECT {ids_pre}r.{by}, r.vc, r.med, d.mad,
                r.absdev > {k!r} * d.mad AS is_outlier
         FROM resid r JOIN mad d USING ({by})"""
+
+
+def perceptron_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive_max: int = 4,
+    iters: int = 2,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Distributed BATCH perceptron training (the classifier-TRAINING
+    counterpart of :func:`classifier_score`'s fixed-weight inference):
+    binary target ``label <= positive_max``, synchronous updates — each
+    round scores every vector against the broadcast weights (a JVM
+    zip_with dot product), sums the misclassified rows' ``y·x`` into one
+    per-dim gradient aggregate, and applies the update driver-side.
+    Driver state is the d+1 weight vector; per-round cost is one shuffle
+    of (dim, partial-sum) cells — the same iterative-algorithm budget as
+    ``kmeans_fit`` / ``graph.py``.
+
+    EXACT integer arithmetic end to end (components fixed-point BIGINT,
+    margins and gradients are integer dot products/sums, bias rides as a
+    constant ``scale`` feature) — so training is bit-reproducible on any
+    engine and the DuckDB oracle unrolls the same rounds as CTEs.
+
+    Returns the final classification ``(id, y, margin, correct)`` under
+    the trained weights.  Batch (synchronous) updates are what make
+    distributed determinism possible — classic sequential perceptron
+    updates are order-dependent by construction.
+    """
+    sess = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.concat(
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+            ),
+            F.array(F.lit(scale).cast("bigint")),  # bias feature
+        ).alias("__x"),
+        F.when(F.col(label_col) <= positive_max, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("__y"),
+    )
+    dims = len(base.select("__x").first()["__x"])
+    w = [0] * dims
+
+    def margin(weights: list[int]) -> F.Column:
+        arr = F.array(*[F.lit(int(v)) for v in weights])
+        return F.aggregate(
+            F.zip_with(F.col("__x"), arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        m = base.withColumn("__m", margin(w))
+        grad = (
+            m.where(F.col("__y") * F.col("__m") <= 0)
+            .select("__y", F.posexplode(F.col("__x")).alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum(F.col("__y") * F.col("v")).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[int(r["i"])] += int(r["g"])
+
+    out = base.withColumn("__m", margin(w))
+    return out.select(
+        F.col(id_col),
+        F.col("__y").alias("y"),
+        F.col("__m").alias("margin"),
+        (F.col("__y") * F.col("__m") > 0).alias("correct"),
+    )
+
+
+def perceptron_fit_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive_max: int = 4,
+    iters: int = 2,
+    scale: int = 10_000,
+    dims: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`perceptron_fit`: identical rounds unrolled
+    as CTEs (same fixed point, same synchronous gradient, same bias)."""
+    d1 = dims + 1
+    dot = (
+        f"list_sum(list_transform(range(1, {d1 + 1}),"
+        f" i -> v.x[i] * w.c[i]))"
+    )
+    ctes = [
+        f"""vecs AS (
+          SELECT {id_col} AS vid,
+                 list_append(
+                   list_transform({vec_col},
+                                  x -> CAST(round(x * {scale}) AS BIGINT)),
+                   {scale}::BIGINT) AS x,
+                 CASE WHEN {label_col} <= {positive_max}
+                      THEN 1::BIGINT ELSE (-1)::BIGINT END AS y
+          FROM {table}
+        )""",
+        f"""w0 AS (
+          SELECT list_transform(range(1, {d1 + 1}), i -> 0::BIGINT) AS c
+        )""",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""m{r} AS (
+              SELECT v.vid, v.x, v.y, CAST({dot} AS BIGINT) AS m
+              FROM vecs v CROSS JOIN w{r} w
+            )"""
+        )
+        ctes.append(
+            f"""g{r} AS (
+              SELECT i, CAST(sum(y * x[i]) AS BIGINT) AS g
+              FROM m{r}, (SELECT unnest(range(1, {d1 + 1})) AS i)
+              WHERE y * m <= 0
+              GROUP BY 1
+            )"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS (
+              SELECT (SELECT list(w.c[i] + coalesce(g.g, 0) ORDER BY i)
+                      FROM (SELECT unnest(range(1, {d1 + 1})) AS i)
+                      LEFT JOIN g{r} g USING (i)) AS c
+              FROM w{r} w
+            )"""
+        )
+    return f"""WITH {', '.join(ctes)}
+        SELECT v.vid AS {id_col}, v.y AS y,
+               CAST({dot} AS BIGINT) AS margin,
+               v.y * CAST({dot} AS BIGINT) > 0 AS correct
+        FROM vecs v CROSS JOIN w{iters} w"""
