@@ -437,3 +437,83 @@ def test_bpe_encode_matches_python_reference(texts, n_merges, spark):
                 s = greedy(s, a, b)
             ids.extend(vocab[sym] for sym in s)
         assert got[i] == (len(ids), ",".join(map(str, ids))), (t, merges)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user
+            st.integers(0, 20),         # minute offset
+            st.sampled_from("ABC"),     # attr
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_scd2_matches_python_reference(rows, spark):
+    # gaps-and-islands SCD2 vs an independent per-user Python loop
+    from tidier_spark.operators.merge import scd2
+
+    data = [
+        (u, f"2024-01-01 00:{m:02d}:00", u * 100 + m, a) for u, m, a in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts string, event_id long, attr string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["user_id"], r["attr"], r["valid_from_us"], r["valid_to_us"],
+         r["is_current"], r["n_obs"])
+        for r in scd2(df, "user_id", "ts", "attr", "event_id").collect()
+    )
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    byu = {}
+    for u, m, a in sorted(rows, key=lambda r: (r[0], r[1])):
+        byu.setdefault(u, []).append((base_us + m * 60_000_000, a))
+    want = []
+    for u, seq in byu.items():
+        runs = []
+        for t, a in seq:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for i, (a, t, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.append((u, a, t, nxt, nxt is None, n))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(parts=st.integers(1, 7))
+def test_ewma_layout_independent(parts, spark):
+    # the EWMA result must not depend on the input partitioning — the
+    # distributed-correctness property every window op rests on
+    from tidier_spark.operators.temporal import ewma
+
+    rows = [
+        (i % 3, f"2024-01-01 00:{i:02d}:00", i, float(i * 7 % 50))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    a = sorted(
+        tuple(r) for r in ewma(df, "user_id", "ts", "value", "event_id").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ewma(
+            df.repartition(parts, "event_id"), "user_id", "ts", "value", "event_id"
+        ).collect()
+    )
+    assert a == b
