@@ -326,12 +326,15 @@ def bpe_encode(
 
 def corpus_chars(df: DataFrame, text_col: str = "text") -> list[str]:
     """Distinct characters across the tokenized corpus — the base-vocab
-    artifact for :func:`bpe_encode` (one tiny distinct aggregate; its
-    result is alphabet-sized regardless of corpus size)."""
+    artifact for :func:`bpe_encode` (alphabet-sized regardless of corpus
+    size).  Distinct WORDS first (one shuffle, vocabulary-sized result),
+    then chars of the vocabulary — the char explode runs over |V| rows,
+    never over every token occurrence."""
     from .text import tokens
 
     rows = (
         df.select(F.explode(tokens(text_col)).alias("w"))
+        .distinct()
         .select(F.explode(F.split(F.col("w"), "")).alias("c"))
         .where(F.col("c") != "")
         .distinct()
