@@ -1713,3 +1713,26 @@ def test_perceptron_matches_python_reference(tables):
     for vid, x, y in rows:
         m = sum(a * b for a, b in zip(x, w))
         assert got[vid] == (y, m, y * m > 0), vid
+
+
+def test_robust_outliers_keeps_null_group_keys(spark):
+    from tidier_spark.operators.quality import robust_outliers
+
+    rows = [(1, "a", 10.0), (2, "a", 11.0), (3, None, 5.0), (4, None, 6.0)]
+    df = spark.createDataFrame(rows, "event_id long, g string, value double")
+    out = robust_outliers(df, "value", by="g", id_cols=["event_id"]).collect()
+    # the NULL group survives the stat join-back as its own group
+    assert {r["event_id"] for r in out} == {1, 2, 3, 4}
+    null_rows = [r for r in out if r["g"] is None]
+    assert len(null_rows) == 2 and all(not r["is_outlier"] for r in null_rows)
+
+
+def test_ewma_all_null_values_yield_null_average(spark):
+    from tidier_spark.operators.temporal import ewma
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, None), (1, "2024-01-01 00:01:00", 2, None)],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ewma(df, "user_id", "ts", "value", "event_id").collect()
+    assert all(r["ewma_den"] == 0 and r["ewma100"] is None for r in out)

@@ -741,18 +741,31 @@ def robust_outliers(
         if keys
         else base.agg(pct(F.col("vc")).alias("med"))
     )
-    j1 = base.join(F.broadcast(med), keys) if keys else base.crossJoin(
-        F.broadcast(med)
-    )
+    def stat_join(left: DataFrame, stats: DataFrame) -> DataFrame:
+        # null-safe equality on the group keys: a NULL key forms its own
+        # group under groupBy, and the broadcast join-back must keep it
+        # (plain equi-join would silently drop those rows)
+        if not keys:
+            return left.crossJoin(F.broadcast(stats))
+        r = stats
+        for k2 in keys:
+            r = r.withColumnRenamed(k2, f"__s_{k2}")
+        cond = None
+        for k2 in keys:
+            c = F.col(k2).eqNullSafe(F.col(f"__s_{k2}"))
+            cond = c if cond is None else (cond & c)
+        return left.join(F.broadcast(r), cond).drop(
+            *[f"__s_{k2}" for k2 in keys]
+        )
+
+    j1 = stat_join(base, med)
     resid = j1.withColumn("absdev", F.abs(F.col("vc") - F.col("med")))
     mad = (
         resid.groupBy(*keys).agg(pct(F.col("absdev")).alias("mad"))
         if keys
         else resid.agg(pct(F.col("absdev")).alias("mad"))
     )
-    j2 = resid.join(F.broadcast(mad), keys) if keys else resid.crossJoin(
-        F.broadcast(mad)
-    )
+    j2 = stat_join(resid, mad)
     return j2.select(
         *ids,
         *keys,

@@ -643,13 +643,15 @@ def ewma(
         wt = F.lit(1 << (lookback - j)).cast("bigint")
         num = num + F.coalesce(lx * wt, F.lit(0).cast("bigint"))
         den = den + F.when(lx.isNotNull(), wt).otherwise(F.lit(0).cast("bigint"))
+    # guard den == 0 (every lag in the window NULL-valued): engines
+    # disagree on 0/0 (Spark NULL, DuckDB NaN) — return NULL explicitly
     return df.select(
         F.col(key_col),
         F.unix_micros(F.col(time_col)).alias("ts_us"),
         F.col(tiebreak_col),
         num.alias("ewma_num"),
         den.alias("ewma_den"),
-        (num / den).alias("ewma100"),
+        F.when(den > 0, num / den).alias("ewma100"),
     )
 
 
@@ -682,7 +684,9 @@ def ewma_sql(
                {tiebreak_col},
                CAST({num} AS BIGINT) AS ewma_num,
                CAST({den} AS BIGINT) AS ewma_den,
-               CAST({num} AS BIGINT) / CAST({den} AS BIGINT) AS ewma100
+               CASE WHEN CAST({den} AS BIGINT) > 0
+                    THEN CAST({num} AS BIGINT) / CAST({den} AS BIGINT)
+               END AS ewma100
         FROM {table}"""
 
 
