@@ -758,8 +758,14 @@ def length_buckets(
     """
     from .text import token_count
 
+    # NULL text counts as 0 tokens: engines disagree on NULL sort order
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST), so the bucket boundary
+    # must never see a NULL key
     base = df.select(
-        F.col(id_col), token_count(text_col).alias("n_tokens")
+        F.col(id_col),
+        F.coalesce(token_count(text_col), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
     )
     if exact:
         wg = Window.orderBy("n_tokens", id_col)
@@ -798,7 +804,8 @@ def length_buckets_sql(
 
     return f"""
         WITH base AS (
-          SELECT {id_col}, len({tokens_sql(text_col)})::BIGINT AS n_tokens
+          SELECT {id_col},
+                 coalesce(len({tokens_sql(text_col)}), 0)::BIGINT AS n_tokens
           FROM {table}
         ),
         bucketed AS (
