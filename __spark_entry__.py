@@ -2621,6 +2621,38 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sink-layer round trip, driver-green: events written through
+    # write_parquet (partition_by=event_type + per-partition ts sort),
+    # read back through the pruned path (only two partition directories
+    # touched — PartitionFilters, asserted in pytest), aggregated, and
+    # hash-checked against the oracle on the ORIGINAL table.  Proves the
+    # layout levers preserve data bit-for-bit.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_table, write_parquet
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="tidier_sink_roundtrip_")
+    write_parquet(
+        ev, path, partition_by=["event_type"], sort_by=["ts"], n_files=4
+    )
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_vc"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
+
+
 def _q_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed batch-perceptron TRAINING (binary label<=4) in exact
     # BIGINT arithmetic: codegen dot-product margins, one per-dim
@@ -3197,6 +3229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted": _q_time_weighted,
         "kmeans_clusters": _q_kmeans_clusters,
         "perceptron": _q_perceptron,
+        "sink_roundtrip": _q_sink_roundtrip,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3844,6 +3877,16 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted": _time_weighted_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "perceptron": _perceptron_oracle(),
+        "sink_roundtrip": """
+            SELECT event_type, user_id,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_vc,
+                   min(event_id) AS min_eid,
+                   max(event_id) AS max_eid
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1, 2""",
         "pq_topk_full": _cosine_topk_oracle(
             "(SELECT * FROM embeddings WHERE vec_id % 4 = 2) e4"
         ),

@@ -118,3 +118,25 @@ def test_zorder_write_clusters_both_columns(tables, tmp_path):
     # layout must not change the data
     back = ev.sparkSession.read.parquet(zpath)
     assert back.count() == ev.count()
+
+
+def test_sink_roundtrip_scan_is_partition_pruned(tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import write_parquet
+
+    ev = tables["events"]
+    path = str(tmp_path / "pruned")
+    write_parquet(ev, path, partition_by=["event_type"], sort_by=["ts"], n_files=2)
+    spark = ev.sparkSession
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the event_type predicate must land in PartitionFilters (directory
+    # pruning), NOT survive as a post-scan Filter over all partitions
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert back.count() == ev.where(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
