@@ -2621,6 +2621,50 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval×interval overlap join (concurrent activity windows):
+    # bucketed equi-join, each pair kept only in its overlap-start
+    # bucket — no nested-loop join, no dedup shuffle.  Oracle is the
+    # naive DuckDB range join.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import overlap_join
+
+    ev = read_table(spark, sf_dir, "events")
+    half_h = 1_800_000_000
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id"),
+        F.col("ts").alias("l_s"),
+        (F.timestamp_micros(F.unix_micros(F.col("ts")) + half_h)).alias("l_e"),
+    )
+    buys = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id"),
+        F.col("ts").alias("r_s"),
+        (F.timestamp_micros(F.unix_micros(F.col("ts")) + half_h)).alias("r_e"),
+    )
+    j = overlap_join(
+        clicks,
+        buys,
+        left_start="l_s",
+        left_end="l_e",
+        right_start="r_s",
+        right_end="r_e",
+        on="user_id",
+        bucket_seconds=1800,
+    )
+    return j.select(
+        "l_id",
+        "r_id",
+        "user_id",
+        (
+            F.least(F.unix_micros("l_e"), F.unix_micros("r_e"))
+            - F.greatest(F.unix_micros("l_s"), F.unix_micros("r_s"))
+        ).alias("overlap_us"),
+    )
+
+
 def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sink-layer round trip, driver-green: events written through
     # write_parquet (partition_by=event_type + per-partition ts sort),
@@ -3230,6 +3274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "perceptron": _q_perceptron,
         "sink_roundtrip": _q_sink_roundtrip,
+        "overlap_join": _q_overlap_join,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3877,6 +3922,22 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted": _time_weighted_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "perceptron": _perceptron_oracle(),
+        "overlap_join": """
+            WITH c AS (
+              SELECT event_id AS l_id, user_id,
+                     epoch_us(ts) AS ls, epoch_us(ts) + 1800000000 AS le
+              FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT event_id AS r_id, user_id,
+                     epoch_us(ts) AS rs, epoch_us(ts) + 1800000000 AS re
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.l_id, p.r_id, c.user_id,
+                   (least(c.le, p.re) - greatest(c.ls, p.rs))::BIGINT
+                     AS overlap_us
+            FROM c JOIN p ON c.user_id = p.user_id
+                         AND c.ls < p.re AND p.rs < c.le""",
         "sink_roundtrip": """
             SELECT event_type, user_id,
                    count(*)::BIGINT AS n,

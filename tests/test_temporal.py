@@ -428,3 +428,35 @@ def test_time_weighted_avg_known_values(spark):
         (1000 * 6 + 2000 * 6 + 4000 * 12) / 24,
     )
     assert got[2] == (725 * h, h, 725.0)
+
+
+def test_overlap_join_matches_naive_and_dedups(spark):
+    from tidier_spark.operators.temporal import overlap_join
+
+    # spans crafted to cross multiple buckets (bucket=1h, spans up to 5h)
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "2024-01-01 05:30:00", "k"),
+         (2, "2024-01-01 06:00:00", "2024-01-01 06:10:00", "k"),
+         (3, "2024-01-01 00:00:00", "2024-01-01 00:00:00", "k")],  # empty
+        "lid long, l_s string, l_e string, g string",
+    ).selectExpr("lid", "CAST(l_s AS TIMESTAMP) l_s", "CAST(l_e AS TIMESTAMP) l_e", "g")
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 04:00:00", "2024-01-01 09:00:00", "k"),
+         (11, "2024-01-01 05:30:00", "2024-01-01 06:05:00", "k"),
+         (12, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "x")],  # other key
+        "rid long, r_s string, r_e string, g string",
+    ).selectExpr("rid", "CAST(r_s AS TIMESTAMP) r_s", "CAST(r_e AS TIMESTAMP) r_e", "g")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right,
+            left_start="l_s", left_end="l_e",
+            right_start="r_s", right_end="r_e",
+            on="g", bucket_seconds=3600,
+        ).collect()
+    )
+    # pair (1,10) shares buckets 4 and 5 — must appear exactly ONCE;
+    # (1,11) touch at 05:30 (half-open: l_e=05:30 excluded -> no match);
+    # (2,10) and (2,11) overlap; empty interval 3 matches nothing;
+    # rid 12 is another key
+    assert got == [(1, 10), (2, 10), (2, 11)]

@@ -33,6 +33,7 @@ __all__ = [
     "ewma_sql",
     "time_weighted_avg",
     "time_weighted_avg_sql",
+    "overlap_join",
 ]
 
 
@@ -783,3 +784,72 @@ def time_weighted_avg_sql(
                CAST(sum(d) AS BIGINT) AS twa_den,
                CAST(sum(wv) AS BIGINT) / CAST(sum(d) AS BIGINT) AS twa100
         FROM spans GROUP BY 1, 2"""
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose half-open
+    spans intersect (``ls < re AND rs < le``), optionally also matching
+    ``on`` keys — the interval×interval sibling of :func:`interval_join`
+    (point-in-interval).  Classic uses: concurrent-session detection,
+    downtime × deployment windows, ad-flight × campaign overlap.
+
+    Spark plans a raw inequality pair as a nested-loop join; the
+    scale-safe lowering buckets BOTH sides onto a fixed grid and
+    equi-joins on the bucket.  Overlapping pairs share every bucket that
+    both spans cover; to avoid post-join dedup (an extra shuffle of the
+    pair set), each pair is kept only in the bucket containing
+    ``max(ls, rs)`` — the overlap's first instant, which both spans
+    cover by definition.  One equi-join, no distinct, exact semantics.
+    Pick ``bucket_seconds`` near typical span length: replication is
+    span/bucket rows per side.
+
+    Column names must be disjoint across the frames except the ``on``
+    keys.  Timestamps compare in epoch-µs (integer ``div`` bucketing —
+    repo determinism rule).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    b_us = bucket_seconds * 1_000_000
+
+    def covered(s: str, e: str) -> F.Column:
+        return F.when(
+            F.unix_micros(F.col(e)) > F.unix_micros(F.col(s)),
+            F.sequence(
+                F.expr(f"unix_micros({s}) div {b_us}"),
+                F.expr(f"(unix_micros({e}) - 1) div {b_us}"),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    lbk = left.withColumn("__lb", F.explode(covered(left_start, left_end)))
+    rbk = right.withColumn("__rb", F.explode(covered(right_start, right_end)))
+    ren = {k: f"__r_{k}" for k in keys}
+    for k, rk in ren.items():
+        rbk = rbk.withColumnRenamed(k, rk)
+
+    ls, le = F.unix_micros(F.col(left_start)), F.unix_micros(F.col(left_end))
+    rs, re_ = F.unix_micros(F.col(right_start)), F.unix_micros(F.col(right_end))
+    cond = F.col("__lb") == F.col("__rb")
+    for k, rk in ren.items():
+        cond = cond & (F.col(k) == F.col(rk))
+    cond = cond & (ls < re_) & (rs < le)
+    # keep each pair only in the overlap-start bucket (no dedup shuffle);
+    # pure integer comparison — float divide-and-floor is boundary-
+    # hazardous at epoch-µs magnitudes (repo determinism rule)
+    ov = F.greatest(ls, rs)
+    cond = (
+        cond
+        & (ov >= F.col("__lb") * F.lit(b_us))
+        & (ov < (F.col("__lb") + 1) * F.lit(b_us))
+    )
+    return lbk.join(rbk, cond, "inner").drop("__lb", "__rb", *ren.values())
