@@ -2621,6 +2621,33 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming ordered-funnel tracker (applyInPandasWithState, O(k)
+    # state per user, append-mode advancement rows) replayed through the
+    # real engine; the oracle is the BATCH funnel chain unpivoted — the
+    # greedy earliest-chain equals the batch min-chain.
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_funnel_advances
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = stream_funnel_advances(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        step_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+    res = run_stream(
+        out,
+        name="stream_funnel_entry",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.selectExpr(
+        "key AS user_id", "step", "t_us"
+    )
+
+
 def _q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Interval×interval overlap join (concurrent activity windows):
     # bucketed equi-join, each pair kept only in its overlap-start
@@ -3275,6 +3302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perceptron": _q_perceptron,
         "sink_roundtrip": _q_sink_roundtrip,
         "overlap_join": _q_overlap_join,
+        "stream_funnel": _q_stream_funnel,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3922,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted": _time_weighted_oracle(),
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "perceptron": _perceptron_oracle(),
+        "stream_funnel": _stream_funnel_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4119,6 +4148,20 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _stream_funnel_oracle() -> str:
+    from tidier_spark.operators.temporal import funnel_sql
+
+    f = funnel_sql("events", "user_id", "ts", "event_type",
+                   ["view", "click", "purchase"])
+    return f"""
+        WITH f AS ({f})
+        SELECT user_id, 1::BIGINT AS step, t1 AS t_us FROM f
+        UNION ALL
+        SELECT user_id, 2::BIGINT, t2 FROM f WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT user_id, 3::BIGINT, t3 FROM f WHERE t3 IS NOT NULL"""
 
 
 def _kmeans_clusters_oracle() -> str:

@@ -1736,3 +1736,57 @@ def test_ewma_all_null_values_yield_null_average(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = ewma(df, "user_id", "ts", "value", "event_id").collect()
     assert all(r["ewma_den"] == 0 and r["ewma100"] is None for r in out)
+
+
+def test_stream_funnel_multi_batch_state_carries(spark, tmp_path):
+    # funnel advancement must survive micro-batch boundaries: step 1
+    # arrives in batch 1, steps 2-3 in batch 2 (maxFilesPerTrigger=1,
+    # forced mtimes) — the state carries t1 across and chains correctly
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import run_stream, stream_funnel_advances
+
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    base = 1_700_000_000_000_000  # epoch µs
+    t1 = pa.table({
+        "user_id": [1, 2],
+        "ts": pa.array([base, base + 10], type=pa.timestamp("us")),
+        "event_type": ["view", "click"],  # u2's click BEFORE any view
+    })
+    t2 = pa.table({
+        "user_id": [1, 1, 2],
+        "ts": pa.array(
+            [base + 60_000_000, base + 120_000_000, base + 60_000_000],
+            type=pa.timestamp("us")),
+        "event_type": ["click", "purchase", "view"],
+    })
+    pq.write_table(t1, src / "b1.parquet")
+    pq.write_table(t2, src / "b2.parquet")
+    now = _time.time()
+    _os.utime(src / "b1.parquet", (now - 60, now - 60))
+    _os.utime(src / "b2.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_funnel_advances(
+        stream, key_col="user_id", time_col="ts",
+        step_col="event_type", steps=["view", "click", "purchase"],
+    )
+    res = run_stream(out, name="t_stream_funnel_mb", output_mode="append")
+    got = sorted((r["key"], r["step"], r["t_us"]) for r in res.collect())
+    # u1 completes all three across the batch boundary; u2's early click
+    # never counts (no prior view), its view registers as step 1
+    assert got == [
+        (1, 1, base),
+        (1, 2, base + 60_000_000),
+        (1, 3, base + 120_000_000),
+        (2, 1, base + 60_000_000),
+    ]

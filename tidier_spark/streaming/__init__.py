@@ -26,6 +26,7 @@ from .sliding import (  # noqa: F401
     run_stream,
     stream_dedup,
     stream_interval_join,
+    stream_funnel_advances,
     stream_session_agg,
     stream_trailing_agg,
     stream_windowed_agg,
@@ -35,6 +36,7 @@ __all__ = [
     "stream_windowed_agg",
     "stream_trailing_agg",
     "stream_session_agg",
+    "stream_funnel_advances",
     "stream_dedup",
     "stream_interval_join",
     "stream_merge_parquet",

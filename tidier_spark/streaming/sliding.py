@@ -342,3 +342,85 @@ def stream_interval_join(
         *[F.col(f"l_{c}") for c in lcols],
         *[F.col(f"r_{c}") for c in rcols],
     )
+
+
+def stream_funnel_advances(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Streaming ordered-funnel tracker: per key, maintain the earliest
+    SEQUENTIAL completion time of each step (step i+1 must strictly
+    follow the key's step-i time — identical to the batch
+    :func:`~tidier_spark.operators.temporal.funnel` chain) and emit one
+    append-mode row ``(key, step, t_us)`` each time the key ADVANCES a
+    step.  The emitted rows reconstruct the batch funnel exactly: the
+    final state per key is the batch (t1..tk) row, because greedy
+    earliest-chain assignment over time-ordered events equals the batch
+    min-chain (standard exchange argument).
+
+    Ordering contract: events must arrive per key in event-time order
+    across micro-batches (within a batch they are sorted here).  That is
+    the same in-order replay contract as
+    :func:`stream_trailing_agg`; for out-of-order production streams,
+    front a watermarked sort or widen to a re-derivation window.
+
+    State per key: ``k`` BIGINT timestamps (-1 = not reached) — O(k),
+    the smallest possible funnel state; no event history is retained.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("step", LongType()),
+            StructField("t_us", LongType()),
+        ]
+    )
+    state_schema = "times array<long>"
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        times = list(state.get[0]) if state.exists else [-1] * k
+        rows = {"key": [], "step": [], "t_us": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col, kind="mergesort")
+            ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
+            st = pdf[step_col].to_numpy()
+            for t, s in zip(ts_us, st):
+                i = idx.get(s)
+                if i is None:
+                    continue
+                if times[i] != -1:
+                    continue
+                if i == 0 or (times[i - 1] != -1 and int(t) > times[i - 1]):
+                    times[i] = int(t)
+                    rows["key"].append(key[0])
+                    rows["step"].append(i + 1)
+                    rows["t_us"].append(int(t))
+        state.update((times,))
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias(time_col),
+            F.col(step_col).alias(step_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
