@@ -2621,6 +2621,15 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Markov transition table over per-user event sequences (path
+    # analysis): one lag window + one tiny |states|² aggregate.
+    from tidier_spark.operators.profile import event_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming ordered-funnel tracker (applyInPandasWithState, O(k)
     # state per user, append-mode advancement rows) replayed through the
@@ -3303,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _q_sink_roundtrip,
         "overlap_join": _q_overlap_join,
         "stream_funnel": _q_stream_funnel,
+        "event_transitions": _q_event_transitions,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3951,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_clusters_oracle(),
         "perceptron": _perceptron_oracle(),
         "stream_funnel": _stream_funnel_oracle(),
+        "event_transitions": _event_transitions_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4148,6 +4159,12 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _event_transitions_oracle() -> str:
+    from tidier_spark.operators.profile import event_transitions_sql
+
+    return event_transitions_sql("events", "user_id", "ts", "event_type", "event_id")
 
 
 def _stream_funnel_oracle() -> str:

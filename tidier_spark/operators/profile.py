@@ -16,10 +16,17 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table", "profile_sql", "histogram", "histogram_sql"]
+__all__ = [
+    "profile_table",
+    "profile_sql",
+    "histogram",
+    "histogram_sql",
+    "event_transitions",
+    "event_transitions_sql",
+]
 
 
 def profile_table(
@@ -118,3 +125,53 @@ def histogram_sql(
                {lo!r} + (spine.bin + 1) * {step!r} AS hi_edge,
                coalesce(counts.n, 0) AS n
         FROM spine LEFT JOIN counts USING (bin)"""
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """First-order transition counts between consecutive states per key —
+    the Markov path-analysis table behind "what do users do after X"
+    (and the input to next-event prediction baselines).  Output:
+    ``(from_state, to_state, n)`` over every consecutive pair in each
+    key's (time, tiebreak)-ordered history.
+
+    Plan: one lag() window partitioned by key (single shuffle) + one
+    groupBy on the |states|² pair space (map-side combine collapses to a
+    tiny result regardless of input size).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    return (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .where(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def event_transitions_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> str:
+    """DuckDB mirror of :func:`event_transitions`."""
+    return f"""
+        SELECT prev AS from_state, {state_col} AS to_state,
+               count(*)::BIGINT AS n
+        FROM (
+          SELECT {state_col},
+                 lag({state_col}) OVER (PARTITION BY {key_col}
+                   ORDER BY {time_col}, {tiebreak_col}) AS prev
+          FROM {table}
+        )
+        WHERE prev IS NOT NULL
+        GROUP BY 1, 2"""
