@@ -517,3 +517,104 @@ def test_ewma_layout_independent(parts, spark):
         ).collect()
     )
     assert a == b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lspans=st.lists(
+        st.tuples(st.integers(0, 48), st.integers(0, 10)),  # start-hr, len-hr
+        min_size=1, max_size=10,
+    ),
+    rspans=st.lists(
+        st.tuples(st.integers(0, 48), st.integers(0, 10)),
+        min_size=1, max_size=10,
+    ),
+    bucket_hours=st.integers(1, 6),
+)
+def test_overlap_join_matches_naive_on_random_intervals(
+    lspans, rspans, bucket_hours, spark
+):
+    from tidier_spark.operators.temporal import overlap_join
+
+    def mk(spans, pre):
+        return spark.createDataFrame(
+            [
+                (i, f"2024-01-0{1 + s // 24} {s % 24:02d}:00:00",
+                 f"2024-01-0{1 + (s + l) // 24} {(s + l) % 24:02d}:00:00")
+                for i, (s, l) in enumerate(spans)
+            ],
+            f"{pre}id long, {pre}s string, {pre}e string",
+        ).selectExpr(
+            f"{pre}id",
+            f"CAST({pre}s AS TIMESTAMP) AS {pre}s",
+            f"CAST({pre}e AS TIMESTAMP) AS {pre}e",
+        )
+
+    left, right = mk(lspans, "l"), mk(rspans, "r")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left.withColumnRenamed("ls", "l_s").withColumnRenamed("le", "l_e"),
+            right.withColumnRenamed("rs", "r_s").withColumnRenamed("re", "r_e"),
+            left_start="l_s", left_end="l_e",
+            right_start="r_s", right_end="r_e",
+            bucket_seconds=bucket_hours * 3600,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(lspans)
+        for j, (s2, l2) in enumerate(rspans)
+        if l1 > 0 and l2 > 0 and s1 < s2 + l2 and s2 < s1 + l1
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 2880), st.integers(0, 50000)),
+        min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_time_weighted_avg_matches_python_reference(rows, spark):
+    from tidier_spark.operators.temporal import time_weighted_avg
+
+    data = [
+        (u, m, u * 10_000 + m, c / 100.0) for u, m, c in rows
+    ]
+    df = spark.createDataFrame(
+        [(u, f"2024-01-0{1 + m // 1440} {(m % 1440) // 60:02d}:{m % 60:02d}:00", e, v)
+         for u, m, e, v in data],
+        "user_id long, ts string, event_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["bucket_us"]): (r["twa_num"], r["twa_den"])
+        for r in time_weighted_avg(
+            df, "user_id", "ts", "value", "event_id", bucket_seconds=86400
+        ).collect()
+    }
+    base = 1_704_067_200_000_000
+    day = 86_400_000_000
+    want = {}
+    byu = {}
+    for u, m, e, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        byu.setdefault(u, []).append((base + m * 60_000_000, round(v * 100)))
+    for u, seq in byu.items():
+        for i, (t, vc) in enumerate(seq):
+            b = (t // day) * day
+            nxt = seq[i + 1][0] if i + 1 < len(seq) else None
+            end = b + day
+            dur = min(nxt if nxt is not None else end, end) - t
+            kkey = (u, b)
+            n0, d0 = want.get(kkey, (0, 0))
+            want[kkey] = (n0 + vc * dur, d0 + dur)
+    assert got == want
