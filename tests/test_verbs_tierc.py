@@ -736,3 +736,32 @@ def test_theta_merge_partials(tables):
     }
     for k, n in exact.items():
         assert abs(merged[k] - n) <= 0.05 * n, (k, merged[k], n)
+
+
+def test_grouped_apply_arrow_equals_pandas(tables):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tidier_spark.pandas_tier import grouped_apply, grouped_apply_arrow
+
+    ev = tables["events"].select("user_id", "event_id", "value")
+
+    def demean_pd(pdf: pd.DataFrame) -> pd.DataFrame:
+        v100 = (pdf["value"] * 100).round()
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "demeaned": (v100 - v100.mean()) / 100.0}
+        )
+
+    def demean_pa(tbl: pa.Table) -> pa.Table:
+        v100 = pc.round(pc.multiply(tbl.column("value"), 100.0))
+        mean = pc.mean(v100).as_py()
+        return pa.table(
+            {"event_id": tbl.column("event_id"),
+             "demeaned": pc.divide(pc.subtract(v100, mean), 100.0)}
+        )
+
+    ddl = "event_id long, demeaned double"
+    a = {tuple(r) for r in grouped_apply(ev, "user_id", demean_pd, ddl).collect()}
+    b = {tuple(r) for r in grouped_apply_arrow(ev, "user_id", demean_pa, ddl).collect()}
+    assert a == b and len(a) > 0
