@@ -2627,6 +2627,17 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bigram-LM surprisal with unigram backoff (KenLM-filter shape) in
+    # exact integer bits — conditional extension of lm_surprisal; same
+    # float-ln-unportable rationale, same join-don't-broadcast n-gram
+    # table stance.
+    from tidier_spark.operators.text import bigram_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Markov transition table over per-user event sequences (path
     # analysis): one lag window + one tiny |states|² aggregate.
@@ -3319,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": _q_overlap_join,
         "stream_funnel": _q_stream_funnel,
         "event_transitions": _q_event_transitions,
+        "lm_bigram": _q_lm_bigram,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3968,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron": _perceptron_oracle(),
         "stream_funnel": _stream_funnel_oracle(),
         "event_transitions": _event_transitions_oracle(),
+        "lm_bigram": _lm_bigram_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4165,6 +4178,12 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _lm_bigram_oracle() -> str:
+    from tidier_spark.operators.text import bigram_surprisal_sql
+
+    return bigram_surprisal_sql("documents")
 
 
 def _event_transitions_oracle() -> str:

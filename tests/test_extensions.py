@@ -1790,3 +1790,39 @@ def test_stream_funnel_multi_batch_state_carries(spark, tmp_path):
         (1, 3, base + 120_000_000),
         (2, 1, base + 60_000_000),
     ]
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    import math
+    import re
+
+    from tidier_spark.operators.text import bigram_surprisal
+
+    texts = ["the cat sat on the mat", "the cat ran", "dogs run", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bigram_bits"], r["backoff_bits"])
+        for r in bigram_surprisal(df).collect()
+    }
+    docs = {
+        i: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        for i, t in enumerate(texts)
+    }
+    from collections import Counter
+
+    uni = Counter(w for ws in docs.values() for w in ws)
+    total = sum(uni.values())
+    bc = Counter(
+        (ws[j], ws[j + 1]) for ws in docs.values() for j in range(len(ws) - 1)
+    )
+    cc = Counter()
+    for (p, _), n in bc.items():
+        cc[p] += n
+    bl = lambda x: x.bit_length()
+    for i, ws in docs.items():
+        bb = sum(bl(cc[(ws[j])]) - bl(bc[(ws[j], ws[j + 1])])
+                 for j in range(len(ws) - 1))
+        back = bl(total) - bl(uni[ws[0]]) if ws else 0
+        assert got[i] == (len(ws), bb, back), (i, ws)

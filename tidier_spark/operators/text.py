@@ -46,6 +46,8 @@ __all__ = [
     "shingles",
     "hash60",
     "unigram_surprisal",
+    "bigram_surprisal",
+    "bigram_surprisal_sql",
     "unigram_surprisal_sql",
     "tokens_sql",
     "quality_sql_columns",
@@ -439,3 +441,140 @@ SELECT d.{id_col},
        round(CAST(p.surprisal_bits AS DOUBLE) / p.n_tokens, 6) AS bits_per_token,
        coalesce(p.n_rare, 0) AS n_rare
 FROM {table} d LEFT JOIN per_doc p USING ({id_col})"""
+
+
+def bigram_surprisal(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Bigram-LM quality scoring with unigram backoff, in EXACT integer
+    bits — the conditional extension of :func:`unigram_surprisal` (the
+    KenLM-style filter shape: how surprising is each token GIVEN its
+    predecessor).  Per within-doc bigram, ``bits(tok|prev) =
+    bitlen(n(prev,·)) − bitlen(n(prev,tok))``; each doc's FIRST token
+    backs off to the unigram code ``bitlen(total) − bitlen(freq)``.
+    All quantities are integer bit-lengths (same float-ln-is-not-
+    portable rationale as the unigram scorer); ``bits_per_token`` is one
+    exact-operand division rounded to 6 places.
+
+    Returns ``(id, n_tokens, bigram_bits, backoff_bits, bits_per_token)``
+    per input doc (tokenless docs keep zeros/NULL).
+
+    Scale shape: one posexplode (map-only) → one lag window partitioned
+    by doc id (single shuffle, uniform keys) → bigram/context frequency
+    tables from one groupBy each (vocab²-bounded) → shuffle joins back
+    on (prev, tok) / prev — the same join-don't-broadcast stance as the
+    unigram scorer, because n-gram tables grow with the corpus.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = tok.withColumn("prev", F.lag("tok").over(w))
+    big = seq.where(F.col("prev").isNotNull())
+    bc = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bn"))
+    cc = bc.groupBy("prev").agg(F.sum("bn").alias("cn"))
+    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    totals = freqs.agg(F.sum("freq").alias("total"))
+
+    bits_cond = F.length(F.bin(F.col("cn"))) - F.length(F.bin(F.col("bn")))
+    cond_doc = (
+        big.join(bc, ["prev", "tok"])
+        .join(cc, "prev")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(bits_cond).alias("bigram_bits"),
+        )
+    )
+    bits_uni = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("freq")))
+    first_doc = (
+        seq.where(F.col("prev").isNull())
+        .join(freqs, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(F.sum(bits_uni).alias("backoff_bits"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(cond_doc, id_col, "left")
+        .join(first_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce("n_bigrams", z)
+                + F.when(F.col("backoff_bits").isNotNull(), 1).otherwise(0)
+            ).alias("n_tokens"),
+            F.coalesce("bigram_bits", z).alias("bigram_bits"),
+            F.coalesce("backoff_bits", z).alias("backoff_bits"),
+            F.round(
+                (F.coalesce("bigram_bits", z) + F.coalesce("backoff_bits", z))
+                / (F.coalesce("n_bigrams", z) + F.lit(1)),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def bigram_surprisal_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bigram_surprisal` (same lag chain, same
+    bit-length codes; aggregate CASTs dodge HUGEINT drift)."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, wp.i AS pos, wp.tok FROM (
+    SELECT {id_col},
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(i := i, tok := toks[i]))) AS wp
+    FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+  )
+),
+seq AS (
+  SELECT {id_col}, pos, tok,
+         lag(tok) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+  FROM tok
+),
+bc AS (
+  SELECT prev, tok, CAST(count(*) AS BIGINT) AS bn
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+cc AS (SELECT prev, CAST(sum(bn) AS BIGINT) AS cn FROM bc GROUP BY 1),
+freqs AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM freqs),
+cond_doc AS (
+  SELECT s.{id_col},
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(length(bin(c.cn)) - length(bin(b.bn))) AS BIGINT)
+           AS bigram_bits
+  FROM seq s JOIN bc b ON s.prev = b.prev AND s.tok = b.tok
+             JOIN cc c ON s.prev = c.prev
+  WHERE s.prev IS NOT NULL
+  GROUP BY 1
+),
+first_doc AS (
+  SELECT s.{id_col},
+         CAST(sum(length(bin(tot.total)) - length(bin(f.freq))) AS BIGINT)
+           AS backoff_bits
+  FROM seq s JOIN freqs f USING (tok) CROSS JOIN tot
+  WHERE s.prev IS NULL
+  GROUP BY 1
+)
+SELECT d.{id_col},
+       (coalesce(c.n_bigrams, 0)
+        + CASE WHEN fd.backoff_bits IS NOT NULL THEN 1 ELSE 0 END)
+         AS n_tokens,
+       coalesce(c.bigram_bits, 0) AS bigram_bits,
+       coalesce(fd.backoff_bits, 0) AS backoff_bits,
+       round(CAST(coalesce(c.bigram_bits, 0) + coalesce(fd.backoff_bits, 0)
+                  AS DOUBLE) / (coalesce(c.n_bigrams, 0) + 1), 6)
+         AS bits_per_token
+FROM {table} d
+LEFT JOIN cond_doc c USING ({id_col})
+LEFT JOIN first_doc fd USING ({id_col})"""
