@@ -2627,6 +2627,42 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-constrained funnel ("converted within 24h of the previous
+    # step") — the sequential-min chain with a window bound on every
+    # qualification predicate.
+    from tidier_spark.operators.temporal import funnel_windowed
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_windowed(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_us=86_400_000_000,
+    )
+
+
+def _q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear multi-touch attribution: purchase value splits equally over
+    # the user's views in the prior 24h; per-pair credit snapped to
+    # BIGINT fixed point BEFORE summation so the distributed aggregate
+    # is order-independent.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import linear_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    touches = ev.where("event_type = 'view'")
+    convs = ev.where("event_type = 'purchase'")
+    return linear_attribution(
+        touches, convs, "user_id", "ts", "ts", "event_id", "event_id",
+        "value", lookback_us=86_400_000_000,
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        "touched_cents",
+        "n_convs",
+        "credit_fp",
+    )
+
+
 def _q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bigram-LM surprisal with unigram backoff (KenLM-filter shape) in
     # exact integer bits — conditional extension of lm_surprisal; same
@@ -3331,6 +3367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_funnel": _q_stream_funnel,
         "event_transitions": _q_event_transitions,
         "lm_bigram": _q_lm_bigram,
+        "funnel_windowed": _q_funnel_windowed,
+        "attribution_linear": _q_attribution_linear,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -3981,6 +4019,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_funnel": _stream_funnel_oracle(),
         "event_transitions": _event_transitions_oracle(),
         "lm_bigram": _lm_bigram_oracle(),
+        "funnel_windowed": _funnel_windowed_oracle(),
+        "attribution_linear": _attribution_linear_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4178,6 +4218,27 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _funnel_windowed_oracle() -> str:
+    from tidier_spark.operators.temporal import funnel_windowed_sql
+
+    return funnel_windowed_sql(
+        "events", "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_us=86_400_000_000,
+    )
+
+
+def _attribution_linear_oracle() -> str:
+    from tidier_spark.operators.temporal import linear_attribution_sql
+
+    return linear_attribution_sql(
+        "events", "user_id",
+        touch_filter="event_type = 'view'",
+        conv_filter="event_type = 'purchase'",
+        time_col="ts", id_col="event_id", value_col="value",
+        lookback_us=86_400_000_000,
+    )
 
 
 def _lm_bigram_oracle() -> str:

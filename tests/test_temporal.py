@@ -460,3 +460,61 @@ def test_overlap_join_matches_naive_and_dedups(spark):
     # (2,10) and (2,11) overlap; empty interval 3 matches nothing;
     # rid 12 is another key
     assert got == [(1, 10), (2, 10), (2, 11)]
+
+
+def test_funnel_windowed_enforces_time_bound(spark):
+    from tidier_spark.operators.temporal import funnel_windowed
+
+    rows = [
+        # u1: click 30min after view -> within 1h window
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:30:00", "click"),
+        # u2: click 2h after view -> OUTSIDE the 1h window
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 02:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_windowed(
+            df, "user_id", "ts", "event_type", ["view", "click"],
+            within_us=3_600_000_000,
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+def test_linear_attribution_splits_evenly(spark):
+    from tidier_spark.operators.temporal import linear_attribution
+
+    touches = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 100),
+         (1, "2024-01-01 00:30:00", 101),
+         (1, "2024-01-03 00:00:00", 102)],  # outside lookback of the conv
+        "user_id long, ts string, tid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    convs = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", 900, 10.0)],
+        "user_id long, ts string, cid long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["tid"]: (r["touched_cents"], r["n_convs"], r["credit_fp"])
+        for r in linear_attribution(
+            touches, convs, "user_id", "ts", "ts", "tid", "cid", "value",
+            lookback_us=2 * 3_600_000_000,
+        ).collect()
+    }
+    # 1000 cents split over 2 in-window touches -> 500 cents = 5e8 fp each
+    assert got == {100: (1000, 1, 500_000_000), 101: (1000, 1, 500_000_000)}
+    # half-open boundary: with exactly 1h lookback the 00:00 touch sits AT
+    # ct - L and is excluded -> the 00:30 touch takes full credit
+    got1h = {
+        r["tid"]: r["credit_fp"]
+        for r in linear_attribution(
+            touches, convs, "user_id", "ts", "ts", "tid", "cid", "value",
+            lookback_us=3_600_000_000,
+        ).collect()
+    }
+    assert got1h == {101: 1_000_000_000}

@@ -34,6 +34,10 @@ __all__ = [
     "time_weighted_avg",
     "time_weighted_avg_sql",
     "overlap_join",
+    "funnel_windowed",
+    "funnel_windowed_sql",
+    "linear_attribution",
+    "linear_attribution_sql",
 ]
 
 
@@ -853,3 +857,185 @@ def overlap_join(
         & (ov < (F.col("__lb") + 1) * F.lit(b_us))
     )
     return lbk.join(rbk, cond, "inner").drop("__lb", "__rb", *ren.values())
+
+
+def funnel_windowed(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    step_col: str,
+    steps: list[str],
+    within_us: int,
+) -> DataFrame:
+    """Conversion funnel with a TIME CONSTRAINT: step i+1 must follow the
+    key's step-i time by at most ``within_us`` microseconds ("converted
+    within an hour") — the variant product analytics actually reports.
+    Same sequential-min chain as :func:`funnel` (one filtered min-agg
+    per step, k−1 equi-joins all on the key, co-partitioned), with the
+    window upper bound added to each step's qualification predicate.
+    Earliest-qualifying semantics: each step time is the MIN event time
+    that both follows and is within window of the previous step time.
+    """
+    t = F.unix_micros(F.col(time_col))
+    stage = (
+        df.where(F.col(step_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(t).alias("t1"))
+    )
+    out = stage
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.where(F.col(step_col) == step)
+            .select(F.col(key_col), t.alias("__t"))
+            .join(out.select(key_col, F.col(f"t{i-1}").alias("__prev")), key_col)
+            .where(
+                (F.col("__t") > F.col("__prev"))
+                & (F.col("__t") <= F.col("__prev") + F.lit(within_us))
+            )
+            .groupBy(key_col)
+            .agg(F.min("__t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, key_col, "left")
+    stage_expr = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage_expr = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(
+            stage_expr
+        )
+    return out.withColumn("stage", stage_expr.cast("long"))
+
+
+def funnel_windowed_sql(
+    table: str,
+    key_col: str,
+    time_col: str,
+    step_col: str,
+    steps: list[str],
+    within_us: int,
+) -> str:
+    """DuckDB mirror of :func:`funnel_windowed`."""
+    t = f"epoch_us({time_col})"
+    ctes = [
+        f"s1 AS (SELECT {key_col}, min({t}) AS t1 FROM {table}"
+        f" WHERE {step_col} = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.{key_col}, min(epoch_us(e.{time_col})) AS t{i}"
+            f" FROM {table} e JOIN s{i-1} p ON e.{key_col} = p.{key_col}"
+            f" WHERE e.{step_col} = '{step}'"
+            f" AND epoch_us(e.{time_col}) > p.t{i-1}"
+            f" AND epoch_us(e.{time_col}) <= p.t{i-1} + {within_us}"
+            f" GROUP BY 1)"
+        )
+    tcols = ", ".join(f"s{i}.t{i}" for i in range(1, len(steps) + 1))
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s1.{key_col} = s{i}.{key_col}"
+        for i in range(2, len(steps) + 1)
+    )
+    stage = "CASE "
+    for i in range(len(steps), 1, -1):
+        stage += f"WHEN s{i}.t{i} IS NOT NULL THEN {i} "
+    stage += "ELSE 1 END"
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT s1.{key_col}, {tcols}, ({stage})::BIGINT AS stage
+        FROM s1 {joins}"""
+
+
+def linear_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    key_col: str,
+    touch_time: str,
+    conv_time: str,
+    touch_id: str,
+    conv_id: str,
+    value_col: str,
+    lookback_us: int,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's penny value
+    splits EQUALLY across that key's touches in the lookback window
+    ``(conv_t − lookback, conv_t]``; per touch, credit sums over the
+    conversions it influenced.  The marketing-analytics workhorse
+    between last-touch (an as-of join — :func:`asof_join`) and
+    data-driven models.
+
+    Exactness without fractional drift: a float ``Σ cents_i/n_i`` would
+    depend on distributed aggregation order (re-association), so each
+    pair's credit is snapped to BIGINT fixed point FIRST —
+    ``credit_fp = (cents · 10⁶) div n_touches`` (exact integer floor
+    division) — and per-touch credit is a sum of BIGINTs,
+    order-independent by construction.  Divide by 10⁶ downstream for a
+    display value.
+
+    Plan: touch↔conversion matching is an EQUI-join on the key with the
+    lookback predicate applied post-join — shuffle-partitionable, pair
+    fan-out bounded by per-key touch×conversion counts (the key is the
+    partitioner; for keyless or hot-key attribution, route through the
+    :func:`interval_join` bucketing idiom instead).  The per-conversion
+    touch count is one window over the pair frame partitioned by the
+    conversion id; credit aggregation is one groupBy on the touch id.
+    """
+    from pyspark.sql import Window
+
+    # internal aliases: touch and conversion id columns may share a name
+    # (e.g. both event_id when filtered from one event table)
+    iv = conversions.select(
+        F.col(key_col),
+        F.col(conv_id).alias("__conv"),
+        F.unix_micros(F.col(conv_time)).alias("__ct"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("__cents"),
+    )
+    tc = touches.select(
+        F.col(key_col),
+        F.col(touch_id).alias("__touch"),
+        F.unix_micros(F.col(touch_time)).alias("__tt"),
+    )
+    pairs = tc.join(iv, key_col).where(
+        (F.col("__tt") > F.col("__ct") - F.lit(lookback_us))
+        & (F.col("__tt") <= F.col("__ct"))
+    )
+    w = Window.partitionBy("__conv")
+    pairs = pairs.withColumn("__n", F.count(F.lit(1)).over(w))
+    credit_fp = F.expr("(__cents * 1000000) div __n")
+    return pairs.groupBy(F.col("__touch").alias(touch_id)).agg(
+        F.sum("__cents").alias("touched_cents"),
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum(credit_fp).alias("credit_fp"),
+    )
+
+
+def linear_attribution_sql(
+    table: str,
+    key_col: str,
+    touch_filter: str,
+    conv_filter: str,
+    time_col: str,
+    id_col: str,
+    value_col: str,
+    lookback_us: int,
+) -> str:
+    """DuckDB mirror of the events-table :func:`linear_attribution`
+    entry shape (touches and conversions filtered from one table)."""
+    return f"""
+        WITH tc AS (
+          SELECT {key_col}, {id_col} AS touch_id, epoch_us({time_col}) AS tt
+          FROM {table} WHERE {touch_filter}
+        ),
+        iv AS (
+          SELECT {key_col}, {id_col} AS conv_id, epoch_us({time_col}) AS ct,
+                 CAST(round({value_col} * 100) AS BIGINT) AS cents
+          FROM {table} WHERE {conv_filter}
+        ),
+        pairs AS (
+          SELECT tc.touch_id, iv.conv_id, iv.cents,
+                 count(*) OVER (PARTITION BY iv.conv_id) AS n
+          FROM tc JOIN iv ON tc.{key_col} = iv.{key_col}
+                         AND tc.tt > iv.ct - {lookback_us}
+                         AND tc.tt <= iv.ct
+        )
+        SELECT touch_id,
+               CAST(sum(cents) AS BIGINT) AS touched_cents,
+               count(*)::BIGINT AS n_convs,
+               CAST(sum((cents * 1000000) // n) AS BIGINT) AS credit_fp
+        FROM pairs GROUP BY 1"""
