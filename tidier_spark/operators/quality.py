@@ -590,29 +590,30 @@ def bm25_topk(
     are sums of BIGINTs — order-independent, so the distributed aggregate
     is bit-stable vs any oracle.
 
-    Plan: tokenize → explode (map-only) → tf groupBy on (doc,term) keyed
-    by the doc id → df-per-term from the tf frame (|query| rows, AQE
-    broadcasts it) → corpus stats (N, Σdl) as a 1-row broadcast cross
-    join → per-doc BIGINT sum → global top-k via TakeOrdered (orderBy +
+    Plan: ONE corpus tokenization — the (doc, term) term-frequency frame
+    is built once and everything derives from it: doc lengths are its
+    per-doc tf sums (co-partitioned groupBy — no second corpus pass),
+    query tf is a filter (map-only), df-per-term is |query| rows (AQE
+    broadcasts it), corpus stats (N, Σdl) are a 1-row broadcast cross
+    join.  Per-doc BIGINT sum → global top-k via TakeOrdered (orderBy +
     limit lowers to a per-partition partial top-k + driver merge of k
     rows — no single-partition sort), rank assigned over the k survivors
-    only.
+    only.  Docs with zero tokens contribute nothing to N/Σdl in either
+    engine (they also can't match a term), keeping the mirrors aligned.
     """
-    from .text import token_count, tokens
+    from .text import tokens
 
     terms = sorted(set(query_terms))
-    doclen = df.select(
-        F.col(id_col), token_count(text_col).alias("__dl")
-    )
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
-    )
-    tf = (
+    tf_all = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
-        .where(F.col("__term").isin(terms))
         .groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    doclen = tf_all.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tf = tf_all.where(F.col("__term").isin(terms))
     dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     j = (
         tf.join(F.broadcast(dfreq), "__term")
@@ -661,17 +662,21 @@ def bm25_topk_sql(
     terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
     toks = tokens_sql(text_col)
     return f"""
-        WITH doclen AS (
-          SELECT {id_col}, len({toks})::BIGINT AS dl FROM {table}
+        WITH tf_all AS (
+          SELECT {id_col}, term, count(*)::BIGINT AS tf FROM (
+            SELECT {id_col}, unnest({toks}) AS term FROM {table}
+          ) GROUP BY 1, 2
+        ),
+        doclen AS (
+          SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS dl
+          FROM tf_all GROUP BY 1
         ),
         stats AS (
           SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl
           FROM doclen
         ),
         tf AS (
-          SELECT {id_col}, term, count(*)::BIGINT AS tf FROM (
-            SELECT {id_col}, unnest({toks}) AS term FROM {table}
-          ) WHERE term IN ({terms}) GROUP BY 1, 2
+          SELECT {id_col}, term, tf FROM tf_all WHERE term IN ({terms})
         ),
         dfreq AS (
           SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
