@@ -2627,6 +2627,29 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Key-skew diagnostic (the pre-shuffle look every 100 TB join needs):
+    # one map-side-combined key aggregate + 1-row stats broadcast +
+    # TakeOrdered top-k; skew factor in exact integer centi-units.
+    from tidier_spark.operators.profile import skew_report
+
+    ev = read_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=5)
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantile clamping per event type (heavy-tail tamer): penny fixed
+    # point in, shared interpolated quantile doubles out — broadcast
+    # stat join, data rows never shuffle.
+    from tidier_spark.operators.quality import winsorize
+
+    ev = read_table(spark, sf_dir, "events")
+    return winsorize(
+        ev, "value", by="event_type", lower=0.05, upper=0.95,
+        id_cols=["event_id"],
+    )
+
+
 def _q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Time-constrained funnel ("converted within 24h of the previous
     # step") — the sequential-min chain with a window bound on every
@@ -3369,6 +3392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": _q_lm_bigram,
         "funnel_windowed": _q_funnel_windowed,
         "attribution_linear": _q_attribution_linear,
+        "skew_report": _q_skew_report,
+        "winsorize": _q_winsorize,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4021,6 +4046,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram": _lm_bigram_oracle(),
         "funnel_windowed": _funnel_windowed_oracle(),
         "attribution_linear": _attribution_linear_oracle(),
+        "skew_report": _skew_report_oracle(),
+        "winsorize": _winsorize_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4218,6 +4245,21 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _skew_report_oracle() -> str:
+    from tidier_spark.operators.profile import skew_report_sql
+
+    return skew_report_sql("events", "user_id", top_k=5)
+
+
+def _winsorize_oracle() -> str:
+    from tidier_spark.operators.quality import winsorize_sql
+
+    return winsorize_sql(
+        "events", "value", by="event_type", lower=0.05, upper=0.95,
+        id_cols=["event_id"],
+    )
 
 
 def _funnel_windowed_oracle() -> str:

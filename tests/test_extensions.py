@@ -1826,3 +1826,38 @@ def test_bigram_surprisal_matches_python_reference(spark):
                  for j in range(len(ws) - 1))
         back = bl(total) - bl(uni[ws[0]]) if ws else 0
         assert got[i] == (len(ws), bb, back), (i, ws)
+
+
+def test_winsorize_clamps_known_values(spark):
+    from tidier_spark.operators.quality import winsorize
+
+    vals = [float(i) for i in range(1, 11)]  # pennies 100..1000
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)],
+        "event_id long, g string, value double",
+    )
+    got = {
+        r["event_id"]: (r["q_lo"], r["q_hi"], r["vc_winsor"], r["clamped"])
+        for r in winsorize(
+            df, "value", by="g", lower=0.1, upper=0.9, id_cols=["event_id"]
+        ).collect()
+    }
+    # pennies 100..1000: p10 = 190, p90 = 910 (linear interpolation)
+    assert got[0] == (190.0, 910.0, 190.0, True)    # 100 -> clamped up
+    assert got[9] == (190.0, 910.0, 910.0, True)    # 1000 -> clamped down
+    assert got[4] == (190.0, 910.0, 500.0, False)   # 500 untouched
+    assert sum(1 for *_, c in got.values() if c) == 2
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from tidier_spark.operators.profile import skew_report
+
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    top = skew_report(df, "k", top_k=2).collect()
+    assert [(r["key_rank"], r["key"], r["n"]) for r in top] == [
+        (1, 1, 60), (2, 2, 30)
+    ]
+    # hot key holds 60% of 100 rows over 3 keys -> 1.8x uniform = 180
+    assert top[0]["skew_factor_x100"] == 180
+    assert top[0]["n_total"] == 100 and top[0]["n_keys"] == 3

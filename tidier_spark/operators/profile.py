@@ -26,6 +26,8 @@ __all__ = [
     "histogram_sql",
     "event_transitions",
     "event_transitions_sql",
+    "skew_report",
+    "skew_report_sql",
 ]
 
 
@@ -175,3 +177,69 @@ def event_transitions_sql(
         )
         WHERE prev IS NOT NULL
         GROUP BY 1, 2"""
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: per-key frequencies reduced
+    to the numbers that drive the salting/broadcast decision — the
+    heaviest keys (with their counts) plus max/mean skew factors.  Run
+    this before keying a 100 TB shuffle; feed the hot keys into
+    ``skew.skew_join``'s hot-list or pick a salt width from
+    ``skew_factor_x100``.
+
+    Output: ``top_k`` rows ``(key_rank, key, n, n_total, n_keys,
+    skew_factor_x100)`` — skew factor = max_count·n_keys/total, the
+    multiple of a perfectly uniform key's share, in exact integer
+    centi-units (``(max·keys·100) div total``).
+
+    Plan: one hash aggregate on the key (map-side combine), one 1-row
+    stats aggregate broadcast back, top-k via TakeOrdered.  Cost is one
+    shuffle of (key, partial-count) cells — the cheapest possible full
+    look at the key distribution.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = counts.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+            .cast("long")
+            .alias("key_rank"),
+            F.col("key"),
+            F.col("n"),
+            F.col("n_total"),
+            F.col("n_keys"),
+            F.expr("(n * n_keys * 100) div n_total").alias("skew_factor_x100"),
+        )
+    )
+
+
+def skew_report_sql(table: str, key_col: str, top_k: int = 5) -> str:
+    """DuckDB mirror of :func:`skew_report`."""
+    return f"""
+        WITH counts AS (
+          SELECT {key_col} AS key, count(*)::BIGINT AS n
+          FROM {table} GROUP BY 1
+        ),
+        stats AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                 count(*)::BIGINT AS n_keys
+          FROM counts
+        )
+        SELECT row_number() OVER (ORDER BY n DESC, key ASC)::BIGINT
+                 AS key_rank,
+               key, n, n_total, n_keys,
+               (n * n_keys * 100) // n_total AS skew_factor_x100
+        FROM counts CROSS JOIN stats
+        ORDER BY n DESC, key ASC LIMIT {top_k}"""

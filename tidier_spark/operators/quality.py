@@ -42,6 +42,8 @@ __all__ = [
     "robust_outliers_sql",
     "perceptron_fit",
     "perceptron_fit_sql",
+    "winsorize",
+    "winsorize_sql",
 ]
 
 
@@ -949,3 +951,109 @@ def perceptron_fit_sql(
                CAST({dot} AS BIGINT) AS margin,
                v.y * CAST({dot} AS BIGINT) > 0 AS correct
         FROM vecs v CROSS JOIN w{iters} w"""
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    id_cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Quantile clamping (winsorization): values below the group's
+    ``lower`` quantile or above its ``upper`` quantile snap to the
+    quantile — the standard heavy-tail tamer applied before scaling or
+    regression (cousin of :func:`robust_outliers`, which flags instead
+    of clamping, and of ``quantile_prune``, which drops).
+
+    Penny fixed point in, penny fixed point out: quantiles of the BIGINT
+    pennies are engine-identical interpolated doubles; the clamp is pure
+    comparison, so every output value is either the original integer or
+    a shared quantile double — deterministic everywhere.  One group-stat
+    aggregate broadcast back (null-safe keys); data rows never shuffle.
+    ``exact=False`` swaps in ``percentile_approx`` (the bounded-state
+    100 TB lowering).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    ids = id_cols or []
+    probs = F.array(F.lit(float(lower)), F.lit(float(upper)))
+    pct = (
+        (lambda c: F.percentile(c, probs))
+        if exact
+        else (lambda c: F.percentile_approx(c, probs, F.lit(10_000)))
+    )
+    x = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(*ids, *keys, x.alias("vc"))
+    q = (
+        base.groupBy(*keys).agg(pct(F.col("vc")).alias("__q"))
+        if keys
+        else base.agg(pct(F.col("vc")).alias("__q"))
+    )
+    q = q.select(
+        *keys,
+        F.col("__q")[0].alias("q_lo"),
+        F.col("__q")[1].alias("q_hi"),
+    )
+    if keys:
+        r = q
+        for k2 in keys:
+            r = r.withColumnRenamed(k2, f"__s_{k2}")
+        cond = None
+        for k2 in keys:
+            c = F.col(k2).eqNullSafe(F.col(f"__s_{k2}"))
+            cond = c if cond is None else (cond & c)
+        j = base.join(F.broadcast(r), cond).drop(
+            *[f"__s_{k2}" for k2 in keys]
+        )
+    else:
+        j = base.crossJoin(F.broadcast(q))
+    clamped = (
+        F.when(F.col("vc") < F.col("q_lo"), F.col("q_lo"))
+        .when(F.col("vc") > F.col("q_hi"), F.col("q_hi"))
+        .otherwise(F.col("vc").cast("double"))
+    )
+    return j.select(
+        *ids,
+        *keys,
+        "vc",
+        "q_lo",
+        "q_hi",
+        clamped.alias("vc_winsor"),
+        ((F.col("vc") < F.col("q_lo")) | (F.col("vc") > F.col("q_hi"))).alias(
+            "clamped"
+        ),
+    )
+
+
+def winsorize_sql(
+    table: str,
+    value_col: str,
+    by: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    id_cols: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of the exact :func:`winsorize` lowering
+    (``quantile_cont`` interpolates exactly like Spark ``percentile``)."""
+    ids = ", ".join(id_cols or [])
+    ids_pre = f"{ids}, " if ids else ""
+    return f"""
+        WITH base AS (
+          SELECT {ids_pre}{by},
+                 CAST(round({value_col} * 100) AS BIGINT) AS vc
+          FROM {table}
+        ),
+        q AS (
+          SELECT {by},
+                 quantile_cont(vc, {float(lower)!r}) AS q_lo,
+                 quantile_cont(vc, {float(upper)!r}) AS q_hi
+          FROM base GROUP BY 1
+        )
+        SELECT {ids_pre}b.{by}, b.vc, q.q_lo, q.q_hi,
+               CASE WHEN b.vc < q.q_lo THEN q.q_lo
+                    WHEN b.vc > q.q_hi THEN q.q_hi
+                    ELSE CAST(b.vc AS DOUBLE) END AS vc_winsor,
+               (b.vc < q.q_lo OR b.vc > q.q_hi) AS clamped
+        FROM base b JOIN q USING ({by})"""
