@@ -884,9 +884,13 @@ def pq_topk(
     Scale story: the compressed table is d·4/m× smaller than the raw
     vectors (64-dim float → 8 codes ≈ 32×), which is exactly what makes
     the "broadcast the database" strategy survive corpus sizes where raw
-    vectors cannot — and when even codes outgrow one executor, the same
-    encoding drops into the IVF buckets (IVF-PQ) with zero change to the
-    scoring kernel.  Scoring is embarrassingly parallel over query
+    vectors cannot.  Be explicit about the boundary: the code table IS
+    collected to the driver once and broadcast (that is the FAISS-PQ
+    single-index contract — a RAM-resident compressed index), so this
+    path is bounded by driver/executor memory at corpus·(8+m) bytes ≈
+    raw/32; beyond that, use :func:`ivfpq_topk`, where the SAME encoding
+    and scoring kernel run bucket-local with no corpus-sized collect or
+    broadcast anywhere.  Scoring is embarrassingly parallel over query
     partitions; nothing shuffles after the one encode pass.
 
     With ``shortlist=K'`` the PQ pass emits K' candidates per query and a
