@@ -850,7 +850,8 @@ def perceptron_fit(
         F.col(id_col),
         F.concat(
             F.transform(
-                F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("bigint"),
             ),
             F.array(F.lit(scale).cast("bigint")),  # bias feature
         ).alias("__x"),
@@ -913,7 +914,7 @@ def perceptron_fit_sql(
           SELECT {id_col} AS vid,
                  list_append(
                    list_transform({vec_col},
-                                  x -> CAST(round(x * {scale}) AS BIGINT)),
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)),
                    {scale}::BIGINT) AS x,
                  CASE WHEN {label_col} <= {positive_max}
                       THEN 1::BIGINT ELSE (-1)::BIGINT END AS y

@@ -1149,7 +1149,8 @@ def kmeans_fit(
     base = df.select(
         F.col(id_col),
         F.transform(
-            F.col(vec_col), lambda x: F.round(x * scale).cast("bigint")
+            F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("bigint"),
         ).alias("__x"),
     )
     init = base.orderBy(id_col).limit(k).collect()
@@ -1219,7 +1220,7 @@ def kmeans_fit_sql(
         f"""vecs AS (
           SELECT {id_col} AS vid,
                  list_transform({vec_col},
-                                x -> CAST(round(x * {scale}) AS BIGINT)) AS x
+                                x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS x
           FROM {table}
         )""",
         f"""cent0 AS (
