@@ -2627,6 +2627,18 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TimescaleDB interpolate(): linear fill between observed buckets in
+    # EXACT integer arithmetic (truncate-toward-zero division mirrored
+    # on both engines) — completes the gapfill policy set.
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+    )
+
+
 def _q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Key-skew diagnostic (the pre-shuffle look every 100 TB join needs):
     # one map-side-combined key aggregate + 1-row stats broadcast +
@@ -3394,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": _q_attribution_linear,
         "skew_report": _q_skew_report,
         "winsorize": _q_winsorize,
+        "gapfill_interp": _q_gapfill_interp,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4048,6 +4061,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_linear": _attribution_linear_oracle(),
         "skew_report": _skew_report_oracle(),
         "winsorize": _winsorize_oracle(),
+        "gapfill_interp": _gapfill_interp_oracle(),
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
@@ -4245,6 +4259,14 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _gapfill_interp_oracle() -> str:
+    from tidier_spark.operators.temporal import time_bucket_gapfill_sql
+
+    return time_bucket_gapfill_sql(
+        "events", "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+    )
 
 
 def _skew_report_oracle() -> str:

@@ -518,3 +518,55 @@ def test_linear_attribution_splits_evenly(spark):
         ).collect()
     }
     assert got1h == {101: 1_000_000_000}
+
+
+def test_gapfill_linear_interpolates_known_values(spark):
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    # u1: v=10.00 on day 1, v=40.00 on day 4 -> gaps on days 2,3 get
+    # 10 + (30*1/3)=20 and 10 + (30*2/3)=30 (exact integer pennies)
+    rows = [
+        (1, "2024-01-01 05:00:00", 10.0),
+        (1, "2024-01-04 07:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        (r["bucket_us"], r["n"], r["v100"], r["filled"])
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+        ).collect()
+    )
+    day = 86_400_000_000
+    d1 = out[0][0]
+    assert out == [
+        (d1, 1, 1000, False),
+        (d1 + day, 0, 2000, True),
+        (d1 + 2 * day, 0, 3000, True),
+        (d1 + 3 * day, 1, 4000, False),
+    ]
+
+
+def test_gapfill_linear_descending_truncates_toward_zero(spark):
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    # descending 10.00 -> 0.01 over 3 days: day-2 gap interpolates
+    # 1000 + trunc(-999/2) = 1000 - 499 = 501 (truncation toward zero,
+    # mirrored on both engines)
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-03 00:00:00", 0.01),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["bucket_us"]: r["v100"]
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+        ).collect()
+    }
+    day = 86_400_000_000
+    d1 = min(out)
+    assert out[d1 + day] == 1000 - 499

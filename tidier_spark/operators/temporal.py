@@ -513,7 +513,11 @@ def time_bucket_gapfill(
     — the repo-wide float-determinism rule), and whether the row was
     gap-filled.  ``fill='locf'`` carries the last observed ``v100``
     forward (n stays 0); ``fill='zero'`` fills zeros; ``fill='null'``
-    leaves NULL.
+    leaves NULL; ``fill='linear'`` interpolates between the surrounding
+    observed buckets (TimescaleDB ``interpolate``) in EXACT integer
+    arithmetic — ``pv + ((nv−pv)·(t−pt)) div (nt−pt)`` with
+    truncate-toward-zero division mirrored on both engines (every gap
+    row has both neighbors because the grid spans observed min..max).
 
     Plan (100 TB reading): ONE shuffle aggregates (key, bucket) with
     map-side combine; the per-key grid is generated from a per-key 1-row
@@ -523,10 +527,11 @@ def time_bucket_gapfill(
     bucket.  Grid join and window share the key partitioning, so AQE
     plans them without a second exchange of the data rows.
     """
-    if fill not in ("locf", "zero", "null"):
-        raise ValueError("fill must be locf|zero|null")
+    if fill not in ("locf", "zero", "null", "linear"):
+        raise ValueError("fill must be locf|zero|null|linear")
     b_us = int(bucket_seconds) * 1_000_000
-    bucket = (F.unix_micros(F.col(time_col)) / F.lit(b_us)).cast("long") * b_us
+    # integer div, not float-divide-and-truncate (see interval_join)
+    bucket = F.expr(f"(unix_micros({time_col}) div {b_us}) * {b_us}")
     agg = (
         df.select(
             F.col(key_col),
@@ -557,6 +562,31 @@ def time_bucket_gapfill(
         v = F.last("v100", ignorenulls=True).over(w)
     elif fill == "zero":
         v = F.coalesce(F.col("v100"), F.lit(0))
+    elif fill == "linear":
+        wb = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket_us")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wf = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket_us")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs_t = F.when(F.col("n").isNotNull(), F.col("bucket_us"))
+        joined = (
+            joined.withColumn("__pv", F.last("v100", ignorenulls=True).over(wb))
+            .withColumn("__pt", F.last(obs_t, ignorenulls=True).over(wb))
+            .withColumn("__nv", F.first("v100", ignorenulls=True).over(wf))
+            .withColumn("__nt", F.first(obs_t, ignorenulls=True).over(wf))
+        )
+        # truncate-toward-zero division on the signed numerator, mirrored
+        # exactly by the oracle (DuckDB // floors, so sign-decompose)
+        interp = F.col("__pv") + F.expr(
+            "(abs((__nv - __pv) * (bucket_us - __pt)) div (__nt - __pt))"
+            " * (CASE WHEN __nv >= __pv THEN 1 ELSE -1 END)"
+        )
+        v = F.when(F.col("n").isNotNull(), F.col("v100")).otherwise(interp)
     return joined.select(
         F.col(key_col),
         F.col("bucket_us").cast("long"),
@@ -583,7 +613,27 @@ def time_bucket_gapfill_sql(
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "zero": "coalesce(v100, 0)",
         "null": "v100",
+        "linear": """CASE WHEN n IS NOT NULL THEN v100 ELSE
+            pv + (abs((nv - pv) * (bucket_us - pt)) // (nt - pt))
+                 * (CASE WHEN nv >= pv THEN 1 ELSE -1 END) END""",
     }
+    interp_cols = ""
+    if fill == "linear":
+        interp_cols = """,
+                 last_value(a.v100 IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN a.n IS NOT NULL THEN g.bucket_us END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                 first_value(a.v100 IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN a.n IS NOT NULL THEN g.bucket_us END
+                             IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket_us
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt"""
     return f"""
         WITH agg AS (
           SELECT {key_col} AS key,
@@ -600,7 +650,7 @@ def time_bucket_gapfill_sql(
           SELECT key, unnest(range(lo, hi + 1, {b_us})) AS bucket_us FROM span
         ),
         j AS (
-          SELECT g.key, g.bucket_us, a.n, a.v100
+          SELECT g.key, g.bucket_us, a.n, a.v100{interp_cols}
           FROM grid g LEFT JOIN agg a USING (key, bucket_us)
         )
         SELECT key AS {key_col}, bucket_us::BIGINT AS bucket_us,
