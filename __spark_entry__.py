@@ -3352,7 +3352,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kll": _q_sketch_kll,
         "sketch_theta": _q_sketch_theta,
         "sketch_topk": _q_sketch_topk,
-        # -- TPC-H (full set)
+        # -- continuation-wave flagships (rotated into the driver's
+        #    50-entry window in place of the TPC-H tail, whose q1–q14
+        #    siblings already exercise the same join/agg machinery)
+        "pq_topk_full": _q_pq_topk_full,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "perceptron": _q_perceptron,
+        "bpe_encode": _q_bpe_encode,
+        "scd2_history": _q_scd2_history,
+        "ewma_smooth": _q_ewma_smooth,
+        "bm25_topk": _q_bm25_topk,
+        "stream_funnel": _q_stream_funnel,
+        # -- TPC-H (head; the q15+ tail moved past the window in favor
+        #    of the continuation flagships above)
         "tpch_q1": _q_tpch_q1,
         "tpch_q2": _q_tpch_q2,
         "tpch_q3": _q_tpch_q3,
@@ -3367,6 +3380,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        # -- heavy training-pipeline ops (just past the 50-entry window)
+        "dedup_against": _q_dedup_against,
+        "dup_clusters": _q_dup_clusters,
+        "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
+        # ---- entry #51 onward: not covered by this round's driver
+        #      correctness window ----
+        # -- never-driver-checked remainder (front of the r04 queue)
+        "shuffle_rows": _q_shuffle_rows,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
@@ -3375,31 +3397,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
-        # -- heavy training-pipeline ops (complete the driver's first 50)
-        "dedup_against": _q_dedup_against,
-        "dup_clusters": _q_dup_clusters,
-        "contamination": _q_contamination,
-        "pack_sequences": _q_pack_sequences,
-        "shuffle_rows": _q_shuffle_rows,
-        # ---- entry #51 onward: not covered by this round's driver
-        #      correctness window ----
-        # -- never-driver-checked remainder (front of the r04 queue)
-        "ewma_smooth": _q_ewma_smooth,
-        "scd2_history": _q_scd2_history,
-        "bm25_topk": _q_bm25_topk,
         "pq_topk": _q_pq_topk,
-        "pq_topk_full": _q_pq_topk_full,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "bpe_encode": _q_bpe_encode,
         "length_buckets": _q_length_buckets,
         "asof_tolerance": _q_asof_tolerance,
         "robust_outliers": _q_robust_outliers,
         "time_weighted": _q_time_weighted,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "perceptron": _q_perceptron,
         "sink_roundtrip": _q_sink_roundtrip,
         "overlap_join": _q_overlap_join,
-        "stream_funnel": _q_stream_funnel,
         "event_transitions": _q_event_transitions,
         "lm_bigram": _q_lm_bigram,
         "funnel_windowed": _q_funnel_windowed,
