@@ -2627,6 +2627,84 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CSV source path, driver-green: events written to CSV (timestamps
+    # as epoch-µs longs — the fixture carries sub-second precision a
+    # seconds-granular text format would truncate; values as pennies to
+    # dodge float-text round-trip drift), read back through read_csv
+    # with an explicit DDL schema, aggregated, and hash-checked against
+    # the oracle on the ORIGINAL parquet.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_csv, read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="tidier_csv_roundtrip_")
+    (
+        ev.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .options(header="true")
+        .csv(path)
+    )
+    back = read_csv(
+        spark,
+        path,
+        schema="event_id long, ts_us long, user_id long,"
+        " event_type string, vc long",
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sum_vc"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("event_id").alias("max_eid"),
+    )
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON-lines source path, driver-green (same discipline as the CSV
+    # round trip; integer pennies, explicit schema on read-back).
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_json, read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="tidier_jsonl_roundtrip_")
+    (
+        ev.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = read_json(
+        spark,
+        path,
+        schema="event_id long, ts_us long, user_id long,"
+        " event_type string, vc long",
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sum_vc"),
+        F.min("ts_us").alias("min_ts_us"),
+    )
+
+
 def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TimescaleDB interpolate(): linear fill between observed buckets in
     # EXACT integer arithmetic (truncate-toward-zero division mirrored
@@ -3411,6 +3489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": _q_skew_report,
         "winsorize": _q_winsorize,
         "gapfill_interp": _q_gapfill_interp,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4066,6 +4146,21 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _skew_report_oracle(),
         "winsorize": _winsorize_oracle(),
         "gapfill_interp": _gapfill_interp_oracle(),
+        "csv_roundtrip": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_vc,
+                   min(epoch_us(ts))::BIGINT AS min_ts_us,
+                   max(event_id) AS max_eid
+            FROM events GROUP BY 1""",
+        "jsonl_roundtrip": """
+            SELECT user_id,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_vc,
+                   min(epoch_us(ts))::BIGINT AS min_ts_us
+            FROM events GROUP BY 1""",
         "overlap_join": """
             WITH c AS (
               SELECT event_id AS l_id, user_id,
