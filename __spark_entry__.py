@@ -2669,6 +2669,36 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORC source/sink path, driver-green (native columnar alternative;
+    # stripe-stat pushdown contract) — read-back filter + aggregate
+    # hash-checked against the oracle on the original parquet.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_orc, read_table, write_orc
+
+    ev = read_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="tidier_orc_roundtrip_")
+    write_orc(
+        ev.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        ).coalesce(4),
+        path,
+    )
+    back = read_orc(spark, path).where(F.col("vc") >= 10_000)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("sum_vc"),
+        F.min("ts_us").alias("min_ts_us"),
+    )
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON-lines source path, driver-green (same discipline as the CSV
     # round trip; integer pennies, explicit schema on read-back).
@@ -3491,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp": _q_gapfill_interp,
         "csv_roundtrip": _q_csv_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4154,6 +4185,15 @@ def oracle_sql() -> dict[str, str]:
                    min(epoch_us(ts))::BIGINT AS min_ts_us,
                    max(event_id) AS max_eid
             FROM events GROUP BY 1""",
+        "orc_roundtrip": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_vc,
+                   min(epoch_us(ts))::BIGINT AS min_ts_us
+            FROM events
+            WHERE CAST(round(value * 100) AS BIGINT) >= 10000
+            GROUP BY 1""",
         "jsonl_roundtrip": """
             SELECT user_id,
                    count(*)::BIGINT AS n,

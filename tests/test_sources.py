@@ -140,3 +140,23 @@ def test_sink_roundtrip_scan_is_partition_pruned(tables, tmp_path):
     assert back.count() == ev.where(
         F.col("event_type").isin("click", "purchase")
     ).count()
+
+
+def test_orc_roundtrip_preserves_rows_and_pushes_filter(tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_orc, write_orc
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+    path = str(tmp_path / "orc")
+    write_orc(ev, path)
+    back = read_orc(tables["events"].sparkSession, path)
+    assert back.count() == ev.count()
+    plan = (
+        back.where(F.col("user_id") == 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ORC scans must carry the predicate down (stripe-stat skipping)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split(
+        "PushedFilters:"
+    )[1].split("]")[0]

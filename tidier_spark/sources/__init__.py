@@ -40,6 +40,12 @@ __all__ = [
     "load_star",
     "morton_key",
     "register_views",
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "write_orc",
+    "write_parquet",
 ]
 
 
@@ -164,6 +170,18 @@ def read_json(
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same predicate-pushdown/column-pruning contract as
+    parquet (ORC carries file/stripe min-max stats Spark pushes into)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar alternative when the downstream stack is
+    Hive/Trino-leaning; parquet stays the default)."""
+    df.write.mode(mode).orc(path)
 
 
 def morton_key(
