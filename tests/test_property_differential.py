@@ -618,3 +618,46 @@ def test_time_weighted_avg_matches_python_reference(rows, spark):
             n0, d0 = want.get(kkey, (0, 0))
             want[kkey] = (n0 + vc * dur, d0 + dur)
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(-40000, 40000)),
+        min_size=2, max_size=8, unique_by=lambda r: r[0],
+    )
+)
+def test_gapfill_linear_matches_python_reference(obs, spark):
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    rows = [(1, f"2024-01-{d + 1:02d} 03:00:00", c / 100.0) for d, c in obs]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["bucket_us"]: (r["n"], r["v100"], r["filled"])
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+        ).collect()
+    }
+    day = 86_400_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC
+    pts = sorted((base + d * day, c) for d, c in obs)
+    lo_d, hi_d = pts[0][0], pts[-1][0]
+    observed = dict(pts)
+    want = {}
+    for b in range(lo_d, hi_d + 1, day):
+        if b in observed:
+            want[b] = (1, observed[b], False)
+        else:
+            pt = max(t for t, _ in pts if t < b)
+            nt = min(t for t, _ in pts if t > b)
+            pv, nv = observed[pt], observed[nt]
+            num = (nv - pv) * (b - pt)
+            interp = pv + (abs(num) // (nt - pt)) * (1 if num >= 0 else -1)
+            want[b] = (0, interp, True)
+    assert got == want
