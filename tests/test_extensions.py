@@ -1861,3 +1861,31 @@ def test_skew_report_identifies_hot_key(spark):
     # hot key holds 60% of 100 rows over 3 keys -> 1.8x uniform = 180
     assert top[0]["skew_factor_x100"] == 180
     assert top[0]["n_total"] == 100 and top[0]["n_keys"] == 3
+
+
+def test_bpe_encode_unknown_symbols_get_unk_id_zero(spark):
+    from tidier_spark.operators.bpe import bpe_encode
+
+    # vocab trained on 'ab' only; encoding text with 'z' must emit UNK=0
+    # and keep len(ids) == n_subwords
+    df = spark.createDataFrame([(1, "ab za")], "doc_id long, text string")
+    out = bpe_encode(df, merges=[("a", "b")], base_chars=["a", "b"]).collect()[0]
+    # tokens: 'ab' -> [ab]=id 3; 'za' -> [z]=UNK 0, [a]=1
+    assert out["n_subwords"] == 3
+    assert out["ids_csv"] == "3,0,1"
+
+
+def test_cms_build_int_query_bigint_still_no_undercount(spark):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import cms_build, cms_query
+
+    df = spark.createDataFrame([(i % 7,) for i in range(700)], "v int")
+    cms = cms_build(df, "v", depth=4, width=64)
+    items = spark.createDataFrame([(i,) for i in range(7)], "v long")  # BIGINT
+    est = {
+        r["v"]: r["est_n"]
+        for r in cms_query(cms, items, "v", depth=4, width=64).collect()
+    }
+    # string-normalized hashing: the BIGINT probe hits the INT buckets
+    assert all(est[i] >= 100 for i in range(7))

@@ -570,3 +570,55 @@ def test_gapfill_linear_descending_truncates_toward_zero(spark):
     day = 86_400_000_000
     d1 = min(out)
     assert out[d1 + day] == 1000 - 499
+
+
+def test_asof_tolerance_measures_distance_to_supplying_row(spark):
+    from tidier_spark.operators.temporal import asof_join
+
+    # the nearest right row carries a NULL value; the value is supplied
+    # by a much older row — tolerance must judge THAT row's distance
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0),     # 10h old, carries the value
+         (1, "2024-01-01 09:59:00", None)],   # 1min old, NULL value
+        "id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(
+        left, right, on="id", time_col="ts", value_cols=["v"],
+        tolerance_us=3_600_000_000,  # 1h
+    ).collect()[0]
+    # the 10h-old supplying row is far outside tolerance -> NULL
+    assert got["v_right"] is None
+    # without tolerance the stale value flows (documented ignorenulls)
+    got2 = asof_join(
+        left, right, on="id", time_col="ts", value_cols=["v"]
+    ).collect()[0]
+    assert got2["v_right"] == 5.0
+
+
+def test_gapfill_linear_skips_null_value_anchor(spark):
+    from tidier_spark.operators.temporal import time_bucket_gapfill
+
+    # day1 v=10, day2 observed but NULL value, day4 v=40: day2 AND day3
+    # both interpolate on the day1->day4 slope (1000 + k*1000)
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-02 00:00:00", None),
+        (1, "2024-01-04 00:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        (r["bucket_us"], r["v100"])
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+        ).collect()
+    )
+    day = 86_400_000_000
+    d1 = out[0][0]
+    assert out == [
+        (d1, 1000), (d1 + day, 2000), (d1 + 2 * day, 3000), (d1 + 3 * day, 4000)
+    ]

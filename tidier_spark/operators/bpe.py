@@ -278,7 +278,10 @@ def bpe_encode(
 
     Vocabulary ids are deterministic: sorted base characters get
     ``1..C``, merge ``r`` (1-based rank) gets ``C + r``; a merged string
-    reachable by two paths keeps its FIRST id.  Both artifacts
+    reachable by two paths keeps its FIRST id; id ``0`` is the reserved
+    UNK — symbols outside the vocabulary (new characters when applying
+    a trained vocab to unseen text) encode to 0 instead of silently
+    vanishing, so ``len(ids) == n_subwords`` always holds.  Both artifacts
     (``merges``, ``base_chars``) are driver-known after training —
     kilobytes — so the symbol→id mapping compiles into a MAP LITERAL and
     encoding stays a map-only projection: per token, the same wrapped
@@ -314,7 +317,9 @@ def bpe_encode(
         kv.extend([F.lit(sym), F.lit(vid)])
     vmap = F.create_map(*kv)
     subs = F.flatten(F.transform(tokens(text_col), segment))
-    ids = F.transform(subs, lambda s: F.element_at(vmap, s))
+    ids = F.transform(
+        subs, lambda s: F.coalesce(F.element_at(vmap, s), F.lit(0))
+    )
     return df.select(
         F.col(id_col),
         F.size(subs).cast("long").alias("n_subwords"),
@@ -413,9 +418,10 @@ def bpe_encode_sql(
         encoded AS (
           SELECT s.{id_col},
                  count(*)::BIGINT AS n_subwords,
-                 array_to_string(list(v.vid ORDER BY s.wpos, s.spos), ',')
+                 array_to_string(list(coalesce(v.vid, 0)
+                                      ORDER BY s.wpos, s.spos), ',')
                    AS ids_csv
-          FROM symrows s JOIN vocab v ON s.sym = v.sym
+          FROM symrows s LEFT JOIN vocab v ON s.sym = v.sym
           GROUP BY 1
         )
         SELECT d.{id_col},

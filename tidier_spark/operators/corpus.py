@@ -784,11 +784,10 @@ def length_buckets(
             )
         b = base.withColumn("bucket", expr.cast("long"))
     wb = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
-    return b.withColumn(
-        "batch",
-        ((F.row_number().over(wb) - 1) / F.lit(batch_size))
-        .cast("long"),
-    )
+    # integer div, not float-divide-and-truncate (repo determinism rule)
+    return b.withColumn("__rn", F.row_number().over(wb)).withColumn(
+        "batch", F.expr(f"(__rn - 1) div {int(batch_size)}")
+    ).drop("__rn")
 
 
 def length_buckets_sql(

@@ -605,6 +605,8 @@ def bm25_topk(
     """
     from .text import tokens
 
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = sorted(set(query_terms))
     tf_all = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
@@ -661,7 +663,11 @@ def bm25_topk_sql(
     every IEEE double op rounds identically."""
     from .text import tokens_sql
 
-    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    if not query_terms:
+        raise ValueError("bm25_topk_sql: query_terms must be non-empty")
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms))
+    )
     toks = tokens_sql(text_col)
     return f"""
         WITH tf_all AS (
@@ -792,7 +798,9 @@ def robust_outliers_sql(
 ) -> str:
     """DuckDB mirror of the exact :func:`robust_outliers` lowering (same
     median-then-MAD chain; DuckDB ``median`` interpolates even-count
-    midpoints exactly like Spark ``percentile(·, 0.5)``)."""
+    midpoints exactly like Spark ``percentile(·, 0.5)``; stat joins are
+    IS NOT DISTINCT FROM — NULL group keys survive, mirroring the
+    Spark side's eqNullSafe)."""
     ids = ", ".join(id_cols or [])
     ids_pre = f"{ids}, " if ids else ""
     return f"""
@@ -806,14 +814,14 @@ def robust_outliers_sql(
         ),
         resid AS (
           SELECT b.*, m.med, abs(b.vc - m.med) AS absdev
-          FROM base b JOIN med m USING ({by})
+          FROM base b JOIN med m ON b.{by} IS NOT DISTINCT FROM m.{by}
         ),
         mad AS (
           SELECT {by}, median(absdev) AS mad FROM resid GROUP BY 1
         )
         SELECT {ids_pre}r.{by}, r.vc, r.med, d.mad,
                r.absdev > {k!r} * d.mad AS is_outlier
-        FROM resid r JOIN mad d USING ({by})"""
+        FROM resid r JOIN mad d ON r.{by} IS NOT DISTINCT FROM d.{by}"""
 
 
 def perceptron_fit(
@@ -845,7 +853,6 @@ def perceptron_fit(
     distributed determinism possible — classic sequential perceptron
     updates are order-dependent by construction.
     """
-    sess = df.sparkSession
     base = df.select(
         F.col(id_col),
         F.concat(
@@ -860,7 +867,10 @@ def perceptron_fit(
         .cast("bigint")
         .alias("__y"),
     )
-    dims = len(base.select("__x").first()["__x"])
+    first = base.select("__x").first()
+    if first is None:
+        raise ValueError("perceptron_fit: input DataFrame is empty")
+    dims = len(first["__x"])
     w = [0] * dims
 
     def margin(weights: list[int]) -> F.Column:
@@ -1057,4 +1067,4 @@ def winsorize_sql(
                     WHEN b.vc > q.q_hi THEN q.q_hi
                     ELSE CAST(b.vc AS DOUBLE) END AS vc_winsor,
                (b.vc < q.q_lo OR b.vc > q.q_hi) AS clamped
-        FROM base b JOIN q USING ({by})"""
+        FROM base b JOIN q ON b.{by} IS NOT DISTINCT FROM q.{by}"""

@@ -1143,9 +1143,6 @@ def kmeans_fit(
     Returns ``(id, cluster)`` for the assignment under the FINAL
     centroids (i.e. ``iters`` updates then one assignment pass).
     """
-    import numpy as np
-
-    sess = df.sparkSession
     base = df.select(
         F.col(id_col),
         F.transform(
@@ -1154,6 +1151,8 @@ def kmeans_fit(
         ).alias("__x"),
     )
     init = base.orderBy(id_col).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
     cents = [list(r["__x"]) for r in init]
     dims = len(cents[0])
 

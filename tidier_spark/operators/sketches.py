@@ -325,9 +325,11 @@ def cms_build(
     :func:`cms_query`; the classic guarantee holds: the estimate NEVER
     undercounts, and overcounts by > 2N/width with probability ≤ 2^-depth.
 
-    Row hashing is JVM ``xxhash64`` seeded per sketch row — whole-stage
-    codegen, no string building, ~10× cheaper than an md5-family hash on
-    the hot explode.  Sketch tables merge across any Spark jobs that
+    Row hashing is JVM ``xxhash64`` over the STRING form of the value,
+    seeded per sketch row — whole-stage codegen, far cheaper than an
+    md5-family hash on the hot explode; the string cast pins hashing to
+    the value, not its storage type, so a sketch built over INT probes
+    correctly from a BIGINT items frame.  Sketch tables merge across any Spark jobs that
     share (depth, width); cross-ENGINE bucket reproduction is not part of
     the contract (the guarantees are distributional, not value-level).
     """
@@ -338,7 +340,9 @@ def cms_build(
             F.sequence(F.lit(0), F.lit(depth - 1)),
             lambda j: F.struct(
                 j.cast("long").alias("j"),
-                F.pmod(F.xxhash64(j, F.col(col)), F.lit(width))
+                F.pmod(
+                    F.xxhash64(j, F.col(col).cast("string")), F.lit(width)
+                )
                 .cast("long")
                 .alias("bucket"),
             ),
@@ -372,7 +376,8 @@ def cms_query(
     ).withColumn(
         "bucket",
         F.pmod(
-            F.xxhash64(F.col("j").cast("int"), F.col(item_col)), F.lit(width)
+            F.xxhash64(F.col("j").cast("int"), F.col(item_col).cast("string")),
+            F.lit(width),
         ).cast("long"),
     ).withColumn("j", F.col("j").cast("long"))
     return (

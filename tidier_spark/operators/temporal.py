@@ -64,8 +64,11 @@ def asof_join(
 
     ``tolerance_us`` (pandas ``merge_asof`` semantics): a match farther
     than this many microseconds from the left row is DISCARDED — the
-    values null out, exactly as if no right row existed.  Same plan (the
-    matched right time already rides the window); one extra comparison.
+    values null out, exactly as if no right row existed.  The distance
+    is measured PER VALUE COLUMN to the right row that actually supplied
+    that value (the ignorenulls pick can skip NULL-valued right rows, so
+    the supplying row's time — not the nearest right row's — is the
+    honest staleness).  Same plan; one extra windowed column per value.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward", "nearest"):
@@ -150,23 +153,35 @@ def asof_join(
         )
         pick = F.first
     filled = u
+    tmp_cols: list[str] = []
+    if tolerance_us is not None:
+        # the matched time per value column = the time of the right row
+        # that SUPPLIES the value through the ignorenulls pick — derive
+        # it from the raw (pre-pick) values under the same window
+        for oc in out_vals:
+            mt = f"__mt_{oc}"
+            tmp_cols.append(mt)
+            supplied = F.when(
+                (F.col("__side") == 0) & F.col(oc).isNotNull(),
+                F.col(time_col),
+            )
+            filled = filled.withColumn(
+                mt, pick(supplied, ignorenulls=True).over(w)
+            )
     for oc in out_vals:
         filled = filled.withColumn(oc, pick(F.col(oc), ignorenulls=True).over(w))
     if tolerance_us is not None:
-        filled = filled.withColumn(
-            "__rt", F.when(F.col("__side") == 0, F.col(time_col))
-        ).withColumn("__mt", pick(F.col("__rt"), ignorenulls=True).over(w))
         dt = u.schema[time_col].dataType.simpleString()
 
         def num(c: F.Column) -> F.Column:
             return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
 
-        dist = F.abs(num(F.col(time_col)) - num(F.col("__mt")))
         for oc in out_vals:
+            dist = F.abs(num(F.col(time_col)) - num(F.col(f"__mt_{oc}")))
             filled = filled.withColumn(
                 oc, F.when(dist <= F.lit(tolerance_us), F.col(oc))
             )
-        filled = filled.drop("__rt", "__mt")
+        filled = filled.drop(*tmp_cols)
     return filled.where(F.col("__side") == 1).drop("__side")
 
 
@@ -402,13 +417,13 @@ def funnel_sql(
     t = f"epoch_us({time_col})"
     ctes = [
         f"s1 AS (SELECT {key_col}, min({t}) AS t1 FROM {table}"
-        f" WHERE {step_col} = '{steps[0]}' GROUP BY 1)"
+        f" WHERE {step_col} = '{_sq(steps[0])}' GROUP BY 1)"
     ]
     for i, step in enumerate(steps[1:], start=2):
         ctes.append(
             f"s{i} AS (SELECT e.{key_col}, min({t.replace(time_col, 'e.' + time_col)}) AS t{i}"
             f" FROM {table} e JOIN s{i-1} p ON e.{key_col} = p.{key_col}"
-            f" WHERE e.{step_col} = '{step}' AND epoch_us(e.{time_col}) > p.t{i-1}"
+            f" WHERE e.{step_col} = '{_sq(step)}' AND epoch_us(e.{time_col}) > p.t{i-1}"
             f" GROUP BY 1)"
         )
     tcols = ", ".join(
@@ -426,6 +441,11 @@ def funnel_sql(
         WITH {', '.join(ctes)}
         SELECT s1.{key_col}, {tcols}, ({stage})::BIGINT AS stage
         FROM s1 {joins}"""
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
 
 
 _PERIOD_US = {
@@ -573,7 +593,11 @@ def time_bucket_gapfill(
             .orderBy("bucket_us")
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        obs_t = F.when(F.col("n").isNotNull(), F.col("bucket_us"))
+        # anchor time must track the anchor VALUE: an observed bucket
+        # whose v100 is NULL (all-NULL values) is not a valid anchor —
+        # pairing its time with an earlier bucket's value would slope
+        # the interpolation over the wrong time base
+        obs_t = F.when(F.col("v100").isNotNull(), F.col("bucket_us"))
         joined = (
             joined.withColumn("__pv", F.last("v100", ignorenulls=True).over(wb))
             .withColumn("__pt", F.last(obs_t, ignorenulls=True).over(wb))
@@ -586,7 +610,9 @@ def time_bucket_gapfill(
             "(abs((__nv - __pv) * (bucket_us - __pt)) div (__nt - __pt))"
             " * (CASE WHEN __nv >= __pv THEN 1 ELSE -1 END)"
         )
-        v = F.when(F.col("n").isNotNull(), F.col("v100")).otherwise(interp)
+        # observed buckets whose v100 is NULL (all-NULL values) also
+        # interpolate — value presence, not bucket presence, is the rule
+        v = F.when(F.col("v100").isNotNull(), F.col("v100")).otherwise(interp)
     return joined.select(
         F.col(key_col),
         F.col("bucket_us").cast("long"),
@@ -613,7 +639,7 @@ def time_bucket_gapfill_sql(
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
         "zero": "coalesce(v100, 0)",
         "null": "v100",
-        "linear": """CASE WHEN n IS NOT NULL THEN v100 ELSE
+        "linear": """CASE WHEN v100 IS NOT NULL THEN v100 ELSE
             pv + (abs((nv - pv) * (bucket_us - pt)) // (nt - pt))
                  * (CASE WHEN nv >= pv THEN 1 ELSE -1 END) END""",
     }
@@ -623,14 +649,14 @@ def time_bucket_gapfill_sql(
                  last_value(a.v100 IGNORE NULLS) OVER (
                    PARTITION BY g.key ORDER BY g.bucket_us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-                 last_value(CASE WHEN a.n IS NOT NULL THEN g.bucket_us END
+                 last_value(CASE WHEN a.v100 IS NOT NULL THEN g.bucket_us END
                             IGNORE NULLS) OVER (
                    PARTITION BY g.key ORDER BY g.bucket_us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
                  first_value(a.v100 IGNORE NULLS) OVER (
                    PARTITION BY g.key ORDER BY g.bucket_us
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-                 first_value(CASE WHEN a.n IS NOT NULL THEN g.bucket_us END
+                 first_value(CASE WHEN a.v100 IS NOT NULL THEN g.bucket_us END
                              IGNORE NULLS) OVER (
                    PARTITION BY g.key ORDER BY g.bucket_us
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt"""
@@ -966,13 +992,13 @@ def funnel_windowed_sql(
     t = f"epoch_us({time_col})"
     ctes = [
         f"s1 AS (SELECT {key_col}, min({t}) AS t1 FROM {table}"
-        f" WHERE {step_col} = '{steps[0]}' GROUP BY 1)"
+        f" WHERE {step_col} = '{_sq(steps[0])}' GROUP BY 1)"
     ]
     for i, step in enumerate(steps[1:], start=2):
         ctes.append(
             f"s{i} AS (SELECT e.{key_col}, min(epoch_us(e.{time_col})) AS t{i}"
             f" FROM {table} e JOIN s{i-1} p ON e.{key_col} = p.{key_col}"
-            f" WHERE e.{step_col} = '{step}'"
+            f" WHERE e.{step_col} = '{_sq(step)}'"
             f" AND epoch_us(e.{time_col}) > p.t{i-1}"
             f" AND epoch_us(e.{time_col}) <= p.t{i-1} + {within_us}"
             f" GROUP BY 1)"
