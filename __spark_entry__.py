@@ -2627,6 +2627,16 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Class-prototype centroids per label: exact BIGINT component sums
+    # (mergeable partials), |labels|·d groups after one map-side-combined
+    # aggregate — the vector-aggregation idiom.
+    from tidier_spark.operators.similarity import label_centroids
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CSV source path, driver-green: events written to CSV (timestamps
     # as epoch-µs longs — the fixture carries sub-second precision a
@@ -3522,6 +3532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": _q_csv_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "label_centroids": _q_label_centroids,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4177,6 +4188,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _skew_report_oracle(),
         "winsorize": _winsorize_oracle(),
         "gapfill_interp": _gapfill_interp_oracle(),
+        "label_centroids": _label_centroids_oracle(),
         "csv_roundtrip": """
             SELECT event_type,
                    count(*)::BIGINT AS n,
@@ -4398,6 +4410,12 @@ def _perceptron_oracle() -> str:
     from tidier_spark.operators.quality import perceptron_fit_sql
 
     return perceptron_fit_sql("embeddings", iters=2)
+
+
+def _label_centroids_oracle() -> str:
+    from tidier_spark.operators.similarity import label_centroids_sql
+
+    return label_centroids_sql("embeddings")
 
 
 def _gapfill_interp_oracle() -> str:

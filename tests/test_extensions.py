@@ -1889,3 +1889,23 @@ def test_cms_build_int_query_bigint_still_no_undercount(spark):
     }
     # string-normalized hashing: the BIGINT probe hits the INT buckets
     assert all(est[i] >= 100 for i in range(7))
+
+
+def test_label_centroids_mergeable_across_shards(tables):
+    from tidier_spark.operators.similarity import label_centroids
+
+    emb = tables["embeddings"]
+    full = {
+        (r["label"], r["dim"]): (r["comp_sum"], r["n"])
+        for r in label_centroids(emb).collect()
+    }
+    # fold two disjoint shards' partials -> must equal the one-shot run
+    a = label_centroids(emb.where("vec_id % 2 = 0"))
+    b = label_centroids(emb.where("vec_id % 2 = 1"))
+    partials = {}
+    for part in (a.collect(), b.collect()):
+        for r in part:
+            k = (r["label"], r["dim"])
+            s, n = partials.get(k, (0, 0))
+            partials[k] = (s + r["comp_sum"], n + r["n"])
+    assert partials == full and len(full) > 0

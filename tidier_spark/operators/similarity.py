@@ -40,6 +40,8 @@ __all__ = [
     "ivfpq_topk",
     "kmeans_fit",
     "kmeans_fit_sql",
+    "label_centroids",
+    "label_centroids_sql",
     "assign_clusters",
     "cosine_topk_sql",
 ]
@@ -1299,3 +1301,69 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the base of
+    nearest-centroid classification, prototype-based few-shot heads, and
+    per-source drift monitoring).  Output: one row per (label, dim) with
+    the EXACT integer component sum, member count, and the centroid
+    component as one exactly-rounded division — the mergeable-partials
+    idiom (sums and counts fold across shards; the division happens at
+    read time).
+
+    Plan: one posexplode (map-only) → one (label, dim) hash aggregate
+    with map-side combine — |labels|·d groups regardless of row count.
+    Components fixed-point at ``round(x·scale)`` BIGINT (double-cast
+    first: FLOAT×INT multiplies in float on Spark but double elsewhere —
+    the kmeans/perceptron lesson).
+    """
+    x = F.posexplode(
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * scale).cast("bigint"),
+        )
+    )
+    return (
+        df.select(F.col(label_col).alias("label"), x.alias("dim", "comp"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("comp").alias("comp_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            "comp_sum",
+            "n",
+            (F.col("comp_sum") / F.col("n")).alias("centroid_fp"),
+        )
+    )
+
+
+def label_centroids_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10_000,
+    dims: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`label_centroids` (0-based dims to match
+    Spark posexplode; HUGEINT-dodging casts)."""
+    return f"""
+        WITH comps AS (
+          SELECT {label_col} AS label, (i - 1)::BIGINT AS dim,
+                 CAST(round(CAST({vec_col}[i] AS DOUBLE) * {scale}) AS BIGINT)
+                   AS comp
+          FROM {table}, (SELECT unnest(range(1, {dims + 1})) AS i)
+        )
+        SELECT label, dim,
+               CAST(sum(comp) AS BIGINT) AS comp_sum,
+               count(*)::BIGINT AS n,
+               CAST(sum(comp) AS BIGINT) / count(*) AS centroid_fp
+        FROM comps GROUP BY 1, 2"""
