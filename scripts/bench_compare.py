@@ -16,7 +16,20 @@ def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:
-        d = d["parsed"]
+        parsed = d["parsed"]
+        if parsed is None:
+            # driver wrapper with a truncated tail (no parseable record):
+            # salvage per-query timings from the tail fragment
+            import re
+
+            qs = {
+                k: float(v)
+                for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", ""))
+            }
+            if not qs:
+                raise SystemExit(f"{path}: no parseable bench record")
+            return {"queries": qs, "value": float("nan")}
+        d = parsed
     return d
 
 
