@@ -2627,6 +2627,35 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming per-key EWMA replayed through the real engine and
+    # hash-checked against the BATCH ewma oracle — live scoring and
+    # backfill share one bit-identical integer definition (the third
+    # stream==batch==SQL parity after sessions and trailing windows).
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_ewma
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = stream_ewma(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        lookback=8,
+    )
+    res = run_stream(
+        out,
+        name="stream_ewma_entry",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return res.selectExpr(
+        "key AS user_id", "ts_us", "tb AS event_id",
+        "ewma_num", "ewma_den", "ewma100",
+    )
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Class-prototype centroids per label: exact BIGINT component sums
     # (mergeable partials), |labels|·d groups after one map-side-combined
@@ -3533,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
         "label_centroids": _q_label_centroids,
+        "stream_ewma": _q_stream_ewma,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4189,6 +4219,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize": _winsorize_oracle(),
         "gapfill_interp": _gapfill_interp_oracle(),
         "label_centroids": _label_centroids_oracle(),
+        "stream_ewma": _ewma_smooth_oracle(),
         "csv_roundtrip": """
             SELECT event_type,
                    count(*)::BIGINT AS n,

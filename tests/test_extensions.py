@@ -1909,3 +1909,55 @@ def test_label_centroids_mergeable_across_shards(tables):
             s, n = partials.get(k, (0, 0))
             partials[k] = (s + r["comp_sum"], n + r["n"])
     assert partials == full and len(full) > 0
+
+
+def test_stream_ewma_multi_batch_matches_batch(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.operators.temporal import ewma
+    from tidier_spark.streaming import run_stream, stream_ewma
+
+    base = 1_700_000_000_000_000
+    rows = [(1, base + i * 60_000_000, i, float((i * 13) % 40)) for i in range(12)]
+    src = tmp_path / "esrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:5], rows[5:])):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+            "event_id": [r[2] for r in chunk],
+            "value": [r[3] for r in chunk],
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_ewma(
+        stream, key_col="user_id", time_col="ts",
+        value_col="value", tiebreak_col="event_id",
+    )
+    res = run_stream(out, name="t_stream_ewma_mb", output_mode="append")
+    got = sorted(
+        (r["key"], r["ts_us"], r["tb"], r["ewma_num"], r["ewma_den"], r["ewma100"])
+        for r in res.collect()
+    )
+    bdf = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, value double"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id", "value")
+    want = sorted(
+        tuple(r)
+        for r in ewma(bdf, "user_id", "ts", "value", "event_id").collect()
+    )
+    assert got == want and len(got) == 12

@@ -26,6 +26,7 @@ from .sliding import (  # noqa: F401
     run_stream,
     stream_dedup,
     stream_interval_join,
+    stream_ewma,
     stream_funnel_advances,
     stream_session_agg,
     stream_trailing_agg,
@@ -37,6 +38,7 @@ __all__ = [
     "stream_trailing_agg",
     "stream_session_agg",
     "stream_funnel_advances",
+    "stream_ewma",
     "stream_dedup",
     "stream_interval_join",
     "stream_merge_parquet",

@@ -424,3 +424,108 @@ def stream_funnel_advances(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_ewma(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 8,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-key EWMA — the stateful replay of
+    :func:`~tidier_spark.operators.temporal.ewma` (α=1/2 finite-lookback
+    weights in exact BIGINT arithmetic), so live scoring and batch
+    backfill share one bit-identical definition.
+
+    State per key: the last ``lookback``+1 fixed-point values and their
+    (time, tiebreak) keys — O(K), no full history.  Events are processed
+    in (time, tiebreak) order within each batch; the in-order arrival
+    contract across batches matches :func:`stream_trailing_agg`.
+
+    Emits one append-mode row per event: ``(key, ts_us, tiebreak,
+    ewma_num, ewma_den, ewma100)`` — identical schema and values to the
+    batch operator (the driver-hashable three-way parity: stream ==
+    batch == SQL).
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("tb", LongType()),
+            StructField("ewma_num", LongType()),
+            StructField("ewma_den", LongType()),
+            StructField("ewma100", DoubleType()),
+        ]
+    )
+    state_schema = "vals array<long>, nulls array<boolean>"
+    k1 = lookback + 1
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            vals, isnull = list(state.get[0]), list(state.get[1])
+        else:
+            vals, isnull = [], []
+        rows = {c: [] for c in ("key", "ts_us", "tb", "ewma_num", "ewma_den", "ewma100")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+            ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
+            tbs = pdf[tiebreak_col].to_numpy()
+            raw = pdf[value_col].to_numpy(dtype=object)
+            for t, tb, v in zip(ts_us, tbs, raw):
+                if v is None or v != v:
+                    vals.append(0)
+                    isnull.append(True)
+                else:
+                    # round half away from zero, matching Spark F.round
+                    x = float(v) * 100
+                    vals.append(int(x + 0.5) if x >= 0 else -int(-x + 0.5))
+                    isnull.append(False)
+                vals, isnull = vals[-k1:], isnull[-k1:]
+                num = den = 0
+                for j in range(len(vals)):
+                    w = 1 << (lookback - j)
+                    idx = len(vals) - 1 - j
+                    if not isnull[idx]:
+                        num += vals[idx] * w
+                        den += w
+                rows["key"].append(key[0])
+                rows["ts_us"].append(int(t))
+                rows["tb"].append(int(tb))
+                rows["ewma_num"].append(num)
+                rows["ewma_den"].append(den)
+                rows["ewma100"].append(num / den if den > 0 else None)
+        state.update((vals, isnull))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias(time_col),
+            F.col(value_col).alias(value_col),
+            F.col(tiebreak_col).alias(tiebreak_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
