@@ -2627,6 +2627,28 @@ def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_apply(docs, merges)
 
 
+def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming Type-2 SCD maintenance: micro-batches fold into the
+    # versioned history via scd2_merge (open runs absorb or close,
+    # closed history untouched); final snapshot hash-checks against the
+    # full-recompute batch oracle, and the fold is property-tested equal
+    # over ANY time-ordered batch split.
+    import tempfile
+
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import stream_scd2_parquet
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="tidier_stream_scd2_")
+    return stream_scd2_parquet(
+        ev, path, "user_id", "ts", "event_type", "event_id",
+        name="stream_scd2_entry", state_partitions=8,
+    ).selectExpr(
+        "user_id", "event_type", "valid_from_us", "valid_to_us",
+        "is_current", "n_obs",
+    )
+
+
 def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming per-key EWMA replayed through the real engine and
     # hash-checked against the BATCH ewma oracle — live scoring and
@@ -3563,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "label_centroids": _q_label_centroids,
         "stream_ewma": _q_stream_ewma,
+        "stream_scd2": _q_stream_scd2,
         "stream_dedup_against": _q_stream_dedup_against,
         "lm_surprisal": _q_lm_surprisal,
         "incremental_rollup": _q_incremental_rollup,
@@ -4220,6 +4243,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_interp": _gapfill_interp_oracle(),
         "label_centroids": _label_centroids_oracle(),
         "stream_ewma": _ewma_smooth_oracle(),
+        "stream_scd2": _scd2_history_oracle(),
         "csv_roundtrip": """
             SELECT event_type,
                    count(*)::BIGINT AS n,

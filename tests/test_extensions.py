@@ -1961,3 +1961,60 @@ def test_stream_ewma_multi_batch_matches_batch(spark, tmp_path):
         for r in ewma(bdf, "user_id", "ts", "value", "event_id").collect()
     )
     assert got == want and len(got) == 12
+
+
+def test_stream_scd2_multi_batch_equals_batch(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.operators.merge import scd2
+    from tidier_spark.streaming import stream_scd2_parquet
+
+    base = 1_700_000_000_000_000
+    rows = [
+        (1, base + i * 60_000_000, i, a)
+        for i, a in enumerate("AABBA" "BBCCA")  # run structure across cut
+    ] + [(2, base, 100, "X"), (2, base + 600_000_000, 101, "X")]
+    early = [r for r in rows if r[1] < base + 5 * 60_000_000]
+    late = [r for r in rows if r[1] >= base + 5 * 60_000_000]
+    src = tmp_path / "s2src"
+    src.mkdir()
+    for bi, chunk in enumerate((early, late)):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+            "event_id": [r[2] for r in chunk],
+            "attr": [r[3] for r in chunk],
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, attr string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    final = stream_scd2_parquet(
+        stream, str(tmp_path / "s2tbl"), "user_id", "ts", "attr", "event_id",
+        name="t_stream_scd2_mb",
+    )
+    got = sorted(tuple(r) for r in final.selectExpr(
+        "user_id", "attr", "valid_from_us", "valid_to_us", "is_current", "n_obs"
+    ).collect())
+    bdf = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, attr string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id", "attr")
+    want = sorted(tuple(r) for r in scd2(
+        bdf, "user_id", "ts", "attr", "event_id").collect())
+    assert got == want and len(got) > 4
+    # genuinely multi-batch: two committed versions exist (or one pruned)
+    import os as _os2
+    vs = [d for d in _os2.listdir(tmp_path / "s2tbl") if d.startswith("v=")]
+    assert len(vs) >= 1

@@ -661,3 +661,51 @@ def test_gapfill_linear_matches_python_reference(obs, spark):
             interp = pv + (abs(num) // (nt - pt)) * (1 if num >= 0 else -1)
             want[b] = (0, interp, True)
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user
+            st.integers(0, 30),         # minute
+            st.sampled_from("ABC"),     # attr
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    cut=st.integers(0, 30),
+)
+def test_scd2_merge_any_time_split_equals_full(rows, cut, spark):
+    # incremental SCD2 over any time-ordered split must equal the full
+    # recompute — the streaming-maintenance contract
+    from tidier_spark.operators.merge import scd2, scd2_merge
+
+    def mk(rs):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 00:{m:02d}:00", u * 100 + m, a) for u, m, a in rs],
+            "user_id long, ts string, event_id long, attr string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    early = [r for r in rows if r[1] < cut]
+    late = [r for r in rows if r[1] >= cut]
+    full = sorted(tuple(r) for r in scd2(
+        mk(rows), "user_id", "ts", "attr", "event_id").collect())
+    if not early or not late:
+        snap = None if not early else scd2(
+            mk(early), "user_id", "ts", "attr", "event_id")
+        inc = scd2_merge(
+            snap, mk(late or early), "user_id", "ts", "attr", "event_id"
+        ) if late else snap
+        got = sorted(tuple(r) for r in inc.collect())
+        assert got == full
+        return
+    snap = scd2(mk(early), "user_id", "ts", "attr", "event_id")
+    inc = scd2_merge(snap, mk(late), "user_id", "ts", "attr", "event_id")
+    got = sorted(tuple(r) for r in inc.collect())
+    assert got == full

@@ -21,6 +21,7 @@ from .sink import (  # noqa: F401
     read_merged,
     stream_dedup_against,
     stream_merge_parquet,
+    stream_scd2_parquet,
 )
 from .sliding import (  # noqa: F401
     run_stream,
@@ -42,6 +43,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "stream_merge_parquet",
+    "stream_scd2_parquet",
     "stream_dedup_against",
     "read_merged",
     "run_stream",

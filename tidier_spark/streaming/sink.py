@@ -27,7 +27,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stream_merge_parquet", "read_merged", "stream_dedup_against"]
+__all__ = [
+    "stream_merge_parquet",
+    "read_merged",
+    "stream_dedup_against",
+    "stream_scd2_parquet",
+]
 
 
 def _versions(path: str, committed_only: bool = True) -> list[int]:
@@ -256,3 +261,71 @@ def stream_dedup_against(
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.read.parquet(out_dir)
+
+
+def stream_scd2_parquet(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    time_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+    *,
+    name: str = "stream_scd2",
+    timeout_seconds: int = 300,
+    keep_versions: int = 2,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming Type-2 SCD maintenance: each micro-batch of ordered
+    attribute observations folds into the versioned history table via
+    :func:`tidier_spark.operators.merge.scd2_merge` (open runs absorb or
+    close; closed history is never rewritten logically).  Same committed-
+    snapshot contract as :func:`stream_merge_parquet`; same in-order
+    append-only CDC contract as scd2_merge — and the fold is property-
+    tested equal to the full batch :func:`~tidier_spark.operators.merge.
+    scd2` recompute over any time-ordered batch split.
+    """
+    from ..operators.merge import scd2_merge
+
+    spark = stream.sparkSession
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        vs = _versions(path)
+        snap = read_merged(spark, path) if vs else None
+        merged = scd2_merge(
+            snap, batch_df, key_col, time_col, attr_col, tiebreak_col
+        )
+        all_vs = _versions(path, committed_only=False)
+        nxt = (all_vs[-1] + 1) if all_vs else 0
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"v={nxt}"))
+        for old in vs[: max(0, len(vs) - (keep_versions - 1))]:
+            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+
+    saved = None
+    if state_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(do_batch)
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_seconds)
+            if not finished:
+                raise TimeoutError(
+                    f"stream {name!r} did not finish its AvailableNow replay "
+                    f"within {timeout_seconds}s — refusing to return a "
+                    "partial snapshot"
+                )
+        finally:
+            q.stop()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return read_merged(spark, path)
