@@ -78,6 +78,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_bad += 1
             continue
+        finally:
+            # entries may persist intermediates and never unpersist —
+            # bounded per entry, but across 160+ queries the cached
+            # blocks accumulate (bench.py clears the same way)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"OK?   {name}: rows={len(sdf)} (no oracle — rows-only check)")
             continue

@@ -2018,3 +2018,73 @@ def test_stream_scd2_multi_batch_equals_batch(spark, tmp_path):
     import os as _os2
     vs = [d for d in _os2.listdir(tmp_path / "s2tbl") if d.startswith("v=")]
     assert len(vs) >= 1
+
+
+def test_budget_mix_zero_token_source_keeps_rows(spark):
+    from tidier_spark.operators.corpus import budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 50), (2, "a", 50), (3, "b", 0), (4, "b", 0)],
+        "doc_id long, source string, n_tokens long",
+    )
+    # source b has 0 available tokens: ANSI div-by-zero must not raise;
+    # its rows all pass (thr = 1e6), mirroring DuckDB's NULL-division
+    out = budget_mix(df, 100, {"a": 1, "b": 1}, tokens_col="n_tokens")
+    got = {r["doc_id"]: r["thr_ppm"] for r in out.collect()}
+    assert got[3] == 1_000_000 and got[4] == 1_000_000
+
+
+def test_validate_duplicate_same_kind_rules(tables, sf_dir):
+    from helpers import assert_matches_oracle
+    from tidier_spark.operators.expectations import validate, validate_sql
+
+    rules = {
+        "event_type": [("matches", "^[a-z]+$"), ("matches", "^zzz")],
+        "event_id": [("not_null",), ("unique",), ("unique",)],
+    }
+    r = validate(tables["events"], rules)
+    rows = {(x["column"], x["rule"]): x["n_violations"] for x in r.collect()}
+    # second same-kind rule gets a #2 suffix; all four rows distinct
+    assert ("event_type", "matches") in rows
+    assert ("event_type", "matches#2") in rows
+    assert rows[("event_type", "matches#2")] > 0  # nothing starts with zzz
+    assert ("event_id", "unique#2") in rows
+    assert_matches_oracle(r, validate_sql("events", rules), sf_dir)
+
+
+def test_cosine_topk_k_exceeds_candidates_no_self_pair(spark):
+    from tidier_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    assert all(r["cos_sim"] == r["cos_sim"] and r["cos_sim"] > -1e9 for r in out)
+    # each query sees exactly the 2 other vectors
+    from collections import Counter
+    assert Counter(r["query_id"] for r in out) == {1: 2, 2: 2, 3: 2}
+
+
+def test_stream_dedup_against_empty_stream_returns_empty(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import stream_dedup_against
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())}),
+        src / "b0.parquet",
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    )
+    ref = spark.createDataFrame([(100, "some reference doc")], "doc_id long, text string")
+    out = stream_dedup_against(
+        stream, ref, str(tmp_path / "empty_tbl"), name="t_sdae"
+    )
+    assert out.count() == 0

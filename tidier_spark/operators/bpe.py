@@ -201,10 +201,19 @@ def bpe_train_sql(
               GROUP BY 1, 2
             )"""
         )
+        # sentinel fallback keeps best{r} NON-EMPTY when the corpus runs
+        # out of pairs before n_merges rounds: the empty-string merge has
+        # pattern ␟␟␟␟, which never occurs in a wrapped word, so applying
+        # it is a no-op — and a cross join with it no longer empties the
+        # apply CTE.  Sentinels are filtered from all outputs (a <> '').
         ctes.append(
             f"""best{r} AS (
-              SELECT a, b, pn FROM pc{r}
-              ORDER BY pn DESC, a ASC, b ASC LIMIT 1
+              SELECT a, b, pn FROM (
+                SELECT a, b, pn FROM pc{r}
+                ORDER BY pn DESC, a ASC, b ASC LIMIT 1
+              )
+              UNION ALL
+              SELECT '', '', 0 WHERE NOT EXISTS (SELECT 1 FROM pc{r})
             )"""
         )
         ctes.append(
@@ -217,7 +226,8 @@ def bpe_train_sql(
         )
     rows = " UNION ALL ".join(
         f"""SELECT {r + 1}::BIGINT AS rank, a AS left_sym, b AS right_sym,
-                   a || b AS merged, pn AS pair_n FROM best{r}"""
+                   a || b AS merged, pn AS pair_n FROM best{r}
+            WHERE a <> ''"""
         for r in range(n_merges)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + rows
@@ -378,7 +388,7 @@ def bpe_encode_sql(
     froms = ", ".join(f"best{r} b{r}" for r in range(n_merges))
     merge_rows = " UNION ALL ".join(
         f"SELECT a || b AS sym, (SELECT count(*) FROM chars) + {r + 1} AS vid"
-        f" FROM best{r}"
+        f" FROM best{r} WHERE a <> ''"
         for r in range(n_merges)
     )
     return f"""WITH {ctes_sql},

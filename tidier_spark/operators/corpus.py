@@ -671,14 +671,20 @@ def budget_mix(
     avail = df.groupBy(source_col).agg(
         F.sum(tokens_col).cast("long").alias("__avail")
     )
+    # guard __avail == 0: ANSI mode (Spark 4 default) raises on div 0,
+    # and the DuckDB mirror's // 0 -> NULL -> least() skips it -> 1e6;
+    # a zero-token source keeps all its rows on both engines
     thr = avail.join(wdf, source_col).select(
         F.col(source_col),
         F.least(
             F.lit(1_000_000).cast("long"),
-            F.expr(
-                f"(({int(budget_tokens)} * __wt) div {total_w})"
-                " * 1000000 div __avail"
-            ),
+            F.when(
+                F.col("__avail") > 0,
+                F.expr(
+                    f"(({int(budget_tokens)} * __wt) div {total_w})"
+                    " * 1000000 div __avail"
+                ),
+            ).otherwise(F.lit(1_000_000)),
         ).cast("long").alias("thr_ppm"),
     )
     key = F.pmod(
@@ -705,9 +711,15 @@ def budget_mix_sql(
     md5 row hash)."""
     from .text import tokens_sql
 
-    weights = weights or {}
+    if not weights:
+        raise ValueError("weights must be a non-empty dict (mirror of budget_mix)")
     total_w = sum(int(w) for w in weights.values())
-    vals = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(weights.items()))
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+    vals = ", ".join(
+        "('" + s.replace("'", "''") + f"', {int(w)})"
+        for s, w in sorted(weights.items())
+    )
     tok = tokens_expr or f"len({tokens_sql('text')})"
     return f"""
         WITH avail AS (

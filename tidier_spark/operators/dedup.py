@@ -185,7 +185,7 @@ def minhash_candidate_pairs(
     The pair join is an equi-join on (band, sig) — never a cross join.
     """
     if k % bands:
-        raise ValueError(f"k={k} must divide into bands={bands}")
+        raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     r = k // bands
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, _shingle_df)
     band_cols = [
@@ -291,7 +291,7 @@ def banded_signatures(
     ``stream_dedup_against`` batch joins against it instead of
     re-aggregating the reference side's min-hashes."""
     if k % bands:
-        raise ValueError(f"k={k} must divide into bands={bands}")
+        raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     r = k // bands
     oid = out_id or id_col
     sigs = minhash_signatures(df, id_col, text_col, k, shingle_n, _shingle_df=_shingle_df)
@@ -341,7 +341,7 @@ def dedup_against(
     shingling pass instead of two.
     """
     if k % bands:
-        raise ValueError(f"k={k} must divide into bands={bands}")
+        raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     from pyspark import StorageLevel
     from pyspark.sql import Window
 

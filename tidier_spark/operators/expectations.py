@@ -46,6 +46,27 @@ def _rule_name(rule: tuple) -> str:
     return kind
 
 
+def _named_rules(rules: dict[str, list[tuple]]):
+    """(col, rule_tuple, unique_name) triples — duplicate same-kind rules
+    on one column get #2, #3, ... suffixes so agg slots and output rows
+    never collide (identical naming in validate and validate_sql)."""
+    out = []
+    for col, col_rules in sorted(rules.items()):
+        seen: dict[str, int] = {}
+        for rule in col_rules:
+            if not isinstance(rule, tuple):
+                rule = (rule,)
+            base = _rule_name(rule)
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            out.append((col, rule, base if n == 0 else f"{base}#{n + 1}"))
+    return out
+
+
+def _sq(s) -> str:
+    return str(s).replace("'", "''")
+
+
 def _violation_expr(col: str, rule: tuple):
     kind = rule[0]
     c = F.col(col)
@@ -77,25 +98,23 @@ def validate(df: DataFrame, rules: dict[str, list[tuple]]) -> DataFrame:
     """
     aggs = []
     post = []  # (column, rule_name, builder over the agg row)
-    for col, col_rules in sorted(rules.items()):
-        for rule in col_rules:
-            if not isinstance(rule, tuple):
-                rule = (rule,)
-            name = _rule_name(rule)
-            slot = f"__v_{col}_{name}"
-            if rule[0] == "unique":
-                aggs.append(
-                    F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0)).alias(
-                        f"__n_{col}"
-                    )
+    for idx, (col, rule, name) in enumerate(_named_rules(rules)):
+        slot = f"__v_{idx}_{col}"
+        if rule[0] == "unique":
+            aggs.append(
+                F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0)).alias(
+                    f"__n_{idx}_{col}"
                 )
-                aggs.append(F.count_distinct(F.col(col)).alias(f"__d_{col}"))
-                post.append(
-                    (col, name, F.col(f"__n_{col}") - F.col(f"__d_{col}"))
-                )
-            else:
-                aggs.append(_violation_expr(col, rule).alias(slot))
-                post.append((col, name, F.col(slot)))
+            )
+            aggs.append(
+                F.count_distinct(F.col(col)).alias(f"__d_{idx}_{col}")
+            )
+            post.append(
+                (col, name, F.col(f"__n_{idx}_{col}") - F.col(f"__d_{idx}_{col}"))
+            )
+        else:
+            aggs.append(_violation_expr(col, rule).alias(slot))
+            post.append((col, name, F.col(slot)))
     stats = df.agg(*aggs)
     rows = [
         F.struct(
@@ -118,11 +137,7 @@ def validate_sql(table: str, rules: dict[str, list[tuple]]) -> str:
     contract, CASTs pinned (DuckDB integer aggregates are HUGEINT →
     pandas float64 without them)."""
     selects = []
-    for col, col_rules in sorted(rules.items()):
-        for rule in col_rules:
-            if not isinstance(rule, tuple):
-                rule = (rule,)
-            name = _rule_name(rule)
+    for col, rule, name in _named_rules(rules):
             kind = rule[0]
             if kind == "not_null":
                 v = f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
@@ -133,7 +148,8 @@ def validate_sql(table: str, rules: dict[str, list[tuple]]) -> str:
                 )
             elif kind == "in_set":
                 vals = ", ".join(
-                    f"'{x}'" if isinstance(x, str) else str(x) for x in rule[1:]
+                    f"'{_sq(x)}'" if isinstance(x, str) else str(x)
+                    for x in rule[1:]
                 )
                 v = (
                     f"sum(CASE WHEN {col} IS NOT NULL AND"
@@ -142,7 +158,7 @@ def validate_sql(table: str, rules: dict[str, list[tuple]]) -> str:
             elif kind == "matches":
                 v = (
                     f"sum(CASE WHEN {col} IS NOT NULL AND"
-                    f" NOT regexp_matches({col}, '{rule[1]}') THEN 1 ELSE 0 END)"
+                    f" NOT regexp_matches({col}, '{_sq(rule[1])}') THEN 1 ELSE 0 END)"
                 )
             elif kind == "unique":
                 v = (

@@ -196,6 +196,9 @@ def _cosine_topk_blas(
                     s = np.where(self_mask, -np.inf, s)
                     # top-k by (-sim, neighbor_id): stable sort over id-sorted order
                     cand_order = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:k]
+                    # k >= n_candidates: the -inf-masked self slot would
+                    # otherwise leak as a bogus pair (grid path filters it)
+                    cand_order = cand_order[s[cand_order] > -np.inf]
                     for r, ci in enumerate(cand_order, start=1):
                         rows["query_id"].append(int(qid))
                         rows["neighbor_id"].append(int(ids[ci]))

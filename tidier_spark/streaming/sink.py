@@ -229,7 +229,14 @@ def stream_dedup_against(
             survivors = batch_df.join(
                 matches.select(id_col), id_col, "left_anti"
             )
-            survivors.write.mode("append").parquet(out_dir)
+            # batch_id-keyed OVERWRITE, not a blind append: if a batch
+            # replays after a crash (write succeeded, checkpoint commit
+            # didn't) the rerun overwrites its own directory instead of
+            # duplicating survivors — idempotent like stream_merge's
+            # versioned commits
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
         finally:
             sh_b.unpersist()
 
@@ -260,7 +267,14 @@ def stream_dedup_against(
         bands_ref.unpersist()
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return spark.read.parquet(out_dir)
+    # a stream that delivered zero rows never created the survivor dir —
+    # return an empty frame with the stream's schema, matching the batch
+    # counterpart's empty result instead of raising PATH_NOT_FOUND
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], stream.schema)
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    )
 
 
 def stream_scd2_parquet(
