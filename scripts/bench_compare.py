@@ -25,6 +25,7 @@ def load(path: str) -> dict:
             qs = {
                 k: float(v)
                 for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', d.get("tail", ""))
+                if k not in ("value", "sf", "n_queries")  # record scalars, not queries
             }
             if not qs:
                 raise SystemExit(f"{path}: no parseable bench record")

@@ -2088,3 +2088,19 @@ def test_stream_dedup_against_empty_stream_returns_empty(spark, tmp_path):
         stream, ref, str(tmp_path / "empty_tbl"), name="t_sdae"
     )
     assert out.count() == 0
+
+
+def test_kmeans_k1_single_cluster(tables):
+    from tidier_spark.operators.similarity import kmeans_fit
+
+    emb = tables["embeddings"].limit(40)
+    out = kmeans_fit(emb, k=1, iters=1).collect()
+    assert len(out) == 40 and all(r["cluster"] == 0 for r in out)
+
+
+def test_ivfpq_n_probe_exceeds_lists_is_clamped(tables):
+    from tidier_spark.operators.similarity import ivfpq_topk
+
+    emb = tables["embeddings"].limit(80)
+    out = ivfpq_topk(emb, k=2, n_lists=4, n_probe=99, shortlist=8).collect()
+    assert len(out) > 0  # no executor-side array-shape crash

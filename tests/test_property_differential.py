@@ -671,13 +671,14 @@ def test_gapfill_linear_matches_python_reference(obs, spark):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(1, 3),          # user
-            st.integers(0, 30),         # minute
-            st.sampled_from("ABC"),     # attr
+            st.integers(1, 3),                      # user
+            st.integers(0, 30),                     # minute
+            st.integers(0, 9),                      # tiebreak within minute
+            st.sampled_from(["A", "B", "C", None]),  # attr incl. NULL
         ),
         min_size=1,
         max_size=20,
-        unique_by=lambda r: (r[0], r[1]),
+        unique_by=lambda r: (r[0], r[1], r[2]),
     ),
     cut=st.integers(0, 30),
 )
@@ -687,25 +688,35 @@ def test_scd2_merge_any_time_split_equals_full(rows, cut, spark):
     from tidier_spark.operators.merge import scd2, scd2_merge
 
     def mk(rs):
+        # equal timestamps with distinct tiebreaks exercise same-instant
+        # run boundaries; None attrs exercise NULL-as-value semantics
         return spark.createDataFrame(
-            [(u, f"2024-01-01 00:{m:02d}:00", u * 100 + m, a) for u, m, a in rs],
+            [
+                (u, f"2024-01-01 00:{m:02d}:00", u * 1000 + m * 10 + tb, a)
+                for u, m, tb, a in rs
+            ],
             "user_id long, ts string, event_id long, attr string",
         ).withColumn("ts", F.to_timestamp("ts"))
 
     early = [r for r in rows if r[1] < cut]
     late = [r for r in rows if r[1] >= cut]
-    full = sorted(tuple(r) for r in scd2(
-        mk(rows), "user_id", "ts", "attr", "event_id").collect())
+
+    def canon(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: (t[0], t[2], t[1] is None, t[1]
+                           if t[1] is not None else ""),
+        )
+
+    full = canon(scd2(mk(rows), "user_id", "ts", "attr", "event_id"))
     if not early or not late:
         snap = None if not early else scd2(
             mk(early), "user_id", "ts", "attr", "event_id")
         inc = scd2_merge(
             snap, mk(late or early), "user_id", "ts", "attr", "event_id"
         ) if late else snap
-        got = sorted(tuple(r) for r in inc.collect())
-        assert got == full
+        assert canon(inc) == full
         return
     snap = scd2(mk(early), "user_id", "ts", "attr", "event_id")
     inc = scd2_merge(snap, mk(late), "user_id", "ts", "attr", "event_id")
-    got = sorted(tuple(r) for r in inc.collect())
-    assert got == full
+    assert canon(inc) == full

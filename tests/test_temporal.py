@@ -622,3 +622,69 @@ def test_gapfill_linear_skips_null_value_anchor(spark):
     assert out == [
         (d1, 1000), (d1 + day, 2000), (d1 + 2 * day, 3000), (d1 + 3 * day, 4000)
     ]
+
+
+def test_overlap_join_pre_epoch_intervals(spark):
+    from tidier_spark.operators.temporal import overlap_join
+
+    # spans straddling 1970: floor bucketing must keep the overlap
+    left = spark.createDataFrame(
+        [(1, "1969-12-31 23:30:00", "1970-01-01 00:30:00")],
+        "lid long, l_s string, l_e string",
+    ).selectExpr("lid", "CAST(l_s AS TIMESTAMP) l_s", "CAST(l_e AS TIMESTAMP) l_e")
+    right = spark.createDataFrame(
+        [(10, "1969-12-31 23:45:00", "1970-01-01 00:15:00"),
+         (11, "1969-12-30 00:00:00", "1969-12-30 01:00:00")],  # no overlap
+        "rid long, r_s string, r_e string",
+    ).selectExpr("rid", "CAST(r_s AS TIMESTAMP) r_s", "CAST(r_e AS TIMESTAMP) r_e")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(
+            left, right, left_start="l_s", left_end="l_e",
+            right_start="r_s", right_end="r_e", bucket_seconds=3600,
+        ).collect()
+    )
+    assert got == [(1, 10)]
+
+
+def test_interval_join_pre_epoch_points(spark):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "1969-12-31 23:45:00"), (2, "1969-12-30 00:00:00")],
+        "pid long, ts string",
+    ).selectExpr("pid", "CAST(ts AS TIMESTAMP) AS ts")
+    iv = spark.createDataFrame(
+        [(10, "1969-12-31 23:30:00", "1970-01-01 00:30:00")],
+        "iid long, s string, e string",
+    ).selectExpr("iid", "CAST(s AS TIMESTAMP) s", "CAST(e AS TIMESTAMP) e")
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, iv, time_col="ts", start_col="s", end_col="e",
+            bucket_seconds=3600,
+        ).collect()
+    }
+    assert got == {(1, 10)}
+
+
+def test_asof_nearest_prefers_nearest_supplying_row(spark):
+    from tidier_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:40")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:30", 5.0),    # backward supplier, 10s away
+         (1, "2024-01-01 00:01:39", None),   # nearest backward ROW, NULL
+         (1, "2024-01-01 00:01:41", 7.0)],   # forward supplier, 1s away
+        "id long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = asof_join(
+        left, right, on="id", time_col="ts", value_cols=["v"],
+        direction="nearest",
+    ).collect()[0]
+    # the genuinely nearest NON-NULL supplier is the forward row (1s)
+    assert got["v_right"] == 7.0

@@ -169,9 +169,30 @@ def scd2(
     cardinality.  (The storage-level analog is a MERGE with
     ``is_current`` flipping; this is the logical semantics.)
     """
+    return _scd2_runs(df, key_col, time_col, attr_col, tiebreak_col).drop(
+        "__run"
+    )
+
+
+def _scd2_runs(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """:func:`scd2` plus the per-key run index ``__run`` (1-based) —
+    :func:`scd2_merge` needs it to identify the batch's FIRST run
+    unambiguously (valid_from alone ties when two runs start on the
+    same timestamp separated only by the tiebreak)."""
     w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    # the FIRST row must always open run 1: detect it via the lag of the
+    # (non-null) tiebreak — a NULL lag of attr alone is ambiguous when
+    # NULL is itself a legal attr value (eqNullSafe(NULL, NULL) is true,
+    # which would start a NULL-leading key at run 0)
     changed = (
-        ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
+        F.lag(tiebreak_col).over(w).isNull()
+        | ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w))
     ).cast("bigint")
     runs = (
         df.withColumn("__chg", changed)
@@ -196,6 +217,7 @@ def scd2(
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
         F.col("n_obs"),
+        F.col("__run"),
     )
 
 
@@ -270,31 +292,30 @@ def scd2_merge(
     storage MERGE pushes that into file-level upserts; the logical
     semantics are these).
     """
-    bruns = scd2(batch, key_col, time_col, attr_col, tiebreak_col)
-    if snapshot is None:
-        return bruns
     cols = [key_col, attr_col, "valid_from_us", "valid_to_us", "is_current", "n_obs"]
-    bruns = bruns.select(*cols)
+    bruns_r = _scd2_runs(batch, key_col, time_col, attr_col, tiebreak_col)
+    if snapshot is None:
+        return bruns_r.select(*cols)
     snapshot = snapshot.select(*cols)
-    first = bruns.groupBy(key_col).agg(
-        F.min("valid_from_us").alias("__f_from")
-    )
-    r1 = bruns.join(first, key_col).where(
-        F.col("valid_from_us") == F.col("__f_from")
-    ).select(
+    # the batch's first run per key is __run == 1 — unambiguous even when
+    # two runs start on the same timestamp (tiebreak-separated)
+    r1 = bruns_r.where(F.col("__run") == 1).select(
         F.col(key_col),
         F.col(attr_col).alias("__f_attr"),
         F.col("valid_from_us").alias("__f_from"),
         F.col("valid_to_us").alias("__f_to"),
         F.col("is_current").alias("__f_cur"),
         F.col("n_obs").alias("__f_n"),
+        F.lit(True).alias("__touched"),
     )
     snap_cur = snapshot.where(F.col("is_current")).join(r1, key_col, "left")
-    # untouched current rows pass through; touched ones absorb or close
-    kept_cur = snap_cur.where(F.col("__f_attr").isNull()).select(*cols)
+    # untouched current rows pass through (explicit marker — a NULL
+    # batch attr is a legal value, never an absence signal); touched
+    # ones absorb (null-safe same attr) or close (null-safe different)
+    kept_cur = snap_cur.where(F.col("__touched").isNull()).select(*cols)
     absorb = snap_cur.where(
-        F.col("__f_attr").isNotNull()
-        & (F.col(attr_col) == F.col("__f_attr"))
+        F.col("__touched").isNotNull()
+        & F.col(attr_col).eqNullSafe(F.col("__f_attr"))
     ).select(
         F.col(key_col),
         F.col(attr_col),
@@ -304,8 +325,8 @@ def scd2_merge(
         (F.col("n_obs") + F.col("__f_n")).alias("n_obs"),
     )
     closed = snap_cur.where(
-        F.col("__f_attr").isNotNull()
-        & (F.col(attr_col) != F.col("__f_attr"))
+        F.col("__touched").isNotNull()
+        & ~F.col(attr_col).eqNullSafe(F.col("__f_attr"))
     ).select(
         F.col(key_col),
         F.col(attr_col),
@@ -316,18 +337,17 @@ def scd2_merge(
     )
     # batch runs to append: drop the first run for absorbed keys
     absorbed_keys = absorb.select(key_col)
-    b_first = bruns.join(first, key_col).where(
-        F.col("valid_from_us") == F.col("__f_from")
-    ).drop("__f_from")
-    b_rest = bruns.join(first, key_col).where(
-        F.col("valid_from_us") != F.col("__f_from")
-    ).drop("__f_from")
-    b_first_kept = b_first.join(absorbed_keys, key_col, "left_anti").select(*cols)
+    b_first_kept = (
+        bruns_r.where(F.col("__run") == 1)
+        .join(absorbed_keys, key_col, "left_anti")
+        .select(*cols)
+    )
+    b_rest = bruns_r.where(F.col("__run") != 1).select(*cols)
     closed_hist = snapshot.where(~F.col("is_current")).select(*cols)
     return (
         closed_hist.unionByName(kept_cur)
         .unionByName(absorb.select(*cols))
         .unionByName(closed.select(*cols))
         .unionByName(b_first_kept)
-        .unionByName(b_rest.select(*cols))
+        .unionByName(b_rest)
     )

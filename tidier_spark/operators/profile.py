@@ -220,7 +220,14 @@ def skew_report(
             F.col("n"),
             F.col("n_total"),
             F.col("n_keys"),
-            F.expr("(n * n_keys * 100) div n_total").alias("skew_factor_x100"),
+            # double-space formula: (n·n_keys·100) overflows BIGINT at
+            # ~1e9×1e9 keys·rows — exactly the scale this diagnostic
+            # targets.  Each IEEE op below is exactly rounded and the
+            # mirror replays the identical order, so the floor is
+            # engine-deterministic.
+            F.floor((F.col("n") * 100.0 / F.col("n_total")) * F.col("n_keys"))
+            .cast("long")
+            .alias("skew_factor_x100"),
         )
     )
 
@@ -240,6 +247,7 @@ def skew_report_sql(table: str, key_col: str, top_k: int = 5) -> str:
         SELECT row_number() OVER (ORDER BY n DESC, key ASC)::BIGINT
                  AS key_rank,
                key, n, n_total, n_keys,
-               (n * n_keys * 100) // n_total AS skew_factor_x100
+               CAST(floor((n * 100.0 / n_total) * n_keys) AS BIGINT)
+                 AS skew_factor_x100
         FROM counts CROSS JOIN stats
         ORDER BY n DESC, key ASC LIMIT {top_k}"""

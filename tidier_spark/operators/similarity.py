@@ -275,7 +275,7 @@ def _cosine_topk_grid(
     from pyspark.sql import types as T
 
     q_src = (queries if queries is not None else df).select(id_col, vec_col)
-    n_q = q_src.count()
+    n_q = n_cand if queries is None else q_src.count()
     A = max(1, math.ceil(n_q / chunk_size))
     B = max(1, math.ceil(n_cand / chunk_size))
     grid = _grid_sides(df, queries, id_col, vec_col, A, B)
@@ -1033,6 +1033,9 @@ def ivfpq_topk(
         df, id_col, vec_col, m=m, n_codes=n_codes,
         kmeans_iters=kmeans_iters, sample_size=sample_size, seed=seed + 1,
     )
+    # a small training sample can yield fewer centroids than n_lists;
+    # probing more lists than exist would mis-shape the route() arrays
+    n_probe = min(n_probe, len(cent))
     bc_cent = spark.sparkContext.broadcast(cent)
     bc_books = spark.sparkContext.broadcast(books)
 
@@ -1172,7 +1175,8 @@ def kmeans_fit(
     def assign(frame: DataFrame) -> DataFrame:
         dists = [dist_to(cents[j]).alias(f"__d{j}") for j in range(len(cents))]
         a = frame.select(id_col, "__x", *dists)
-        best = F.least(*[F.col(f"__d{j}") for j in range(len(cents))])
+        dcols = [F.col(f"__d{j}") for j in range(len(cents))]
+        best = F.least(*dcols) if len(dcols) > 1 else dcols[0]
         cl = F.lit(None).cast("int")
         for j in range(len(cents) - 1, -1, -1):
             cl = F.when(F.col(f"__d{j}") == best, F.lit(j)).otherwise(cl)

@@ -111,33 +111,44 @@ def asof_join(
         def num(c: F.Column) -> F.Column:
             return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
 
-        picked = u.withColumn(
-            "__rt", F.when(F.col("__side") == 0, F.col(time_col))
-        )
-        picked = picked.withColumn(
-            "__tb", F.last("__rt", ignorenulls=True).over(wb)
-        ).withColumn("__tf", F.first("__rt", ignorenulls=True).over(wf))
+        # side choice PER VALUE COLUMN against the rows that actually
+        # supply the value (ignorenulls can skip NULL-valued right rows,
+        # so the nearest right ROW's time is not the honest distance —
+        # same principle as the tolerance path below)
+        picked = u
         tmp = []
         for oc in out_vals:
-            picked = picked.withColumn(
-                f"__b_{oc}", F.last(oc, ignorenulls=True).over(wb)
-            ).withColumn(f"__f_{oc}", F.first(oc, ignorenulls=True).over(wf))
-            tmp += [f"__b_{oc}", f"__f_{oc}"]
-        use_b = F.col("__tf").isNull() | (
-            F.col("__tb").isNotNull()
-            & (
-                (num(F.col(time_col)) - num(F.col("__tb")))
-                <= (num(F.col("__tf")) - num(F.col(time_col)))
+            supplied = F.when(
+                (F.col("__side") == 0) & F.col(oc).isNotNull(),
+                F.col(time_col),
             )
-        )
+            picked = (
+                picked.withColumn(
+                    f"__tb_{oc}", F.last(supplied, ignorenulls=True).over(wb)
+                )
+                .withColumn(
+                    f"__tf_{oc}", F.first(supplied, ignorenulls=True).over(wf)
+                )
+                .withColumn(
+                    f"__b_{oc}", F.last(oc, ignorenulls=True).over(wb)
+                )
+                .withColumn(
+                    f"__f_{oc}", F.first(oc, ignorenulls=True).over(wf)
+                )
+            )
+            tmp += [f"__tb_{oc}", f"__tf_{oc}", f"__b_{oc}", f"__f_{oc}"]
         for oc in out_vals:
+            use_b = F.col(f"__tf_{oc}").isNull() | (
+                F.col(f"__tb_{oc}").isNotNull()
+                & (
+                    (num(F.col(time_col)) - num(F.col(f"__tb_{oc}")))
+                    <= (num(F.col(f"__tf_{oc}")) - num(F.col(time_col)))
+                )
+            )
             picked = picked.withColumn(
                 oc, F.when(use_b, F.col(f"__b_{oc}")).otherwise(F.col(f"__f_{oc}"))
             )
-        return (
-            picked.where(F.col("__side") == 1)
-            .drop("__side", "__rt", "__tb", "__tf", *tmp)
-        )
+        return picked.where(F.col("__side") == 1).drop("__side", *tmp)
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
@@ -226,15 +237,17 @@ def interval_join(
     t_us = F.unix_micros(F.col(time_col))
     # integer div, not float-divide-and-floor: epoch-µs magnitudes make
     # float quotients boundary-hazardous (repo-wide determinism rule)
-    lb = left.withColumn("__lb", F.expr(f"unix_micros({time_col}) div {b_us}"))
+    lb = left.withColumn(
+        "__lb", F.expr(_floordiv(f"unix_micros({time_col})", b_us))
+    )
 
     s_us = F.unix_micros(F.col(start_col))
     e_us = F.unix_micros(F.col(end_col))
     covered = F.when(
         e_us > s_us,
         F.sequence(
-            F.expr(f"unix_micros({start_col}) div {b_us}"),
-            F.expr(f"(unix_micros({end_col}) - 1) div {b_us}"),
+            F.expr(_floordiv(f"unix_micros({start_col})", b_us)),
+            F.expr(_floordiv(f"unix_micros({end_col}) - 1", b_us)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     rb = right.withColumn("__rb", F.explode(covered))
@@ -443,6 +456,16 @@ def funnel_sql(
         FROM s1 {joins}"""
 
 
+def _floordiv(expr: str, d: int) -> str:
+    """Exact FLOOR division of an integer SQL expression by a positive
+    constant — `div` truncates toward zero, which disagrees with floor
+    (and with DuckDB's `//`) for negative epochs (pre-1970 timestamps)."""
+    return (
+        f"(({expr}) div {d} - (CASE WHEN ({expr}) % {d} <> 0"
+        f" AND ({expr}) < 0 THEN 1 ELSE 0 END))"
+    )
+
+
 def _sq(s: str) -> str:
     """Escape a string for a single-quoted SQL literal."""
     return s.replace("'", "''")
@@ -550,8 +573,10 @@ def time_bucket_gapfill(
     if fill not in ("locf", "zero", "null", "linear"):
         raise ValueError("fill must be locf|zero|null|linear")
     b_us = int(bucket_seconds) * 1_000_000
-    # integer div, not float-divide-and-truncate (see interval_join)
-    bucket = F.expr(f"(unix_micros({time_col}) div {b_us}) * {b_us}")
+    # exact integer FLOOR division (see interval_join / _floordiv)
+    bucket = F.expr(
+        f"({_floordiv(f'unix_micros({time_col})', b_us)}) * {b_us}"
+    )
     agg = (
         df.select(
             F.col(key_col),
@@ -800,9 +825,10 @@ def time_weighted_avg(
     b_us = bucket_seconds * 1_000_000
     w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
     t = F.unix_micros(F.col(time_col))
-    # integer div, not float-divide-and-floor: epoch-µs magnitudes make
-    # the double quotient inexact (see interval_join)
-    bucket = F.expr(f"(unix_micros({time_col}) div {b_us}) * {b_us}")
+    # exact integer FLOOR division (see interval_join / _floordiv)
+    bucket = F.expr(
+        f"({_floordiv(f'unix_micros({time_col})', b_us)}) * {b_us}"
+    )
     nxt = F.lead(t).over(w)
     end = bucket + F.lit(b_us)
     dur = (F.least(F.coalesce(nxt, end), end) - t).cast("bigint")
@@ -906,8 +932,8 @@ def overlap_join(
         return F.when(
             F.unix_micros(F.col(e)) > F.unix_micros(F.col(s)),
             F.sequence(
-                F.expr(f"unix_micros({s}) div {b_us}"),
-                F.expr(f"(unix_micros({e}) - 1) div {b_us}"),
+                F.expr(_floordiv(f"unix_micros({s})", b_us)),
+                F.expr(_floordiv(f"unix_micros({e}) - 1", b_us)),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
 
