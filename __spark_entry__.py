@@ -497,7 +497,12 @@ def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded-staleness as-of (pandas merge_asof tolerance): matches
     # farther than 1h are discarded — the quote-too-old guard every
     # point-in-time feature join needs.  Same single-exchange plan; the
-    # oracle post-filters DuckDB's native ASOF by the matched distance.
+    # oracle filters NULL-VALUED quotes BEFORE DuckDB's native ASOF
+    # (the operator measures staleness to the row that SUPPLIED the
+    # non-NULL value — ignorenulls skips NULL-valued rows — so the
+    # pre-filter makes the two implementations semantically identical;
+    # pinned by test_asof_tolerance_null_quotes_match_oracle) and
+    # post-filters by the matched distance.
     from tidier_spark.operators.temporal import asof_join
 
     ev = read_table(spark, sf_dir, "events")
@@ -3786,7 +3791,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') t
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                            WHERE event_type = 'purchase') q
+                            WHERE event_type = 'purchase'
+                              AND value IS NOT NULL) q
               ON t.user_id = q.user_id AND t.ts >= q.ts""",
         "asof_forward": """
             SELECT t.event_id, q.value AS value_right

@@ -2104,3 +2104,51 @@ def test_ivfpq_n_probe_exceeds_lists_is_clamped(tables):
     emb = tables["embeddings"].limit(80)
     out = ivfpq_topk(emb, k=2, n_lists=4, n_probe=99, shortlist=8).collect()
     assert len(out) > 0  # no executor-side array-shape crash
+
+
+def test_stream_scd2_fold_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay contract: if a crash lands between the v=N
+    snapshot write and the checkpoint commit, the batch REPLAYS — and
+    scd2_merge is an accumulating fold, so a blind re-fold double-counts
+    n_obs and duplicates history rows.  The _BATCH_<id> marker makes the
+    replay a no-op."""
+    import os as _os
+
+    from tidier_spark.streaming.sink import _scd2_fold_batch, read_merged
+
+    base = 1_700_000_000_000_000
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, attr string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id", "attr")
+    b0 = mk([(1, base, 0, "A"), (1, base + 60_000_000, 1, "A")])
+    b1 = mk([(1, base + 120_000_000, 2, "B"), (1, base + 180_000_000, 3, "B")])
+    tbl = str(tmp_path / "scd2_replay")
+    args = ("user_id", "ts", "attr", "event_id")
+
+    _scd2_fold_batch(spark, tbl, b0, 0, *args)
+    _scd2_fold_batch(spark, tbl, b1, 1, *args)
+    want = sorted(tuple(r) for r in read_merged(spark, tbl).collect())
+
+    # replay of the LAST batch (the classic crash window) and of an
+    # older batch: both must leave the table bit-identical
+    _scd2_fold_batch(spark, tbl, b1, 1, *args)
+    _scd2_fold_batch(spark, tbl, b0, 0, *args)
+    got = sorted(tuple(r) for r in read_merged(spark, tbl).collect())
+    assert got == want
+    # n_obs stayed exact (2 observations per run, never 4)
+    n_obs = {r["attr"]: r["n_obs"] for r in read_merged(spark, tbl).collect()}
+    assert n_obs == {"A": 2, "B": 2}
+
+    # half-commit recovery: a committed-but-marker-less version (crash
+    # before the marker write) is skipped as merge base; the replayed
+    # batch folds into the last MARKED version and supersedes the orphan
+    vdirs = sorted(
+        d for d in _os.listdir(tbl) if d.startswith("v=")
+    )
+    orphan = _os.path.join(tbl, f"v={int(vdirs[-1][2:]) + 1}")
+    read_merged(spark, tbl).write.mode("overwrite").parquet(orphan)  # no marker
+    b2 = mk([(1, base + 240_000_000, 4, "C")])
+    _scd2_fold_batch(spark, tbl, b2, 2, *args)
+    final = sorted(tuple(r) for r in read_merged(spark, tbl).collect())
+    n_obs = {r["attr"]: r["n_obs"] for r in read_merged(spark, tbl).collect()}
+    assert n_obs == {"A": 2, "B": 2, "C": 1} and len(final) == 3

@@ -688,3 +688,138 @@ def test_asof_nearest_prefers_nearest_supplying_row(spark):
     ).collect()[0]
     # the genuinely nearest NON-NULL supplier is the forward row (1s)
     assert got["v_right"] == 7.0
+
+
+def test_gapfill_and_twa_pre_epoch_match_duckdb(spark):
+    """Pre-1970 timestamps: Spark floor-buckets (`_floordiv`), and the
+    DuckDB mirrors must apply the same sign correction — DuckDB's `//`
+    truncates toward zero (-7h // 1day = 0, not -1), so a bare
+    `epoch_us // b * b` mirror silently lands pre-epoch rows in the
+    wrong bucket.  Differential over every fill mode pins it down."""
+    import duckdb
+
+    from tidier_spark.operators.temporal import (
+        time_bucket_gapfill,
+        time_bucket_gapfill_sql,
+        time_weighted_avg,
+        time_weighted_avg_sql,
+    )
+
+    rows = [
+        (1, 1, "1969-12-29 06:00:00", 10.0),
+        (1, 2, "1969-12-31 23:00:00", 20.0),  # floor: day -1; trunc: day 0
+        (1, 3, "1970-01-02 01:00:00", 40.0),
+        (2, 4, "1969-12-31 00:00:00", 5.0),
+        (2, 5, "1969-12-31 12:00:00", 7.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day = 86_400_000_000
+
+    # the regression itself: the 23:00 pre-epoch row belongs to day -1
+    got_buckets = {
+        (r["user_id"], r["bucket_us"])
+        for r in time_bucket_gapfill(
+            df, "user_id", "ts", "value", bucket_seconds=86400, fill="null"
+        ).collect()
+        if r["n"] > 0
+    }
+    assert (1, -day) in got_buckets and (1, 0) not in got_buckets
+
+    con = duckdb.connect()
+    try:
+        con.register("pe_events", df.toPandas())
+        for fill in ("locf", "zero", "null", "linear"):
+            got = sorted(
+                tuple(r)
+                for r in time_bucket_gapfill(
+                    df, "user_id", "ts", "value",
+                    bucket_seconds=86400, fill=fill,
+                ).collect()
+            )
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    time_bucket_gapfill_sql(
+                        "pe_events", "user_id", "ts", "value", 86400, fill
+                    )
+                ).fetchall()
+            )
+            assert got == want, f"gapfill fill={fill} pre-epoch mismatch"
+
+        got = sorted(
+            (r["user_id"], r["bucket_us"], r["twa_num"], r["twa_den"])
+            for r in time_weighted_avg(
+                df, "user_id", "ts", "value", "event_id",
+                bucket_seconds=86400,
+            ).collect()
+        )
+        want = sorted(
+            (r[0], r[1], r[2], r[3])
+            for r in con.execute(
+                time_weighted_avg_sql(
+                    "pe_events", "user_id", "ts", "value", "event_id", 86400
+                )
+            ).fetchall()
+        )
+        assert got == want, "time_weighted_avg pre-epoch mismatch"
+        assert any(b == -day for (_, b, _, _) in got)
+    finally:
+        con.close()
+
+
+def test_asof_tolerance_null_quotes_match_oracle(spark):
+    """tolerance_us measures staleness to the row that SUPPLIED the
+    value (ignorenulls skips NULL-valued right rows) — the DuckDB
+    oracle replicates that by filtering NULL-valued quotes BEFORE its
+    native ASOF.  A NULL-valued quote nearer than the supplier is the
+    case where a naive nearest-ROW oracle diverges; pin it down."""
+    import duckdb
+
+    from tidier_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 02:00:00"),   # supplier 1h55m away -> kept
+         (1, 11, "2024-01-01 03:30:00"),   # supplier 3h25m away -> dropped
+         (2, 12, "2024-01-01 01:00:00")],  # only NULL-valued quotes before
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:05:00", 5.0),
+         (1, "2024-01-01 01:59:00", None),  # nearest ROW for both trades
+         (2, "2024-01-01 00:59:00", None)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["event_id"], r["value_right"])
+        for r in asof_join(
+            left, right, on="user_id", time_col="ts", value_cols=["value"],
+            tolerance_us=2 * 3_600_000_000,
+        ).collect()
+    )
+    # a naive oracle measuring to the nearest ROW would keep event 11
+    # (1h31m to the NULL row) and emit 5.0 — the honest distance is to
+    # the supplying 00:05 row (3h25m), so it nulls out
+    assert got == [(10, 5.0), (11, None), (12, None)]
+
+    con = duckdb.connect()
+    try:
+        con.register("t_l", left.toPandas())
+        con.register("t_r", right.toPandas())
+        want = sorted(
+            tuple(r)
+            for r in con.execute("""
+                SELECT t.event_id,
+                       CASE WHEN epoch_us(t.ts) - epoch_us(q.ts)
+                                 <= 7200000000
+                            THEN q.value END AS value_right
+                FROM t_l t
+                ASOF LEFT JOIN (SELECT * FROM t_r
+                                WHERE value IS NOT NULL) q
+                  ON t.user_id = q.user_id AND t.ts >= q.ts
+            """).fetchall()
+        )
+        assert got == want
+    finally:
+        con.close()

@@ -457,11 +457,28 @@ def funnel_sql(
 
 
 def _floordiv(expr: str, d: int) -> str:
-    """Exact FLOOR division of an integer SQL expression by a positive
-    constant — `div` truncates toward zero, which disagrees with floor
-    (and with DuckDB's `//`) for negative epochs (pre-1970 timestamps)."""
+    """Exact FLOOR division of an integer Spark SQL expression by a
+    positive constant — `div` truncates toward zero, which disagrees
+    with floor for negative epochs (pre-1970 timestamps).  NOTE:
+    DuckDB's `//` ALSO truncates toward zero (1.0.0: ``-7 // 2 = -3``),
+    so DuckDB oracle mirrors need the same sign correction — use
+    :func:`_floordiv_duck`, never bare ``//``, when the dividend can be
+    negative."""
     return (
         f"(({expr}) div {d} - (CASE WHEN ({expr}) % {d} <> 0"
+        f" AND ({expr}) < 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def _floordiv_duck(expr: str, d: int) -> str:
+    """Exact FLOOR division of an integer DuckDB expression by a
+    positive constant.  DuckDB's ``//`` truncates toward zero
+    (``-7 // 2 = -3``; ``epoch_us('1969-12-31 23:00') // 86400000000 =
+    0``), so pre-epoch timestamps need the same sign correction the
+    Spark side applies in :func:`_floordiv` — otherwise the two engines
+    bucket pre-1970 rows differently and bit-parity breaks."""
+    return (
+        f"((({expr}) // {d}) - (CASE WHEN ({expr}) % {d} <> 0"
         f" AND ({expr}) < 0 THEN 1 ELSE 0 END))"
     )
 
@@ -688,7 +705,7 @@ def time_bucket_gapfill_sql(
     return f"""
         WITH agg AS (
           SELECT {key_col} AS key,
-                 (epoch_us({time_col}) // {b_us}) * {b_us} AS bucket_us,
+                 ({_floordiv_duck(f'epoch_us({time_col})', b_us)}) * {b_us} AS bucket_us,
                  count(*)::BIGINT AS n,
                  CAST(sum(round({value_col} * 100)) AS BIGINT) AS v100
           FROM {table} GROUP BY 1, 2
@@ -869,7 +886,7 @@ def time_weighted_avg_sql(
     return f"""
         WITH base AS (
           SELECT {key_col},
-                 (epoch_us({time_col}) // {b_us}) * {b_us} AS bucket_us,
+                 ({_floordiv_duck(f'epoch_us({time_col})', b_us)}) * {b_us} AS bucket_us,
                  epoch_us({time_col}) AS t,
                  lead(epoch_us({time_col})) OVER (
                    PARTITION BY {key_col}
@@ -1065,8 +1082,12 @@ def linear_attribution(
     Exactness without fractional drift: a float ``Σ cents_i/n_i`` would
     depend on distributed aggregation order (re-association), so each
     pair's credit is snapped to BIGINT fixed point FIRST —
-    ``credit_fp = (cents · 10⁶) div n_touches`` (exact integer floor
-    division) — and per-touch credit is a sum of BIGINTs,
+    ``credit_fp = (cents · 10⁶) div n_touches`` (exact
+    truncate-toward-zero integer division — Spark ``div`` and DuckDB
+    ``//`` both truncate, so negative conversion values (refunds)
+    round toward zero identically on both engines; see
+    :func:`_floordiv` for the floor-vs-truncate distinction) — and
+    per-touch credit is a sum of BIGINTs,
     order-independent by construction.  Divide by 10⁶ downstream for a
     display value.
 

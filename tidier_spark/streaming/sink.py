@@ -277,6 +277,75 @@ def stream_dedup_against(
     )
 
 
+def _version_batch_id(path: str, v: int) -> int | None:
+    """The streaming batch_id a committed ``v=N`` snapshot was produced
+    by (from its ``_BATCH_<id>`` marker), or None for a snapshot written
+    before the marker existed / by a crash that lost the marker."""
+    d = os.path.join(path, f"v={v}")
+    if not os.path.isdir(d):
+        return None
+    for f in os.listdir(d):
+        if f.startswith("_BATCH_") and f[len("_BATCH_"):].isdigit():
+            return int(f[len("_BATCH_"):])
+    return None
+
+
+def _scd2_fold_batch(
+    spark: SparkSession,
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    key_col: str,
+    time_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+    *,
+    keep_versions: int = 2,
+) -> None:
+    """Fold ONE micro-batch into the SCD2 snapshot table — idempotent
+    under foreachBatch replay.  scd2_merge is an ACCUMULATING fold (not
+    latest-wins like upsert), so re-folding a batch that the snapshot
+    already absorbed double-counts ``n_obs`` and appends duplicate
+    history rows.  Every committed version therefore records the
+    batch_id that produced it in a ``_BATCH_<id>`` marker, and a replay
+    (crash landed between the v=N write and the checkpoint commit)
+    no-ops when the marker trail shows the batch is already folded.
+    The marker is written AFTER the parquet ``_SUCCESS``; a crash in
+    that sliver leaves a marker-less version, which the fold SKIPS as a
+    merge base (folding the replay into the previous marked version
+    instead) — the orphan is superseded by the higher-numbered rewrite
+    and pruned.
+    """
+    from ..operators.merge import scd2_merge
+
+    if not batch_df.take(1):
+        return
+    committed = _versions(path)
+    # base = highest version whose producing batch is KNOWN — a
+    # marker-less version is a half-commit (or pre-marker legacy) and
+    # cannot prove which batches it contains, so it is not a safe base
+    marked = [v for v in committed if _version_batch_id(path, v) is not None]
+    if marked and _version_batch_id(path, marked[-1]) >= batch_id:
+        return  # replayed batch: already folded into the latest snapshot
+    base = marked[-1] if marked else None
+    snap = (
+        spark.read.parquet(os.path.join(path, f"v={base}"))
+        if base is not None
+        else None
+    )
+    merged = scd2_merge(
+        snap, batch_df, key_col, time_col, attr_col, tiebreak_col
+    )
+    all_vs = _versions(path, committed_only=False)
+    nxt = (all_vs[-1] + 1) if all_vs else 0
+    vdir = os.path.join(path, f"v={nxt}")
+    merged.write.mode("overwrite").parquet(vdir)
+    with open(os.path.join(vdir, f"_BATCH_{batch_id}"), "w"):
+        pass
+    for old in committed[: max(0, len(committed) - (keep_versions - 1))]:
+        shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
+
+
 def stream_scd2_parquet(
     stream: DataFrame,
     path: str,
@@ -299,23 +368,14 @@ def stream_scd2_parquet(
     tested equal to the full batch :func:`~tidier_spark.operators.merge.
     scd2` recompute over any time-ordered batch split.
     """
-    from ..operators.merge import scd2_merge
-
     spark = stream.sparkSession
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        vs = _versions(path)
-        snap = read_merged(spark, path) if vs else None
-        merged = scd2_merge(
-            snap, batch_df, key_col, time_col, attr_col, tiebreak_col
+        _scd2_fold_batch(
+            spark, path, batch_df, batch_id,
+            key_col, time_col, attr_col, tiebreak_col,
+            keep_versions=keep_versions,
         )
-        all_vs = _versions(path, committed_only=False)
-        nxt = (all_vs[-1] + 1) if all_vs else 0
-        merged.write.mode("overwrite").parquet(os.path.join(path, f"v={nxt}"))
-        for old in vs[: max(0, len(vs) - (keep_versions - 1))]:
-            shutil.rmtree(os.path.join(path, f"v={old}"), ignore_errors=True)
 
     saved = None
     if state_partitions is not None:
