@@ -355,66 +355,74 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_guarantee_row(emb, approx, metric: str, bound: float) -> DataFrame:
+    # Shared guarantee-row shape for the four approximate-ANN entries.
+    # The exact brute-force differential runs on a DETERMINISTIC QUARTER
+    # of the queries (vec_id % 4 == 0) against the FULL corpus — the
+    # recall statistic stays valid (same estimator, 1/4 the sample) and
+    # the O(n·m) exact side shrinks 4×, exactly the ivf_topk_full
+    # pattern.  The approximate operator under test still runs complete;
+    # its output is filtered to the sampled queries for the join.
+    # Columns: n_exact is the live DuckDB differential, recall_ok the
+    # declared bound, recall_decile = (n_hit·10) div n_exact the margin
+    # the driver ledger records (exact integer arithmetic — both engines
+    # agree; values are non-negative so trunc == floor).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import similarity as S
+
+    qsub = emb.where(F.col("vec_id") % 4 == 0)
+    exact = S.cosine_topk(emb, k=3, queries=qsub).select(
+        "query_id", "neighbor_id"
+    )
+    a = approx.where(F.col("query_id") % 4 == 0).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        exact.join(a, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.lit(metric).alias("metric"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_hit") / F.col("n_exact") >= bound).alias("recall_ok"),
+            F.expr("(n_hit * 10) div n_exact").cast("long").alias(
+                "recall_decile"
+            ),
+        )
+    )
+
+
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate ANN (recall < 1 by construction) — the driver-hashable
     # contract is a recall@k GUARANTEE ROW: LSH top-3 must recover ≥ 55%
-    # of the exact top-3 pairs (measured 0.68–0.74 on the fixtures; the
+    # of the exact top-3 pairs over the deterministic query quarter (the
     # synthetic embeddings are near-uniform, the hardest regime for
     # hyperplane LSH).  n_exact comes from the exact path and is
     # independently recomputed by the DuckDB brute-force oracle, so the
     # row is a live differential.  The raw approximate path stays the
     # library API (lsh_topk); pytest holds the recall differential.
-    from pyspark.sql import functions as F
-
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
-    approx = S.lsh_topk(emb, k=3, n_planes=4, n_tables=8).select(
-        "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("__hit").alias("n_hit"),
-        )
-        .select(
-            F.lit("lsh_recall_at_3").alias("metric"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.55).alias("recall_ok"),
-        )
-    )
+    approx = S.lsh_topk(emb, k=3, n_planes=4, n_tables=8)
+    return _ann_guarantee_row(emb, approx, "lsh_recall_at_3", 0.55)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF (coarse k-means quantizer) ANN — the second scale path beside
     # hyperplane LSH.  Approximate, so the driver-hashable contract is a
-    # recall@k GUARANTEE ROW (≥ 0.7 with half the lists probed; measured
-    # 0.82–0.86 on the fixtures).  n_exact is recomputed independently by
-    # the DuckDB brute-force oracle.  ivf_topk_full (below) separately
+    # recall@k GUARANTEE ROW (≥ 0.7 with half the lists probed) over the
+    # deterministic query quarter.  n_exact is recomputed independently
+    # by the DuckDB brute-force oracle.  ivf_topk_full (below) separately
     # proves the machinery EXACT under full probing.
-    from pyspark.sql import functions as F
-
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
-    approx = S.ivf_topk(emb, k=3, n_lists=16, n_probe=8).select(
-        "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("__hit").alias("n_hit"),
-        )
-        .select(
-            F.lit("ivf_recall_at_3").alias("metric"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.7).alias("recall_ok"),
-        )
-    )
+    approx = S.ivf_topk(emb, k=3, n_lists=16, n_probe=8)
+    return _ann_guarantee_row(emb, approx, "ivf_recall_at_3", 0.7)
 
 
 def _q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,27 +3372,11 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 0.91 at sf0.01, 0.72 at sf0.1 — near-uniform synthetic
     # vectors are PQ's hardest regime).  n_exact is recomputed
     # independently by the DuckDB brute-force oracle.
-    from pyspark.sql import functions as F
-
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
-    approx = S.pq_topk(emb, k=3, shortlist=64).select(
-        "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("__hit").alias("n_hit"),
-        )
-        .select(
-            F.lit("pq_recall_at_3").alias("metric"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.6).alias("recall_ok"),
-        )
-    )
+    approx = S.pq_topk(emb, k=3, shortlist=64)
+    return _ann_guarantee_row(emb, approx, "pq_recall_at_3", 0.6)
 
 
 def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3393,27 +3385,11 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with NO corpus-sized broadcast or collect anywhere.  Guarantee row
     # ≥ 0.6 recall@3 (measured 0.86 at sf0.01, 0.80 at sf0.1); n_exact
     # independently recomputed by the DuckDB brute-force oracle.
-    from pyspark.sql import functions as F
-
     from tidier_spark.operators import similarity as S
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = S.cosine_topk(emb, k=3).select("query_id", "neighbor_id")
-    approx = S.ivfpq_topk(emb, k=3).select(
-        "query_id", "neighbor_id", F.lit(1).alias("__hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.count("__hit").alias("n_hit"),
-        )
-        .select(
-            F.lit("ivfpq_recall_at_3").alias("metric"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.6).alias("recall_ok"),
-        )
-    )
+    approx = S.ivfpq_topk(emb, k=3)
+    return _ann_guarantee_row(emb, approx, "ivfpq_recall_at_3", 0.6)
 
 
 def _q_pq_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3471,78 +3447,18 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
-    # FIRST 50 entries in registration order, so the dict leads with the
-    # entries that still need a driver-confirmed green row (round-3
-    # additions first, then the round-2 hash fixes, guarantee-row
-    # oracles, streaming, UDF tiers, sketches, TPC-H head), then the
-    # remaining never-checked block, and finally the entries the round-2
-    # driver run already confirmed green.  Every entry regardless of
-    # position is hash-verified each round by scripts/check_entry.py
-    # (full-board runs recorded in the round notes).
+    # FIRST 50 entries in registration order.  Round-4 rotation: the
+    # head is exactly 50 entries that have NEVER had a driver
+    # CORRECTNESS row in rounds 1-3 (TPC-H q4-q22, the streaming
+    # tail, source round-trips, pq_topk, fuzzy_names, the temporal
+    # wave, heavy dedup/corpus ops) so CORRECTNESS_r04 gives them
+    # their first driver-green rows; the remaining 21 never-checked
+    # entries sit at positions 51-71 to lead the round-5 window, and
+    # the 95 entries with existing driver-green rows follow.  Every
+    # entry regardless of position is hash-verified each round by
+    # scripts/check_entry.py (full-board runs in the round notes).
     return {
-        # -- round-3 additions (never driver-checked)
-        "repeated_spans": _q_repeated_spans,
-        "classifier_score": _q_classifier_score,
-        "quantile_prune": _q_quantile_prune,
-        "bpe_train": _q_bpe_train,
-        "bpe_subwords": _q_bpe_subwords,
-        "budget_mix": _q_budget_mix,
-        "dup_regions": _q_dup_regions,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "srp_embedding": _q_srp_embedding,
-        "gapfill_rollup": _q_gapfill_rollup,
-        # -- round-2 driver hash-fails, fixed this round (oracle-side
-        #    BIGINT casts) — need driver re-confirmation
-        "sessionize": _q_sessionize,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        # -- former no_oracle/rows-only entries, now oracled
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "semantic_dedup": _q_semantic_dedup,
-        # -- streaming quartet (mimic-green, never driver-checked)
-        "stream_sessions": _q_stream_sessions,
-        "stream_attribution": _q_stream_attribution,
-        "stream_upsert": _q_stream_upsert,
-        "stream_rollup": _q_stream_rollup,
-        "stream_enrich": _q_stream_enrich,
-        "asof_nearest": _q_asof_nearest,
-        "sketch_cms": _q_sketch_cms,
-        "knn_join": _q_knn_join,
-        "hard_negatives": _q_hard_negatives,
-        # -- UDF/UDAF/UDTF tier
-        "frame_apply_median": _q_frame_apply_median,
-        "frame_apply_wmean": _q_frame_apply_wmean,
-        "grouped_apply_demean": _q_grouped_apply_demean,
-        "udtf_sentences": _q_udtf_sentences,
-        # -- skew/salting/grouping machinery
-        "salted_agg": _q_salted_agg,
-        "skew_join": _q_skew_join,
-        "grouping_sets": _q_grouping_sets,
-        "slice_prop": _q_slice_prop,
-        # -- sketches
-        "sketch_distinct": _q_sketch_distinct,
-        "sketch_quantiles": _q_sketch_quantiles,
-        "sketch_kll": _q_sketch_kll,
-        "sketch_theta": _q_sketch_theta,
-        "sketch_topk": _q_sketch_topk,
-        # -- continuation-wave flagships (rotated into the driver's
-        #    50-entry window in place of the TPC-H tail, whose q1–q14
-        #    siblings already exercise the same join/agg machinery)
-        "pq_topk_full": _q_pq_topk_full,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "perceptron": _q_perceptron,
-        "bpe_encode": _q_bpe_encode,
-        "scd2_history": _q_scd2_history,
-        "ewma_smooth": _q_ewma_smooth,
-        "bm25_topk": _q_bm25_topk,
-        "stream_funnel": _q_stream_funnel,
-        # -- TPC-H (head; the q15+ tail moved past the window in favor
-        #    of the continuation flagships above)
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q3": _q_tpch_q3,
+        # -- r04 driver window: first-ever driver rows (50)
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
@@ -3554,15 +3470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
-        # -- heavy training-pipeline ops (just past the 50-entry window)
-        "dedup_against": _q_dedup_against,
-        "dup_clusters": _q_dup_clusters,
-        "contamination": _q_contamination,
-        "pack_sequences": _q_pack_sequences,
-        # ---- entry #51 onward: not covered by this round's driver
-        #      correctness window ----
-        # -- never-driver-checked remainder (front of the r04 queue)
-        "shuffle_rows": _q_shuffle_rows,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
@@ -3571,33 +3478,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
-        "pq_topk": _q_pq_topk,
-        "length_buckets": _q_length_buckets,
-        "asof_tolerance": _q_asof_tolerance,
-        "robust_outliers": _q_robust_outliers,
-        "time_weighted": _q_time_weighted,
-        "sink_roundtrip": _q_sink_roundtrip,
-        "overlap_join": _q_overlap_join,
-        "event_transitions": _q_event_transitions,
-        "lm_bigram": _q_lm_bigram,
-        "funnel_windowed": _q_funnel_windowed,
-        "attribution_linear": _q_attribution_linear,
-        "skew_report": _q_skew_report,
-        "winsorize": _q_winsorize,
-        "gapfill_interp": _q_gapfill_interp,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "label_centroids": _q_label_centroids,
         "stream_ewma": _q_stream_ewma,
         "stream_scd2": _q_stream_scd2,
         "stream_dedup_against": _q_stream_dedup_against,
-        "lm_surprisal": _q_lm_surprisal,
-        "incremental_rollup": _q_incremental_rollup,
         "stream_trailing": _q_stream_trailing,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "sink_roundtrip": _q_sink_roundtrip,
+        "pq_topk": _q_pq_topk,
+        "fuzzy_names": _q_fuzzy_names,
+        "overlap_join": _q_overlap_join,
+        "time_weighted": _q_time_weighted,
+        "gapfill_interp": _q_gapfill_interp,
+        "asof_tolerance": _q_asof_tolerance,
+        "event_transitions": _q_event_transitions,
+        "dedup_against": _q_dedup_against,
+        "dup_clusters": _q_dup_clusters,
+        "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
+        "label_centroids": _q_label_centroids,
+        "lm_bigram": _q_lm_bigram,
+        "lm_surprisal": _q_lm_surprisal,
+        "funnel_windowed": _q_funnel_windowed,
+        "attribution_linear": _q_attribution_linear,
+        "incremental_rollup": _q_incremental_rollup,
+        "winsorize": _q_winsorize,
+        "robust_outliers": _q_robust_outliers,
+        "skew_report": _q_skew_report,
+        "length_buckets": _q_length_buckets,
         "stratified_mix": _q_stratified_mix,
         "validate_events": _q_validate_events,
-        "fuzzy_names": _q_fuzzy_names,
+        # -- never-driver-checked remainder (round-5 window head, 21)
+        "shuffle_rows": _q_shuffle_rows,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
         "salient_terms": _q_salient_terms,
@@ -3618,7 +3531,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "hashed_features": _q_hashed_features,
         "separate_unite": _q_separate_unite,
-        # -- driver-green in CORRECTNESS_r02 (regression backstop)
+        # -- driver-green in r01/r02/r03 (regression backstop, 95)
+        "repeated_spans": _q_repeated_spans,
+        "classifier_score": _q_classifier_score,
+        "quantile_prune": _q_quantile_prune,
+        "bpe_train": _q_bpe_train,
+        "bpe_subwords": _q_bpe_subwords,
+        "budget_mix": _q_budget_mix,
+        "dup_regions": _q_dup_regions,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "srp_embedding": _q_srp_embedding,
+        "gapfill_rollup": _q_gapfill_rollup,
+        "sessionize": _q_sessionize,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "semantic_dedup": _q_semantic_dedup,
+        "stream_sessions": _q_stream_sessions,
+        "stream_attribution": _q_stream_attribution,
+        "stream_upsert": _q_stream_upsert,
+        "stream_rollup": _q_stream_rollup,
+        "stream_enrich": _q_stream_enrich,
+        "asof_nearest": _q_asof_nearest,
+        "sketch_cms": _q_sketch_cms,
+        "knn_join": _q_knn_join,
+        "hard_negatives": _q_hard_negatives,
+        "frame_apply_median": _q_frame_apply_median,
+        "frame_apply_wmean": _q_frame_apply_wmean,
+        "grouped_apply_demean": _q_grouped_apply_demean,
+        "udtf_sentences": _q_udtf_sentences,
+        "salted_agg": _q_salted_agg,
+        "skew_join": _q_skew_join,
+        "grouping_sets": _q_grouping_sets,
+        "slice_prop": _q_slice_prop,
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_kll": _q_sketch_kll,
+        "sketch_theta": _q_sketch_theta,
+        "sketch_topk": _q_sketch_topk,
+        "pq_topk_full": _q_pq_topk_full,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "perceptron": _q_perceptron,
+        "bpe_encode": _q_bpe_encode,
+        "scd2_history": _q_scd2_history,
+        "ewma_smooth": _q_ewma_smooth,
+        "bm25_topk": _q_bm25_topk,
+        "stream_funnel": _q_stream_funnel,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
         "o1_project": _q_o1_project,
         "o2_cumsum": _q_o2_cumsum,
         "o2_desc_rank": _q_o2_desc_rank,
@@ -5311,18 +5274,46 @@ def _dedup_embedding_oracle(table: str = "embeddings") -> str:
     return D.embedding_near_dup_sql(table=table, threshold=0.4)
 
 
+_ANN_RECALL_DECILES = {
+    # Measured recall_decile per (metric, embeddings-corpus-rows) — the
+    # fixture-pinned margin ledger.  500 rows = sf0.001/sf0.01 fixtures,
+    # 2000 = sf0.1.  PQ-family recall genuinely degrades with corpus
+    # size (fixed code budget, more distractors), so the margin is a
+    # per-fixture constant, not a global one.  Pinning the MEASURED
+    # decile (not just the bound) means a silent recall regression that
+    # still clears the bound — e.g. an LSH bug dropping 0.9 → 0.65 —
+    # flips this value and fails the driver hash.
+    "lsh_recall_at_3": {500: 6, 2000: 7},
+    "ivf_recall_at_3": {500: 8, 2000: 8},
+    "pq_recall_at_3": {500: 9, 2000: 7},
+    "ivfpq_recall_at_3": {500: 8, 2000: 7},
+}
+
+
 def _recall_guarantee_oracle(metric: str) -> str:
     """Oracle for the approximate-ANN guarantee rows: n_exact is the
-    brute-force top-3 row count (independently recomputed by DuckDB —
-    a live differential vs the Spark exact path), and recall_ok asserts
-    the Spark-measured recall met its declared bound."""
+    brute-force top-3 row count over the deterministic query quarter
+    (vec_id % 4 = 0 — independently recomputed by DuckDB, a live
+    differential vs the Spark exact path), recall_ok asserts the
+    Spark-measured recall met its declared bound, and recall_decile is
+    the fixture-pinned measured margin (keyed on corpus size so the row
+    hashes stably at sf0.001/0.01/0.1; an unknown fixture yields NULL
+    and fails loudly)."""
     from tidier_spark.operators import similarity as S
 
-    inner = S.cosine_topk_sql(table="embeddings", k=3)
+    inner = S.cosine_topk_sql(
+        table="embeddings", k=3, query_pred="vec_id % 4 = 0"
+    )
+    deciles = _ANN_RECALL_DECILES[metric]
+    whens = " ".join(
+        f"WHEN {n} THEN {d}" for n, d in sorted(deciles.items())
+    )
     return f"""
         SELECT '{metric}' AS metric,
                CAST(count(*) AS BIGINT) AS n_exact,
-               true AS recall_ok
+               true AS recall_ok,
+               CAST(CASE (SELECT count(*) FROM embeddings) {whens} END
+                    AS BIGINT) AS recall_decile
         FROM ({inner})"""
 
 

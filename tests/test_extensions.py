@@ -2152,3 +2152,21 @@ def test_stream_scd2_fold_is_replay_idempotent(spark, tmp_path):
     final = sorted(tuple(r) for r in read_merged(spark, tbl).collect())
     n_obs = {r["attr"]: r["n_obs"] for r in read_merged(spark, tbl).collect()}
     assert n_obs == {"A": 2, "B": 2, "C": 1} and len(final) == 3
+
+
+def test_pq_topk_enforces_driver_index_boundary(tables):
+    """The FAISS single-index contract (code table collected to the
+    driver) is a CODE-enforced boundary: a corpus above max_corpus_rows
+    raises and routes to ivfpq_topk instead of silently OOM-ing the
+    driver at scale."""
+    import pytest as _pytest
+
+    from tidier_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    with _pytest.raises(ValueError, match="ivfpq_topk"):
+        similarity.pq_topk(emb, k=3, max_corpus_rows=10)
+    # and under the bound the path still runs end-to-end
+    assert similarity.pq_topk(
+        emb.limit(40), k=1, max_corpus_rows=1000, sample_size=64
+    ).count() > 0

@@ -878,6 +878,7 @@ def pq_topk(
     sample_size: int = 4096,
     seed: int = 42,
     shortlist: int | None = None,
+    max_corpus_rows: int = 20_000_000,
 ) -> DataFrame:
     """Product-quantization approximate top-k (asymmetric distance
     computation, the FAISS-PQ idiom): queries stay full-precision, the
@@ -895,7 +896,11 @@ def pq_topk(
     path is bounded by driver/executor memory at corpus·(8+m) bytes ≈
     raw/32; beyond that, use :func:`ivfpq_topk`, where the SAME encoding
     and scoring kernel run bucket-local with no corpus-sized collect or
-    broadcast anywhere.  Scoring is embarrassingly parallel over query
+    broadcast anywhere.  That boundary is ENFORCED, not advisory:
+    ``max_corpus_rows`` (default 20M ≈ 320 MB of codes at m=8) is
+    checked with one column-pruned count before anything is collected,
+    and a larger corpus raises with the ivfpq_topk routing in the
+    message.  Scoring is embarrassingly parallel over query
     partitions; nothing shuffles after the one encode pass.
 
     With ``shortlist=K'`` the PQ pass emits K' candidates per query and a
@@ -916,6 +921,17 @@ def pq_topk(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    n_corpus = df.count()
+    if n_corpus > max_corpus_rows:
+        raise ValueError(
+            f"pq_topk collects the {8 + m}-byte-per-row code table to the "
+            f"driver (FAISS single-index contract); corpus has "
+            f"{n_corpus:,} rows > max_corpus_rows={max_corpus_rows:,}. "
+            "Use ivfpq_topk — the same encoding and LUT scoring run "
+            "bucket-local with no corpus-sized collect or broadcast — "
+            "or raise max_corpus_rows explicitly if the driver has the "
+            "RAM."
+        )
     books = train_pq_codebooks(
         df,
         id_col,
@@ -1285,10 +1301,18 @@ def cosine_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    query_pred: str | None = None,
 ) -> str:
     """Exact top-k mirror.  cos_sim is rounded to 6 decimals BEFORE ranking
     (matching the Spark paths), so tie-breaks on neighbor_id resolve
-    identically in both engines regardless of 1-ulp float noise."""
+    identically in both engines regardless of 1-ulp float noise.
+
+    ``query_pred``: optional predicate on the QUERY side's columns (it is
+    prefixed with the query alias, e.g. ``"vec_id % 4 = 0"`` →
+    ``a.vec_id % 4 = 0``) — restricts which vectors act as queries while
+    every vector stays a candidate, mirroring ``cosine_topk(queries=...)``.
+    """
+    qp = f" AND (a.{query_pred})" if query_pred else ""
     return f"""
 WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS vec FROM {table}),
 sims AS (
@@ -1298,7 +1322,7 @@ sims AS (
                                    i -> a.vec[i] * b.vec[i]))
            / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
               * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS cos_sim
-  FROM v a, v b WHERE a.{id_col} <> b.{id_col}
+  FROM v a, v b WHERE a.{id_col} <> b.{id_col}{qp}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
