@@ -365,16 +365,24 @@ def bpe_encode_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 4,
+    train_table: str | None = None,
 ) -> str:
     """Train-then-encode mirror of ``bpe_encode(df, bpe_train(df),
     corpus_chars(df))`` — the training CTE chain, a chars CTE for the base
     vocab (ids ``1..C`` sorted; merge r gets ``C + r``; duplicates keep
     the minimum id), the same replace chain per token, and an
-    order-preserving ``list(... ORDER BY wpos, spos)`` re-assembly."""
+    order-preserving ``list(... ORDER BY wpos, spos)`` re-assembly.
+
+    ``train_table`` (a table name or parenthesized subquery): train the
+    merges and base vocab on a different (e.g. deterministically sampled)
+    corpus than the one being encoded — mirror of
+    ``bpe_encode(df, bpe_train(sample), corpus_chars(sample))``.
+    Characters outside the training alphabet encode to the reserved UNK
+    id 0 on both engines."""
     from .text import tokens_sql
 
     S = "chr(31)"
-    train = bpe_train_sql(table, text_col, n_merges)
+    train = bpe_train_sql(train_table or table, text_col, n_merges)
     ctes_sql = train[len("WITH ") : train.rindex("\nSELECT")]
     s_expr = (
         f"{S} || array_to_string(list_transform(range(1, length(w) + 1),"

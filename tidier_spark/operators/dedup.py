@@ -321,6 +321,8 @@ def dedup_against(
     shingles_new: DataFrame | None = None,
     shingles_ref: DataFrame | None = None,
     bands_ref: DataFrame | None = None,
+    bands_new: DataFrame | None = None,
+    best_match: bool = True,
 ) -> DataFrame:
     """Incremental dedup: which NEW documents are near-dups of an existing
     REFERENCE corpus — the shape of every "don't re-ingest what the last
@@ -338,7 +340,11 @@ def dedup_against(
     is the new side's signatures + one equi-join on (band, sig) +
     candidate-bounded verification.  When both sides slice one source
     table, compute the shingle frame once and pass both slices — one
-    shingling pass instead of two.
+    shingling pass instead of two.  ``bands_new`` is the symmetric
+    precomputed-signature hook for the new side (a repeated-query
+    pipeline persists both banded frames — doc-count-sized, 1 row per
+    (doc, band) — so reruns pay only the candidate join +
+    verification).
     """
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
@@ -372,9 +378,13 @@ def dedup_against(
     ref_bands = (
         bands_ref if bands_ref is not None else banded(ref_df, sh_ref, "ref_id")
     )
+    new_bands = (
+        bands_new
+        if bands_new is not None
+        else banded(new_df, sh_new, "doc_id_n")
+    )
     cand = (
-        banded(new_df, sh_new, "doc_id_n")
-        .join(ref_bands, on=["band", "sig"])
+        new_bands.join(ref_bands, on=["band", "sig"])
         .select(F.col("doc_id_n"), F.col("ref_id"))
         .distinct()
     )
@@ -404,6 +414,12 @@ def dedup_against(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if not best_match:
+        # membership-only consumers (the anti-join in the streaming
+        # survivor sink) don't need the per-doc argmax — returning the
+        # distinct matched ids skips the row_number window's extra
+        # shuffle + sort
+        return scored.select(id_col).distinct()
     w = Window.partitionBy(id_col).orderBy(F.col("jaccard").desc(), F.col("ref_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -160,6 +160,8 @@ def stream_dedup_against(
     name: str = "stream_dedup_against",
     timeout_seconds: int = 300,
     state_partitions: int | None = None,
+    shingles_ref: DataFrame | None = None,
+    bands_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming incremental corpus dedup: replay a stream of NEW documents
     against a STATIC reference corpus, keeping only docs that are not
@@ -197,13 +199,26 @@ def stream_dedup_against(
     # the REFERENCE STORE: shingles (verification input) and banded
     # signatures (candidate-join input), both computed once and persisted
     # — every micro-batch joins against these instead of re-aggregating
-    # the reference side (at 100 TB: parquet tables, not cache)
-    sh_ref = _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the reference side (at 100 TB: parquet tables, not cache).  A
+    # caller with an existing store (e.g. one shingle frame sliced
+    # between the batch and streaming sides of a pipeline) passes
+    # ``shingles_ref``/``bands_ref`` and owns their persistence.
+    own_store = shingles_ref is None
+    sh_ref = (
+        shingles_ref
+        if shingles_ref is not None
+        else _distinct_shingles(ref_df, id_col, text_col, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    bands_ref = banded_signatures(
-        ref_df, id_col, text_col, k, bands, shingle_n, "ref_id", _shingle_df=sh_ref
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if bands_ref is None:
+        bands_ref = banded_signatures(
+            ref_df, id_col, text_col, k, bands, shingle_n, "ref_id",
+            _shingle_df=sh_ref,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        own_bands = True
+    else:
+        own_bands = False
     out_dir = os.path.join(path, "survivors")
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -213,6 +228,8 @@ def stream_dedup_against(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
+            # best_match=False: the anti-join only needs membership, so
+            # the per-doc argmax window inside dedup_against is skipped
             matches = dedup_against(
                 batch_df,
                 ref_df,
@@ -225,10 +242,9 @@ def stream_dedup_against(
                 shingles_new=sh_b,
                 shingles_ref=sh_ref,
                 bands_ref=bands_ref,
+                best_match=False,
             )
-            survivors = batch_df.join(
-                matches.select(id_col), id_col, "left_anti"
-            )
+            survivors = batch_df.join(matches, id_col, "left_anti")
             # batch_id-keyed OVERWRITE, not a blind append: if a batch
             # replays after a crash (write succeeded, checkpoint commit
             # didn't) the rerun overwrites its own directory instead of
@@ -263,8 +279,10 @@ def stream_dedup_against(
         finally:
             q.stop()
     finally:
-        sh_ref.unpersist()
-        bands_ref.unpersist()
+        if own_store:
+            sh_ref.unpersist()
+        if own_bands:
+            bands_ref.unpersist()
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
     # a stream that delivered zero rows never created the survivor dir —
