@@ -2683,7 +2683,7 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         name="stream_ewma_entry",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=16,
     )
     return res.selectExpr(
         "key AS user_id", "ts_us", "tb AS event_id",

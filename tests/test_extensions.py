@@ -2170,3 +2170,36 @@ def test_pq_topk_enforces_driver_index_boundary(tables):
     assert similarity.pq_topk(
         emb.limit(40), k=1, max_corpus_rows=1000, sample_size=64
     ).count() > 0
+
+
+def test_dedup_against_precomputed_bands_and_ids_only(tables):
+    """bands_new/bands_ref precomputed-store hooks and the
+    best_match=False membership fast path must agree with the default
+    recompute-everything path."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.dedup import banded_signatures, dedup_against
+
+    docs = tables["documents"]
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    base = dedup_against(new, ref, threshold=0.3)
+    want = sorted(tuple(r) for r in base.collect())
+
+    bn = banded_signatures(new, "doc_id", "text", 8, 4, 3, "doc_id_n")
+    br = banded_signatures(ref, "doc_id", "text", 8, 4, 3, "ref_id")
+    got = sorted(
+        tuple(r)
+        for r in dedup_against(
+            new, ref, threshold=0.3, bands_new=bn, bands_ref=br
+        ).collect()
+    )
+    assert got == want
+
+    ids = sorted(
+        r["doc_id"]
+        for r in dedup_against(
+            new, ref, threshold=0.3, best_match=False
+        ).collect()
+    )
+    assert ids == sorted(r[0] for r in want)

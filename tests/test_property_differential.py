@@ -720,3 +720,45 @@ def test_scd2_merge_any_time_split_equals_full(rows, cut, spark):
     snap = scd2(mk(early), "user_id", "ts", "attr", "event_id")
     inc = scd2_merge(snap, mk(late), "user_id", "ts", "attr", "event_id")
     assert canon(inc) == full
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ns=st.lists(
+        st.integers(min_value=-(10**15), max_value=10**15),
+        min_size=1, max_size=8, unique=True,
+    ),
+    d=st.integers(min_value=1, max_value=10**9),
+)
+def test_floordiv_helpers_match_python_floor(ns, d, spark):
+    """_floordiv (Spark `div` + sign fix) and _floordiv_duck (DuckDB `//`
+    + sign fix) must both equal Python's true floor division for any
+    sign — the pre-epoch bucketing bug class (both engines' native
+    integer division truncates toward zero)."""
+    import duckdb
+
+    from tidier_spark.operators.temporal import _floordiv, _floordiv_duck
+
+    want = {n: n // d for n in ns}
+    got_spark = {
+        r["n"]: r["q"]
+        for r in spark.createDataFrame([(n,) for n in ns], "n long")
+        .selectExpr("n", f"{_floordiv('n', d)} AS q")
+        .collect()
+    }
+    assert got_spark == want
+
+    con = duckdb.connect()
+    try:
+        vals = ", ".join(f"({n})" for n in ns)
+        got_duck = {
+            r[0]: r[1]
+            for r in con.execute(
+                f"SELECT n, {_floordiv_duck('n', d)}"
+                f" FROM (VALUES {vals}) t(n)"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert got_duck == want
