@@ -2629,15 +2629,15 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Train-then-tokenize end-to-end: learn 6 merges, then apply them
     # corpus-wide (a map-only replace chain per token — no UDF, no
-    # shuffle) and count subword tokens per document.
-    from tidier_spark.operators.bpe import bpe_apply, bpe_train
+    # shuffle) and count subword tokens per document.  Training goes
+    # through bpe_train_local (one word-count pass, driver-side greedy
+    # rounds — property-pinned byte-identical to bpe_train, which the
+    # bpe_train entry keeps as the distributed proof).
+    from tidier_spark.operators.bpe import bpe_apply, bpe_train_local
 
     docs = read_table(spark, sf_dir, "documents")
-    merges = [
-        (r.left_sym, r.right_sym)
-        for r in bpe_train(docs, n_merges=6).collect()
-    ]
-    return bpe_apply(docs, merges)
+    merge_rows, _ = bpe_train_local(docs, n_merges=6)
+    return bpe_apply(docs, [(a, b) for (_, a, b, _, _) in merge_rows])
 
 
 def _q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3067,18 +3067,19 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the two kilobyte-sized training artifacts; no UDF/shuffle.
     # Training runs on a deterministic quarter of the corpus (merges are
     # a pure function of the sample, so the oracle recomputes the same
-    # table via bpe_encode_sql(train_table=...)); bpe_train stays the
-    # full-corpus training proof.  Out-of-sample characters encode to
-    # the reserved UNK id 0 on both engines.
-    from tidier_spark.operators.bpe import bpe_encode, bpe_train, corpus_chars
+    # table via bpe_encode_sql(train_table=...)) through
+    # bpe_train_local: one distributed word-count pass, driver-side
+    # greedy rounds (byte-identical to bpe_train, property-pinned),
+    # alphabet derived from the same collected vocab.  bpe_train stays
+    # the distributed full-corpus training proof.  Out-of-sample
+    # characters encode to the reserved UNK id 0 on both engines.
+    from tidier_spark.operators.bpe import bpe_encode, bpe_train_local
 
     docs = read_table(spark, sf_dir, "documents")
     sample = docs.where("doc_id % 4 = 0")
-    merges = [
-        (r.left_sym, r.right_sym)
-        for r in bpe_train(sample, n_merges=6).collect()
-    ]
-    return bpe_encode(docs, merges, corpus_chars(sample))
+    merge_rows, base_chars = bpe_train_local(sample, n_merges=6)
+    merges = [(a, b) for (_, a, b, _, _) in merge_rows]
+    return bpe_encode(docs, merges, base_chars)
 
 
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

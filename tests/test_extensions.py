@@ -2203,3 +2203,29 @@ def test_dedup_against_precomputed_bands_and_ids_only(tables):
         ).collect()
     )
     assert ids == sorted(r[0] for r in want)
+
+
+def test_bpe_train_local_equals_distributed(tables):
+    """bpe_train_local (one word-count pass + driver-side greedy rounds)
+    must return byte-identical merges to the distributed bpe_train, and
+    its base_chars must equal corpus_chars — it is the same Sennrich
+    greedy with the Spark-job-per-round overhead removed."""
+    import pytest as _pytest
+
+    from tidier_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+        corpus_chars,
+    )
+
+    docs = tables["documents"]
+    merges, chars = bpe_train_local(docs, n_merges=6)
+    want = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.pair_n)
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    assert merges == want
+    assert chars == corpus_chars(docs)
+    # the driver boundary is enforced, with the distributed trainer named
+    with _pytest.raises(ValueError, match="bpe_train"):
+        bpe_train_local(docs, n_merges=2, max_vocab_rows=10)

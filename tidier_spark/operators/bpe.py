@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bpe_train",
+    "bpe_train_local",
     "bpe_apply",
     "bpe_encode",
     "corpus_chars",
@@ -128,6 +129,80 @@ def bpe_train(
         if (r + 1) % 8 == 0:
             cur = cur.localCheckpoint()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def bpe_train_local(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+    max_vocab_rows: int = 2_000_000,
+) -> tuple[list[tuple[int, str, str, str, int]], list[str]]:
+    """BPE training with DRIVER-SIDE merge rounds: ONE distributed pass
+    builds the word-count vocabulary (the only corpus-sized work), the
+    vocabulary is collected, and the greedy rounds run in Python — the
+    shape every production tokenizer trainer uses (corpus → word counts
+    → single-machine merge loop), because each round is an inherently
+    sequential argmax over a vocabulary-sized frame and paying a Spark
+    job per round is pure overhead once the vocab fits in memory.
+
+    Returns ``(merges, base_chars)`` — byte-identical to
+    ``(bpe_train(df, ...).collect(), corpus_chars(df))`` (same Sennrich
+    greedy: pair counts weighted by word frequency, (count desc, pair
+    asc) argmax, left-to-right non-overlapping merge; pinned by
+    ``test_bpe_train_local_equals_distributed``), with the alphabet
+    derived from the same collected vocab for free.
+
+    The driver boundary is ENFORCED: a vocabulary above
+    ``max_vocab_rows`` (default 2M words ≈ tens of MB) raises with a
+    routing message to :func:`bpe_train`, whose per-round Spark
+    aggregation never collects more than the 1-row argmax.
+    """
+    from .text import tokens
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train_local collects the word-count vocabulary to the "
+            f"driver; corpus has > max_vocab_rows={max_vocab_rows:,} "
+            "distinct words. Use bpe_train — its per-round aggregation "
+            "stays distributed and only the 1-row argmax reaches the "
+            "driver — or raise max_vocab_rows explicitly."
+        )
+    wc = {r["w"]: r["n"] for r in rows}
+    seqs = {w: list(w) for w in wc}
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, n in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        if not pc:
+            break
+        (a, b), pn = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, a, b, a + b, pn))
+        ab = a + b
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    base_chars = sorted({c for w in wc for c in w})
+    return merges, base_chars
 
 
 def bpe_apply(
@@ -324,20 +399,37 @@ def bpe_encode(
             )
         return _symbols(s)
 
+    # string-valued map literal: the symbol→id lookup yields the csv
+    # fragment directly, so one array traversal covers lookup + cast
+    # (UNK stays "0")
     kv: list[F.Column] = []
     for sym, vid in vocab.items():
-        kv.extend([F.lit(sym), F.lit(vid)])
+        kv.extend([F.lit(sym), F.lit(str(vid))])
     vmap = F.create_map(*kv)
     subs = F.flatten(F.transform(tokens(text_col), segment))
-    ids = F.transform(
-        subs, lambda s: F.coalesce(F.element_at(vmap, s), F.lit(0))
+    ids_str = F.transform(
+        subs, lambda s: F.coalesce(F.element_at(vmap, s), F.lit("0"))
     )
-    return df.select(
+    # two-step projection: the replace-chain segmentation is the hot
+    # expression, and referencing `subs` twice (size + join) evaluates
+    # it twice — whole-stage codegen does no CSE across independent
+    # select expressions, and CollapseProject refuses to inline a
+    # non-cheap alias used more than once, so deriving n_subwords from
+    # the materialized csv (ids are comma-free integers: n = commas+1,
+    # 0 for empty) halves the per-token work
+    enc = df.select(
         F.col(id_col),
-        F.size(subs).cast("long").alias("n_subwords"),
-        F.array_join(
-            F.transform(ids, lambda i: i.cast("string")), ","
-        ).alias("ids_csv"),
+        F.array_join(ids_str, ",").alias("ids_csv"),
+    )
+    n_sub = F.when(F.col("ids_csv") == "", F.lit(0)).otherwise(
+        F.length("ids_csv")
+        - F.length(F.replace(F.col("ids_csv"), F.lit(","), F.lit("")))
+        + 1
+    )
+    return enc.select(
+        F.col(id_col),
+        n_sub.cast("long").alias("n_subwords"),
+        "ids_csv",
     )
 
 
