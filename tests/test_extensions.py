@@ -1518,6 +1518,38 @@ def test_pq_encode_is_deterministic_and_compact(tables):
     assert all(len(c) == 8 and max(c) < 16 for c in a["codes"])
 
 
+def test_pq_driver_encode_matches_distributed(tables):
+    """pq_topk's small-corpus fast path encodes on the driver from the
+    training sample; it must be bit-equal to the distributed pq_encode
+    assignment for the same codebooks (same argmin, same normalization)."""
+    import numpy as np
+
+    emb = tables["embeddings"].limit(100)
+    books = similarity.train_pq_codebooks(emb, "vec_id", "embedding", m=8, n_codes=16)
+    bc = emb.sparkSession.sparkContext.broadcast(books)
+    dist = (
+        similarity.pq_encode(emb, "vec_id", "embedding", bc)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    sample = similarity._training_sample(emb, "vec_id", "embedding", 4096)
+    sample = sample.sort_values("vec_id").reset_index(drop=True)
+    M = np.vstack(sample["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    m = books.shape[0]
+    ds = M.shape[1] // m
+    codes = np.empty((len(M), m), dtype=np.int32)
+    for s in range(m):
+        sub = M[:, s * ds : (s + 1) * ds]
+        d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d2, axis=1)
+    assert (dist["vec_id"].to_numpy() == sample["vec_id"].to_numpy()).all()
+    assert all(
+        list(c_dist) == list(c_drv) for c_dist, c_drv in zip(dist["codes"], codes)
+    )
+
+
 def test_ivfpq_topk_recall(tables):
     emb = tables["embeddings"].limit(200)
     exact = {

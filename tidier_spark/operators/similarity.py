@@ -590,6 +590,18 @@ def _rerank_pairs(
     )
 
 
+def _training_sample(df: DataFrame, id_col: str, vec_col: str, sample_size: int):
+    """Deterministic bounded training sample: first ``sample_size`` rows by
+    id (TakeOrderedAndProject — one job, no full sort).  Shared by the
+    quantizer/codebook trainers so multi-artifact indexes (IVF-PQ) pay for
+    one collection instead of one per artifact.  If the returned frame has
+    fewer than ``sample_size`` rows the corpus is exhausted — callers can
+    use ``len(sample)`` as an exact corpus count without a second job."""
+    return (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    )
+
+
 def train_quantizer(
     df: DataFrame,
     id_col: str,
@@ -599,16 +611,21 @@ def train_quantizer(
     kmeans_iters: int = 5,
     sample_size: int = 4096,
     seed: int = 42,
+    _sample=None,
 ):
     """Coarse k-means quantizer trained driver-side on a deterministic
     bounded sample (first ``sample_size`` rows by id — reproducible, no
     full-table collect).  Lloyd iterations over unit vectors (spherical
     k-means); returns the (n_lists × dims) centroid matrix — bytes to
-    broadcast regardless of table size."""
+    broadcast regardless of table size.  ``_sample`` lets callers pass a
+    pre-collected ``_training_sample`` frame (same first-rows contract) to
+    share one collection across trainers."""
     import numpy as np
 
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+        _training_sample(df, id_col, vec_col, sample_size)
+        if _sample is None
+        else _sample
     )
     S = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
@@ -790,11 +807,13 @@ def train_pq_codebooks(
     kmeans_iters: int = 8,
     sample_size: int = 4096,
     seed: int = 42,
+    _sample=None,
 ):
     """Product-quantization codebooks (FAISS-PQ shape): split each UNIT
     vector into ``m`` subspaces and run Lloyd k-means per subspace on a
     deterministic bounded sample (first ``sample_size`` rows by id — the
-    same reproducible-training contract as :func:`train_quantizer`).
+    same reproducible-training contract as :func:`train_quantizer`;
+    ``_sample`` shares a pre-collected frame across trainers).
 
     Returns an (m × n_codes × d/m) float64 array — kilobytes to broadcast
     regardless of table size.  Ties in assignment resolve to the lowest
@@ -803,7 +822,9 @@ def train_pq_codebooks(
     import numpy as np
 
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
+        _training_sample(df, id_col, vec_col, sample_size)
+        if _sample is None
+        else _sample
     )
     S = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
@@ -921,7 +942,13 @@ def pq_topk(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    n_corpus = df.count()
+    # One bounded collection feeds training AND, when it exhausts the
+    # corpus (len(sample) < sample_size ⇒ the corpus has exactly that many
+    # rows), doubles as the corpus itself — the count() guard job and the
+    # distributed encode pass are then pure overhead and are skipped.  At
+    # real scale (corpus > sample_size) both run as before.
+    sample = _training_sample(df, id_col, vec_col, sample_size)
+    n_corpus = len(sample) if len(sample) < sample_size else df.count()
     if n_corpus > max_corpus_rows:
         raise ValueError(
             f"pq_topk collects the {8 + m}-byte-per-row code table to the "
@@ -941,13 +968,32 @@ def pq_topk(
         kmeans_iters=kmeans_iters,
         sample_size=sample_size,
         seed=seed,
+        _sample=sample,
     )
     bc_books = spark.sparkContext.broadcast(books)
-    enc = pq_encode(df, id_col, vec_col, bc_books).toPandas()
-    codes_mat = np.vstack(enc["codes"].to_numpy()).astype(np.int32)
-    db_ids = enc[id_col].to_numpy().astype(np.int64)
+    unit_corpus = None
+    if n_corpus <= len(sample):
+        # the training sample IS the corpus: encode driver-side with the
+        # identical argmin assignment (bit-equal to pq_encode — pinned by
+        # test_pq_driver_encode_matches_distributed)
+        db_ids = sample[id_col].to_numpy().astype(np.int64)
+        M = np.vstack(sample[vec_col].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        unit_corpus = M
+        ds = M.shape[1] // m
+        codes_mat = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            sub = M[:, s * ds : (s + 1) * ds]
+            d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes_mat[:, s] = np.argmin(d2, axis=1)
+    else:
+        enc = pq_encode(df, id_col, vec_col, bc_books).toPandas()
+        codes_mat = np.vstack(enc["codes"].to_numpy()).astype(np.int32)
+        db_ids = enc[id_col].to_numpy().astype(np.int64)
     order = np.argsort(db_ids, kind="stable")
     bc_db = spark.sparkContext.broadcast((db_ids[order], codes_mat[order]))
+    if unit_corpus is not None:
+        unit_corpus = unit_corpus[order]
 
     out_schema = T.StructType(
         [
@@ -958,6 +1004,71 @@ def pq_topk(
     )
 
     n_cand = shortlist if shortlist else k
+
+    if shortlist and unit_corpus is not None:
+        # Driver-resident corpus + shortlist: fuse the exact re-rank into
+        # the scoring pass.  The join-resolved _rerank_pairs shape exists
+        # to avoid materializing full-precision vectors per pair at scale;
+        # here the full-precision matrix is ALREADY on the driver (it is
+        # the training sample), so the per-query exact cosine over the
+        # shortlist is a (n_cand × d) matmul in the same UDF — the scored
+        # shuffle, pair dedup, two joins, and rank window all collapse
+        # into one map-only stage.  Semantics are pinned identical: same
+        # 6-decimal rounding, ties sim-desc then neighbor-id-asc
+        # (test_pq_full_shortlist_is_exact holds over this path).
+        bc_full = spark.sparkContext.broadcast(unit_corpus)
+        rerank_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rank", T.LongType()),
+            ]
+        )
+
+        def score_rerank(it):
+            B = bc_books.value
+            ids, codes = bc_db.value
+            V = bc_full.value
+            mm, _, ds = B.shape
+            for pdf in it:
+                nq = len(pdf)
+                if not nq:
+                    continue
+                Q = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+                lut = np.einsum(
+                    "qsd,scd->qsc", Q.reshape(nq, mm, ds), B, optimize=True
+                )
+                sims = np.zeros((nq, len(ids)))
+                for s in range(mm):
+                    sims += lut[:, s, codes[:, s]]
+                sims = np.round(sims, 6)
+                q_ids = pdf[id_col].to_numpy().astype(np.int64)
+                rows = {
+                    "query_id": [],
+                    "neighbor_id": [],
+                    "cos_sim": [],
+                    "rank": [],
+                }
+                for i in range(nq):
+                    sim = sims[i].copy()
+                    sim[ids == q_ids[i]] = -np.inf  # exclude self
+                    cand = np.argsort(-sim, kind="stable")[:n_cand]
+                    cand = cand[sim[cand] > -np.inf]
+                    if not len(cand):
+                        continue
+                    exact = np.round(V[cand] @ Q[i], 6)
+                    top = np.lexsort((ids[cand], -exact))[:k]
+                    rows["query_id"].extend([int(q_ids[i])] * len(top))
+                    rows["neighbor_id"].extend(int(ids[cand[j]]) for j in top)
+                    rows["cos_sim"].extend(float(exact[j]) for j in top)
+                    rows["rank"].extend(range(1, len(top) + 1))
+                yield pd.DataFrame(rows)
+
+        return _fan_out(df.select(id_col, vec_col)).mapInPandas(
+            score_rerank, rerank_schema
+        )
 
     def score(it):
         B = bc_books.value
@@ -1041,13 +1152,16 @@ def ivfpq_topk(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    sample = _training_sample(df, id_col, vec_col, sample_size)
     cent = train_quantizer(
         df, id_col, vec_col, n_lists=n_lists,
         kmeans_iters=kmeans_iters, sample_size=sample_size, seed=seed,
+        _sample=sample,
     )
     books = train_pq_codebooks(
         df, id_col, vec_col, m=m, n_codes=n_codes,
         kmeans_iters=kmeans_iters, sample_size=sample_size, seed=seed + 1,
+        _sample=sample,
     )
     # a small training sample can yield fewer centroids than n_lists;
     # probing more lists than exist would mis-shape the route() arrays
