@@ -3203,16 +3203,16 @@ def _q_stream_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_stream = read_stream_table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 2 == 1
     )
-    # reference store built from the SAME whole-corpus shingle cache the
-    # batch dedup_against entry persists (identical canonicalized plans
-    # → Spark's cache manager shares the entries): the streaming run
-    # pays only the per-batch join + verification, exactly as a real
-    # pipeline reuses its parquet-backed signature store
+    # reference signature store: shingles + banded signatures for the
+    # EVEN (reference) half only — the stream side computes its own
+    # per-batch shingles inside stream_dedup_against, so shingling the
+    # odd half here would be pure waste (at 100 TB: half the corpus).
+    # Built once, persisted, joined by every micro-batch — the parquet-
+    # backed signature-table pattern.
     ref = docs.where(F.col("doc_id") % 2 == 0)
-    sh = _distinct_shingles(docs, "doc_id", "text", 3).persist(
+    sh_ref = _distinct_shingles(ref, "doc_id", "text", 3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh_ref = sh.where(F.col("doc_id") % 2 == 0)
     bands_ref = banded_signatures(
         ref, "doc_id", "text", 8, 4, 3, "ref_id", _shingle_df=sh_ref
     ).persist(StorageLevel.MEMORY_AND_DISK)
