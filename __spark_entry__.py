@@ -2081,16 +2081,24 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are checked against their accuracy contract (within 2% relative).
     from pyspark.sql import functions as F
 
-    from tidier_spark.operators.sketches import approx_quantiles
+    from tidier_spark.operators.dedup import _fan_out
+    from tidier_spark.operators.sketches import approx_quantiles, exact_quantiles
 
     li = read_table(spark, sf_dir, "lineitem").withColumn(
         "p100", F.round(F.col("l_extendedprice") * 100)
     )
-    exact = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(p100, 0.5)").alias("p50_exact"),
-        F.expr("percentile(p100, 0.9)").alias("p90_exact"),
+    # exact side via the distributed (value, count) + cumulative-count
+    # shape (exact_quantiles) — the built-in `percentile` buffers every
+    # group value per task, a 100 TB memory hazard; this one is
+    # partial-agg friendly and bit-identical (differential-pinned in
+    # test_exact_quantiles_matches_builtin)
+    src = _fan_out(li.select("l_returnflag", "p100"))
+    exact = exact_quantiles(src, "p100", [0.5, 0.9], by="l_returnflag").select(
+        "l_returnflag",
+        F.col("q_0").alias("p50_exact"),
+        F.col("q_1").alias("p90_exact"),
     )
-    approx = approx_quantiles(li, "p100", [0.5, 0.9], by="l_returnflag")
+    approx = approx_quantiles(src, "p100", [0.5, 0.9], by="l_returnflag")
     ok = lambda a, e: F.abs(a - F.col(e)) <= 0.02 * F.col(e)  # noqa: E731
     return exact.join(approx, "l_returnflag").select(
         "l_returnflag",

@@ -2261,3 +2261,44 @@ def test_bpe_train_local_equals_distributed(tables):
     # the driver boundary is enforced, with the distributed trainer named
     with _pytest.raises(ValueError, match="bpe_train"):
         bpe_train_local(docs, n_merges=2, max_vocab_rows=10)
+
+
+def test_exact_quantiles_matches_builtin(spark):
+    """exact_quantiles (distributed (value,count)+cumcount shape) must be
+    bit-identical to the built-in exact `percentile` aggregate — same
+    interpolation formula, NULLs ignored, ties collapsed into counts."""
+    import random
+
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    random.seed(7)
+    rows = [
+        (
+            random.choice("ABC"),
+            float(random.randint(0, 10000)) if random.random() > 0.05 else None,
+        )
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ref = {
+        r["g"]: (r["p50"], r["p90"], r["p31"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+            F.expr("percentile(v, 0.31)").alias("p31"),
+        )
+        .collect()
+    }
+    mine = {
+        r["g"]: (r["q_0"], r["q_1"], r["q_2"])
+        for r in exact_quantiles(df, "v", [0.5, 0.9, 0.31], by="g").collect()
+    }
+    assert set(ref) == set(mine)
+    for g in ref:
+        assert ref[g] == mine[g]
+    # single-value group; all-NULL group is absent (documented divergence
+    # from the built-in, which emits the group with NULL quantiles)
+    df2 = spark.createDataFrame([("X", 5.0), ("Y", None)], "g string, v double")
+    m2 = {r["g"]: r["q_0"] for r in exact_quantiles(df2, "v", [0.5], by="g").collect()}
+    assert m2 == {"X": 5.0}

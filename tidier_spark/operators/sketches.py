@@ -124,6 +124,89 @@ def approx_quantiles(
     return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
 
 
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    *,
+    by: object = None,
+) -> DataFrame:
+    """Per-group EXACT quantiles (continuous interpolation, the
+    ``percentile``/``quantile_cont`` contract) computed distributively.
+
+    The built-in exact ``percentile`` aggregate buffers EVERY group value
+    in a per-task map and merges whole maps on the reduce side — a
+    memory/straggler hazard once a group holds billions of rows.  This
+    shape never does: aggregate to (group, value, count) — partial-agg
+    friendly, cardinality-bounded by distinct values — then a cumulative
+    count per group locates the interpolation neighbors ``floor(pos)`` /
+    ``ceil(pos)`` at ``pos = p·(n−1)`` with one conditional aggregation
+    per probability.  Interpolation uses Spark's exact formula
+    ``v_lo·(ceil−pos) + v_hi·(pos−floor)`` (bit-identical to the
+    built-in; see Percentile.getPercentile in Spark).
+
+    Returns one ``q_<i>`` double column per probability, in ``probs``
+    order.  NULLs are ignored, matching ``percentile``; a group whose
+    values are all NULL has no surviving rows and is absent from the
+    output (where the built-in would emit the group with NULL quantiles).
+    """
+    from pyspark.sql import Window
+
+    keys = _keys(by)
+    if not keys:
+        raise ValueError("exact_quantiles requires at least one group key")
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(*keys).orderBy(col)
+    # same partition+order spec for both frames → one WindowExec pass
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = (
+        counts.withColumn("__hi", F.sum("__c").over(w))
+        .withColumn("__lo", F.col("__hi") - F.col("__c"))
+        .withColumn("__n", F.sum("__c").over(w_all))
+    )
+    aggs = [F.first("__n").alias("__n")]
+    for i, p in enumerate(probs):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        fpos = F.floor(pos)
+        cpos = F.ceil(pos)
+        # value v covers 0-based sorted indices [__lo, __hi - 1]
+        aggs.append(
+            F.max(
+                F.when(
+                    (fpos >= F.col("__lo")) & (fpos < F.col("__hi")), F.col(col)
+                )
+            ).alias(f"__vlo_{i}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    (cpos >= F.col("__lo")) & (cpos < F.col("__hi")), F.col(col)
+                )
+            ).alias(f"__vhi_{i}")
+        )
+    res = cum.groupBy(*keys).agg(*aggs)
+    outs = list(keys)
+    for i, p in enumerate(probs):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        fpos = F.floor(pos)
+        cpos = F.ceil(pos)
+        v_lo = F.col(f"__vlo_{i}").cast("double")
+        v_hi = F.col(f"__vhi_{i}").cast("double")
+        outs.append(
+            F.when(fpos == cpos, v_lo)
+            .otherwise(
+                v_lo * (cpos.cast("double") - pos)
+                + v_hi * (pos - fpos.cast("double"))
+            )
+            .alias(f"q_{i}")
+        )
+    return res.select(*outs)
+
+
 def kll_partials(
     df: DataFrame,
     col: str,
