@@ -352,3 +352,24 @@ def test_cms_query_broadcasts_sketch(tables):
     items = toks.select("tok").distinct()
     r = cms_query(cms, items, "tok", depth=4, width=64)
     assert has_broadcast_join(r), explain_str(r, "simple")
+
+
+def test_exact_quantiles_partial_agg_single_window(tables):
+    """exact_quantiles' scale contract: the (value,count) aggregate is
+    partial (map-side combine before the exchange) and both cumulative
+    frames ride ONE WindowExec pass — no whole-group value buffering
+    anywhere in the plan."""
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    li = tables["lineitem"].withColumn("p100", F.round(F.col("l_extendedprice") * 100))
+    r = exact_quantiles(li, "p100", [0.5, 0.9], by="l_returnflag")
+    import re
+
+    plan = explain_str(r, "formatted")
+    # exactly one Window OPERATOR node (both sum frames share it; don't
+    # count windowspecdefinition expression text)
+    assert len(re.findall(r"[+:]- Window ", plan)) == 1, plan
+    # the value-count aggregate partial-aggregates before its exchange
+    assert "partial_count" in plan or "Partial" in plan, plan
+    # and the builtin whole-group-buffer percentile is nowhere in it
+    assert "percentile(" not in plan, plan
