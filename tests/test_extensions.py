@@ -2302,3 +2302,39 @@ def test_exact_quantiles_matches_builtin(spark):
     df2 = spark.createDataFrame([("X", 5.0), ("Y", None)], "g string, v double")
     m2 = {r["g"]: r["q_0"] for r in exact_quantiles(df2, "v", [0.5], by="g").collect()}
     assert m2 == {"X": 5.0}
+
+
+def test_scale_safe_cumulative_5m_rows_matches_window(spark):
+    """Value-level scale probe: the two-pass range-partitioned prefix sum
+    must equal the single-partition window cumsum on 5M rows — not just
+    have the right plan shape (test_scale_safe_cumsum_multi_task).  Keys
+    are unique, values deterministic; comparison is an exact integer
+    checksum over cum·key plus head/tail spot rows."""
+    from pyspark.sql import Window
+
+    from tidier_spark.window import scale_safe_cumulative
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.xxhash64("id") % 1000).alias("v")
+    )
+    fast = scale_safe_cumulative(df, "v", order_by=["k"], out="cum", fn="sum")
+    slow = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    def checksum(frame):
+        return frame.agg(
+            F.sum(F.col("cum") * ((F.col("k") % 997) + 1)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    cf, cs = checksum(fast), checksum(slow)
+    assert cf["n"] == cs["n"] == n
+    assert cf["s"] == cs["s"]
+    spot_f = {r["k"]: r["cum"] for r in fast.where(F.col("k").isin(0, 1, n - 1)).collect()}
+    spot_s = {r["k"]: r["cum"] for r in slow.where(F.col("k").isin(0, 1, n - 1)).collect()}
+    assert spot_f == spot_s
