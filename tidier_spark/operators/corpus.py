@@ -660,6 +660,11 @@ def budget_mix(
 
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
+    if any(w != int(w) for w in weights.values()):
+        raise ValueError(
+            "weights are integer relative shares, got fractional values "
+            f"in {weights!r} — scale them up instead of passing floats"
+        )
     total_w = sum(int(w) for w in weights.values())
     if total_w <= 0:
         raise ValueError("weights must sum > 0")
