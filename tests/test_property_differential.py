@@ -762,3 +762,52 @@ def test_floordiv_helpers_match_python_floor(ns, d, spark):
     finally:
         con.close()
     assert got_duck == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.one_of(
+                st.none(),
+                st.integers(-1000, 1000).map(float),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    probs=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False).map(lambda p: round(p, 3)),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_exact_quantiles_property_matches_builtin(rows, probs, spark):
+    """Any group sizes, duplicates, NULLs, and probabilities: the
+    distributed exact_quantiles shape must be bit-equal to the built-in
+    exact percentile aggregate (same interpolation arithmetic)."""
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    agg = [
+        F.expr(f"percentile(v, {p!r})").alias(f"p_{i}")
+        for i, p in enumerate(probs)
+    ]
+    ref = {
+        r["g"]: tuple(r[f"p_{i}"] for i in range(len(probs)))
+        for r in df.groupBy("g").agg(*agg).collect()
+        # groups whose values are all NULL: builtin emits NULLs,
+        # exact_quantiles drops the group (documented divergence)
+        if r["p_0"] is not None
+    }
+    mine = {
+        r["g"]: tuple(r[f"q_{i}"] for i in range(len(probs)))
+        for r in exact_quantiles(df, "v", probs, by="g").collect()
+    }
+    assert mine == ref
