@@ -1,0 +1,130 @@
+"""Measured scaling probe: run scale-critical operators at 1x and 10x
+synthetic row counts on local[32] and print a wall-time table.
+
+Synthetic inputs (spark.range + hash-derived values) are used so the
+probe can exceed the shipped sf0.1 fixtures; correctness at these sizes
+is separately pinned by tests (e.g. the 5M-row prefix-sum equivalence
+test).  Usage: python scripts/scale_probe.py
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        yield from it
+
+    spark.range(64, numPartitions=32).mapInPandas(_warm, "id long").count()
+
+    def timeit(fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    rows = []
+
+    # 1. distributed prefix sum (two-pass range-partitioned)
+    from tidier_spark.window import scale_safe_cumulative
+
+    def cumsum(n):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.xxhash64("id") % 1000).alias("v")
+        )
+        out = scale_safe_cumulative(df, "v", order_by=["k"], out="cum", fn="sum")
+        return lambda: out.agg(F.sum("cum")).collect()
+
+    rows.append(("scale_safe_cumsum", "6M rows", timeit(cumsum(6_000_000))))
+    rows.append(("scale_safe_cumsum", "60M rows", timeit(cumsum(60_000_000))))
+
+    # 2. exact dedup (hash-agg fingerprints), ~50% duplicate rate
+    from tidier_spark.operators.dedup import exact_dedup
+
+    def dedup(n):
+        df = spark.range(n).select(
+            F.md5(F.concat_ws(":", (F.col("id") % (n // 2)).cast("string"))).alias(
+                "fp"
+            ),
+            F.col("id"),
+        )
+        out = exact_dedup(df, ["fp"])
+        return lambda: out.agg(F.count(F.lit(1))).collect()
+
+    rows.append(("exact_dedup", "1M rows", timeit(dedup(1_000_000))))
+    rows.append(("exact_dedup", "10M rows", timeit(dedup(10_000_000))))
+
+    # 3. distributed exact quantiles
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    def quant(n):
+        df = spark.range(n).select(
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.xxhash64("id") % 100_000).cast("double").alias("v"),
+        )
+        out = exact_quantiles(df, "v", [0.5, 0.9], by="g")
+        return lambda: out.collect()
+
+    rows.append(("exact_quantiles", "6M rows", timeit(quant(6_000_000))))
+    rows.append(("exact_quantiles", "60M rows", timeit(quant(60_000_000))))
+
+    # 4. minhash near-dup pairs on synthetic token docs
+    from tidier_spark.operators.dedup import near_dup_pairs
+
+    def ndp(n):
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(1, 30), i -> "
+                    "concat('t', pmod(xxhash64(id * 31 + i), 500)))"
+                ),
+            ).alias("text"),
+        )
+        out = near_dup_pairs(df, k=8, bands=4, threshold=0.3)
+        return lambda: out.agg(F.count(F.lit(1))).collect()
+
+    rows.append(("near_dup_pairs", "5k docs", timeit(ndp(5_000), reps=1)))
+    rows.append(("near_dup_pairs", "50k docs", timeit(ndp(50_000), reps=1)))
+
+    # 5. IVF-PQ ANN on synthetic embeddings: approximate path scaling
+    from tidier_spark.operators.similarity import ivfpq_topk
+
+    def ivfpq(n):
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(pmod(xxhash64(id * 64 + i), 1000) as double) / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        out = ivfpq_topk(df, k=3, n_lists=32, n_probe=8)
+        return lambda: out.agg(F.count(F.lit(1))).collect()
+
+    rows.append(("ivfpq_topk", "2k vecs", timeit(ivfpq(2_000), reps=1)))
+    rows.append(("ivfpq_topk", "20k vecs", timeit(ivfpq(20_000), reps=1)))
+
+    print(f"{'operator':<20} {'size':>10} {'sec':>8}")
+    for op, size, sec in rows:
+        print(f"{op:<20} {size:>10} {sec:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
