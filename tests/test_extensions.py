@@ -1518,6 +1518,26 @@ def test_pq_encode_is_deterministic_and_compact(tables):
     assert all(len(c) == 8 and max(c) < 16 for c in a["codes"])
 
 
+def test_pq_distributed_path_full_shortlist_is_exact(tables):
+    """Force the corpus > sample_size regime (distributed pq_encode +
+    join-resolved re-rank — the 100 TB branch the driver-resident fast
+    path bypasses on small fixtures) and pin it with the exactness
+    property: a full shortlist must reproduce exact cosine top-k
+    bit-for-bit regardless of codebook quality."""
+    emb = tables["embeddings"].limit(120)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, k=2).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cos_sim"])
+        for r in similarity.pq_topk(
+            emb, k=2, shortlist=10_000, sample_size=64
+        ).collect()
+    }
+    assert exact == full
+
+
 def test_pq_driver_encode_matches_distributed(tables):
     """pq_topk's small-corpus fast path encodes on the driver from the
     training sample; it must be bit-equal to the distributed pq_encode
