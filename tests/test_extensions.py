@@ -2358,3 +2358,70 @@ def test_scale_safe_cumulative_5m_rows_matches_window(spark):
     spot_f = {r["k"]: r["cum"] for r in fast.where(F.col("k").isin(0, 1, n - 1)).collect()}
     spot_s = {r["k"]: r["cum"] for r in slow.where(F.col("k").isin(0, 1, n - 1)).collect()}
     assert spot_f == spot_s
+
+
+def test_stream_trailing_multi_batch_state_carries(spark, tmp_path):
+    """applyInPandasWithState trailing mean across a micro-batch boundary:
+    batch 2's early events must see batch 1's in-window events through the
+    state store (maxFilesPerTrigger=1 forces two batches), and the full
+    replay must equal the batch RANGE-frame oracle exactly."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import Window
+
+    from tidier_spark.streaming import run_stream, stream_trailing_agg
+
+    base = 1_700_000_000_000_000
+    # two keys, events every 20 min; 1-hour trailing window spans the
+    # batch-1/batch-2 boundary for both keys
+    rows = [
+        ((i % 2) + 1, base + i * 1_200_000_000, float((i * 7) % 30) * 100)
+        for i in range(12)
+    ]
+    src = tmp_path / "tsrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:6], rows[6:])):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+            "vc": [r[2] for r in chunk],
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, vc double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_trailing_agg(
+        stream,
+        key_col="user_id",
+        time_col="ts",
+        value_col="vc",
+        trailing_seconds=3600,
+        timeout_minutes=None,
+    )
+    res = run_stream(out, name="t_stream_trailing_mb", output_mode="append")
+    got = sorted(
+        (r["key"], r["ts"], r["value"], round(r["trail_avg"], 6))
+        for r in res.collect()
+    )
+    bdf = spark.createDataFrame(
+        rows, "user_id long, us long, vc double"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "vc")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    want = sorted(
+        (r["user_id"], r["ts"], r["vc"], round(r["trail_avg"], 6))
+        for r in bdf.withColumn("trail_avg", F.avg("vc").over(w)).collect()
+    )
+    assert got == want and len(got) == 12
