@@ -2425,3 +2425,63 @@ def test_stream_trailing_multi_batch_state_carries(spark, tmp_path):
         for r in bdf.withColumn("trail_avg", F.avg("vc").over(w)).collect()
     )
     assert got == want and len(got) == 12
+
+
+def test_stream_sessions_multi_batch_merge(spark, tmp_path):
+    """session_window state merge across micro-batches: a session whose
+    events straddle the batch-1/batch-2 boundary must come out as ONE
+    merged session, equal to the batch session_agg oracle."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.operators.temporal import session_agg
+    from tidier_spark.streaming import run_stream, stream_session_agg
+
+    base = 1_700_000_000_000_000
+    # key 1: events at 0, 10, 20, 30 min (10-min gap => one session, but
+    # split 0/10 into batch 1 and 20/30 into batch 2); key 2: two events
+    # 2h apart => two singleton sessions, one per batch
+    rows = [
+        (1, base),
+        (1, base + 600_000_000),
+        (2, base),
+        (1, base + 1_200_000_000),
+        (1, base + 1_800_000_000),
+        (2, base + 7_200_000_000),
+    ]
+    src = tmp_path / "ssrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:3], rows[3:])):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    streamed = run_stream(
+        stream_session_agg(
+            stream, key_col="user_id", time_col="ts", gap_seconds=1800
+        ),
+        name="t_stream_sessions_mb",
+        output_mode="complete",
+    )
+    bdf = spark.createDataFrame(rows, "user_id long, us long").selectExpr(
+        "user_id", "timestamp_micros(us) AS ts"
+    )
+    batch = session_agg(bdf, "user_id", "ts", gap_seconds=1800)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # and the boundary-straddling session really merged: key 1 -> 1 session
+    n1 = streamed.where(F.col("user_id") == 1).count()
+    assert n1 == 1, streamed.collect()
