@@ -2485,3 +2485,75 @@ def test_stream_sessions_multi_batch_merge(spark, tmp_path):
     # and the boundary-straddling session really merged: key 1 -> 1 session
     n1 = streamed.where(F.col("user_id") == 1).count()
     assert n1 == 1, streamed.collect()
+
+
+def test_stream_interval_join_multi_batch_two_sided_state(spark, tmp_path):
+    """Stream-stream interval join across a micro-batch boundary: views
+    arriving in batch 1 must join purchases arriving in batch 2 (and vice
+    versa) through BOTH sides' state stores; the full replay equals the
+    batch join with the identical interval condition."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import run_stream, stream_interval_join
+
+    base = 1_700_000_000_000_000
+
+    def write(dirname, rows, cols):
+        d = tmp_path / dirname
+        d.mkdir()
+        for bi, chunk in enumerate(rows):
+            t = pa.table(
+                {
+                    "user_id": [r[0] for r in chunk],
+                    "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+                    cols: [r[2] for r in chunk],
+                }
+            )
+            pq.write_table(t, d / f"b{bi}.parquet")
+        now = _time.time()
+        _os.utime(d / "b0.parquet", (now - 60, now - 60))
+        _os.utime(d / "b1.parquet", (now, now))
+        return d
+
+    # batch 1: view v1 at t0 (user 1), purchase p9 at t0+50min (user 2)
+    # batch 2: purchase p2 at t0+30min (user 1 — joins v1 across batches),
+    #          view v3 at t0+20min (user 2 — joins p9 across batches)
+    vdir = write(
+        "views",
+        ([(1, base, 10)], [(2, base + 1_200_000_000, 30)]),
+        "view_id",
+    )
+    pdir = write(
+        "buys",
+        ([(2, base + 3_000_000_000, 90)], [(1, base + 1_800_000_000, 20)]),
+        "buy_id",
+    )
+
+    def rd(d, col):
+        return (
+            spark.readStream.schema(f"user_id long, ts timestamp, {col} long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    j = stream_interval_join(
+        rd(vdir, "view_id"),
+        rd(pdir, "buy_id"),
+        "user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="30 minutes",
+    )
+    out = run_stream(
+        j.select("user_id", "l_view_id", "r_buy_id"),
+        name="t_stream_ij_mb",
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 10, 20), (2, 30, 90)], got
