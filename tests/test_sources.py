@@ -160,3 +160,49 @@ def test_orc_roundtrip_preserves_rows_and_pushes_filter(tables, tmp_path):
     assert "PushedFilters: [" in plan and "user_id" in plan.split(
         "PushedFilters:"
     )[1].split("]")[0]
+
+
+def test_bucketed_write_elides_join_shuffle(tables, tmp_path):
+    """The bucket_by sink claim at 100 TB: two tables bucketed the same
+    way on the join key sort-merge-join with NO Exchange on either side
+    (bucketing pre-co-locates equal keys at write time)."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import write_parquet
+
+    spark = tables["events"].sparkSession
+    ev = tables["events"].select("event_id", "user_id", "value")
+    cu = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    for tbl in ("t_bktest_ev", "t_bktest_cu"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_parquet(
+        ev,
+        str(tmp_path / "bk_ev"),
+        bucket_by=(4, ["user_id"]),
+        table="t_bktest_ev",
+    )
+    write_parquet(
+        cu,
+        str(tmp_path / "bk_cu"),
+        bucket_by=(4, ["user_id"]),
+        table="t_bktest_cu",
+    )
+    try:
+        # disable broadcast so the join would need a shuffle WITHOUT
+        # bucketing; the bucketed layout must satisfy the distribution
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("t_bktest_ev").join(
+                spark.table("t_bktest_cu"), "user_id"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for tbl in ("t_bktest_ev", "t_bktest_cu"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
