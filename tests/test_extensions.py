@@ -2557,3 +2557,57 @@ def test_stream_interval_join_multi_batch_two_sided_state(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, 10, 20), (2, 30, 90)], got
+
+
+def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
+    """Watermarked tumbling-window agg across micro-batches: a window
+    receiving rows in BOTH batches must aggregate incrementally through
+    the state store (complete mode), equal to the batch bucketing."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    base = 1_700_000_000_000_000
+    # one 1-hour window gets rows in batch 1 AND batch 2; a second window
+    # only in batch 2
+    rows = [
+        ("a", base, 100.0),
+        ("a", base + 600_000_000, 200.0),
+        ("a", base + 1_200_000_000, 300.0),
+        ("a", base + 7_200_000_000, 50.0),
+    ]
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:2], rows[2:])):
+        t = pa.table({
+            "event_type": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+            "value": [r[2] for r in chunk],
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    r = stream_windowed_agg(
+        stream,
+        {"n": "count(*)", "sum_v": "sum(round(value * 100)) / 100"},
+        time_col="ts",
+        window="1 hour",
+        by="event_type",
+    )
+    out = run_stream(r, name="t_stream_rollup_mb", output_mode="complete")
+    got = sorted(
+        (r2["event_type"], r2["window_start"], r2["n"], r2["sum_v"])
+        for r2 in out.collect()
+    )
+    assert [g[2:] for g in got] == [(3, 600.0), (1, 50.0)], got
