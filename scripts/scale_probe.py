@@ -128,3 +128,65 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def skew_section():
+    """Skew probe: one key owning half of 20M rows.  Compares plain
+    groupBy vs salted_agg and plain join vs skew_join wall time.
+    Run: python -c "import sys; sys.path.insert(0,'.'); sys.argv=['x']; \
+         from scripts.scale_probe import skew_section; skew_section()"
+    """
+    import time
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from tidier_spark.skew import salted_agg, skew_join
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        # isolate the salting effect from AQE's own skew mitigation
+        .config("spark.sql.adaptive.skewJoin.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    n = 20_000_000
+    # key 0 owns ~50% of rows; remainder spreads over 10k keys
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), 10_000))
+        .alias("k"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("v"),
+    )
+
+    def timeit(fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    plain = timeit(lambda: df.groupBy("k").agg(F.avg("v").alias("a")).count())
+    salted = timeit(
+        lambda: salted_agg(df, "k", {"a": "avg(v)"}).count()
+    )
+    print(f"groupBy-avg 20M skewed: plain {plain:.2f}s  salted {salted:.2f}s")
+
+    dim = spark.range(10_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pj = timeit(lambda: df.join(dim, "k").count(), reps=1)
+        sj = timeit(lambda: skew_join(df, dim, "k").count(), reps=1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    print(f"join 20M skewed x 10k dim (no broadcast, no AQE-skew): "
+          f"plain {pj:.2f}s  skew_join {sj:.2f}s")
