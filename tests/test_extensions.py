@@ -2611,3 +2611,29 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
         for r2 in out.collect()
     )
     assert [g[2:] for g in got] == [(3, 600.0), (1, 50.0)], got
+
+
+def test_driver_window_head_is_never_checked_rotation():
+    """The driver's correctness run covers the FIRST 50 queries() keys.
+    Round-4 contract: that head is exactly 50 entries with no prior
+    driver CORRECTNESS row (rounds 1-3), so CORRECTNESS_r04 maximizes
+    first-time coverage.  Pin it so an accidental reorder fails fast."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries().keys())
+    assert len(keys) == len(set(keys)) == 166
+    prior = set()
+    for r in ("01", "02", "03"):
+        p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                prior |= set(json.load(fh).keys())
+    if prior:
+        head = keys[:50]
+        assert not (set(head) & prior), sorted(set(head) & prior)
+        # every oracle key exists for every query key (1:1 board)
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) == set(keys)
