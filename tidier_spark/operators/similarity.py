@@ -532,7 +532,11 @@ def lsh_topk(
 
 
 def _score_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, vec_col: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Exact cosine over candidate (query_id, neighbor_id) pairs with
     vectors resolved by TWO SHUFFLE JOINS against the (id, vector) table —
@@ -541,9 +545,13 @@ def _score_pairs(
     candidate ids are 16 B/row.  Scoring is an Arrow-batched einsum over
     the joined rows.
 
-    Pairs arriving multiple times (one per colliding LSH table / probed
-    list) are deduped first — one shuffle of bare id-pairs — so downstream
-    ranking sees each pair once.
+    Pairs arriving multiple times (one per colliding LSH table) are
+    deduped first — one shuffle of bare id-pairs — so downstream ranking
+    sees each pair once.  ``pairs_unique=True`` skips that shuffle for
+    callers whose candidate generation is provably duplicate-free
+    (inverted-file probing: a neighbor belongs to exactly ONE home list,
+    so a (query, neighbor) pair can arise in at most one probed list —
+    IVF/IVF-PQ pass this; multi-table LSH must not).
 
     Scoring itself is the built-in ``cosine`` fold (whole-stage codegen):
     once the pair join has already resolved both vectors into the row, a
@@ -553,9 +561,10 @@ def _score_pairs(
     path), not for per-row pair scoring.
     """
     vecs = unit_vectors(df, id_col, vec_col, "__uv")
+    if not pairs_unique:
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     return (
-        pairs.dropDuplicates(["query_id", "neighbor_id"])
-        .join(
+        pairs.join(
             vecs.select(F.col(id_col).alias("query_id"), F.col("__uv").alias("__qv")),
             "query_id",
         )
@@ -574,12 +583,17 @@ def _score_pairs(
 
 
 def _rerank_pairs(
-    df: DataFrame, pairs: DataFrame, id_col: str, vec_col: str, k: int
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Join-resolved exact-cosine scoring + per-query top-k window."""
     from pyspark.sql import Window
 
-    scored = _score_pairs(df, pairs, id_col, vec_col)
+    scored = _score_pairs(df, pairs, id_col, vec_col, pairs_unique=pairs_unique)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -788,8 +802,10 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    # no pair dedup: members carry probe_rank==1 only, so a neighbor is
+    # scored in exactly one (its home) list per query
     return (
-        partials.dropDuplicates(["query_id", "neighbor_id"])
+        partials
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -1102,8 +1118,15 @@ def pq_topk(
 
     scored = _fan_out(df.select(id_col, vec_col)).mapInPandas(score, out_schema)
     if shortlist:
+        # one global scoring pass emits each (query, neighbor) at most
+        # once -> the rerank skips the defensive pair-dedup shuffle
         return _rerank_pairs(
-            df, scored.select("query_id", "neighbor_id"), id_col, vec_col, k
+            df,
+            scored.select("query_id", "neighbor_id"),
+            id_col,
+            vec_col,
+            k,
+            pairs_unique=True,
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_sim").desc(), F.col("neighbor_id")
@@ -1250,7 +1273,9 @@ def ivfpq_topk(
         return pd.DataFrame(rows)
 
     pairs = routed.groupBy("list_id").applyInPandas(list_shortlist, pair_schema)
-    return _rerank_pairs(df, pairs, id_col, vec_col, k)
+    # a neighbor belongs to exactly ONE home list, so a (query, neighbor)
+    # pair arises in at most one probed list -> skip the pair-dedup shuffle
+    return _rerank_pairs(df, pairs, id_col, vec_col, k, pairs_unique=True)
 
 
 def kmeans_fit(
