@@ -5242,12 +5242,17 @@ _SNAPSHOT_DIFF_ORACLE = f"""
     SELECT coalesce(old.o_orderkey, merged.o_orderkey) AS o_orderkey,
            CASE WHEN old.o_orderkey IS NULL THEN 'insert'
                 WHEN merged.o_orderkey IS NULL THEN 'delete'
-                WHEN old.price_c <> merged.price_c THEN 'update'
+                -- IS DISTINCT FROM, not <>: the operator's struct
+                -- inequality is null-safe, so a value changing to/from
+                -- NULL IS an update; plain <> would silently drop it
+                WHEN old.price_c IS DISTINCT FROM merged.price_c
+                  THEN 'update'
            END AS change
     FROM old FULL OUTER JOIN merged USING (o_orderkey)
     WHERE CASE WHEN old.o_orderkey IS NULL THEN 'insert'
                WHEN merged.o_orderkey IS NULL THEN 'delete'
-               WHEN old.price_c <> merged.price_c THEN 'update'
+               WHEN old.price_c IS DISTINCT FROM merged.price_c
+                 THEN 'update'
           END IS NOT NULL"""
 
 

@@ -2637,3 +2637,44 @@ def test_driver_window_head_is_never_checked_rotation():
         # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(keys)
+
+
+def test_snapshot_diff_null_transitions_match_duckdb(spark):
+    """A value changing to/from NULL IS an update (struct inequality is
+    null-safe in Spark); NULL -> NULL is unchanged.  Pinned against a
+    DuckDB IS DISTINCT FROM differential — the entry oracle uses the
+    same predicate, and the star fixture never exercises NULLs here, so
+    this crafted case is the real guard (asof_tolerance lesson)."""
+    import duckdb
+
+    from tidier_spark.operators.merge import snapshot_diff
+
+    old_rows = [(1, 5.0), (2, None), (3, 7.0), (4, None)]
+    new_rows = [(1, None), (2, None), (3, 7.0), (5, 1.0)]
+    old = spark.createDataFrame(old_rows, "k long, v double")
+    new = spark.createDataFrame(new_rows, "k long, v double")
+    got = {(r["k"], r["change"]) for r in snapshot_diff(old, new, "k").collect()}
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE o(k BIGINT, v DOUBLE)")
+        con.execute("CREATE TABLE n(k BIGINT, v DOUBLE)")
+        con.executemany("INSERT INTO o VALUES (?, ?)", old_rows)
+        con.executemany("INSERT INTO n VALUES (?, ?)", new_rows)
+        want = {
+            tuple(r)
+            for r in con.execute(
+                """
+                SELECT coalesce(o.k, n.k) AS k,
+                       CASE WHEN o.k IS NULL THEN 'insert'
+                            WHEN n.k IS NULL THEN 'delete'
+                            WHEN o.v IS DISTINCT FROM n.v THEN 'update'
+                       END AS change
+                FROM o FULL OUTER JOIN n USING (k)
+                """
+            ).fetchall()
+            if r[1] is not None
+        }
+    finally:
+        con.close()
+    assert got == want == {(1, "update"), (4, "delete"), (5, "insert")}
