@@ -2678,3 +2678,99 @@ def test_snapshot_diff_null_transitions_match_duckdb(spark):
     finally:
         con.close()
     assert got == want == {(1, "update"), (4, "delete"), (5, "insert")}
+
+
+def test_null_value_parity_crafted_data(spark):
+    """The star fixtures contain ZERO NULLs (verified), so every NULL
+    branch in the board is fixture-blind.  Pin Spark↔DuckDB parity on
+    crafted NULL-bearing data for the operators whose mirrors branch on
+    values: winsorize, robust_outliers, histogram, event_transitions,
+    profile_table."""
+    import datetime
+
+    import duckdb
+
+    from tidier_spark.operators.profile import (
+        event_transitions,
+        event_transitions_sql,
+        histogram,
+        histogram_sql,
+        profile_sql,
+        profile_table,
+    )
+    from tidier_spark.operators.quality import (
+        robust_outliers,
+        robust_outliers_sql,
+        winsorize,
+        winsorize_sql,
+    )
+
+    con = duckdb.connect()
+
+    def canon(rows_):
+        return sorted(
+            tuple(
+                None if x is None else round(x, 9) if isinstance(x, float) else x
+                for x in r
+            )
+            for r in rows_
+        )
+
+    try:
+        rows = [(i, "g", float(i) if i % 4 else None) for i in range(1, 21)]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        con.execute("CREATE TABLE t(id BIGINT, g VARCHAR, v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+        assert canon(
+            tuple(r)
+            for r in winsorize(
+                df, "v", by="g", lower=0.1, upper=0.9, id_cols=["id"]
+            ).collect()
+        ) == canon(
+            tuple(r)
+            for r in con.execute(winsorize_sql("t", "v", "g", 0.1, 0.9, ["id"])).fetchall()
+        )
+        assert canon(
+            tuple(r)
+            for r in robust_outliers(df, "v", by="g", id_cols=["id"]).collect()
+        ) == canon(
+            tuple(r)
+            for r in con.execute(robust_outliers_sql("t", "v", "g", 3.5, ["id"])).fetchall()
+        )
+
+        hrows = [(float(i),) if i % 3 else (None,) for i in range(20)]
+        hdf = spark.createDataFrame(hrows, "v double")
+        con.execute("CREATE TABLE h(v DOUBLE)")
+        con.executemany("INSERT INTO h VALUES (?)", hrows)
+        assert canon(
+            tuple(r) for r in histogram(hdf, "v", 0.0, 20.0, 4).collect()
+        ) == canon(
+            tuple(r)
+            for r in con.execute(histogram_sql("h", "v", 0.0, 20.0, 4)).fetchall()
+        )
+
+        t0 = datetime.datetime(2020, 1, 1)
+        trows = [
+            (1, t0, None, 1),
+            (1, t0 + datetime.timedelta(minutes=1), "b", 2),
+            (1, t0 + datetime.timedelta(minutes=2), None, 3),
+            (2, t0, "x", 4),
+            (2, t0 + datetime.timedelta(minutes=1), "x", 5),
+        ]
+        tdf = spark.createDataFrame(trows, "u long, ts timestamp, s string, e long")
+        con.execute("CREATE TABLE tr(u BIGINT, ts TIMESTAMP, s VARCHAR, e BIGINT)")
+        con.executemany("INSERT INTO tr VALUES (?,?,?,?)", trows)
+        assert canon(
+            tuple(r) for r in event_transitions(tdf, "u", "ts", "s", "e").collect()
+        ) == canon(
+            tuple(r)
+            for r in con.execute(event_transitions_sql("tr", "u", "ts", "s", "e")).fetchall()
+        )
+        assert canon(
+            tuple(r) for r in profile_table(tdf.select("u", "s"), ["u", "s"]).collect()
+        ) == canon(
+            tuple(r)
+            for r in con.execute(profile_sql("(SELECT u, s FROM tr)", ["u", "s"])).fetchall()
+        )
+    finally:
+        con.close()
