@@ -2774,3 +2774,58 @@ def test_null_value_parity_crafted_data(spark):
         )
     finally:
         con.close()
+
+
+def test_unicode_fold_lower_token_parity(spark):
+    """U+0130 (İ) is Unicode's only EXPANDING lowercase mapping: Java
+    emits i+combining-dot (length grows), DuckDB's utf8proc emits 'i' —
+    without fold_lower the engines tokenize Turkish text differently and
+    disagree on post-lower lengths.  ASCII fixtures never exercise this;
+    pin parity on crafted multilingual text."""
+    import duckdb
+
+    from tidier_spark.operators.text import (
+        punct_ratio,
+        tokens,
+        tokens_sql,
+        quality_sql_columns,
+    )
+
+    texts = [
+        "İstanbul İSTANBUL ıİi",
+        "héllo wörld",
+        "你好 abc 123",
+        "ẞharp STRASSE Straße",
+        "Kelvin KELVIN",
+        "fi ligature ﬁne",
+        "ǅungla Ǆ ǆ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    s_tok = {
+        r["id"]: list(r["toks"])
+        for r in df.select("id", tokens("text").alias("toks")).collect()
+    }
+    s_punct = {
+        r["id"]: round(r["p"], 9)
+        for r in df.select("id", punct_ratio("text").alias("p")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d(id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?,?)", [(i, t) for i, t in enumerate(texts)]
+        )
+        punct_sql = quality_sql_columns("text")["punct_ratio"]
+        d = {
+            r[0]: (list(r[1]), round(r[2], 9))
+            for r in con.execute(
+                f"SELECT id, {tokens_sql('text')}, {punct_sql} FROM d"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    for i, t in enumerate(texts):
+        assert s_tok[i] == d[i][0], (t, s_tok[i], d[i][0])
+        assert s_punct[i] == d[i][1], (t, s_punct[i], d[i][1])

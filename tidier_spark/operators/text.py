@@ -7,8 +7,14 @@ the correctness oracle; keeping both definitions adjacent is the differential
 -test discipline the reference models (tests_tidier.R:271-323).
 
 Portability notes (Spark ↔ DuckDB):
-* tokenization = ``split(lower(text), '[^a-z0-9]+')`` minus empty strings —
-  identical on both engines for any input;
+* tokenization = ``split(fold_lower(text), '[^a-z0-9]+')`` minus empty
+  strings.  ``fold_lower`` = ``lower(translate(x, 'İ', 'i'))``: U+0130
+  (Turkish dotted capital I) is Unicode's ONLY expanding lowercase
+  mapping — Java/Spark emits ``i`` + combining dot (length grows) while
+  DuckDB's utf8proc emits plain ``i``, so without the pre-fold the two
+  engines tokenize Turkish text differently AND disagree on post-lower
+  string lengths (punct_ratio).  With the fold, identical on both
+  engines for any input;
 * string→int hashing = first 15 hex digits of md5 (60 bits, sign-safe in a
   BIGINT): Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB
   ``('0x' || substr(md5(x),1,15))::BIGINT``.
@@ -34,6 +40,8 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 
 __all__ = [
     "TOKEN_PATTERN",
+    "fold_lower",
+    "fold_lower_sql",
     "LANG_LEXICONS",
     "tokens",
     "token_count",
@@ -61,10 +69,16 @@ __all__ = [
 # --- Spark-side column builders -------------------------------------------
 
 
+def fold_lower(col: Column | str) -> Column:
+    """Engine-portable lowercase: fold U+0130 → 'i' BEFORE lowering (see
+    module portability notes), then ``lower``.  A no-op for ASCII."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, "\u0130", "i"))
+
+
 def tokens(col: Column | str) -> Column:
     """Lowercased alphanumeric tokens, empties removed → array<string>."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), TOKEN_PATTERN), lambda x: x != F.lit(""))
+    return F.filter(F.split(fold_lower(col), TOKEN_PATTERN), lambda x: x != F.lit(""))
 
 
 def token_count(col: Column | str) -> Column:
@@ -87,7 +101,7 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_LEXICONS
 
 def punct_ratio(col: Column | str) -> Column:
     """Share of characters that are not [a-z0-9 ] after lowercasing."""
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = fold_lower(col)
     kept = F.length(F.regexp_replace(c, "[^a-z0-9 ]", ""))
     return ((F.length(c) - kept) / F.nullif(F.length(c), F.lit(0))).cast("double")
 
@@ -166,7 +180,7 @@ def token_count_bpe(col: Column | str) -> Column:
     with a closed-form, engine-portable definition (match-based regex —
     DuckDB's RE2 has no lookahead, so no split-with-lookahead tricks).
     """
-    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = fold_lower(col)
     letters = F.regexp_extract_all(c, F.lit("[a-z]+"), 0)
     digits = F.regexp_extract_all(c, F.lit("[0-9]+"), 0)
     punct = F.regexp_extract_all(c, F.lit("[^a-z0-9\\s]"), 0)
@@ -213,8 +227,13 @@ def rolling_fingerprint(col: Column | str) -> Column:
 # --- DuckDB-SQL mirrors (oracle builders) ---------------------------------
 
 
+def fold_lower_sql(col: str) -> str:
+    """DuckDB mirror of :func:`fold_lower`."""
+    return f"lower(translate({col}, '\u0130', 'i'))"
+
+
 def token_count_bpe_sql(col: str = "text") -> str:
-    c = f"lower({col})"
+    c = fold_lower_sql(col)
     # CAST each list_sum: DuckDB list_sum(list<BIGINT>) yields HUGEINT,
     # which pandas materializes as float64 -> driver hash drift vs Spark's
     # bigint. Same pattern as the interval_join oracle.
@@ -241,8 +260,8 @@ def rolling_fingerprint_sql(col: str = "text") -> str:
 
 def tokens_sql(col: str = "text") -> str:
     return (
-        f"list_filter(string_split_regex(lower({col}), '{TOKEN_PATTERN}'),"
-        " x -> x <> '')"
+        f"list_filter(string_split_regex({fold_lower_sql(col)},"
+        f" '{TOKEN_PATTERN}'), x -> x <> '')"
     )
 
 
@@ -253,9 +272,10 @@ def quality_sql_columns(col: str = "text") -> dict[str, str]:
     ntok = f"len({t})"
     avg_len = f"(list_sum(list_transform({t}, x -> length(x)))::DOUBLE / nullif({ntok}, 0))"
     stop = f"(len(list_filter({t}, x -> x IN ({en})))::DOUBLE / nullif({ntok}, 0))"
+    lc = fold_lower_sql(col)
     punct = (
-        f"((length(lower({col})) - length(regexp_replace(lower({col}),"
-        f" '[^a-z0-9 ]', '', 'g')))::DOUBLE / nullif(length(lower({col})), 0))"
+        f"((length({lc}) - length(regexp_replace({lc},"
+        f" '[^a-z0-9 ]', '', 'g')))::DOUBLE / nullif(length({lc}), 0))"
     )
     return {
         "n_tokens": f"CAST({ntok} AS BIGINT)",
