@@ -2829,3 +2829,26 @@ def test_unicode_fold_lower_token_parity(spark):
     for i, t in enumerate(texts):
         assert s_tok[i] == d[i][0], (t, s_tok[i], d[i][0])
         assert s_punct[i] == d[i][1], (t, s_punct[i], d[i][1])
+
+
+def test_histogram_nan_inf_parity(spark):
+    """NaN is not binnable (Spark's non-ANSI NaN→long cast lands bin 0,
+    DuckDB's clamp lands the top bin) — both engines must EXCLUDE it;
+    ±Inf clamp into edge bins consistently."""
+    import duckdb
+
+    from tidier_spark.operators.profile import histogram, histogram_sql
+
+    nan, inf = float("nan"), float("inf")
+    rows = [("g", 1.0), ("g", 2.0), ("g", nan), ("g", -0.0), ("g", 0.0),
+            ("g", inf), ("g", -inf)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hs = {r["bin"]: r["n"] for r in histogram(df, "v", 0.0, 4.0, 2).collect()}
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?,?)", rows)
+        hd = {r[0]: r[3] for r in con.execute(histogram_sql("t", "v", 0.0, 4.0, 2)).fetchall()}
+    finally:
+        con.close()
+    assert hs == hd == {0: 4, 1: 2}

@@ -82,6 +82,11 @@ def histogram(
     no engine-specific bucketing function), so the differential oracle
     hashes bit-for-bit.  ``keep_empty`` joins against a generated bin
     spine so empty bins appear with n=0 (plot-ready).
+
+    NULL and NaN rows are EXCLUDED (NaN has no bin: Spark's non-ANSI
+    NaN→long cast lands it in bin 0 while DuckDB's clamp lands it in
+    the top bin — filtering on both engines is the only portable
+    contract).  ±Inf clamp into the edge bins consistently.
     """
     step = (hi - lo) / n_bins
     c = F.col(col)
@@ -89,8 +94,10 @@ def histogram(
         F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("long")
+    is_float = str(df.schema[col].dataType) in ("DoubleType()", "FloatType()")
+    keep = c.isNotNull() & ~F.isnan(c) if is_float else c.isNotNull()
     counts = (
-        df.where(c.isNotNull())
+        df.where(keep)
         .groupBy(bin_id.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -119,7 +126,8 @@ def histogram_sql(
     return f"""
         WITH counts AS (
           SELECT {b} AS bin, count(*)::BIGINT AS n
-          FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+          FROM {table} WHERE {col} IS NOT NULL AND NOT isnan({col})
+          GROUP BY 1
         ),
         spine AS (SELECT unnest(range({n_bins})) AS bin)
         SELECT spine.bin,
