@@ -2852,3 +2852,46 @@ def test_histogram_nan_inf_parity(spark):
     finally:
         con.close()
     assert hs == hd == {0: 4, 1: 2}
+
+
+def test_pii_regex_parity_edge_inputs(spark):
+    """Java regex (Spark) vs RE2 (DuckDB) parity for the PII patterns on
+    the inputs where the engines could plausibly differ: \\b boundaries
+    against underscores, Arabic-Indic digits, unicode domains, ASCII-\\d
+    semantics, separator variants."""
+    import duckdb
+
+    from tidier_spark.operators.pii import scrub_pii, scrub_pii_sql
+
+    texts = [
+        "mail a.b_c%d+e@sub.domain.co then ١٢٣-456-7890",
+        "x123-456-7890y and _555-123-4567_",
+        "ip 999.1.2.3 and 10.0.0.1x and .1.2.3.4",
+        "émail unicode@dömain.com piece",
+        "a@b.co a@b.c double @@ a..b@c.de",
+        "phone 555.123.4567 555 123 4567 555-123-4567",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    s = {
+        r["id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["text_scrubbed"])
+        for r in scrub_pii(df, "text").collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE d(id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?,?)", [(i, t) for i, t in enumerate(texts)]
+        )
+        e = scrub_pii_sql("text")
+        d = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(
+                f"SELECT id, {e['n_email']}, {e['n_phone']}, {e['n_ipv4']},"
+                f" {e['scrubbed']} FROM d"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert s == d
