@@ -55,11 +55,22 @@ def main() -> None:
     # slow stretches unrelated to the queries); two runs can both land in
     # one stall window, three rarely do.  Marginal cost is warm-run time.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # streaming/IO entries instantiate a state store or write a sink per
+    # run and are the entries that move ±0.2 s from pure box noise
+    # (VERDICT r04 task #5) — min-of-5 for them so BENCH deltas are
+    # attributable to code, not scheduler stalls.  8 of 166 entries, so
+    # the extra wall cost is bounded.
+    extra_runs = {
+        "stream_ewma", "stream_scd2", "stream_dedup_against",
+        "stream_trailing", "csv_roundtrip", "jsonl_roundtrip",
+        "orc_roundtrip", "sink_roundtrip",
+    }
     for name, fn in qs.items():
         best = float("nan")
+        n_runs = max(runs, 5) if name in extra_runs else runs
         try:
             # min over N runs: measures the query, not transient load/GC
-            for i in range(runs):
+            for i in range(n_runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.perf_counter() - t0

@@ -168,6 +168,9 @@ def bpe_train_local(
         .limit(max_vocab_rows + 1)
         .collect()
     )
+    # The over-cap `rows` slice is an UNORDERED sample (limit on an
+    # unordered aggregate) and must never be used as data — the only
+    # permitted action past the cap is the raise below.
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"bpe_train_local collects the word-count vocabulary to the "

@@ -18,6 +18,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 __all__ = [
     "profile_table",
@@ -94,7 +95,7 @@ def histogram(
         F.greatest(F.floor((c - F.lit(lo)) / F.lit(step)), F.lit(0)),
         F.lit(n_bins - 1),
     ).cast("long")
-    is_float = str(df.schema[col].dataType) in ("DoubleType()", "FloatType()")
+    is_float = isinstance(df.schema[col].dataType, (DoubleType, FloatType))
     keep = c.isNotNull() & ~F.isnan(c) if is_float else c.isNotNull()
     counts = (
         df.where(keep)

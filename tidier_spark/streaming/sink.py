@@ -385,6 +385,14 @@ def stream_scd2_parquet(
     append-only CDC contract as scd2_merge — and the fold is property-
     tested equal to the full batch :func:`~tidier_spark.operators.merge.
     scd2` recompute over any time-ordered batch split.
+
+    Replay idempotency is LOCAL-FILESYSTEM-ONLY: the ``_BATCH_<id>``
+    markers that make a replayed micro-batch a no-op are managed with
+    ``os.listdir``/``open`` on the sink path (consistent with the
+    ``_versions()`` snapshot protocol).  On an object store or shared
+    remote path the marker protocol cannot run — a production deployment
+    there should swap the sink for a transactional table format whose
+    commit log provides the same exactly-once batch dedup.
     """
     spark = stream.sparkSession
 
