@@ -92,3 +92,268 @@ def test_single_row_groups(spark):
     ).collect()
     assert all(row["m"] == row["v"] for row in r)
     assert all(row["sd"] is None for row in r)  # n=1 → sample stddev NULL
+
+# ---------------------------------------------------------------------------
+# Cardinality-edge differentials (verdict r04 task #3): empty tables,
+# single-row groups, and all-rows-one-group for the newest operator
+# families, each checked on BOTH engines.  The reference pins partial-
+# window behavior exactly at these edges (`/root/reference/R/mutate.R:58-62`,
+# README row-1 NaN), and the star fixtures never produce them.
+# ---------------------------------------------------------------------------
+
+
+def _duck(sql: str, setup: list[str] | None = None):
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for s in setup or []:
+            con.execute(s)
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_exact_quantiles_degenerate_cardinalities(spark):
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    # empty input -> zero groups on both engines
+    empty = spark.createDataFrame([], "g string, v double")
+    assert exact_quantiles(empty, "v", [0.5], by="g").count() == 0
+    assert (
+        _duck(
+            "SELECT g, quantile_cont(v, 0.5) FROM "
+            "(SELECT NULL::VARCHAR g, NULL::DOUBLE v WHERE false) GROUP BY g"
+        )
+        == []
+    )
+
+    # single-row groups: every probability returns the value, both engines
+    one = spark.createDataFrame([("a", 1.5), ("b", -2.25)], "g string, v double")
+    got = {
+        r["g"]: (r["q_0"], r["q_1"], r["q_2"])
+        for r in exact_quantiles(one, "v", [0.0, 0.37, 1.0], by="g").collect()
+    }
+    want_duck = {
+        g: (q0, q1, q2)
+        for g, q0, q1, q2 in _duck(
+            "SELECT g, quantile_cont(v, 0.0), quantile_cont(v, 0.37),"
+            " quantile_cont(v, 1.0)"
+            " FROM (VALUES ('a', 1.5), ('b', -2.25)) t(g, v) GROUP BY g"
+        )
+    }
+    assert got == want_duck == {"a": (1.5, 1.5, 1.5), "b": (-2.25, -2.25, -2.25)}
+
+    # all rows in ONE group: interpolated quantiles match quantile_cont
+    # (dyadic probabilities -> pos and both interpolation formulas are
+    # exact in binary, so the engines must agree bit-for-bit)
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    allone = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    probs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got_row = exact_quantiles(allone, "v", probs, by="g").collect()[0]
+    got_t = tuple(got_row[f"q_{i}"] for i in range(len(probs)))
+    vv = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    qq = ", ".join(f"quantile_cont(v, {p!r})" for p in probs)
+    want_t = _duck(f"SELECT {qq} FROM (VALUES {vv}) t(v)")[0]
+    assert got_t == want_t == (1.0, 1.5, 3.0, 4.5, 9.0)
+
+
+def test_gapfill_interp_degenerate_cardinalities(spark):
+    from tidier_spark.operators.temporal import (
+        time_bucket_gapfill,
+        time_bucket_gapfill_sql,
+    )
+
+    day_us = 86_400_000_000
+    schema = "user_id long, us long, value double"
+    sql = time_bucket_gapfill_sql(
+        "events", "user_id", "ts", "value", 86400, "linear"
+    )
+
+    def run_both(rows):
+        df = spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "value"
+        )
+        got = sorted(
+            tuple(r)
+            for r in time_bucket_gapfill(
+                df, "user_id", "ts", "value", bucket_seconds=86400, fill="linear"
+            ).collect()
+        )
+        if rows:
+            vals = ", ".join(
+                f"({u}, make_timestamp({us}), {v!r})" for u, us, v in rows
+            )
+            setup = [f"CREATE TABLE events AS SELECT * FROM (VALUES {vals})"
+                     " t(user_id, ts, value)"]
+        else:
+            setup = ["CREATE TABLE events (user_id BIGINT, ts TIMESTAMP,"
+                     " value DOUBLE)"]
+        want = sorted(tuple(r) for r in _duck(sql, setup))
+        assert got == want
+        return got
+
+    # empty input -> empty grid on both engines
+    assert run_both([]) == []
+
+    # one observation per key: a 1-bucket grid, nothing filled
+    got = run_both([(1, 0, 1.25), (2, 5 * day_us + 7, -3.5)])
+    assert got == [(1, 0, 1, 125, False), (2, 5 * day_us, 1, -350, False)]
+
+    # all rows in ONE bucket of ONE key: single aggregated row, no gaps
+    got = run_both([(7, 100, 1.0), (7, 200, 2.0), (7, day_us - 1, 3.0)])
+    assert got == [(7, 0, 3, 600, False)]
+
+    # two observed buckets with a gap between: row 1/row N are anchors
+    # (partial-window edge: the interpolated bucket has BOTH neighbors
+    # by construction; first/last buckets are never filled)
+    got = run_both([(3, 0, 1.0), (3, 2 * day_us, 2.0)])
+    assert got == [
+        (3, 0, 1, 100, False),
+        (3, day_us, 0, 150, True),
+        (3, 2 * day_us, 1, 200, False),
+    ]
+
+
+def test_attribution_linear_degenerate_cardinalities(spark):
+    from tidier_spark.operators.temporal import (
+        linear_attribution,
+        linear_attribution_sql,
+    )
+
+    schema = "user_id long, event_id long, us long, event_type string, value double"
+    sql = linear_attribution_sql(
+        "events", "user_id", "event_type = 'view'",
+        "event_type = 'purchase'", "ts", "event_id", "value",
+        86_400_000_000,
+    )
+
+    def run_both(rows):
+        df = spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "event_id", "timestamp_micros(us) AS ts",
+            "event_type", "value"
+        )
+        got = sorted(
+            tuple(r)
+            for r in linear_attribution(
+                df.where("event_type = 'view'"),
+                df.where("event_type = 'purchase'"),
+                "user_id", "ts", "ts", "event_id", "event_id", "value",
+                lookback_us=86_400_000_000,
+            )
+            .selectExpr("event_id AS touch_id", "touched_cents", "n_convs",
+                        "credit_fp")
+            .collect()
+        )
+        if rows:
+            vals = ", ".join(
+                f"({u}, {e}, make_timestamp({us}), '{t}', {v!r})"
+                for u, e, us, t, v in rows
+            )
+            setup = [
+                "CREATE TABLE events AS SELECT * FROM (VALUES "
+                f"{vals}) t(user_id, event_id, ts, event_type, value)"
+            ]
+        else:
+            setup = [
+                "CREATE TABLE events (user_id BIGINT, event_id BIGINT,"
+                " ts TIMESTAMP, event_type VARCHAR, value DOUBLE)"
+            ]
+        want = sorted(tuple(r) for r in _duck(sql, setup))
+        assert got == want
+        return got
+
+    # empty table -> no credit rows on either engine
+    assert run_both([]) == []
+
+    # conversions but ZERO touches -> inner join drops everything
+    assert run_both([(1, 10, 1000, "purchase", 9.99)]) == []
+
+    # touches but ZERO conversions -> empty too
+    assert run_both([(1, 11, 1000, "view", 0.0)]) == []
+
+    # single touch, two conversions, one user: full credit each time
+    got = run_both([
+        (1, 11, 1_000_000, "view", 0.0),
+        (1, 20, 2_000_000, "purchase", 10.0),
+        (1, 21, 3_000_000, "purchase", 2.5),
+    ])
+    assert got == [(11, 1250, 2, 1_250_000_000)]
+
+    # all touches in one conversion's window: equal split incl. the
+    # truncate-toward-zero remainder (1000/3 cents*1e6 each)
+    got = run_both([
+        (5, 31, 1_000_000, "view", 0.0),
+        (5, 32, 2_000_000, "view", 0.0),
+        (5, 33, 3_000_000, "view", 0.0),
+        (5, 40, 4_000_000, "purchase", 10.0),
+    ])
+    assert got == [
+        (31, 1000, 1, 333_333_333),
+        (32, 1000, 1, 333_333_333),
+        (33, 1000, 1, 333_333_333),
+    ]
+
+
+def test_scd2_merge_degenerate_cardinalities(spark):
+    from tidier_spark.operators.merge import scd2, scd2_merge, scd2_sql
+
+    schema = "user_id long, us long, event_id long, attr string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "user_id", "timestamp_micros(us) AS ts", "event_id", "attr"
+        )
+
+    def duck_scd2(rows):
+        if rows:
+            vals = ", ".join(
+                "({}, make_timestamp({}), {}, {})".format(
+                    u, us, e, "NULL" if a is None else f"'{a}'"
+                )
+                for u, us, e, a in rows
+            )
+            setup = ["CREATE TABLE hist AS SELECT * FROM (VALUES "
+                     f"{vals}) t(user_id, ts, event_id, attr)"]
+        else:
+            setup = ["CREATE TABLE hist (user_id BIGINT, ts TIMESTAMP,"
+                     " event_id BIGINT, attr VARCHAR)"]
+        return sorted(
+            tuple(r)
+            for r in _duck(
+                scd2_sql("hist", "user_id", "ts", "attr", "event_id"), setup
+            )
+        )
+
+    cols = ["user_id", "attr", "valid_from_us", "valid_to_us",
+            "is_current", "n_obs"]
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    # empty change log -> empty history on both engines
+    assert canon(scd2(mk([]), "user_id", "ts", "attr", "event_id")) == []
+    assert duck_scd2([]) == []
+
+    # single-row log -> one open run, identical across engines and via
+    # the incremental fold from a None snapshot
+    one = [(1, 1_000_000, 10, "A")]
+    full = canon(scd2(mk(one), "user_id", "ts", "attr", "event_id"))
+    inc = canon(
+        scd2_merge(None, mk(one), "user_id", "ts", "attr", "event_id")
+    )
+    assert full == inc == duck_scd2(one) == [(1, "A", 1_000_000, None, True, 1)]
+
+    # empty BATCH folded onto a snapshot -> exact passthrough
+    hist = scd2(mk(one), "user_id", "ts", "attr", "event_id")
+    after = scd2_merge(hist, mk([]), "user_id", "ts", "attr", "event_id")
+    assert canon(after) == full
+
+    # ALL rows one key (alternating runs): full == incremental == DuckDB
+    rows = [(2, i * 1_000_000, 100 + i, a) for i, a in enumerate("AABBA")]
+    full = canon(scd2(mk(rows), "user_id", "ts", "attr", "event_id"))
+    snap = scd2(mk(rows[:2]), "user_id", "ts", "attr", "event_id")
+    inc = canon(
+        scd2_merge(snap, mk(rows[2:]), "user_id", "ts", "attr", "event_id")
+    )
+    assert full == inc == duck_scd2(rows)
