@@ -2615,9 +2615,10 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys.
-    Round-4 contract: that head is exactly 50 entries with no prior
-    driver CORRECTNESS row (rounds 1-3), so CORRECTNESS_r04 maximizes
-    first-time coverage.  Pin it so an accidental reorder fails fast."""
+    Round-5 contract: positions 1-21 are exactly the entries with NO
+    prior driver CORRECTNESS row (rounds 1-4) so every board entry gets
+    a driver row after r05; positions 22-50 re-confirm the oldest
+    (r1/r2-vintage) greens.  Pin it so an accidental reorder fails fast."""
     import json
     import os
 
@@ -2626,14 +2627,19 @@ def test_driver_window_head_is_never_checked_rotation():
     keys = list(entrymod.queries().keys())
     assert len(keys) == len(set(keys)) == 166
     prior = set()
-    for r in ("01", "02", "03"):
+    for r in ("01", "02", "03", "04"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
                 prior |= set(json.load(fh).keys())
     if prior:
-        head = keys[:50]
-        assert not (set(head) & prior), sorted(set(head) & prior)
+        never_checked = set(keys) - prior
+        head = keys[: len(never_checked)]
+        # the never-driver-checked entries lead the window, all of them
+        assert set(head) == never_checked, sorted(
+            never_checked.symmetric_difference(head)
+        )
+        assert len(never_checked) <= 50
         # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(keys)
