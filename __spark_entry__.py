@@ -2117,22 +2117,31 @@ def _q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate must land between the exact quantile values at p ± 2%.
     from pyspark.sql import functions as F
 
-    from tidier_spark.operators.sketches import kll_merged_quantiles, kll_partials
+    from tidier_spark.operators.sketches import (
+        exact_quantiles,
+        kll_merged_quantiles,
+        kll_partials,
+    )
 
     li = read_table(spark, sf_dir, "lineitem").withColumn(
         "p100", F.round(F.col("l_extendedprice") * 100).cast("long")
     )
-    # one percentile aggregate (single sort buffer per group) — separate
-    # percentile() calls each buffer the whole group independently
-    exact = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile(p100, array(0.48, 0.52, 0.88, 0.92, 0.5, 0.9))"
-        ).alias("__bounds")
+    # exact side via the distributed (value,count) + cumulative-count
+    # shape — bit-identical to the built-in percentile (differential-
+    # pinned) without its whole-group per-task value buffering, and all
+    # six probabilities come out of ONE pass (sketch_quantiles pattern)
+    exact = exact_quantiles(
+        li.select("l_returnflag", "p100"),
+        "p100",
+        [0.48, 0.52, 0.88, 0.92, 0.5, 0.9],
+        by="l_returnflag",
     ).select(
         "l_returnflag",
-        "__bounds",
-        F.col("__bounds")[4].alias("p50_exact"),
-        F.col("__bounds")[5].alias("p90_exact"),
+        F.array(
+            F.col("q_0"), F.col("q_1"), F.col("q_2"), F.col("q_3")
+        ).alias("__bounds"),
+        F.col("q_4").alias("p50_exact"),
+        F.col("q_5").alias("p90_exact"),
     )
     parts = kll_partials(
         li.withColumn("ship_month", F.trunc("l_shipdate", "month")),

@@ -121,6 +121,47 @@ def main():
     rows.append(("ivfpq_topk", "2k vecs", timeit(ivfpq(2_000), reps=1)))
     rows.append(("ivfpq_topk", "20k vecs", timeit(ivfpq(20_000), reps=1)))
 
+    # 6. distributed Lloyd k-means (fixed-point, transform-argmin
+    # assignment): per-round work is one (cluster, dim) aggregate
+    from tidier_spark.operators.similarity import kmeans_fit
+
+    def km(n):
+        df = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(pmod(xxhash64(id * 64 + i), 1000) as double)"
+                " / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        return lambda: kmeans_fit(df, k=4, iters=2).agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    rows.append(("kmeans_fit", "20k vecs", timeit(km(20_000), reps=1)))
+    rows.append(("kmeans_fit", "200k vecs", timeit(km(200_000), reps=1)))
+
+    # 7. connected components over a dup-shaped graph (4-node stars:
+    # diameter 2, the typical near-dup cluster shape)
+    from tidier_spark.operators.graph import connected_components
+
+    def cc(n):
+        nodes = spark.range(n).select(F.col("id"))
+        edges = (
+            spark.range(n)
+            .where("id % 4 != 0")
+            .select(
+                (F.col("id") - F.col("id") % 4).alias("id_a"),
+                F.col("id").alias("id_b"),
+            )
+        )
+        return lambda: connected_components(edges, nodes).agg(
+            F.countDistinct("cluster_id")
+        ).collect()
+
+    rows.append(("connected_components", "1M nodes", timeit(cc(1_000_000), reps=1)))
+    rows.append(("connected_components", "10M nodes", timeit(cc(10_000_000), reps=1)))
+
     print(f"{'operator':<20} {'size':>10} {'sec':>8}")
     for op, size, sec in rows:
         print(f"{op:<20} {size:>10} {sec:>8.2f}")

@@ -12,13 +12,16 @@ Pregel pattern expressed as bounded DataFrame iterations:
   no separate "fold with self" left-join pass; shuffles only on node ids;
 * iteration count is bounded by the graph DIAMETER, not its size — dup
   clusters are short chains/cliques, so a handful of rounds converge;
-* the symmetrized edge list is localCheckpoint-ed BEFORE the loop and
-  every round's labels are localCheckpoint-ed too: persist() truncates
-  execution but not the logical plan, so without the checkpoint every
-  iteration re-analyzes the full upstream pipeline (minhash banding +
+* the edge list is localCheckpoint-ed BEFORE the loop and every round's
+  labels are localCheckpoint-ed too: persist() truncates execution but
+  not the logical plan, so without the checkpoint every iteration
+  re-analyzes the full upstream pipeline (minhash banding +
   verification) and the plan deepens per round — measured 1.5-2.6 s of
   pure optimizer time per iteration on a 500-row label frame at sf0.1,
-  0.35 s once truncated (the classic iterative-Spark trap);
+  0.35 s once truncated (the classic iterative-Spark trap); the first
+  propagation round is FUSED into label init (lab(x)=x initially, so
+  round 1 is just min(u, min neighbors) — one aggregate, no separate
+  distinct-labels job);
 * convergence exploits monotonicity: labels only ever DECREASE, so the
   label-sum strictly drops iff anything changed — the per-round change
   check is a scalar aggregate (decimal sum, overflow-safe for 64-bit
@@ -57,22 +60,26 @@ def connected_components(
     fraction of the documents — the loop's shuffle volume is bounded by
     it, not by |nodes|.
     """
-    # Persist the EDGE LIST itself before symmetrizing (the two union
-    # orientations would otherwise execute the upstream pair pipeline
-    # twice), then EAGERLY checkpoint the symmetrized frame: this cuts
-    # the expensive edge lineage (minhash banding + jaccard verify) out
-    # of every iteration's logical plan.  On a cluster, swap
-    # localCheckpoint for reliable checkpoint() if executor loss during
-    # the loop must be survivable.
-    edges_c = edges.persist()
-    sym = (
-        edges_c.selectExpr(f"{src} AS u", f"{dst} AS v")
-        .unionAll(edges_c.selectExpr(f"{dst} AS u", f"{src} AS v"))
-        .localCheckpoint()
+    # EAGERLY checkpoint the EDGE LIST itself (one materialization of the
+    # expensive upstream pair pipeline — minhash banding + jaccard
+    # verify; persist()-then-union would race the two orientations'
+    # scans into computing it twice inside the same job, and the lineage
+    # would otherwise deepen every iteration's logical plan).  The
+    # symmetrized frame is then a trivial projection-union OVER the
+    # checkpoint — no second materialization job needed.  On a cluster,
+    # swap localCheckpoint for reliable checkpoint() if executor loss
+    # during the loop must be survivable.
+    edges_c = edges.localCheckpoint()
+    sym = edges_c.selectExpr(f"{src} AS u", f"{dst} AS v").unionAll(
+        edges_c.selectExpr(f"{dst} AS u", f"{src} AS v")
     )
-    edges_c.unpersist()
+    # fused round 1: with lab(x)=x initially, the first propagation is
+    # just min(u, min of neighbors) — one aggregate replaces the separate
+    # distinct-labels init job AND the first loop iteration
     labels = (
-        sym.select("u").distinct().withColumn("lab", F.col("u")).localCheckpoint()
+        sym.groupBy("u")
+        .agg(F.min(F.least(F.col("u"), F.col("v"))).alias("lab"))
+        .localCheckpoint(eager=False)
     )
 
     def label_sum(frame: DataFrame):
@@ -81,7 +88,7 @@ def connected_components(
         ).collect()[0][0]
 
     prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         # min over {own label} ∪ {neighbor labels}: the self-label rides
         # the same groupBy via union, so isolated nodes survive and no
         # second join is needed.  eager=False: label_sum materializes the

@@ -1287,13 +1287,18 @@ def kmeans_fit(
     scale: int = 10_000,
 ) -> DataFrame:
     """Fully-DISTRIBUTED Lloyd k-means over every vector (unlike
-    :func:`train_quantizer`'s bounded-sample training): assignment is a
-    JVM codegen expression (zip_with square-distance fold + a least/when
-    argmin — no Python in the per-row path), the centroid update is one
-    (cluster, dim) hash aggregate with map-side combine (k·d groups),
-    and only the k×d centroid table ever reaches the driver.  The
-    iterative-algorithm pattern of ``graph.py``: per-round work is one
-    shuffle, driver state is O(k·d), rounds are bounded by ``iters``.
+    :func:`train_quantizer`'s bounded-sample training): assignment is ONE
+    JVM higher-order expression — a ``transform`` over the k×d centroid
+    array literal computing the square-distance fold per centroid, then
+    ``array_position(…, array_min(…))`` as the argmin (first index wins,
+    so ties go to the lowest cluster id for free) — no Python in the
+    per-row path and no per-centroid column rebuild per iteration.  The
+    centroid update is one (cluster, dim) hash aggregate with map-side
+    combine (k·d groups), and only the k×d centroid table ever reaches
+    the driver.  The iterative-algorithm pattern of ``graph.py``:
+    per-round work is one shuffle, driver state is O(k·d), rounds are
+    bounded by ``iters``; the fixed-point frame is cached once so the
+    ``iters``+1 passes never re-read or re-quantize the source.
 
     EXACT cross-engine arithmetic, so the result is oracle-checkable
     (DuckDB unrolls the same rounds as CTEs — the bpe_train discipline):
@@ -1312,30 +1317,36 @@ def kmeans_fit(
             F.col(vec_col),
                 lambda x: F.round(x.cast("double") * scale).cast("bigint"),
         ).alias("__x"),
-    )
+    ).persist()
     init = base.orderBy(id_col).limit(k).collect()
     if not init:
+        base.unpersist()
         raise ValueError("kmeans_fit: input DataFrame is empty")
     cents = [list(r["__x"]) for r in init]
     dims = len(cents[0])
 
-    def dist_to(c: list[int]) -> F.Column:
-        arr = F.array(*[F.lit(int(v)) for v in c])
-        return F.aggregate(
-            F.zip_with(F.col("__x"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
     def assign(frame: DataFrame) -> DataFrame:
-        dists = [dist_to(cents[j]).alias(f"__d{j}") for j in range(len(cents))]
-        a = frame.select(id_col, "__x", *dists)
-        dcols = [F.col(f"__d{j}") for j in range(len(cents))]
-        best = F.least(*dcols) if len(dcols) > 1 else dcols[0]
-        cl = F.lit(None).cast("int")
-        for j in range(len(cents) - 1, -1, -1):
-            cl = F.when(F.col(f"__d{j}") == best, F.lit(j)).otherwise(cl)
-        return a.select(id_col, "__x", cl.cast("long").alias("cluster"))
+        # one nested centroid-array literal per pass (k·d ints, model-
+        # sized); distances via a transform over it, argmin via
+        # array_position of the min — first match, i.e. lowest cluster id
+        carr = F.array(
+            *[F.array(*[F.lit(int(v)) for v in c]) for c in cents]
+        )
+        dists = F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("__x"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return frame.select(
+            id_col,
+            "__x",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("long")
+            .alias("cluster"),
+        )
 
     for _ in range(iters):
         assigned = assign(base)
