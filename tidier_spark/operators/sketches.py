@@ -130,6 +130,7 @@ def exact_quantiles(
     probs: list[float],
     *,
     by: object = None,
+    coarse_groups: bool = False,
 ) -> DataFrame:
     """Per-group EXACT quantiles (continuous interpolation, the
     ``percentile``/``quantile_cont`` contract) computed distributively.
@@ -149,6 +150,19 @@ def exact_quantiles(
     order.  NULLs are ignored, matching ``percentile``; a group whose
     values are all NULL has no surviving rows and is absent from the
     output (where the built-in would emit the group with NULL quantiles).
+
+    Two parallelism regimes, same arithmetic (bit-identical results):
+
+    * default (``coarse_groups=False``): the cumulative count is one
+      window per group — parallelism scales with the NUMBER of groups,
+      the right shape for high-cardinality keys (millions of groups);
+    * ``coarse_groups=True``: a range partitioner on (keys, value)
+      spreads each group's value range over every core and the prefix
+      runs as the textbook two-pass distributed scan (per-partition
+      prefix + broadcast exclusive offsets) — the right shape when a
+      FEW huge groups would otherwise serialize on one task per group.
+      The offset table is O(n_partitions × groups) rows and must stay
+      broadcastable, which is exactly the coarse-group regime.
     """
     from pyspark.sql import Window
 
@@ -160,14 +174,48 @@ def exact_quantiles(
         .groupBy(*keys, col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    w = Window.partitionBy(*keys).orderBy(col)
-    # same partition+order spec for both frames → one WindowExec pass
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = (
-        counts.withColumn("__hi", F.sum("__c").over(w))
-        .withColumn("__lo", F.col("__hi") - F.col("__c"))
-        .withColumn("__n", F.sum("__c").over(w_all))
-    )
+    if coarse_groups:
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        ranged = counts.repartitionByRange(
+            n_part, *[F.col(k) for k in keys], F.col(col)
+        ).withColumn("__pid", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy("__pid", *keys)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = ranged.withColumn("__hi_local", F.sum("__c").over(w_local))
+        totals = ranged.groupBy("__pid", *keys).agg(
+            F.sum("__c").alias("__tot")
+        )
+        w_prev = (
+            Window.partitionBy(*keys)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = totals.select(
+            "__pid", *keys, F.sum("__tot").over(w_prev).alias("__off")
+        )
+        ntot = totals.groupBy(*keys).agg(F.sum("__tot").alias("__n"))
+        cum = (
+            local.join(F.broadcast(offs), ["__pid", *keys], "left")
+            .join(F.broadcast(ntot), list(keys))
+            .withColumn(
+                "__hi", F.col("__hi_local") + F.coalesce("__off", F.lit(0))
+            )
+            .withColumn("__lo", F.col("__hi") - F.col("__c"))
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(col)
+        # same partition+order spec for both frames → one WindowExec pass
+        w_all = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = (
+            counts.withColumn("__hi", F.sum("__c").over(w))
+            .withColumn("__lo", F.col("__hi") - F.col("__c"))
+            .withColumn("__n", F.sum("__c").over(w_all))
+        )
     aggs = [F.first("__n").alias("__n")]
     for i, p in enumerate(probs):
         pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
