@@ -117,9 +117,13 @@ def _duck(sql: str, setup: list[str] | None = None):
 def test_exact_quantiles_degenerate_cardinalities(spark):
     from tidier_spark.operators.sketches import exact_quantiles
 
-    # empty input -> zero groups on both engines
+    # empty input -> zero groups on both engines (both parallelism regimes)
     empty = spark.createDataFrame([], "g string, v double")
     assert exact_quantiles(empty, "v", [0.5], by="g").count() == 0
+    assert (
+        exact_quantiles(empty, "v", [0.5], by="g", coarse_groups=True).count()
+        == 0
+    )
     assert (
         _duck(
             "SELECT g, quantile_cont(v, 0.5) FROM "
@@ -156,6 +160,21 @@ def test_exact_quantiles_degenerate_cardinalities(spark):
     qq = ", ".join(f"quantile_cont(v, {p!r})" for p in probs)
     want_t = _duck(f"SELECT {qq} FROM (VALUES {vv}) t(v)")[0]
     assert got_t == want_t == (1.0, 1.5, 3.0, 4.5, 9.0)
+
+    # the coarse_groups (range-partitioned two-pass prefix) regime is
+    # bit-equal to the window regime on every case above
+    for frame in (one, allone):
+        a = sorted(
+            tuple(r)
+            for r in exact_quantiles(frame, "v", probs, by="g").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in exact_quantiles(
+                frame, "v", probs, by="g", coarse_groups=True
+            ).collect()
+        )
+        assert a == b
 
 
 def test_gapfill_interp_degenerate_cardinalities(spark):

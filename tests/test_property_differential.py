@@ -811,3 +811,12 @@ def test_exact_quantiles_property_matches_builtin(rows, probs, spark):
         for r in exact_quantiles(df, "v", probs, by="g").collect()
     }
     assert mine == ref
+    # the coarse_groups regime (range-partitioned two-pass prefix,
+    # parallel WITHIN groups) must be bit-equal too
+    coarse = {
+        r["g"]: tuple(r[f"q_{i}"] for i in range(len(probs)))
+        for r in exact_quantiles(
+            df, "v", probs, by="g", coarse_groups=True
+        ).collect()
+    }
+    assert coarse == ref
