@@ -2901,3 +2901,66 @@ def test_pii_regex_parity_edge_inputs(spark):
     finally:
         con.close()
     assert s == d
+
+
+def test_star_cc_matches_minlabel_on_random_graphs(spark):
+    """Alternating large-star/small-star must produce exactly the same
+    component labels as min-label propagation on arbitrary graphs —
+    including duplicate edges, both orientations, self-loops, and
+    isolated nodes."""
+    import random
+
+    from tidier_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(5)
+    for trial in range(4):
+        n = 30
+        m = rng.randrange(0, 50)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] + [(7, 7)]  # self-loop must be inert
+        nodes = spark.range(n).select(F.col("id"))
+        e = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        )
+        if not edges:
+            e = e.limit(0)
+        a = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(e, nodes).collect()
+        }
+        b = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components_star(e, nodes).collect()
+        }
+        assert a == b, f"trial {trial}: {a} != {b}"
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path (diameter 199) — the regime min-label's
+    O(diameter) rounds cannot handle within its default budget — must
+    fully collapse to one component in O(log n) star rounds."""
+    from tidier_spark.operators.graph import connected_components_star
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = connected_components_star(chain, nodes, max_iter=12).collect()
+    assert all(r["cluster_id"] == 0 for r in got) and len(got) == n
+
+
+def test_star_cc_empty_and_isolated(spark):
+    from tidier_spark.operators.graph import connected_components_star
+
+    nodes = spark.range(5).select(F.col("id"))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(empty, nodes).collect()
+    }
+    assert got == {i: i for i in range(5)}

@@ -27,8 +27,10 @@ Pregel pattern expressed as bounded DataFrame iterations:
   check is a scalar aggregate (decimal sum, overflow-safe for 64-bit
   ids), not the labels⋈old-labels comparison join it would naively be.
 
-At 100 TB scale the same loop runs unchanged; for billion-edge graphs
-swap in GraphFrames/large-star-small-star if diameter grows beyond ~20.
+At 100 TB scale the same loop runs unchanged; when diameter grows beyond
+~20 (long chains, not dup cliques) switch to
+:func:`connected_components_star` — alternating large-star/small-star
+rounds, O(log n) rounds instead of O(diameter), same label contract.
 """
 
 from __future__ import annotations
@@ -36,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dup_clusters"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dup_clusters",
+]
 
 
 def connected_components(
@@ -111,6 +117,120 @@ def connected_components(
     return (
         nodes.select(F.col(id_col))
         .join(labels, F.col(id_col) == F.col("u"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lab"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round alternative to
+    :func:`connected_components`'s O(diameter) min-label propagation.
+
+    Same contract as :func:`connected_components`: every node labeled
+    with min(node id) of its component, isolated nodes label themselves,
+    returns ``(id_col, cluster_id)``.  Use THIS variant when components
+    are long chains/paths (diameter ≫ 20: lineage graphs, session
+    stitching, web-graph link chains); use min-label for the typical
+    near-dup clique/star graphs where diameter ≤ a handful — its
+    per-round work is one join+agg vs two here.
+
+    One round = two phases over the current edge multiset E (kept
+    deduplicated, smaller endpoint first):
+
+    * **large-star**: per node u, connect every STRICTLY LARGER neighbor
+      to m(u) = min(N(u) ∪ {u}) — doubles star depth toward the min
+      without ever increasing the potential;
+    * **small-star**: per node u (edges oriented to the larger
+      endpoint), connect every smaller-or-equal neighbor and u itself
+      to the min — collapses the chains large-star built.
+
+    Both phases are groupBy-min + an equi-join back on the grouping key
+    — no window, no driver state beyond the convergence scalar.  The
+    edge set monotonically converges to rooted stars (v, root); the
+    per-round change check is the same decimal label-sum trick as
+    min-label (Σ min-neighbor strictly decreases until fixpoint).  Each
+    round's frame is localCheckpoint-ed to truncate the growing plan —
+    the iterative-Spark discipline of :func:`connected_components`.
+    """
+    e0 = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def round_sum(frame: DataFrame):
+        r = frame.agg(
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (r["su"], r["sv"], r["n"])
+
+    e = e0
+    prev = round_sum(e)
+    for _ in range(max_iter):
+        # --- large-star: group on the SMALLER endpoint's neighborhoods.
+        # Symmetrize so every node sees its full neighborhood, take
+        # m(u) = min(neighbor ∪ self), re-attach larger neighbors to m.
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v"))
+            .where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        # --- small-star: orient edges to the larger endpoint (group key
+        # v), connect all smaller neighbors AND the key itself to the min
+        mins2 = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            large.join(mins2, "v")
+            .select(F.col("m").alias("u"), F.col("u").alias("w"))
+            .unionAll(
+                mins2.select(F.col("m").alias("u"), F.col("v").alias("w"))
+            )
+            .where(F.col("u") != F.col("w"))
+            .select(
+                F.least("u", "w").alias("u"), F.greatest("u", "w").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        e = small
+        cur = round_sum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are rooted stars (root = component min on u side)
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("lab"))
+    roots = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    lab = labels.unionByName(roots).groupBy("node").agg(F.min("lab").alias("lab"))
+    return (
+        nodes.select(F.col(id_col))
+        .join(lab, F.col(id_col) == F.col("node"), "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("lab"), F.col(id_col)).alias("cluster_id"),
