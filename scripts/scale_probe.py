@@ -162,6 +162,23 @@ def main():
     rows.append(("connected_components", "1M nodes", timeit(cc(1_000_000), reps=1)))
     rows.append(("connected_components", "10M nodes", timeit(cc(10_000_000), reps=1)))
 
+    # 8. large-star/small-star CC on a PATH graph — diameter n-1, the
+    # regime where min-label's O(diameter) rounds are impossible and
+    # star's O(log n) rounds are the point
+    from tidier_spark.operators.graph import connected_components_star
+
+    def ccs(n):
+        nodes = spark.range(n).select(F.col("id"))
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        return lambda: connected_components_star(chain, nodes).agg(
+            F.countDistinct("cluster_id")
+        ).collect()
+
+    rows.append(("star_cc_path", "100k chain", timeit(ccs(100_000), reps=1)))
+    rows.append(("star_cc_path", "1M chain", timeit(ccs(1_000_000), reps=1)))
+
     print(f"{'operator':<20} {'size':>10} {'sec':>8}")
     for op, size, sec in rows:
         print(f"{op:<20} {size:>10} {sec:>8.2f}")

@@ -191,6 +191,9 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no distinct here: the small phase re-groups and dedups anyway,
+        # so carrying duplicate large-edges one phase costs less than an
+        # extra exchange per round
         large = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
@@ -199,7 +202,6 @@ def connected_components_star(
             .select(
                 F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
             )
-            .distinct()
         )
         # --- small-star: orient edges to the larger endpoint (group key
         # v), connect all smaller neighbors AND the key itself to the min
