@@ -376,3 +376,51 @@ def test_scd2_merge_degenerate_cardinalities(spark):
         scd2_merge(snap, mk(rows[2:]), "user_id", "ts", "attr", "event_id")
     )
     assert full == inc == duck_scd2(rows)
+
+
+def test_winsorize_constant_and_single_row_groups(spark):
+    """Degenerate spreads: a constant column's lower and upper quantiles
+    coincide at the value (nothing clamps, bounds equal), and a
+    single-row group is its own pair of quantiles."""
+    from tidier_spark.operators.quality import winsorize
+
+    df = spark.createDataFrame(
+        [(i, "g", 4.25) for i in range(6)] + [(9, "h", -1.0)],
+        "id long, grp string, v double",
+    )
+    rows = winsorize(
+        df, "v", by="grp", lower=0.05, upper=0.95, id_cols=["id"]
+    ).collect()
+    assert rows and all(not r["clamped"] for r in rows)
+    assert all(r["vc_winsor"] == r["vc"] for r in rows)
+    h = [r for r in rows if r["grp"] == "h"][0]
+    assert h["q_lo"] == h["q_hi"] == -100.0
+
+
+def test_ewma_single_row_per_key_matches_duckdb(spark):
+    """One observation per key: the finite-lookback EWMA must return the
+    value itself (num = 2^L·x, den = 2^L) on both engines."""
+    from tidier_spark.operators.temporal import ewma, ewma_sql
+
+    rows = [(1, 1_000_000, 10, 2.5), (2, 5_000_000, 11, -0.25)]
+    df = spark.createDataFrame(
+        rows, "k long, us long, eid long, v double"
+    ).selectExpr("k", "timestamp_micros(us) AS ts", "eid", "v")
+    got = sorted(
+        tuple(r)
+        for r in ewma(df, "k", "ts", "v", "eid").select(
+            "k", "ts_us", "eid", "ewma100"
+        ).collect()
+    )
+    vals = ", ".join(f"({k}, make_timestamp({us}), {e}, {v!r})" for k, us, e, v in rows)
+    want = sorted(
+        tuple(r)
+        for r in _duck(
+            "SELECT k, ts_us, eid, ewma100 FROM ("
+            + ewma_sql("evs", "k", "ts", "v", "eid")
+            + ") t",
+            [f"CREATE TABLE evs AS SELECT * FROM (VALUES {vals})"
+             " t(k, ts, eid, v)"],
+        )
+    )
+    assert got == want == [(1, 1_000_000, 10, 250.0), (2, 5_000_000, 11, -25.0)]
