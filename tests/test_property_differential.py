@@ -820,3 +820,42 @@ def test_exact_quantiles_property_matches_builtin(rows, probs, spark):
         ).collect()
     }
     assert coarse == ref
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_star_cc_property_matches_minlabel(edges, spark):
+    """connected_components_star (large-star/small-star) and min-label
+    propagation must agree on ANY multigraph — duplicate edges, both
+    orientations, self-loops, isolated nodes, empty edge lists."""
+    from tidier_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 25
+    nodes = spark.range(n).select(F.col("id"))
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        e = e.limit(0)
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(e, nodes).collect()
+    }
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components_star(e, nodes).collect()
+    }
+    assert a == b
