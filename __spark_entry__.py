@@ -322,7 +322,11 @@ def _q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("embedding_lsh_pairs").alias("metric"),
             F.col("n_exact").cast("long").alias("n_exact"),
             (F.col("n_lsh") == F.col("n_hit")).alias("subset_ok"),
-            (F.col("n_hit") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+            # zero exact pairs ⇒ recall is vacuously met (ANSI 0/0 would
+            # raise; the oracle's constant-true shape agrees)
+            F.when(F.col("n_exact") == 0, F.lit(True))
+            .otherwise(F.col("n_hit") / F.col("n_exact") >= 0.9)
+            .alias("recall_ok"),
         )
     )
 
@@ -387,10 +391,16 @@ def _ann_guarantee_row(emb, approx, metric: str, bound: float) -> DataFrame:
         .select(
             F.lit(metric).alias("metric"),
             F.col("n_exact").cast("long").alias("n_exact"),
-            (F.col("n_hit") / F.col("n_exact") >= bound).alias("recall_ok"),
-            F.expr("(n_hit * 10) div n_exact").cast("long").alias(
-                "recall_decile"
-            ),
+            # zero exact pairs (empty corpus): recall is vacuously met
+            # and the decile undefined — ANSI 0/0 would raise instead
+            F.when(F.col("n_exact") == 0, F.lit(True))
+            .otherwise(F.col("n_hit") / F.col("n_exact") >= bound)
+            .alias("recall_ok"),
+            F.when(
+                F.col("n_exact") > 0, F.expr("(n_hit * 10) div n_exact")
+            )
+            .cast("long")
+            .alias("recall_decile"),
         )
     )
 
@@ -3006,7 +3016,10 @@ def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(
         ev, path, partition_by=["event_type"], sort_by=["ts"], n_files=4
     )
-    back = spark.read.parquet(path).where(
+    # explicit schema: inference needs at least one written data file, so
+    # an EMPTY source table would otherwise fail the read-back with
+    # UNABLE_TO_INFER_SCHEMA; the written schema is the source's own
+    back = spark.read.schema(ev.schema).parquet(path).where(
         F.col("event_type").isin("click", "purchase")
     )
     return (

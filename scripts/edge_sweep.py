@@ -1,0 +1,136 @@
+"""Board-wide cardinality-edge sweep: run EVERY queries() entry, and its
+DuckDB oracle, against (a) empty tables and (b) single-row tables.
+
+The shipped fixtures never exercise these sizes, so every entry's
+empty/1-row path is fixture-blind by construction.  The sweep classifies
+each entry per fixture:
+
+* ``match``        — Spark and oracle agree (rows + sorted-column values)
+* ``both_empty``   — both produced zero rows
+* ``loud_both``    — both engines raised (acceptable: loud fail)
+* ``spark_err``    — Spark raised, oracle did not (or vice versa:
+  ``oracle_err``) — POTENTIAL DIVERGENCE, listed for triage
+* ``mismatch``     — both ran, different results — REAL DIVERGENCE
+
+Usage: python scripts/edge_sweep.py [empty|one] [query ...]
+Writes /tmp/edge_sweep_<kind>.json with the full classification.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import traceback
+
+import duckdb
+import pyarrow.parquet as pq
+
+sys.path.insert(0, ".")
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+SRC = "/root/testdata/sf0.001"
+
+
+def build_fixture(kind: str) -> str:
+    out = f"/tmp/edge_fixture_{kind}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        n = 0 if kind == "empty" else 1
+        pq.write_table(tbl.slice(0, n), f"{out}/{t}.parquet")
+    return out
+
+
+def canon(df) -> list:
+    import pandas as pd  # noqa: F401
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        rows.append(tuple(str(v) for v in tup))
+    return sorted(rows)
+
+
+def main() -> int:
+    kind = sys.argv[1] if len(sys.argv) > 1 else "empty"
+    only = set(sys.argv[2:])
+    sf_dir = build_fixture(kind)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("edge-sweep")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        s_err = o_err = None
+        s_rows = o_rows = None
+        try:
+            s_rows = canon(fn(spark, sf_dir).toPandas())
+        except Exception as e:
+            s_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+        sql = oracles.get(name)
+        if sql is not None:
+            con = duckdb.connect()
+            try:
+                for t in TABLES:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                    )
+                o_rows = canon(con.execute(sql).df())
+            except Exception as e:
+                o_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            finally:
+                con.close()
+        if s_err and o_err:
+            cls = "loud_both"
+        elif s_err:
+            cls = "spark_err"
+        elif o_err:
+            cls = "oracle_err"
+        elif s_rows == o_rows:
+            cls = "both_empty" if not s_rows else "match"
+        else:
+            cls = "mismatch"
+        results[name] = {
+            "class": cls,
+            "spark_rows": None if s_rows is None else len(s_rows),
+            "oracle_rows": None if o_rows is None else len(o_rows),
+            "spark_err": s_err,
+            "oracle_err": o_err,
+        }
+        flag = "" if cls in ("match", "both_empty", "loud_both") else "  <<<"
+        print(f"{cls:11s} {name}{flag}", flush=True)
+
+    out = f"/tmp/edge_sweep_{kind}.json"
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    from collections import Counter
+
+    print(dict(Counter(r["class"] for r in results.values())))
+    bad = [n for n, r in results.items() if r["class"] in ("mismatch",)]
+    print("mismatches:", bad)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -424,3 +424,87 @@ def test_ewma_single_row_per_key_matches_duckdb(spark):
         )
     )
     assert got == want == [(1, 1_000_000, 10, 250.0), (2, 5_000_000, 11, -25.0)]
+
+
+def test_grouping_sets_empty_input_known_divergence(spark):
+    """PINNED ENGINE DIVERGENCE: grouping sets / rollup over an EMPTY
+    table emit zero rows on Spark (Expand-based lowering: the expand of
+    nothing aggregates to no groups) but one global row (keys NULL,
+    count 0) on DuckDB, which follows the SQL standard.  Documented in
+    summarise's docstring; this pin fails if either engine changes."""
+    from tidier_spark.verbs import summarise
+
+    empty = spark.createDataFrame([], "a string, v long")
+    assert summarise(empty, n="count(*)", by="a", rollup=True).count() == 0
+    assert (
+        summarise(empty, n="count(*)", grouping_sets=[["a"], []]).count()
+        == 0
+    )
+    assert _duck(
+        "SELECT a, count(*) FROM (SELECT NULL::VARCHAR a WHERE false)"
+        " GROUP BY ROLLUP(a)"
+    ) == [(None, 0)]
+
+
+def test_stream_sinks_on_empty_stream_return_empty_snapshot(spark, tmp_path):
+    """An AvailableNow replay of a source directory with ZERO files
+    commits no snapshot — the sinks must return an EMPTY frame with the
+    right schema, not die with 'no committed snapshot'."""
+    from tidier_spark.streaming import stream_merge_parquet, stream_scd2_parquet
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, attr string"
+
+    s1 = spark.readStream.schema(schema).parquet(str(src))
+    hist = stream_scd2_parquet(
+        s1, str(tmp_path / "t_scd2"), "user_id", "ts", "attr", "event_id",
+        name="t_scd2_empty",
+    )
+    assert hist.count() == 0
+    assert {"user_id", "attr", "valid_from_us", "valid_to_us",
+            "is_current", "n_obs"} <= set(hist.columns)
+
+    s2 = spark.readStream.schema(schema).parquet(str(src))
+    merged = stream_merge_parquet(
+        s2, str(tmp_path / "t_merge"), "user_id", ["ts", "event_id"],
+        name="t_merge_empty",
+    )
+    assert merged.count() == 0
+    assert merged.columns == ["user_id", "ts", "event_id", "attr"]
+
+
+def test_ann_and_dedup_empty_corpus_behavior(spark):
+    """Empty-corpus contract for the embedding family: pure SEARCHES are
+    well-defined and return zero rows; index TRAINERS raise the loud
+    named error (not numpy's 'need at least one array to concatenate')."""
+    import pytest
+
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators import similarity as S
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert S.cosine_topk(empty, k=3).count() == 0
+    assert D.embedding_near_dup(empty, threshold=0.4).count() == 0
+    assert D.semantic_dedup_pairs(empty).count() == 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.train_quantizer(empty, "vec_id", "embedding", n_lists=4)
+
+
+def test_sketch_merges_over_zero_partials(spark):
+    """Ungrouped sketch merges over zero partial sketches must yield
+    zero rows (no sketches -> no estimate), not a null-buffer crash."""
+    from tidier_spark.operators.sketches import (
+        kll_merged_quantiles,
+        topk_merged,
+        topk_partials,
+    )
+
+    empty_items = spark.createDataFrame([], "item long, part long")
+    parts = topk_partials(empty_items, "item", part="part")
+    assert topk_merged(parts, 5).count() == 0
+
+    empty_kll = spark.createDataFrame([], "kll_sketch binary")
+    assert kll_merged_quantiles(empty_kll, [0.5]).count() == 0

@@ -674,6 +674,9 @@ def embedding_near_dup(
     # split and would serialize the matmul on one core
     src = _fan_out(df.select(id_col, vec_col))
     pdf = cand_src.toPandas()
+    if len(pdf) == 0:
+        # empty corpus: zero candidate vectors ⇒ zero near-dup pairs
+        return spark.createDataFrame([], out_schema)
     ids = pdf[id_col].to_numpy()
     mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1135,6 +1138,18 @@ def semantic_dedup_pairs(
     from .similarity import assign_clusters, train_quantizer
 
     spark = df.sparkSession
+    if df.select(id_col).limit(1).count() == 0:
+        # nothing to dedup: no clusters to train, no pairs to emit
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", T.LongType()),
+                    T.StructField("id_b", T.LongType()),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            ),
+        )
     bc_cent = spark.sparkContext.broadcast(
         train_quantizer(
             df, id_col, vec_col, n_lists=n_clusters,

@@ -209,6 +209,10 @@ def _cosine_topk_blas(
         return topk_batches
 
     pdf = cand_src.toPandas()
+    if len(pdf) == 0:
+        # empty corpus: top-k over nothing is well-defined — zero pairs
+        # (matches the brute-force SQL oracle, which also yields none)
+        return spark.createDataFrame([], out_schema)
     c_ids = pdf[id_col].to_numpy()
     c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
     c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
@@ -610,10 +614,20 @@ def _training_sample(df: DataFrame, id_col: str, vec_col: str, sample_size: int)
     quantizer/codebook trainers so multi-artifact indexes (IVF-PQ) pay for
     one collection instead of one per artifact.  If the returned frame has
     fewer than ``sample_size`` rows the corpus is exhausted — callers can
-    use ``len(sample)`` as an exact corpus count without a second job."""
-    return (
+    use ``len(sample)`` as an exact corpus count without a second job.
+
+    An EMPTY corpus raises loudly here (all index trainers route through
+    this): training a quantizer/codebook on zero vectors is undefined,
+    and the numpy stack downstream would otherwise die with an opaque
+    "need at least one array to concatenate"."""
+    sample = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).toPandas()
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "cannot train on an empty corpus: no vectors in input"
+        )
+    return sample
 
 
 def train_quantizer(

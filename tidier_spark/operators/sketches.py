@@ -305,6 +305,11 @@ def kll_merged_quantiles(
         if keys
         else df.agg(F.collect_list(sketch_col).alias("__ks"))
     )
+    # an UNGROUPED merge over zero partials yields one row with an empty
+    # list — drop it (no sketches ⇒ no quantiles) instead of feeding
+    # __ks[0] = NULL into the merge fold; grouped inputs never produce
+    # empty lists, so this is a no-op there
+    g = g.where(F.size("__ks") > 0)
     return g.select(*keys, F.expr(fold).alias("approx_q"))
 
 
@@ -419,11 +424,29 @@ def topk_merged(
 
     keys = _keys(by)
     est_k = min(int(k) * max(1, int(overfetch)), int(max_items_tracked))
+    # combine and estimate in two steps: an UNGROUPED combine over zero
+    # sketches returns NULL, and approx_top_k_estimate(NULL) dies with a
+    # scala.MatchError inside the task — the lazy CASE WHEN evaluates the
+    # estimate only on real sketches, and the NULL row is then dropped
     comb = F.expr(
-        f"approx_top_k_estimate("
-        f"approx_top_k_combine({sketch_col}, {int(max_items_tracked)}), {est_k})"
-    ).alias("__top")
-    g = df.groupBy(*keys).agg(comb) if keys else df.agg(comb)
+        f"approx_top_k_combine({sketch_col}, {int(max_items_tracked)})"
+    ).alias("__c")
+    # ungrouped merges group by a constant instead of a global agg: over
+    # ZERO input rows a global agg still emits one row and
+    # approx_top_k_combine dies on its null buffer (scala.MatchError);
+    # a grouped agg simply emits no groups
+    g = (
+        df.groupBy(*keys).agg(comb)
+        if keys
+        else df.groupBy(F.lit(1).alias("__g1")).agg(comb).drop("__g1")
+    )
+    g = g.select(
+        *keys,
+        F.when(
+            F.col("__c").isNotNull(),
+            F.expr(f"approx_top_k_estimate(__c, {est_k})"),
+        ).alias("__top"),
+    ).where(F.col("__top").isNotNull())
     ex = g.select(*keys, F.explode("__top").alias("__e")).select(
         *keys,
         F.col("__e.item").alias("item"),

@@ -143,7 +143,12 @@ def stream_merge_parquet(
     finally:
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return read_merged(spark, path)
+    try:
+        return read_merged(spark, path)
+    except FileNotFoundError:
+        # zero committed batches (empty stream): the merged table of
+        # nothing is EMPTY with the stream's own schema — not an error
+        return spark.createDataFrame([], stream.schema)
 
 
 def stream_dedup_against(
@@ -428,4 +433,14 @@ def stream_scd2_parquet(
     finally:
         if saved is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
-    return read_merged(spark, path)
+    try:
+        return read_merged(spark, path)
+    except FileNotFoundError:
+        # zero committed batches (empty stream): an empty HISTORY with
+        # the exact scd2 schema (derived lazily from the stream schema)
+        from ..operators.merge import scd2
+
+        return scd2(
+            spark.createDataFrame([], stream.schema),
+            key_col, time_col, attr_col, tiebreak_col,
+        )

@@ -122,6 +122,15 @@ def summarise(
     (``GROUP BY GROUPING SETS``) when neither shape fits — e.g. totals by
     (flag, status) and by (status) alone without the (flag) level a rollup
     would force.  ``by`` defaults to the union of the sets' columns.
+
+    KNOWN ENGINE DIVERGENCE on EMPTY input: the SQL standard (and DuckDB)
+    emit one global row (count 0, keys NULL) for the ``()`` grouping set
+    even over zero rows; Spark's Expand-based grouping-sets lowering emits
+    ZERO rows (the expand of nothing aggregates to no groups — verified on
+    Spark 4.1, pinned in tests).  This surfaces only when the whole input
+    is empty; making it standard-compliant would cost a second full
+    aggregation pass just to materialize the degenerate row, so the Spark
+    behavior is kept and documented.
     """
     exprs = {**(_exprs or {}), **kw}
     from .mutate import _translate  # dplyr spellings (mean→avg, n()→count)
