@@ -652,6 +652,11 @@ def _q_pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
         values_from="value",
         values_fn="count",
         names=["click", "view", "purchase", "signup", "error"],
+        # a user with zero rows of a type COUNTS zero — the oracle's
+        # count(CASE ...) yields 0 there, and an unfilled pivot NULL
+        # silently diverges on any fixture where a (user, type) cell is
+        # absent (found by the single-row edge sweep)
+        values_fill=0,
     )
 
 

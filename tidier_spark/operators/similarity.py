@@ -737,17 +737,20 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    bc_cent = spark.sparkContext.broadcast(
-        train_quantizer(
-            df,
-            id_col,
-            vec_col,
-            n_lists=n_lists,
-            kmeans_iters=kmeans_iters,
-            sample_size=sample_size,
-            seed=seed,
-        )
+    cent = train_quantizer(
+        df,
+        id_col,
+        vec_col,
+        n_lists=n_lists,
+        kmeans_iters=kmeans_iters,
+        sample_size=sample_size,
+        seed=seed,
     )
+    # a corpus smaller than n_lists trains fewer centroids than asked —
+    # probing more lists than exist would misalign the fan-out arrays
+    # (the ivfpq clamp, mirrored here)
+    n_probe = min(n_probe, len(cent))
+    bc_cent = spark.sparkContext.broadcast(cent)
 
     probe_schema = T.StructType(
         [

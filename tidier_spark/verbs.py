@@ -428,17 +428,28 @@ def pivot_wider(
     values_from: str,
     values_fn: str = "first",
     names: list[str] | None = None,
+    values_fill: object = None,
 ) -> DataFrame:
     """`tidyr::pivot_wider`: one column per distinct ``names_from`` value.
 
     Pass ``names`` (the expected pivot values) in production — without it
     Spark must run an extra distinct-collection job over the data, and the
     output schema becomes data-dependent (a 100 TB anti-pattern).
+
+    ``values_fill`` (tidyr's knob of the same name) replaces the NULLs of
+    absent (id, name) cells — e.g. ``0`` when ``values_fn="count"``, where
+    an absent cell genuinely means "zero rows" (and SQL's conditional
+    ``count(CASE ...)`` mirror would produce 0, not NULL).
     """
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
     g = df.groupBy(*ids)
     p = g.pivot(names_from, names) if names else g.pivot(names_from)
-    return p.agg(F.expr(f"{values_fn}({values_from})"))
+    out = p.agg(F.expr(f"{values_fn}({values_from})"))
+    if values_fill is not None:
+        out = out.na.fill(
+            values_fill, subset=[c for c in out.columns if c not in ids]
+        )
+    return out
 
 
 def pivot_longer(
