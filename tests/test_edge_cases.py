@@ -508,3 +508,40 @@ def test_sketch_merges_over_zero_partials(spark):
 
     empty_kll = spark.createDataFrame([], "kll_sketch binary")
     assert kll_merged_quantiles(empty_kll, [0.5]).count() == 0
+
+
+def test_ivf_probe_clamp_on_tiny_corpus(spark):
+    """A corpus smaller than n_lists trains fewer centroids than asked;
+    probing must clamp to the real list count instead of misaligning the
+    per-query fan-out arrays (single-row-sweep regression)."""
+    from tidier_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, k=1, n_lists=16, n_probe=8).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_pivot_wider_values_fill_absent_cells(spark):
+    """An absent (id, name) cell under values_fn='count' means ZERO rows
+    — values_fill=0 makes the pivot agree with SQL's count(CASE ...)
+    mirror (single-row-sweep regression: unfilled NULL diverged)."""
+    from tidier_spark.verbs import pivot_wider
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "a", 6.0), (2, "b", 7.0)],
+        "uid long, name string, v double",
+    )
+    rows = {
+        r["uid"]: (r["a"], r["b"])
+        for r in pivot_wider(
+            df, id_cols="uid", names_from="name", values_from="v",
+            values_fn="count", names=["a", "b"], values_fill=0,
+        ).collect()
+    }
+    assert rows == {1: (2, 0), 2: (0, 1)}
