@@ -12,7 +12,9 @@ each entry per fixture:
   ``oracle_err``) — POTENTIAL DIVERGENCE, listed for triage
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
-Usage: python scripts/edge_sweep.py [empty|one] [query ...]
+Usage: python scripts/edge_sweep.py [empty|one|onegroup] [query ...]
+(``onegroup`` = all rows share one grouping key / join key per table —
+the single-giant-group and hot-key regime.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -36,14 +38,38 @@ TABLES = (
 SRC = "/root/testdata/sf0.001"
 
 
+# onegroup: collapse the usual grouping keys to ONE value per table —
+# every per-group operator sees a single giant group, every equi-join a
+# single hot key (both engines read the same rewritten files, so the
+# oracle differential stays valid)
+ONEGROUP_CONSTS = {
+    "events": {"user_id": 1, "event_type": "view"},
+    "lineitem": {"l_returnflag": "A", "l_linestatus": "O"},
+    "orders": {"o_orderpriority": "1-URGENT", "o_orderstatus": "O"},
+    "customer": {"c_mktsegment": "BUILDING", "c_nationkey": 1},
+    "supplier": {"s_nationkey": 1},
+    "documents": {"lang": "en", "source": "web"},
+    "embeddings": {"label": 0},
+}
+
+
 def build_fixture(kind: str) -> str:
+    import pyarrow as pa
+
     out = f"/tmp/edge_fixture_{kind}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        n = 0 if kind == "empty" else 1
-        pq.write_table(tbl.slice(0, n), f"{out}/{t}.parquet")
+        if kind == "onegroup":
+            for col, const in ONEGROUP_CONSTS.get(t, {}).items():
+                i = tbl.schema.get_field_index(col)
+                typ = tbl.schema.field(i).type
+                arr = pa.array([const] * tbl.num_rows, type=typ)
+                tbl = tbl.set_column(i, tbl.schema.field(i), arr)
+        else:
+            tbl = tbl.slice(0, 0 if kind == "empty" else 1)
+        pq.write_table(tbl, f"{out}/{t}.parquet")
     return out
 
 
