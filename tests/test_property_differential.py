@@ -859,3 +859,67 @@ def test_star_cc_property_matches_minlabel(edges, spark):
         for r in connected_components_star(e, nodes).collect()
     }
     assert a == b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),            # user
+            st.integers(0, 50),           # second offset
+            st.booleans(),                # is conversion
+            st.integers(-500, 500),       # value in cents/100
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    lookback_s=st.integers(1, 20),
+)
+def test_linear_attribution_matches_python_reference(rows, lookback_s, spark):
+    """Random touch/conversion interleavings and lookback widths: per-pair
+    fixed-point credit, touch counts, and window membership must match a
+    direct python evaluation (window is (conv_t - lookback, conv_t])."""
+    from tidier_spark.operators.temporal import linear_attribution
+
+    data = [
+        (u, i, s * 1_000_000, "purchase" if conv else "view", c / 100.0)
+        for i, (u, s, conv, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, us long, event_type string, value double"
+    ).selectExpr(
+        "user_id", "event_id", "timestamp_micros(us) AS ts",
+        "event_type", "value"
+    )
+    lb_us = lookback_s * 1_000_000
+    got = {
+        r["event_id"]: (r["touched_cents"], r["n_convs"], r["credit_fp"])
+        for r in linear_attribution(
+            df.where("event_type = 'view'"),
+            df.where("event_type = 'purchase'"),
+            "user_id", "ts", "ts", "event_id", "event_id", "value",
+            lookback_us=lb_us,
+        ).collect()
+    }
+
+    touches = [(u, i, t, v) for (u, i, t, ty, v) in data if ty == "view"]
+    convs = [(u, i, t, v) for (u, i, t, ty, v) in data if ty == "purchase"]
+    want: dict = {}
+    for cu, ci, ct, cv in convs:
+        cents = round(cv * 100)
+        hit = [
+            ti
+            for (tu, ti, tt, _) in touches
+            if tu == cu and ct - lb_us < tt <= ct
+        ]
+        n = len(hit)
+        for ti in hit:
+            # truncate-toward-zero div, matching Spark div / DuckDB //
+            q = abs(cents * 1_000_000) // n * (1 if cents >= 0 else -1)
+            tc, nc, cf = want.get(ti, (0, 0, 0))
+            want[ti] = (tc + cents, nc + 1, cf + q)
+    assert got == want
