@@ -35,7 +35,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("EDGE_SWEEP_SRC", "/root/testdata/sf0.001")
 
 
 # onegroup: collapse the usual grouping keys to ONE value per table —
