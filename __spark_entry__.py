@@ -359,6 +359,19 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nsjoin(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    # inner join on a GROUP key that must keep the NULL group: grouped
+    # aggregation forms a real NULL group on both engines, and a plain
+    # equi-join between two per-group frames silently drops it (NULL
+    # never equi-matches) where a one-pass SQL oracle keeps the row —
+    # found by the null-keys edge sweep.  eqNullSafe (<=>) is still a
+    # hash-equi-join predicate, so the plan shape is unchanged.
+    from pyspark.sql import functions as F
+
+    r = right.withColumnRenamed(key, "__nsk")
+    return left.join(r, F.col(key).eqNullSafe(F.col("__nsk"))).drop("__nsk")
+
+
 def _ann_guarantee_row(emb, approx, metric: str, bound: float) -> DataFrame:
     # Shared guarantee-row shape for the four approximate-ANN entries.
     # The exact brute-force differential runs on a DETERMINISTIC QUARTER
@@ -930,12 +943,24 @@ def _q_frame_apply_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").withColumn(
         "v100", F.round(F.col("value") * 100)
     ).withColumn("w", F.col("user_id") % 7 + 1)
+
+    def sql_wmean(f):
+        # NULL rows arrive as nan (aligned struct collect); mirror the
+        # oracle's SQL exactly: sum() skips NULLs and an all-NULL sum is
+        # NULL — so the reducer nan-skips each sum and returns None when
+        # a sum has no surviving term (identical on the NULL-free
+        # fixture, divergence-free on crafted NULL frames)
+        import numpy as np
+
+        pair = np.asarray(f.v100, dtype=float) * np.asarray(f.w, dtype=float)
+        w = np.asarray(f.w, dtype=float)
+        if not (pair == pair).any() or not (w == w).any():
+            return None
+        return float(pair[~np.isnan(pair)].sum() / w[~np.isnan(w)].sum())
+
     return mutate(
         ev,
-        wavg=frame_apply(
-            lambda f: float((f.v100 * f.w).sum() / f.w.sum()),
-            ["v100", "w"],
-        ),
+        wavg=frame_apply(sql_wmean, ["v100", "w"]),
         by="user_id",
         order_by=["ts", "event_id"],
         frame=(4, 0),
@@ -2078,8 +2103,7 @@ def _q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col(est) - F.col("n_exact")) <= 0.05 * F.col("n_exact")
     )
     return (
-        exact.join(direct, "l_returnflag")
-        .join(merged, "l_returnflag")
+        _nsjoin(_nsjoin(exact, direct, "l_returnflag"), merged, "l_returnflag")
         .select(
             "l_returnflag",
             "n_exact",
@@ -2118,7 +2142,7 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = approx_quantiles(src, "p100", [0.5, 0.9], by="l_returnflag")
     ok = lambda a, e: F.abs(a - F.col(e)) <= 0.02 * F.col(e)  # noqa: E731
-    return exact.join(approx, "l_returnflag").select(
+    return _nsjoin(exact, approx, "l_returnflag").select(
         "l_returnflag",
         "p50_exact",
         "p90_exact",
@@ -2165,7 +2189,7 @@ def _q_sketch_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         part="ship_month",
     )
     merged = kll_merged_quantiles(parts, [0.5, 0.9], by="l_returnflag")
-    return exact.join(merged, "l_returnflag").select(
+    return _nsjoin(exact, merged, "l_returnflag").select(
         "l_returnflag",
         "p50_exact",
         "p90_exact",
@@ -4205,7 +4229,7 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(mx::DOUBLE - mn::DOUBLE, 0.0), 6) AS mm,
                    round((e.vc::DOUBLE - q[2])
                          / nullif(q[3] - q[1], 0.0), 6) AS rb
-            FROM e JOIN st USING (event_type)""",
+            FROM e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type""",
         "sketch_cms": _sketch_cms_oracle(),
         "hard_negatives": _hard_negatives_oracle(),
         "knn_join": """

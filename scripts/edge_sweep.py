@@ -12,9 +12,11 @@ each entry per fixture:
   ``oracle_err``) — POTENTIAL DIVERGENCE, listed for triage
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
-Usage: python scripts/edge_sweep.py [empty|one|onegroup] [query ...]
+Usage: python scripts/edge_sweep.py [empty|one|onegroup|nullkeys] [query ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
-the single-giant-group and hot-key regime.)
+the single-giant-group and hot-key regime; ``nullkeys`` = the same key
+columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
+vs NULL-never-equi-joins split, board-wide.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -61,12 +63,17 @@ def build_fixture(kind: str) -> str:
     os.makedirs(out)
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        if kind == "onegroup":
+        if kind in ("onegroup", "nullkeys"):
             for col, const in ONEGROUP_CONSTS.get(t, {}).items():
                 i = tbl.schema.get_field_index(col)
                 typ = tbl.schema.field(i).type
-                arr = pa.array([const] * tbl.num_rows, type=typ)
-                tbl = tbl.set_column(i, tbl.schema.field(i), arr)
+                arr = (
+                    pa.nulls(tbl.num_rows, type=typ)
+                    if kind == "nullkeys"
+                    else pa.array([const] * tbl.num_rows, type=typ)
+                )
+                fld = pa.field(col, typ, nullable=True)
+                tbl = tbl.set_column(i, fld, arr)
         else:
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         pq.write_table(tbl, f"{out}/{t}.parquet")

@@ -545,3 +545,34 @@ def test_pivot_wider_values_fill_absent_cells(spark):
         ).collect()
     }
     assert rows == {1: (2, 0), 2: (0, 1)}
+
+
+def test_frame_apply_multi_column_null_alignment(spark):
+    """NULLs in ONE frame column must not shift the pairing of the
+    others: the multi-column frame collects as a struct (alignment
+    survives; NULL fields arrive as nan).  Per-column collect_lists
+    would pair v=30 with w=2 here (60 instead of nan) — the silent
+    misalignment the null-keys sweep caught."""
+    from tidier_spark import mutate
+    from tidier_spark.pandas_tier import frame_apply
+
+    rows = [(1, 10.0, 1.0), (2, None, 2.0), (3, 30.0, None)]
+    df = spark.createDataFrame(rows, "id long, v double, w double")
+
+    def paired_nansum(f):
+        import numpy as np
+
+        return float(np.nansum(np.asarray(f.v) * np.asarray(f.w)))
+
+    out = {
+        r["id"]: r["s"]
+        for r in mutate(
+            df,
+            s=frame_apply(paired_nansum, ["v", "w"]),
+            order_by=["id"],
+            frame=(2, 0),
+        ).collect()
+    }
+    # row 3's frame = rows 1..3: valid pairs are only (10, 1)
+    assert out[3] == 10.0
+    assert out[1] == 10.0 and out[2] == 10.0

@@ -85,14 +85,18 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
                by="user_id", order_by="ts", frame=(6, 0))
 
     With a single column name, ``fn`` receives a 1-D numpy array (the
-    frame's values, window order).  With a LIST of names, ``fn`` receives a
-    :class:`Frame` — numpy-array column access in window order, plus
+    frame's NON-NULL values, window order — ``collect_list`` skips NULLs,
+    the SQL-aggregate convention).  With a LIST of names, ``fn`` receives
+    a :class:`Frame` — numpy-array column access in window order, plus
     ``.to_pandas()`` — the full summarise-context expressiveness of the
     reference, which accepts any R expression over any frame columns
-    (`R/mutate.R:208`).  Lowered as one ``collect_list(col) OVER frame``
-    per column (cheaper than a struct collect: no per-row struct boxing,
-    and the Arrow transfer stays columnar); either way ``fn`` returns a
-    scalar of ``return_type``.
+    (`R/mutate.R:208`).  The multi-column form lowers as ONE
+    ``collect_list(struct(cols...)) OVER frame``: a struct with NULL
+    fields is itself non-NULL, so row ALIGNMENT survives NULLs (separate
+    per-column collect_lists would silently misalign the columns the
+    moment one holds a NULL — caught by the null-keys edge sweep), and
+    NULL fields surface to ``fn`` as ``nan`` — R's NA-in-frame
+    convention.  Either way ``fn`` returns a scalar of ``return_type``.
     """
 
     fn: Callable
@@ -114,19 +118,26 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
             return reduce_frames(collected)
 
         cols = list(self.col)
-        collected = [plan.over(f"collect_list({c})") for c in cols]
+        collected = plan.over(
+            f"collect_list(struct({', '.join(cols)}))"
+        )
 
         @F.pandas_udf(self.return_type)
-        def reduce_multi_frames(*series: pd.Series) -> pd.Series:
+        def reduce_multi_frames(s: pd.Series) -> pd.Series:
             import numpy as np
 
-            out = [
-                fn(Frame(dict(zip(cols, row_vals)), np))
-                for row_vals in zip(*series)
-            ]
-            return pd.Series(out)
+            def run(rows):
+                data = {
+                    c: np.asarray(
+                        [np.nan if r[c] is None else r[c] for r in rows]
+                    )
+                    for c in cols
+                }
+                return fn(Frame(data, np))
 
-        return reduce_multi_frames(*collected)
+            return s.apply(run)
+
+        return reduce_multi_frames(collected)
 
 
 def grouped_apply(
