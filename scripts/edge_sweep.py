@@ -12,11 +12,13 @@ each entry per fixture:
   ``oracle_err``) — POTENTIAL DIVERGENCE, listed for triage
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
-Usage: python scripts/edge_sweep.py [empty|one|onegroup|nullkeys] [query ...]
+Usage: python scripts/edge_sweep.py [empty|one|onegroup|nullkeys|preepoch] [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
 columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
-vs NULL-never-equi-joins split, board-wide.)
+vs NULL-never-equi-joins split, board-wide; ``preepoch`` = every
+timestamp/date column shifted 60 years into the past — all epoch
+arithmetic goes negative, board-wide.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -63,7 +65,25 @@ def build_fixture(kind: str) -> str:
     os.makedirs(out)
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        if kind in ("onegroup", "nullkeys"):
+        if kind == "preepoch":
+            # shift every temporal column 60 years into the past so all
+            # epoch-µs values go NEGATIVE — floor-vs-truncate division,
+            # bucket alignment, and calendar math all change sign
+            import pyarrow.compute as pc
+
+            for i, fld in enumerate(tbl.schema):
+                if pa.types.is_timestamp(fld.type):
+                    shifted = pc.add(
+                        tbl.column(i),
+                        pa.scalar(-60 * 365 * 86_400 * 1_000_000, pa.duration("us")),
+                    )
+                    tbl = tbl.set_column(i, fld, shifted.cast(fld.type))
+                elif pa.types.is_date(fld.type):
+                    days = pc.add(
+                        tbl.column(i).cast(pa.int32()), pa.scalar(-60 * 365)
+                    )
+                    tbl = tbl.set_column(i, fld, days.cast(fld.type))
+        elif kind in ("onegroup", "nullkeys"):
             for col, const in ONEGROUP_CONSTS.get(t, {}).items():
                 i = tbl.schema.get_field_index(col)
                 typ = tbl.schema.field(i).type

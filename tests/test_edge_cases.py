@@ -576,3 +576,47 @@ def test_frame_apply_multi_column_null_alignment(spark):
     # row 3's frame = rows 1..3: valid pairs are only (10, 1)
     assert out[3] == 10.0
     assert out[1] == 10.0 and out[2] == 10.0
+
+
+def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
+    """ENGINE PIN: Spark's global watermark initializes at epoch 0, so
+    pre-1970 event times are born late and watermark-eviction paths
+    (session_window aggregation) drop them — zero output — while the
+    SAME operator on a batch frame sessionizes them fine.  Documented in
+    stream_session_agg; this pin fails if Spark ever fixes it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tidier_spark.streaming import run_stream, stream_session_agg
+
+    src = tmp_path / "pre_src"
+    src.mkdir()
+    us_1960 = -315_619_200_000_000  # 1960-01-01 UTC in epoch-µs
+    t = pa.table({
+        "user_id": [1, 1, 2],
+        "ts": pa.array(
+            [us_1960, us_1960 + 60_000_000, us_1960], type=pa.timestamp("us")
+        ),
+        "value": [1.0, 2.0, 3.0],
+    })
+    pq.write_table(t, src / "b0.parquet")
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    g = stream_session_agg(
+        stream, key_col="user_id", time_col="ts", gap_seconds=3600,
+        aggs={"sum_v": F.sum("value")},
+    )
+    out = run_stream(g, name="t_preepoch_sessions", output_mode="complete")
+    assert out.count() == 0  # engine drops pre-epoch rows as late
+
+    batch = spark.read.schema("user_id long, ts timestamp, value double").parquet(
+        str(src)
+    )
+    b = stream_session_agg(
+        batch, key_col="user_id", time_col="ts", gap_seconds=3600,
+        aggs={"sum_v": F.sum("value")},
+    )
+    assert b.count() == 2  # batch path sessionizes negative epochs fine

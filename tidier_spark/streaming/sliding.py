@@ -246,6 +246,17 @@ def stream_session_agg(
     only sessions whose end precedes the watermark are emitted — the
     last open session per key stays in state, which is the correct live
     semantics but not replay-parity.
+
+    ENGINE LIMIT — pre-epoch event times: Spark's global watermark
+    initializes at epoch 0 ms, so rows whose event time is before
+    1970-01-01 arrive "late" on their first batch and are DROPPED by
+    every watermark-eviction path (session_window aggregation here, the
+    stream-stream interval join in ``stream_interval_join``) — verified
+    on Spark 4.1 by the pre-epoch edge sweep (zero output rows; the
+    batch equivalents handle negative epochs exactly).  The
+    applyInPandasWithState operators and foreachBatch sinks do not rely
+    on watermark eviction and are unaffected.  Streaming with pre-epoch
+    event times needs an application-level epoch offset.
     """
     w = stream.withWatermark(time_col, watermark) if stream.isStreaming else stream
     agg_exprs = [F.count(F.lit(1)).alias("n_events")]
