@@ -12,7 +12,8 @@ each entry per fixture:
   ``oracle_err``) — POTENTIAL DIVERGENCE, listed for triage
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
-Usage: python scripts/edge_sweep.py [empty|one|onegroup|nullkeys|preepoch] [q ...]
+Usage: python scripts/edge_sweep.py
+       [empty|one|onegroup|nullkeys|preepoch|unitext] [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
 columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
@@ -65,7 +66,26 @@ def build_fixture(kind: str) -> str:
     os.makedirs(out)
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
-        if kind == "preepoch":
+        if kind == "unitext" and t == "documents":
+            # append a deterministic multilingual tail to every document:
+            # expanding case maps (İ, ß), combining marks, CJK, astral
+            # symbols — the content the ASCII fixtures never exercise
+            tails = [
+                " İstanbul ẞtraße",
+                " 東京都 渋谷区",
+                " naïve résumé",
+                " \U0001d518nicode \U0001f642 test",
+                " Ωμέγα ϴ KK",
+            ]
+            texts = [
+                (v + tails[i % len(tails)]) if v is not None else v
+                for i, v in enumerate(tbl.column("text").to_pylist())
+            ]
+            i = tbl.schema.get_field_index("text")
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i), pa.array(texts, type=pa.string())
+            )
+        elif kind == "preepoch":
             # shift every temporal column 60 years into the past so all
             # epoch-µs values go NEGATIVE — floor-vs-truncate division,
             # bucket alignment, and calendar math all change sign
@@ -94,8 +114,9 @@ def build_fixture(kind: str) -> str:
                 )
                 fld = pa.field(col, typ, nullable=True)
                 tbl = tbl.set_column(i, fld, arr)
-        else:
+        elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
+        # any other (kind, table) combination: copy unchanged
         pq.write_table(tbl, f"{out}/{t}.parquet")
     return out
 

@@ -146,8 +146,13 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def features_sql(table: str = "documents") -> str:
-    """DuckDB mirror of attach_payload→extract_features with fake_decoder."""
-    n = f"octet_length({table}.text::BLOB)"
+    """DuckDB mirror of attach_payload→extract_features with fake_decoder.
+
+    Byte length via ``strlen`` (DuckDB: UTF-8 BYTE count, vs ``length``'s
+    character count) — the former ``text::BLOB`` cast errors on any
+    non-ASCII character (DuckDB requires ``encode()`` for that cast),
+    found by the unicode-text edge sweep."""
+    n = f"strlen({table}.text)"
     return f"""
 SELECT doc_id AS media_id,
        'text' AS modality,
