@@ -620,3 +620,19 @@ def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
         aggs={"sum_v": F.sum("value")},
     )
     assert b.count() == 2  # batch path sessionizes negative epochs fine
+
+    # the SUPPORTED workaround: epoch_offset_us shifts event times past
+    # epoch 0 for the watermark and shifts the emitted bounds back —
+    # stream output on 1960s data must now equal the batch sessionization
+    century_us = 100 * 365 * 86_400 * 1_000_000
+    s2 = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    g2 = stream_session_agg(
+        s2, key_col="user_id", time_col="ts", gap_seconds=3600,
+        aggs={"sum_v": F.sum("value")}, epoch_offset_us=century_us,
+    )
+    out2 = run_stream(g2, name="t_preepoch_offset", output_mode="complete")
+    got = sorted(tuple(r) for r in out2.collect())
+    want = sorted(tuple(r) for r in b.collect())
+    assert got == want and len(got) == 2

@@ -234,6 +234,7 @@ def stream_session_agg(
     gap_seconds: int,
     aggs: dict[str, F.Column] | None = None,
     watermark: str = "0 seconds",
+    epoch_offset_us: int = 0,
 ) -> DataFrame:
     """Streaming gap-based session aggregation: ``session_window`` with a
     watermark, merging/extending open sessions incrementally in the state
@@ -255,10 +256,24 @@ def stream_session_agg(
     on Spark 4.1 by the pre-epoch edge sweep (zero output rows; the
     batch equivalents handle negative epochs exactly).  The
     applyInPandasWithState operators and foreachBatch sinks do not rely
-    on watermark eviction and are unaffected.  Streaming with pre-epoch
-    event times needs an application-level epoch offset.
+    on watermark eviction and are unaffected.  The supported workaround
+    is ``epoch_offset_us``: event times are shifted forward by the
+    offset BEFORE the watermark (so they land past epoch 0) and the
+    emitted session bounds are shifted back — session membership is
+    translation-invariant, so the result equals the batch sessionization
+    of the original times (pytest-pinned on 1960s data).  Pick an offset
+    that clears your earliest event time, e.g. ``100 * 365 * 86_400 *
+    10**6`` for one century.
     """
-    w = stream.withWatermark(time_col, watermark) if stream.isStreaming else stream
+    src = stream
+    if epoch_offset_us:
+        src = src.withColumn(
+            time_col,
+            F.timestamp_micros(
+                F.unix_micros(F.col(time_col)) + F.lit(int(epoch_offset_us))
+            ),
+        )
+    w = src.withWatermark(time_col, watermark) if src.isStreaming else src
     agg_exprs = [F.count(F.lit(1)).alias("n_events")]
     for name, col in (aggs or {}).items():
         agg_exprs.append(col.alias(name))
@@ -266,10 +281,15 @@ def stream_session_agg(
     g = w.groupBy(
         F.col(key_col), F.session_window(F.col(time_col), gap).alias("__w")
     ).agg(*agg_exprs)
+    back = int(epoch_offset_us)
     return g.select(
         key_col,
-        F.unix_micros(F.col("__w.start")).alias("session_start_us"),
-        F.unix_micros(F.col("__w.end")).alias("session_end_us"),
+        (F.unix_micros(F.col("__w.start")) - F.lit(back)).alias(
+            "session_start_us"
+        ),
+        (F.unix_micros(F.col("__w.end")) - F.lit(back)).alias(
+            "session_end_us"
+        ),
         "n_events",
         *list((aggs or {}).keys()),
     )
