@@ -636,3 +636,56 @@ def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
     got = sorted(tuple(r) for r in out2.collect())
     want = sorted(tuple(r) for r in b.collect())
     assert got == want and len(got) == 2
+
+
+def test_stream_interval_join_epoch_offset_on_preepoch(spark, tmp_path):
+    """The epoch_offset_us workaround on the stream-stream interval
+    join: 1960s event times (which the watermark would otherwise drop)
+    must join identically to the batch evaluation of the original
+    times."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.streaming import run_stream, stream_interval_join
+
+    us_1960 = -315_619_200_000_000
+    views = [(1, us_1960), (1, us_1960 + 7_200_000_000), (2, us_1960)]
+    buys = [(1, us_1960 + 1_800_000_000), (2, us_1960 + 90_000_000_000)]
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    for src, rows, col in ((lsrc, views, "vts"), (rsrc, buys, "bts")):
+        src.mkdir()
+        pq.write_table(
+            pa.table({
+                "user_id": [r[0] for r in rows],
+                col: pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            }),
+            src / "b0.parquet",
+        )
+    century_us = 100 * 365 * 86_400 * 1_000_000
+
+    def mk(reader):
+        ls = reader.schema("user_id long, vts timestamp").parquet(str(lsrc))
+        rs = reader.schema("user_id long, bts timestamp").parquet(str(rsrc))
+        return ls, rs
+
+    ls, rs = mk(spark.readStream)
+    j = stream_interval_join(
+        ls, rs, "user_id", left_ts="vts", right_ts="bts",
+        lower="0 seconds", upper="1 hour", epoch_offset_us=century_us,
+    )
+    got = sorted(
+        tuple(r)
+        for r in run_stream(
+            j, name="t_preepoch_ij", output_mode="append"
+        ).collect()
+    )
+    lb, rb = mk(spark.read)
+    want = sorted(
+        tuple(r)
+        for r in stream_interval_join(
+            lb, rb, "user_id", left_ts="vts", right_ts="bts",
+            lower="0 seconds", upper="1 hour",
+        ).collect()
+    )
+    # only user 1's purchase is within the hour of a view
+    assert got == want and len(got) == 1

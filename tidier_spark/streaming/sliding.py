@@ -328,6 +328,7 @@ def stream_interval_join(
     upper: str = "1 hour",
     watermark: str = "10 minutes",
     how: str = "inner",
+    epoch_offset_us: int = 0,
 ) -> DataFrame:
     """Stream-stream equi-join bounded by an event-time interval:
     ``right_ts ∈ [left_ts + lower, left_ts + upper]`` (inclusive), equal
@@ -342,6 +343,12 @@ def stream_interval_join(
 
     Columns are prefixed ``l_`` / ``r_`` (key and timestamps keep one
     copy each) to avoid ambiguity in the joined schema.
+
+    ``epoch_offset_us``: the pre-epoch watermark workaround of
+    :func:`stream_session_agg` — both sides' event times shift forward
+    past epoch 0 before the watermarks and the joined rows' timestamps
+    shift back; the interval condition is translation-invariant, so the
+    result equals the batch join of the original times (pytest-pinned).
     """
     keys = [key] if isinstance(key, str) else list(key)
     lcols = [c for c in left.columns if c not in keys]
@@ -353,6 +360,14 @@ def stream_interval_join(
         *keys, *[F.col(c).alias(f"r_{c}") for c in rcols]
     )
     lts, rts = f"l_{left_ts}", f"r_{right_ts}"
+    if epoch_offset_us:
+        off = F.lit(int(epoch_offset_us))
+        lren = lren.withColumn(
+            lts, F.timestamp_micros(F.unix_micros(F.col(lts)) + off)
+        )
+        rren = rren.withColumn(
+            rts, F.timestamp_micros(F.unix_micros(F.col(rts)) + off)
+        )
     if left.isStreaming or right.isStreaming:
         lren = lren.withWatermark(lts, watermark)
         rren = rren.withWatermark(rts, watermark)
@@ -366,12 +381,20 @@ def stream_interval_join(
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
     )
     joined = lren.join(rren, cond, how)
+
+    def out(name: str) -> F.Column:
+        if epoch_offset_us and name in (lts, rts):
+            return F.timestamp_micros(
+                F.unix_micros(F.col(name)) - F.lit(int(epoch_offset_us))
+            ).alias(name)
+        return F.col(name)
+
     # the equi-key columns appear once per side after a raw-condition
     # join: keep the left copy
     return joined.select(
         *[lren[k] for k in keys],
-        *[F.col(f"l_{c}") for c in lcols],
-        *[F.col(f"r_{c}") for c in rcols],
+        *[out(f"l_{c}") for c in lcols],
+        *[out(f"r_{c}") for c in rcols],
     )
 
 
