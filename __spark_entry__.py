@@ -944,23 +944,44 @@ def _q_frame_apply_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v100", F.round(F.col("value") * 100)
     ).withColumn("w", F.col("user_id") % 7 + 1)
 
-    def sql_wmean(f):
-        # NULL rows arrive as nan (aligned struct collect); mirror the
-        # oracle's SQL exactly: sum() skips NULLs and an all-NULL sum is
-        # NULL — so the reducer nan-skips each sum and returns None when
-        # a sum has no surviving term (identical on the NULL-free
-        # fixture, divergence-free on crafted NULL frames)
+    def sql_wmean(f, offs):
+        # VECTORIZED reducer (one call per Arrow batch): every frame is a
+        # contiguous slice of the flat columns, so the per-frame nan-skip
+        # sums become cumsum DIFFERENCES — exact here because v100/w are
+        # penny-quantized integers (every partial sum is an exact float64
+        # integer < 2^53), so the division is bit-identical to the old
+        # per-row reducer and the SQL oracle.  NULL rows arrive as nan
+        # (aligned struct collect); a frame whose sums have no surviving
+        # term yields nan -> NULL, mirroring SQL sum() over all NULLs.
         import numpy as np
 
         pair = np.asarray(f.v100, dtype=float) * np.asarray(f.w, dtype=float)
         w = np.asarray(f.w, dtype=float)
-        if not (pair == pair).any() or not (w == w).any():
-            return None
-        return float(pair[~np.isnan(pair)].sum() / w[~np.isnan(w)].sum())
+        pmask = ~np.isnan(pair)
+        wmask = ~np.isnan(w)
+
+        def fsum(vals, mask):
+            c = np.zeros(len(vals) + 1)
+            np.cumsum(np.where(mask, vals, 0.0), out=c[1:])
+            return c[offs[1:]] - c[offs[:-1]]
+
+        def fcnt(mask):
+            c = np.zeros(len(mask) + 1)
+            np.cumsum(mask, out=c[1:])
+            return c[offs[1:]] - c[offs[:-1]]
+
+        res = np.divide(
+            fsum(pair, pmask),
+            fsum(w, wmask),
+            out=np.full(len(offs) - 1, np.nan),
+            where=fcnt(wmask) > 0,
+        )
+        res[fcnt(pmask) == 0] = np.nan
+        return res
 
     return mutate(
         ev,
-        wavg=frame_apply(sql_wmean, ["v100", "w"]),
+        wavg=frame_apply(sql_wmean, ["v100", "w"], vectorized=True),
         by="user_id",
         order_by=["ts", "event_id"],
         frame=(4, 0),
@@ -3554,18 +3575,68 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness run covers the
-    # FIRST 50 entries in registration order.  Round-5 rotation (verdict
-    # r04 task #1): positions 1-21 are the 21 entries that have NEVER
-    # had a driver CORRECTNESS row in rounds 1-4; positions 22-50
-    # back-fill with the oldest (r02-vintage) driver greens — all of
-    # the O1-O9 reference-parity entries (R/mutate.R:120-766) plus the
-    # earliest dedup/text/asof entries — for re-confirmation 3 rounds
-    # after their last driver row.  After CORRECTNESS_r05 every one of
-    # the 166 board entries has >=1 driver row (see the rotation ledger
-    # in SURVEY.md section 7.5).  Every entry regardless of position is
+    # FIRST 50 entries in registration order.  Round-6 rotation (verdict
+    # r05 task #1): positions 1-50 are exactly the r3-vintage cohort
+    # (first driver-green in CORRECTNESS_r03) — after r05 every board
+    # entry has >=1 driver row, and this cohort is the largest
+    # never-re-checked one (two rounds stale) AND contains everything
+    # tuned in r4/r5 (kmeans_clusters, sketch_quantiles, ivfpq_topk,
+    # dup_clusters' inputs, frame_apply_*).  See the rotation ledger in
+    # SURVEY.md section 7.5a.  Every entry regardless of position is
     # hash-verified each round by scripts/check_entry.py.
     return {
-        # -- r05 driver window head: first-ever driver rows (21)
+        # -- r06 driver window: the 50 r3-vintage entries, re-confirmed
+        "repeated_spans": _q_repeated_spans,
+        "classifier_score": _q_classifier_score,
+        "quantile_prune": _q_quantile_prune,
+        "bpe_train": _q_bpe_train,
+        "bpe_subwords": _q_bpe_subwords,
+        "budget_mix": _q_budget_mix,
+        "dup_regions": _q_dup_regions,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "srp_embedding": _q_srp_embedding,
+        "gapfill_rollup": _q_gapfill_rollup,
+        "sessionize": _q_sessionize,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "semantic_dedup": _q_semantic_dedup,
+        "stream_sessions": _q_stream_sessions,
+        "stream_attribution": _q_stream_attribution,
+        "stream_upsert": _q_stream_upsert,
+        "stream_rollup": _q_stream_rollup,
+        "stream_enrich": _q_stream_enrich,
+        "asof_nearest": _q_asof_nearest,
+        "sketch_cms": _q_sketch_cms,
+        "knn_join": _q_knn_join,
+        "hard_negatives": _q_hard_negatives,
+        "frame_apply_median": _q_frame_apply_median,
+        "frame_apply_wmean": _q_frame_apply_wmean,
+        "grouped_apply_demean": _q_grouped_apply_demean,
+        "udtf_sentences": _q_udtf_sentences,
+        "salted_agg": _q_salted_agg,
+        "skew_join": _q_skew_join,
+        "grouping_sets": _q_grouping_sets,
+        "slice_prop": _q_slice_prop,
+        "sketch_distinct": _q_sketch_distinct,
+        "sketch_quantiles": _q_sketch_quantiles,
+        "sketch_kll": _q_sketch_kll,
+        "sketch_theta": _q_sketch_theta,
+        "sketch_topk": _q_sketch_topk,
+        "pq_topk_full": _q_pq_topk_full,
+        "ivfpq_topk": _q_ivfpq_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "perceptron": _q_perceptron,
+        "bpe_encode": _q_bpe_encode,
+        "scd2_history": _q_scd2_history,
+        "ewma_smooth": _q_ewma_smooth,
+        "bm25_topk": _q_bm25_topk,
+        "stream_funnel": _q_stream_funnel,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q3": _q_tpch_q3,
+        # -- r05 window (drove CORRECTNESS_r05; 21 first-evers + 29 oldest)
         "shuffle_rows": _q_shuffle_rows,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "repetition_signals": _q_repetition_signals,
@@ -3668,56 +3739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "stratified_mix": _q_stratified_mix,
         "validate_events": _q_validate_events,
-        "repeated_spans": _q_repeated_spans,
-        "classifier_score": _q_classifier_score,
-        "quantile_prune": _q_quantile_prune,
-        "bpe_train": _q_bpe_train,
-        "bpe_subwords": _q_bpe_subwords,
-        "budget_mix": _q_budget_mix,
-        "dup_regions": _q_dup_regions,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "srp_embedding": _q_srp_embedding,
-        "gapfill_rollup": _q_gapfill_rollup,
-        "sessionize": _q_sessionize,
-        "text_tokens_bpe": _q_text_tokens_bpe,
-        "lsh_topk": _q_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "semantic_dedup": _q_semantic_dedup,
-        "stream_sessions": _q_stream_sessions,
-        "stream_attribution": _q_stream_attribution,
-        "stream_upsert": _q_stream_upsert,
-        "stream_rollup": _q_stream_rollup,
-        "stream_enrich": _q_stream_enrich,
-        "asof_nearest": _q_asof_nearest,
-        "sketch_cms": _q_sketch_cms,
-        "knn_join": _q_knn_join,
-        "hard_negatives": _q_hard_negatives,
-        "frame_apply_median": _q_frame_apply_median,
-        "frame_apply_wmean": _q_frame_apply_wmean,
-        "grouped_apply_demean": _q_grouped_apply_demean,
-        "udtf_sentences": _q_udtf_sentences,
-        "salted_agg": _q_salted_agg,
-        "skew_join": _q_skew_join,
-        "grouping_sets": _q_grouping_sets,
-        "slice_prop": _q_slice_prop,
-        "sketch_distinct": _q_sketch_distinct,
-        "sketch_quantiles": _q_sketch_quantiles,
-        "sketch_kll": _q_sketch_kll,
-        "sketch_theta": _q_sketch_theta,
-        "sketch_topk": _q_sketch_topk,
-        "pq_topk_full": _q_pq_topk_full,
-        "ivfpq_topk": _q_ivfpq_topk,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "perceptron": _q_perceptron,
-        "bpe_encode": _q_bpe_encode,
-        "scd2_history": _q_scd2_history,
-        "ewma_smooth": _q_ewma_smooth,
-        "bm25_topk": _q_bm25_topk,
-        "stream_funnel": _q_stream_funnel,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q2": _q_tpch_q2,
-        "tpch_q3": _q_tpch_q3,
         "ivf_topk_full": _q_ivf_topk_full,
         "props_json": _q_props_json,
         "rollup_agg": _q_rollup,

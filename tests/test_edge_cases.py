@@ -578,6 +578,60 @@ def test_frame_apply_multi_column_null_alignment(spark):
     assert out[1] == 10.0 and out[2] == 10.0
 
 
+def test_frame_apply_vectorized_matches_scalar_on_nulls(spark):
+    """The vectorized frame reducer (one fn call per Arrow batch over
+    flat columns + offsets) must agree with the per-row scalar reducer
+    on crafted NULL-laden frames — including all-NULL frames (NULL out)
+    and NULLs in only one column (alignment preserved)."""
+    import numpy as np
+
+    from tidier_spark import mutate
+    from tidier_spark.pandas_tier import frame_apply
+
+    rows = [
+        (1, 10.0, 1.0),
+        (2, None, 2.0),
+        (3, 30.0, None),
+        (4, None, None),
+        (5, 50.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, w double")
+
+    def scalar_wsum(f):
+        pair = np.asarray(f.v, dtype=float) * np.asarray(f.w, dtype=float)
+        if not (pair == pair).any():
+            return None
+        return float(np.nansum(pair))
+
+    def vec_wsum(f, offs):
+        pair = np.asarray(f.v, dtype=float) * np.asarray(f.w, dtype=float)
+        mask = ~np.isnan(pair)
+        c = np.zeros(len(pair) + 1)
+        np.cumsum(np.where(mask, pair, 0.0), out=c[1:])
+        cm = np.zeros(len(mask) + 1)
+        np.cumsum(mask, out=cm[1:])
+        res = c[offs[1:]] - c[offs[:-1]]
+        res[(cm[offs[1:]] - cm[offs[:-1]]) == 0] = np.nan
+        return res
+
+    def run(reducer, vec):
+        return {
+            r["id"]: r["s"]
+            for r in mutate(
+                df,
+                s=frame_apply(reducer, ["v", "w"], vectorized=vec),
+                order_by=["id"],
+                frame=(1, 0),
+            ).collect()
+        }
+
+    got_s, got_v = run(scalar_wsum, False), run(vec_wsum, True)
+    assert got_s == got_v, (got_s, got_v)
+    # frame of rows 3-4 has no valid pair at row 4 -> NULL
+    assert got_v[4] is None
+    assert got_v[1] == 10.0 and got_v[2] == 10.0 and got_v[5] == 250.0
+
+
 def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
     """ENGINE PIN: Spark's global watermark initializes at epoch 0, so
     pre-1970 event times are born late and watermark-eviction paths

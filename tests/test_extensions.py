@@ -2615,10 +2615,10 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys.
-    Round-5 contract: positions 1-21 are exactly the entries with NO
-    prior driver CORRECTNESS row (rounds 1-4) so every board entry gets
-    a driver row after r05; positions 22-50 re-confirm the oldest
-    (r1/r2-vintage) greens.  Pin it so an accidental reorder fails fast."""
+    Round-6 contract (verdict r05 task #1): positions 1-50 are exactly
+    the r3-vintage cohort — entries whose FIRST driver CORRECTNESS row
+    was r03 — the largest never-re-checked cohort, containing all the
+    r4/r5-tuned entries.  Pin it so an accidental reorder fails fast."""
     import json
     import os
 
@@ -2626,21 +2626,24 @@ def test_driver_window_head_is_never_checked_rotation():
 
     keys = list(entrymod.queries().keys())
     assert len(keys) == len(set(keys)) == 166
-    prior = set()
-    for r in ("01", "02", "03", "04"):
+    first_green: dict[str, str] = {}
+    for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
-                prior |= set(json.load(fh).keys())
-    if prior:
-        never_checked = set(keys) - prior
-        head = keys[: len(never_checked)]
-        # the never-driver-checked entries lead the window, all of them
-        assert set(head) == never_checked, sorted(
-            never_checked.symmetric_difference(head)
+                for k, v in json.load(fh).items():
+                    # ledger semantics (SURVEY 7.5a): first HASH-GREEN row
+                    if v.get("hash_match"):
+                        first_green.setdefault(k, r)
+    if first_green:
+        r3_cohort = {k for k, r in first_green.items() if r == "03"}
+        assert len(r3_cohort) == 50, len(r3_cohort)
+        head = keys[:50]
+        # the r3-vintage entries lead the window, all of them
+        assert set(head) == r3_cohort, sorted(
+            r3_cohort.symmetric_difference(head)
         )
-        assert len(never_checked) <= 50
-        # every oracle key exists for every query key (1:1 board)
+    # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(keys)
 

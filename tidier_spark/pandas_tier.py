@@ -102,6 +102,14 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
     fn: Callable
     col: str | list[str] | tuple[str, ...]
     return_type: str = "double"
+    # Vectorized contract (multi-column only): ``fn(flat, offs)`` receives
+    # ONE Frame of the batch's frames laid end-to-end plus an int64
+    # ``offs`` array of length n_rows+1 — frame i is ``flat.c[offs[i]:
+    # offs[i+1]]`` — and returns an array-like of n_rows results (nan →
+    # NULL).  One fn call per Arrow batch instead of one per row: sums/
+    # counts become cumsum differences (exact for integer-valued data),
+    # turning ~10 µs/row of Python into ~3 numpy passes per batch.
+    vectorized: bool = False
 
     def lower(self, plan) -> object:
         """Build the Column: collect_list over the window → pandas_udf."""
@@ -118,24 +126,51 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
             return reduce_frames(collected)
 
         cols = list(self.col)
+        vectorized = self.vectorized
         collected = plan.over(
             f"collect_list(struct({', '.join(cols)}))"
         )
 
-        @F.pandas_udf(self.return_type)
-        def reduce_multi_frames(s: pd.Series) -> pd.Series:
+        # Arrow-native struct unpack (verdict r05 task #3): the frames
+        # arrive as ONE list<struct> Arrow array per batch.  Flatten once
+        # to per-field numpy columns (ints-with-null promote to float64
+        # nan for free; string nulls patched to nan for parity with the
+        # old per-row path), then each frame is a zero-copy numpy SLICE —
+        # no per-element Python, unlike the previous per-row dict
+        # comprehension that cost 2.6x on the wmean bench entry.
+        @F.arrow_udf(self.return_type)
+        def reduce_multi_frames(a):
             import numpy as np
+            import pyarrow as pa
 
-            def run(rows):
-                data = {
-                    c: np.asarray(
-                        [np.nan if r[c] is None else r[c] for r in rows]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            flat = a.flatten()  # StructArray; honors list offsets/slicing
+            offs = a.offsets.to_numpy()
+            offs = offs - offs[0]  # rebase: flatten() starts at offsets[0]
+            fields = {}
+            for c in cols:
+                fa = flat.field(c)
+                npv = fa.to_numpy(zero_copy_only=False)
+                if npv.dtype == object and fa.null_count:
+                    npv = npv.copy()
+                    npv[fa.is_null().to_numpy(zero_copy_only=False)] = np.nan
+                fields[c] = npv
+            if vectorized:
+                out = fn(Frame(fields, np), offs)
+                return pa.array(np.asarray(out, dtype=float), from_pandas=True)
+            out = [
+                fn(
+                    Frame(
+                        {c: fields[c][offs[i] : offs[i + 1]] for c in cols},
+                        np,
                     )
-                    for c in cols
-                }
-                return fn(Frame(data, np))
-
-            return s.apply(run)
+                )
+                for i in range(len(a))
+            ]
+            # from_pandas semantics: nan -> NULL, matching the previous
+            # pandas_udf conversion of this path
+            return pa.array(out, from_pandas=True)
 
         return reduce_multi_frames(collected)
 
