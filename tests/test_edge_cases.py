@@ -545,6 +545,20 @@ def test_pivot_wider_values_fill_absent_cells(spark):
         ).collect()
     }
     assert rows == {1: (2, 0), 2: (0, 1)}
+    # tidyr parity (ADVICE r05 #3): a cell whose rows EXIST but whose
+    # aggregate is genuinely NULL must stay NULL — values_fill touches
+    # only structurally-absent cells.
+    df2 = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 7.0)], "uid long, name string, v double"
+    )
+    rows2 = {
+        r["uid"]: (r["a"], r["b"])
+        for r in pivot_wider(
+            df2, id_cols="uid", names_from="name", values_from="v",
+            values_fn="first", names=["a", "b"], values_fill=-1.0,
+        ).collect()
+    }
+    assert rows2 == {1: (None, -1.0), 2: (-1.0, 7.0)}
 
 
 def test_frame_apply_multi_column_null_alignment(spark):

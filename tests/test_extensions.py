@@ -2324,6 +2324,38 @@ def test_exact_quantiles_matches_builtin(spark):
     assert m2 == {"X": 5.0}
 
 
+def test_exact_quantiles_ungrouped_both_regimes(spark):
+    """by=None = GLOBAL quantiles, one output row, both regimes
+    bit-identical to the built-in percentile.  The ungrouped case is
+    exactly the single-huge-group regime coarse_groups exists for
+    (ADVICE r05 #1: the coarse path used to crash on join(on=[]))."""
+    import random
+
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    random.seed(13)
+    rows = [
+        (float(random.randint(0, 500)) if random.random() > 0.05 else None,)
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v double")
+    ref = df.agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+        F.expr("percentile(v, 0.07)").alias("p07"),
+    ).collect()[0]
+    for coarse in (False, True):
+        got = exact_quantiles(
+            df, "v", [0.5, 0.9, 0.07], coarse_groups=coarse
+        ).collect()
+        assert len(got) == 1
+        assert (got[0]["q_0"], got[0]["q_1"], got[0]["q_2"]) == (
+            ref["p50"],
+            ref["p90"],
+            ref["p07"],
+        ), coarse
+
+
 def test_scale_safe_cumulative_5m_rows_matches_window(spark):
     """Value-level scale probe: the two-pass range-partitioned prefix sum
     must equal the single-partition window cumsum on 5M rows — not just

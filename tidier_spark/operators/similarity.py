@@ -1328,16 +1328,19 @@ def kmeans_fit(
     Returns ``(id, cluster)`` for the assignment under the FINAL
     centroids (i.e. ``iters`` updates then one assignment pass).
     """
+    # localCheckpoint, not persist (ADVICE r05 #4): same one-time
+    # materialization for the iters+1 passes, but the storage is released
+    # when the returned frame (which references it) is garbage-collected,
+    # instead of pinning corpus-sized vectors until someone unpersists.
     base = df.select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
                 lambda x: F.round(x.cast("double") * scale).cast("bigint"),
         ).alias("__x"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     init = base.orderBy(id_col).limit(k).collect()
     if not init:
-        base.unpersist()
         raise ValueError("kmeans_fit: input DataFrame is empty")
     cents = [list(r["__x"]) for r in init]
     dims = len(cents[0])

@@ -163,12 +163,17 @@ def exact_quantiles(
       FEW huge groups would otherwise serialize on one task per group.
       The offset table is O(n_partitions × groups) rows and must stay
       broadcastable, which is exactly the coarse-group regime.
+
+    ``by=None`` computes GLOBAL quantiles (one output row): the default
+    regime runs its cumulative count over the distinct values in a
+    single task (bounded by distinct-value cardinality, not row count);
+    ``coarse_groups=True`` is the scale path — the whole value range is
+    range-partitioned across every core, the one-row total arriving via
+    a broadcast cross join.
     """
     from pyspark.sql import Window
 
     keys = _keys(by)
-    if not keys:
-        raise ValueError("exact_quantiles requires at least one group key")
     counts = (
         df.where(F.col(col).isNotNull())
         .groupBy(*keys, col)
@@ -179,6 +184,13 @@ def exact_quantiles(
         ranged = counts.repartitionByRange(
             n_part, *[F.col(k) for k in keys], F.col(col)
         ).withColumn("__pid", F.spark_partition_id())
+        # Materialize ONCE before branching: local and totals both read
+        # __pid, and repartitionByRange samples its boundaries — if the
+        # exchange were recomputed per branch (AQE replan, lost stage)
+        # the two branches could see DIFFERENT partitionings and the
+        # offsets would silently misalign.  localCheckpoint pins the
+        # computed partitions (and their pids) for every consumer.
+        ranged = ranged.localCheckpoint(eager=True)
         w_local = (
             Window.partitionBy("__pid", *keys)
             .orderBy(col)
@@ -197,14 +209,18 @@ def exact_quantiles(
             "__pid", *keys, F.sum("__tot").over(w_prev).alias("__off")
         )
         ntot = totals.groupBy(*keys).agg(F.sum("__tot").alias("__n"))
-        cum = (
-            local.join(F.broadcast(offs), ["__pid", *keys], "left")
-            .join(F.broadcast(ntot), list(keys))
-            .withColumn(
-                "__hi", F.col("__hi_local") + F.coalesce("__off", F.lit(0))
-            )
-            .withColumn("__lo", F.col("__hi") - F.col("__c"))
-        )
+        cum = local.join(F.broadcast(offs), ["__pid", *keys], "left")
+        # ungrouped: ntot is ONE global row — a broadcast cross join,
+        # not an equi-join on an empty key list (which Spark rejects).
+        # This is exactly the single-huge-group regime coarse_groups
+        # exists for, so the global case must work.
+        if keys:
+            cum = cum.join(F.broadcast(ntot), list(keys))
+        else:
+            cum = cum.crossJoin(F.broadcast(ntot))
+        cum = cum.withColumn(
+            "__hi", F.col("__hi_local") + F.coalesce("__off", F.lit(0))
+        ).withColumn("__lo", F.col("__hi") - F.col("__c"))
     else:
         w = Window.partitionBy(*keys).orderBy(col)
         # same partition+order spec for both frames → one WindowExec pass

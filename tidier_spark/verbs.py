@@ -436,20 +436,34 @@ def pivot_wider(
     Spark must run an extra distinct-collection job over the data, and the
     output schema becomes data-dependent (a 100 TB anti-pattern).
 
-    ``values_fill`` (tidyr's knob of the same name) replaces the NULLs of
-    absent (id, name) cells — e.g. ``0`` when ``values_fn="count"``, where
-    an absent cell genuinely means "zero rows" (and SQL's conditional
-    ``count(CASE ...)`` mirror would produce 0, not NULL).
+    ``values_fill`` (tidyr's knob of the same name) replaces ONLY the
+    NULLs of structurally-absent (id, name) cells — combinations with no
+    input row at all (e.g. ``0`` when ``values_fn="count"``).  A cell
+    whose rows exist but whose aggregate is genuinely NULL (say
+    ``values_fn="first"`` over a stored NULL) stays NULL, exactly
+    tidyr's contract: each cell carries ``count(1)`` alongside the
+    aggregate, so absent (NULL struct) and present-but-NULL are
+    distinguishable at fill time (ADVICE r05 #3 — a bare ``na.fill``
+    over the value columns conflated the two).
     """
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
     g = df.groupBy(*ids)
     p = g.pivot(names_from, names) if names else g.pivot(names_from)
-    out = p.agg(F.expr(f"{values_fn}({values_from})"))
-    if values_fill is not None:
-        out = out.na.fill(
-            values_fill, subset=[c for c in out.columns if c not in ids]
-        )
-    return out
+    if values_fill is None:
+        return p.agg(F.expr(f"{values_fn}({values_from})"))
+    out = p.agg(
+        F.expr(f"struct(count(1) AS __n, {values_fn}({values_from}) AS __v)")
+    )
+    return out.select(
+        *ids,
+        *[
+            F.when(F.coalesce(F.col(quote(c))["__n"], F.lit(0)) > 0, F.col(quote(c))["__v"])
+            .otherwise(F.lit(values_fill))
+            .alias(c)
+            for c in out.columns
+            if c not in ids
+        ],
+    )
 
 
 def pivot_longer(
