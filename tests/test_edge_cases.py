@@ -647,13 +647,16 @@ def test_frame_apply_vectorized_matches_scalar_on_nulls(spark):
 
 
 def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
-    """ENGINE PIN: Spark's global watermark initializes at epoch 0, so
-    pre-1970 event times are born late and watermark-eviction paths
-    (session_window aggregation) drop them — zero output — while the
-    SAME operator on a batch frame sessionizes them fine.  Documented in
-    stream_session_agg; this pin fails if Spark ever fixes it."""
+    """LOUD-BY-DESIGN PIN (verdict r05 task #6): Spark's global watermark
+    initializes at epoch 0, so pre-1970 event times are born late and
+    watermark-eviction paths would silently drop them.  Both paths now
+    carry a per-row JVM assert: feeding pre-epoch events WITHOUT
+    epoch_offset_us errors the query with a message naming the knob —
+    while the SAME operator on a batch frame sessionizes them fine, and
+    the knob restores exact batch parity."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import pytest
     from pyspark.sql import functions as F
 
     from tidier_spark.streaming import run_stream, stream_session_agg
@@ -677,8 +680,8 @@ def test_streaming_watermark_drops_preepoch_events_engine_pin(spark, tmp_path):
         stream, key_col="user_id", time_col="ts", gap_seconds=3600,
         aggs={"sum_v": F.sum("value")},
     )
-    out = run_stream(g, name="t_preepoch_sessions", output_mode="complete")
-    assert out.count() == 0  # engine drops pre-epoch rows as late
+    with pytest.raises(Exception, match="epoch_offset_us"):
+        run_stream(g, name="t_preepoch_sessions", output_mode="complete")
 
     batch = spark.read.schema("user_id long, ts timestamp, value double").parquet(
         str(src)
@@ -757,3 +760,16 @@ def test_stream_interval_join_epoch_offset_on_preepoch(spark, tmp_path):
     )
     # only user 1's purchase is within the hour of a view
     assert got == want and len(got) == 1
+
+    # loud-by-design (verdict r05 task #6): the SAME pre-epoch streams
+    # WITHOUT epoch_offset_us must error naming the knob, not silently
+    # join nothing
+    import pytest
+
+    ls2, rs2 = mk(spark.readStream)
+    j2 = stream_interval_join(
+        ls2, rs2, "user_id", left_ts="vts", right_ts="bts",
+        lower="0 seconds", upper="1 hour",
+    )
+    with pytest.raises(Exception, match="epoch_offset_us"):
+        run_stream(j2, name="t_preepoch_ij_loud", output_mode="append")

@@ -226,6 +226,32 @@ def stream_trailing_agg(
     )
 
 
+def _preepoch_guard(frame: DataFrame, col: str, fn_name: str) -> DataFrame:
+    """Make the pre-epoch watermark trap LOUD (verdict r05 task #6).
+
+    Spark's global watermark initializes at epoch 0, so a
+    watermark-eviction path fed pre-1970 event times silently drops
+    them.  Rather than silently losing rows, rewrite ``col`` through a
+    JVM-side ``assert_true`` so the FIRST pre-epoch row in any
+    micro-batch fails the query with a message naming the
+    ``epoch_offset_us`` fix — one codegen'd comparison per row, no
+    extra pass, no Python.  NULL event times pass through (they take
+    the engine's usual NULL-event-time path, not this guard's).
+    """
+    ok = F.coalesce(F.unix_micros(F.col(col)) >= 0, F.lit(True))
+    msg = (
+        f"{fn_name}: pre-epoch (before 1970-01-01) event time in "
+        f"'{col}' would be silently dropped by Spark's watermark "
+        "(global watermark initializes at epoch 0). Pass epoch_offset_us="
+        "<microseconds clearing your earliest event> to shift times past "
+        "the epoch for the watermark; outputs are shifted back."
+    )
+    return frame.withColumn(
+        col,
+        F.when(F.assert_true(ok, F.lit(msg)).isNull(), F.col(col)),
+    )
+
+
 def stream_session_agg(
     stream: DataFrame,
     *,
@@ -256,7 +282,10 @@ def stream_session_agg(
     on Spark 4.1 by the pre-epoch edge sweep (zero output rows; the
     batch equivalents handle negative epochs exactly).  The
     applyInPandasWithState operators and foreachBatch sinks do not rely
-    on watermark eviction and are unaffected.  The supported workaround
+    on watermark eviction and are unaffected.  The trap is LOUD: a
+    per-row JVM assert errors the query on the first pre-epoch event
+    (post-shift) instead of silently dropping rows — see
+    :func:`_preepoch_guard`.  The supported workaround
     is ``epoch_offset_us``: event times are shifted forward by the
     offset BEFORE the watermark (so they land past epoch 0) and the
     emitted session bounds are shifted back — session membership is
@@ -273,6 +302,10 @@ def stream_session_agg(
                 F.unix_micros(F.col(time_col)) + F.lit(int(epoch_offset_us))
             ),
         )
+    if src.isStreaming:
+        # loud-by-design: a pre-epoch event time (post-shift) errors the
+        # query instead of being silently evicted — see _preepoch_guard
+        src = _preepoch_guard(src, time_col, "stream_session_agg")
     w = src.withWatermark(time_col, watermark) if src.isStreaming else src
     agg_exprs = [F.count(F.lit(1)).alias("n_events")]
     for name, col in (aggs or {}).items():
@@ -369,6 +402,9 @@ def stream_interval_join(
             rts, F.timestamp_micros(F.unix_micros(F.col(rts)) + off)
         )
     if left.isStreaming or right.isStreaming:
+        # loud-by-design pre-epoch guard on BOTH sides (see _preepoch_guard)
+        lren = _preepoch_guard(lren, lts, "stream_interval_join")
+        rren = _preepoch_guard(rren, rts, "stream_interval_join")
         lren = lren.withWatermark(lts, watermark)
         rren = rren.withWatermark(rts, watermark)
     cond = None
