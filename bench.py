@@ -65,6 +65,7 @@ def main() -> None:
         "stream_trailing", "csv_roundtrip", "jsonl_roundtrip",
         "orc_roundtrip", "sink_roundtrip",
     }
+    run_matrix: dict[str, list[float]] = {}
     for name, fn in qs.items():
         best = float("nan")
         n_runs = max(runs, 5) if name in extra_runs else runs
@@ -76,6 +77,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if os.environ.get("SPARK_GRAFT_BENCH_DEBUG"):
                     print(f"  {name} run{i}: {dt:.2f}s", file=sys.stderr)
+                run_matrix.setdefault(name, []).append(round(dt, 3))
                 best = dt if best != best else min(best, dt)
         except Exception as exc:  # keep benching even if one query breaks
             print(f"bench error in {name}: {exc}", file=sys.stderr)
@@ -113,6 +115,14 @@ def main() -> None:
                 "w",
             ) as fh:
                 fh.write(line + "\n")
+                # the PER-RUN matrix (verdict r05 task #2): lets any
+                # reader attribute a headline delta to code vs box noise
+                # without re-running.  Second line of the repo-local
+                # record only — the driver's stdout tail stays compact.
+                fh.write(
+                    json.dumps({"runs": run_matrix}, separators=(",", ":"))
+                    + "\n"
+                )
         except OSError:
             pass  # read-only checkout: stdout still carries the record
     print(line)

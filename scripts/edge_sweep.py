@@ -13,13 +13,19 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext] [q ...]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude] [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
 columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
 vs NULL-never-equi-joins split, board-wide; ``preepoch`` = every
 timestamp/date column shifted 60 years into the past — all epoch
-arithmetic goes negative, board-wide.)
+arithmetic goes negative, board-wide; ``magnitude`` = events.value
+scaled by 1e13 so the penny fixed-point (round(value*100) BIGINT)
+lands near BIGINT max — any multi-row sum overflows: Spark ANSI raises
+where DuckDB silently promotes to HUGEINT.  The PINNED contract: a
+Spark-side ARITHMETIC_OVERFLOW on a fixed-point family entry is the
+DESIRED loud behavior at 100 TB (silent wraparound is the failure
+mode); such entries classify ``pinned`` via MAGNITUDE_PINS below.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -56,6 +62,15 @@ ONEGROUP_CONSTS = {
     "documents": {"lang": "en", "source": "web"},
     "embeddings": {"label": 0},
 }
+
+
+# magnitude axis: entries whose Spark-side error on near-BIGINT penny
+# fixed point is the PINNED loud contract (ANSI overflow raising beats
+# DuckDB's silent HUGEINT promotion at 100 TB — an engine that quietly
+# returns wrapped/complete sums over overflowed accumulators is the
+# failure mode).  entry -> regex the Spark error must match; anything
+# not listed (or not matching) still flags for triage.
+MAGNITUDE_PINS: dict[str, str] = {}
 
 
 def build_fixture(kind: str) -> str:
@@ -114,6 +129,19 @@ def build_fixture(kind: str) -> str:
                 )
                 fld = pa.field(col, typ, nullable=True)
                 tbl = tbl.set_column(i, fld, arr)
+        elif kind == "magnitude" and t == "events":
+            # extreme-magnitude regime (SURVEY 7.7.4): value*1e13 puts
+            # the penny fixed point (round(value*100) as BIGINT, up to
+            # ~3.3e17 per row) within ~28 rows of BIGINT overflow in any
+            # sum — Spark ANSI raises, DuckDB promotes to HUGEINT
+            import pyarrow.compute as pc
+
+            i = tbl.schema.get_field_index("value")
+            tbl = tbl.set_column(
+                i,
+                tbl.schema.field(i),
+                pc.multiply(tbl.column(i), pa.scalar(1e13)),
+            )
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
@@ -185,6 +213,15 @@ def main() -> int:
             cls = "both_empty" if not s_rows else "match"
         else:
             cls = "mismatch"
+        if (
+            kind == "magnitude"
+            and cls in ("spark_err", "loud_both")
+            and name in MAGNITUDE_PINS
+        ):
+            import re as _re
+
+            if _re.search(MAGNITUDE_PINS[name], s_err or ""):
+                cls = "pinned"
         results[name] = {
             "class": cls,
             "spark_rows": None if s_rows is None else len(s_rows),

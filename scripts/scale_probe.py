@@ -84,6 +84,19 @@ def main():
     rows.append(("exact_quantiles", "6M rows", timeit(quant(6_000_000))))
     rows.append(("exact_quantiles", "60M rows", timeit(quant(60_000_000))))
 
+    # 3b. GLOBAL exact quantiles via the coarse (range-partitioned
+    # two-pass prefix) regime — the one-giant-group shape where the
+    # default regime would serialize on a single window task
+    def quantc(n):
+        df = spark.range(n).select(
+            (F.xxhash64("id") % 100_000).cast("double").alias("v")
+        )
+        out = exact_quantiles(df, "v", [0.5, 0.9], coarse_groups=True)
+        return lambda: out.collect()
+
+    rows.append(("exact_quantiles_coarse_global", "6M rows", timeit(quantc(6_000_000))))
+    rows.append(("exact_quantiles_coarse_global", "60M rows", timeit(quantc(60_000_000))))
+
     # 4. minhash near-dup pairs on synthetic token docs
     from tidier_spark.operators.dedup import near_dup_pairs
 
