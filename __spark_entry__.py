@@ -1029,6 +1029,26 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(docs, pairs)
 
 
+def _q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same cluster contract as dup_clusters, resolved via the O(log n)
+    # alternating large-star/small-star CC (Kiveris et al.) instead of
+    # min-label propagation — the path for high-diameter components.
+    # Driver-checked against the SAME recursive-CTE oracle: the label
+    # (min id per component) is algorithm-independent.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators.graph import connected_components_star
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, k=8, bands=4, threshold=0.3)
+    nodes = docs.select(F.col("doc_id").alias("id")).distinct()
+    cc = connected_components_star(
+        pairs, nodes, src="id_a", dst="id_b", id_col="id"
+    )
+    return cc.withColumnRenamed("id", "doc_id")
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition stats (integer-valued: engine-hash-stable).
     from tidier_spark.operators.quality import repetition_signals
@@ -3755,6 +3775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_up": _q_fill_up,
         "diff_pct": _q_diff_pct,
         "nest_roundtrip": _q_nest_roundtrip,
+        # -- added r06 (position >50: outside the driver window head)
+        "dup_clusters_star": _q_dup_clusters_star,
     }
 
 
@@ -4009,6 +4031,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        # identical labeling contract, different distributed algorithm
+        "dup_clusters_star": _dup_clusters_oracle(),
         "repetition_signals": _repetition_oracle(),
         "salient_terms": _salient_terms_oracle(),
         "contamination": _contamination_oracle(),

@@ -72,6 +72,52 @@ ONEGROUP_CONSTS = {
 # not listed (or not matching) still flags for triage.
 MAGNITUDE_PINS: dict[str, str] = {}
 
+# magnitude axis: entries where BOTH engines complete but the values sit
+# outside the exact fixed-point domain (penny ints are exact only below
+# 2^53; above it double ulp > 1, so sums are association-order-dependent
+# and integer casts split on binary-exact vs shortest-decimal repr —
+# verified cell-wise 2026-08-15: max rel diff 1.3e-14, max int drift 8
+# at 1.5e17 where double ulp is 32).  The pin is CHECKED, not blanket:
+# classification flips to ``pinned`` only if every cell matches exactly,
+# or numerically within rel 1e-9 / abs 64 — a genuine wraparound or
+# dropped-row defect still flags as mismatch.
+MAGNITUDE_FLOAT_PINS = {
+    "gapfill_rollup",
+    "incremental_rollup",
+    "frame_apply_wmean",
+    "stream_trailing",
+}
+
+
+def _float_close(s_rows: list, o_rows: list) -> bool:
+    # column-wise (each column independently sorted): ulp-level value
+    # differences perturb the row sort order, so row-aligned comparison
+    # would spuriously fail on neighboring rows — and the per-column
+    # multiset is still a real guard against wraparound / dropped rows.
+    if len(s_rows) != len(o_rows):
+        return False
+    if not s_rows:
+        return True
+    for ci in range(len(s_rows[0])):
+        sc = [r[ci] for r in s_rows]
+        oc = [r[ci] for r in o_rows]
+        try:
+            sf_ = sorted(float(v) for v in sc)
+            of_ = sorted(float(v) for v in oc)
+        except ValueError:
+            if sorted(sc) != sorted(oc):
+                return False
+            continue
+        for fa, fb in zip(sf_, of_):
+            if fa != fa and fb != fb:  # both nan (sort puts nans last)
+                continue
+            if fa == fb or abs(fa - fb) <= 64:
+                continue
+            denom = max(abs(fa), abs(fb))
+            if denom == 0 or abs(fa - fb) / denom > 1e-9:
+                return False
+    return True
+
 
 def build_fixture(kind: str) -> str:
     import pyarrow as pa
@@ -222,6 +268,13 @@ def main() -> int:
 
             if _re.search(MAGNITUDE_PINS[name], s_err or ""):
                 cls = "pinned"
+        if (
+            kind == "magnitude"
+            and cls == "mismatch"
+            and name in MAGNITUDE_FLOAT_PINS
+            and _float_close(s_rows, o_rows)
+        ):
+            cls = "pinned"
         results[name] = {
             "class": cls,
             "spark_rows": None if s_rows is None else len(s_rows),
@@ -229,7 +282,7 @@ def main() -> int:
             "spark_err": s_err,
             "oracle_err": o_err,
         }
-        flag = "" if cls in ("match", "both_empty", "loud_both") else "  <<<"
+        flag = "" if cls in ("match", "both_empty", "loud_both", "pinned") else "  <<<"
         print(f"{cls:11s} {name}{flag}", flush=True)
 
     out = f"/tmp/edge_sweep_{kind}.json"
