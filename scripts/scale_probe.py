@@ -91,8 +91,12 @@ def main():
         df = spark.range(n).select(
             (F.xxhash64("id") % 100_000).cast("double").alias("v")
         )
-        out = exact_quantiles(df, "v", [0.5, 0.9], coarse_groups=True)
-        return lambda: out.collect()
+        # build INSIDE the timed lambda: the coarse path eagerly
+        # materializes its range-partitioned counts (localCheckpoint)
+        # at call time, so plan construction is part of the cost
+        return lambda: exact_quantiles(
+            df, "v", [0.5, 0.9], coarse_groups=True
+        ).collect()
 
     rows.append(("exact_quantiles_coarse_global", "6M rows", timeit(quantc(6_000_000))))
     rows.append(("exact_quantiles_coarse_global", "60M rows", timeit(quantc(60_000_000))))

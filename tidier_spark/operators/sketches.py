@@ -170,6 +170,12 @@ def exact_quantiles(
     ``coarse_groups=True`` is the scale path — the whole value range is
     range-partitioned across every core, the one-row total arriving via
     a broadcast cross join.
+
+    NOTE: ``coarse_groups=True`` is EAGER — it materializes the
+    (group, value, count) aggregate (a localCheckpoint) at call time so
+    that every consumer of the range partitioning sees one fixed
+    ``__pid`` assignment (an AQE replan between branches would
+    otherwise silently misalign the prefix offsets).
     """
     from pyspark.sql import Window
 
