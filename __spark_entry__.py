@@ -1049,6 +1049,28 @@ def _q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.withColumnRenamed("id", "doc_id")
 
 
+def _q_quantiles_global_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GLOBAL exact quantiles via the coarse regime (range-partitioned
+    # two-pass prefix, r6: ungrouped support + branch-consistent
+    # checkpoint) — the single-giant-group shape where the default
+    # regime would serialize on one window task.  Dyadic probabilities
+    # over penny ints make the continuous interpolation exact in binary,
+    # so the DuckDB quantile_cont mirror hashes identically.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import exact_quantiles
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "p100", F.round(F.col("l_extendedprice") * 100)
+    )
+    q = exact_quantiles(li, "p100", [0.25, 0.5, 0.75], coarse_groups=True)
+    return q.select(
+        F.col("q_0").alias("q25"),
+        F.col("q_1").alias("q50"),
+        F.col("q_2").alias("q75"),
+    )
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition stats (integer-valued: engine-hash-stable).
     from tidier_spark.operators.quality import repetition_signals
@@ -3777,6 +3799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nest_roundtrip": _q_nest_roundtrip,
         # -- added r06 (position >50: outside the driver window head)
         "dup_clusters_star": _q_dup_clusters_star,
+        "quantiles_global_coarse": _q_quantiles_global_coarse,
     }
 
 
@@ -4031,6 +4054,11 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "quantiles_global_coarse": """
+            SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
+                   quantile_cont(round(l_extendedprice * 100), 0.5)  AS q50,
+                   quantile_cont(round(l_extendedprice * 100), 0.75) AS q75
+            FROM lineitem""",
         # identical labeling contract, different distributed algorithm
         "dup_clusters_star": _dup_clusters_oracle(),
         "repetition_signals": _repetition_oracle(),
