@@ -3594,6 +3594,24 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_QUERY, k=25)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval: BM25 ranking fused with a distinct-term-overlap
+    # ranking by reciprocal-rank fusion (Cormack et al.) — the standard
+    # lexical+scored combiner in RAG retrieval stacks.  All-integer
+    # contributions (scale div (60+rank)), so the fused ranking is
+    # bit-stable vs the DuckDB mirror composing the same two rankings.
+    from tidier_spark.operators.quality import (
+        bm25_topk,
+        rrf_fuse,
+        term_overlap_topk,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = bm25_topk(docs, _BM25_QUERY, k=50)
+    b = term_overlap_topk(docs, _BM25_QUERY, k=50)
+    return rrf_fuse([a, b], k_const=60, k=25)
+
+
 def _q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-user exponential moving average (α=1/2, 9-row lookback) in
     # EXACT integer arithmetic: BIGINT weight dot products over lags
@@ -3800,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- added r06 (position >50: outside the driver window head)
         "dup_clusters_star": _q_dup_clusters_star,
         "quantiles_global_coarse": _q_quantiles_global_coarse,
+        "hybrid_rrf": _q_hybrid_rrf,
     }
 
 
@@ -4054,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
                    quantile_cont(round(l_extendedprice * 100), 0.5)  AS q50,
@@ -4941,6 +4961,27 @@ def _pack_sequences_oracle() -> str:
                CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
                CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
         FROM c"""
+
+
+def _hybrid_rrf_oracle() -> str:
+    from tidier_spark.operators.quality import bm25_topk_sql, term_overlap_topk_sql
+
+    bm = bm25_topk_sql("documents", _BM25_QUERY, k=50)
+    ov = term_overlap_topk_sql("documents", _BM25_QUERY, k=50)
+    return f"""
+        WITH bm AS ({bm}),
+        ov AS ({ov}),
+        fused AS (
+          SELECT coalesce(bm.doc_id, ov.doc_id) AS doc_id,
+                 (coalesce(1000000 // (60 + bm.rank), 0)
+                  + coalesce(1000000 // (60 + ov.rank), 0))::BIGINT AS rrf_fp
+          FROM bm FULL JOIN ov ON bm.doc_id = ov.doc_id
+        )
+        SELECT row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC)::BIGINT
+                 AS rank,
+               doc_id, rrf_fp
+        FROM fused
+        ORDER BY rrf_fp DESC, doc_id ASC LIMIT 25"""
 
 
 def _dup_clusters_oracle() -> str:

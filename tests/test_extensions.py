@@ -1478,6 +1478,59 @@ def test_bm25_topk_plan_no_global_sort(tables):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF: contribution = scale div (k_const + rank); ids absent from a
+    list contribute 0 there; fused order (total DESC, id ASC).  Checked
+    against a hand computation in exact integers."""
+    from tidier_spark.operators.quality import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank long, doc_id long"
+    ).select("rank", "doc_id")
+    b = spark.createDataFrame(
+        [(1, 30), (2, 10), (3, 40)], "rank long, doc_id long"
+    ).select("rank", "doc_id")
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_fp"])
+        for r in rrf_fuse([a, b], k_const=60, k=10, scale=1_000_000).collect()
+    }
+    s = 1_000_000
+    want_fp = {
+        10: s // 61 + s // 62,      # rank 1 in a, rank 2 in b
+        30: s // 63 + s // 61,      # rank 3 in a, rank 1 in b
+        20: s // 62,                # only in a
+        40: s // 63,                # only in b
+    }
+    assert {d: fp for d, (_, fp) in got.items()} == want_fp
+    # fused order: 10 (32516) > 30 (32262) > 20 (16129) > 40 (15873)
+    order = sorted(got, key=lambda d: got[d][0])
+    assert order == [10, 30, 20, 40]
+
+
+def test_term_overlap_topk_set_semantics(spark):
+    """Distinct-term overlap: repeats in the doc don't raise the count;
+    ties break by id ascending."""
+    from tidier_spark.operators.quality import term_overlap_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),          # overlap 1 despite repeats
+            (2, "spark vector"),               # overlap 2
+            (3, "vector spark stream extra"),  # overlap 3
+            (4, "nothing here"),               # overlap 0
+            (5, "spark vector"),               # overlap 2, tie with 2
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["overlap"])
+        for r in term_overlap_topk(
+            df, ["spark", "vector", "stream"], k=4
+        ).collect()
+    ]
+    assert got == [(1, 3, 3), (2, 2, 2), (3, 5, 2), (4, 1, 1)]
+
+
 def test_pq_topk_recall_with_rerank(tables):
     emb = tables["embeddings"].limit(200)
     exact = {
@@ -2657,7 +2710,7 @@ def test_driver_window_head_is_never_checked_rotation():
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 168
+    assert len(keys) == len(set(keys)) == 169
     first_green: dict[str, str] = {}
     for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")

@@ -37,6 +37,8 @@ __all__ = [
     "srp_embedding",
     "srp_embedding_sql",
     "bm25_topk",
+    "term_overlap_topk",
+    "rrf_fuse",
     "bm25_topk_sql",
     "robust_outliers",
     "robust_outliers_sql",
@@ -709,6 +711,129 @@ def bm25_topk_sql(
           FROM contrib GROUP BY 1
         )
         ORDER BY score_fp DESC, {id_col} ASC LIMIT {k}"""
+
+
+def term_overlap_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Distinct-term overlap retrieval: rank every document by how many
+    of the query's terms appear in it (set semantics — repeats don't
+    count), top-``k`` by (overlap DESC, id ASC).  The cheap lexical
+    recall stage a hybrid retriever pairs with a scored ranker (BM25,
+    dense) under :func:`rrf_fuse`; pure integer arithmetic, so the
+    ranking is bit-stable against any engine.
+
+    Plan: the overlap is ONE map-side column expression
+    (``array_intersect`` of the doc's distinct tokens with a literal
+    term array — no explode, no shuffle); the global top-k lowers to
+    TakeOrdered exactly as in :func:`bm25_topk`.
+    """
+    from .text import tokens
+
+    if not query_terms:
+        raise ValueError("term_overlap_topk: query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text_col)),
+            F.array(*[F.lit(t) for t in terms]),
+        )
+    ).cast("bigint")
+    scored = (
+        df.select(F.col(id_col), overlap.alias("overlap"))
+        .orderBy(F.col("overlap").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("overlap").desc(), F.col(id_col).asc())
+    return scored.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col(id_col),
+        F.col("overlap"),
+    )
+
+
+def term_overlap_topk_sql(
+    table: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`term_overlap_topk` (integer-exact)."""
+    from .text import tokens_sql
+
+    if not query_terms:
+        raise ValueError("term_overlap_topk_sql: query_terms must be non-empty")
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms))
+    )
+    toks = tokens_sql(text_col)
+    return f"""
+        SELECT row_number() OVER (ORDER BY overlap DESC, {id_col} ASC)::BIGINT
+                 AS rank,
+               {id_col}, overlap
+        FROM (
+          SELECT {id_col},
+                 len(list_intersect(list_distinct({toks}), [{terms}]))::BIGINT
+                   AS overlap
+          FROM {table}
+        )
+        ORDER BY overlap DESC, {id_col} ASC LIMIT {k}"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    k: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked lists into one ranking — the standard hybrid-retrieval
+    combiner (BM25 ⊕ dense ⊕ ...): each list contributes
+    ``scale div (k_const + rank)`` for the ids it ranked, absent ids
+    contribute 0, fused order is (total DESC, id ASC).
+
+    Exactness: the contribution is INTEGER division of integers (no
+    float anywhere), so the fused score is bit-stable against any
+    engine's mirror — the same fixed-point discipline as
+    :func:`bm25_topk`.
+
+    Scale: inputs are already top-k-bounded lists (each ≤ its own k),
+    so the full-outer id join and the single global rank window run
+    over at most Σkᵢ rows — model-sized, never corpus-sized.  Returns
+    ``(rank, id, rrf_fp)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    scored = None
+    for i, r in enumerate(rankings):
+        c = r.select(
+            F.col(id_col),
+            F.expr(
+                f"{int(scale)} div ({int(k_const)} + cast({rank_col} as bigint))"
+            ).alias(f"__rrf{i}"),
+        )
+        scored = c if scored is None else scored.join(c, id_col, "full")
+    total = F.lit(0).cast("bigint")
+    for i in range(len(rankings)):
+        total = total + F.coalesce(F.col(f"__rrf{i}"), F.lit(0).cast("bigint"))
+    fused = (
+        scored.select(F.col(id_col), total.alias("rrf_fp"))
+        .orderBy(F.col("rrf_fp").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf_fp").desc(), F.col(id_col).asc())
+    return fused.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col(id_col),
+        F.col("rrf_fp"),
+    )
 
 
 def robust_outliers(
