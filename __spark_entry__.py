@@ -1071,6 +1071,27 @@ def _q_quantiles_global_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Duplicate-graph centrality: fixed-point PageRank (3 power
+    # iterations, damping 0.85) over the symmetrized near-dup pair
+    # graph.  Pure BIGINT arithmetic (init scale div n, contributions
+    # pr div outdeg, update base + (85*sum) div 100) so the DuckDB
+    # mirror unrolling the same 3 rounds as CTEs hashes identically.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, k=8, bands=4, threshold=0.3)
+    edges = pairs.selectExpr("id_a", "id_b").unionAll(
+        pairs.selectExpr("id_b AS id_a", "id_a AS id_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id")).distinct()
+    pr = pagerank(edges, nodes, src="id_a", dst="id_b", id_col="id", iters=3)
+    return pr.withColumnRenamed("id", "doc_id")
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition stats (integer-valued: engine-hash-stable).
     from tidier_spark.operators.quality import repetition_signals
@@ -3819,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_star": _q_dup_clusters_star,
         "quantiles_global_coarse": _q_quantiles_global_coarse,
         "hybrid_rrf": _q_hybrid_rrf,
+        "pagerank_dups": _q_pagerank_dups,
     }
 
 
@@ -4073,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": _boilerplate_oracle(),
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "pagerank_dups": _pagerank_dups_oracle(),
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
@@ -4982,6 +5005,51 @@ def _hybrid_rrf_oracle() -> str:
                doc_id, rrf_fp
         FROM fused
         ORDER BY rrf_fp DESC, doc_id ASC LIMIT 25"""
+
+
+def _pagerank_dups_oracle() -> str:
+    # Unrolled power iteration (the kmeans/bpe CTE discipline): same
+    # integer fixed point as graph.pagerank — scale div n init,
+    # pr // outdeg contributions, base + (85*sum) // 100 update.
+    from tidier_spark.operators import dedup as D
+
+    pairs = D.minhash_pairs_sql(k=8, bands=4, threshold=0.3)
+    scale = 1_000_000_000_000
+    rounds = []
+    prev = "r0"
+    for i in range(1, 4):
+        rounds.append(f"""
+        r{i} AS (
+          SELECT d.doc_id AS u,
+                 CAST(c.base + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+          FROM documents d CROSS JOIN consts c
+          LEFT JOIN (
+            SELECT e.v AS v, CAST(sum(r.pr // o.d) AS BIGINT) AS m
+            FROM edges e
+            JOIN {prev} r ON r.u = e.u
+            JOIN outdeg o ON o.u = e.u
+            GROUP BY e.v
+          ) s ON s.v = d.doc_id
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH pairs AS ({pairs}),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        outdeg AS (SELECT u, count(*)::BIGINT AS d FROM edges GROUP BY u),
+        consts AS (
+          SELECT ({scale} // count(*))::BIGINT AS init,
+                 ((15 * ({scale} // count(*))) // 100)::BIGINT AS base
+          FROM documents
+        ),
+        r0 AS (
+          SELECT doc_id AS u, c.init AS pr
+          FROM documents CROSS JOIN consts c
+        ),{",".join(rounds)}
+        SELECT u AS doc_id, pr AS pr_fp FROM {prev}"""
 
 
 def _dup_clusters_oracle() -> str:

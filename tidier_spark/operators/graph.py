@@ -42,6 +42,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "dup_clusters",
+    "pagerank",
 ]
 
 
@@ -258,3 +259,69 @@ def dup_clusters(
         pairs, nodes, src=src, dst=dst, id_col="id", max_iter=max_iter
     )
     return cc.withColumnRenamed("id", id_col)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    iters: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank (power iteration, damping 0.85) over a
+    directed edge list — duplicate-cluster centrality, link-graph
+    authority, citation weighting.
+
+    EXACT cross-engine arithmetic (the kmeans/bpe oracle discipline):
+    ranks are BIGINT fixed point (init ``scale div n`` per node, teleport
+    ``(15·init) div 100``), each iteration is
+    ``base + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100`` in pure
+    integer ops — no float anywhere, so a DuckDB mirror unrolling the
+    same ``iters`` rounds as CTEs hashes identically.  Dangling nodes
+    (no out-edges) keep contributing nothing — their mass is dropped,
+    the common simplification; they still RECEIVE rank.
+
+    Scale shape: per-round work is one broadcast-sized join of the edge
+    list with the rank frame plus a (dst) hash aggregate with map-side
+    combine — the connected_components per-round shape; driver state is
+    the single scalar ``n`` (one count job).  ``iters`` is fixed, so the
+    plan is a bounded unroll, no convergence collect per round.
+    Returns ``(id_col, pr_fp)``.
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(0).cast("bigint").alias("pr_fp")
+        )
+    init = scale // n
+    base = (15 * init) // 100
+    ids = nodes.select(F.col(id_col).alias("__u")).distinct()
+    outdeg = edges.groupBy(F.col(src).alias("__u")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    e = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v")
+    ).join(outdeg, "__u")
+    ranks = ids.select("__u", F.lit(int(init)).cast("bigint").alias("__pr"))
+    for _ in range(iters):
+        sums = (
+            e.join(ranks, "__u")
+            .select("__v", F.expr("__pr div __d").alias("__c"))
+            .groupBy("__v")
+            .agg(F.sum("__c").alias("__m"))
+        )
+        ranks = ids.join(
+            sums, ids["__u"] == sums["__v"], "left"
+        ).select(
+            "__u",
+            (
+                F.lit(int(base)).cast("bigint")
+                + F.expr("(85 * coalesce(__m, 0)) div 100")
+            ).alias("__pr"),
+        )
+    return ranks.select(
+        F.col("__u").alias(id_col), F.col("__pr").alias("pr_fp")
+    )
