@@ -923,3 +923,92 @@ def test_linear_attribution_matches_python_reference(rows, lookback_s, spark):
             tc, nc, cf = want.get(ti, (0, 0, 0))
             want[ti] = (tc + cents, nc + 1, cf + q)
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_property_matches_python(edges, iters, spark):
+    """graph.pagerank on arbitrary small directed multigraphs (self-loops
+    and duplicate edges included — they legitimately raise out-degree)
+    must equal a pure-Python integer power iteration with the same
+    fixed-point rules."""
+    from tidier_spark.operators.graph import pagerank
+
+    nodes = list(range(10))
+    ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+    edf = (
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        if edges
+        else spark.createDataFrame([], "id_a long, id_b long")
+    )
+    scale = 1_000_000_000
+    got = {
+        r["id"]: r["pr_fp"]
+        for r in pagerank(edf, ndf, iters=iters, scale=scale).collect()
+    }
+
+    init = scale // len(nodes)
+    base = (15 * init) // 100
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    pr = {u: init for u in nodes}
+    for _ in range(iters):
+        recv = {u: 0 for u in nodes}
+        for u, v in edges:
+            recv[v] += pr[u] // outdeg[u]
+        pr = {u: base + (85 * recv[u]) // 100 for u in nodes}
+    assert got == pr
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lists=st.lists(
+        st.lists(st.integers(0, 19), unique=True, min_size=1, max_size=8),
+        min_size=1,
+        max_size=3,
+    ),
+    k_const=st.integers(1, 90),
+)
+def test_rrf_fuse_property_matches_python(lists, k_const, spark):
+    """rrf_fuse over arbitrary ranked id lists == the Python reference:
+    sum of scale//(k_const+rank) per list containing the id, ordered by
+    (total desc, id asc)."""
+    from tidier_spark.operators.quality import rrf_fuse
+
+    scale = 1_000_000
+    rankings = [
+        spark.createDataFrame(
+            [(r + 1, d) for r, d in enumerate(ids)], "rank long, doc_id long"
+        )
+        for ids in lists
+    ]
+    got = [
+        (r["rank"], r["doc_id"], r["rrf_fp"])
+        for r in rrf_fuse(rankings, k_const=k_const, k=100, scale=scale).collect()
+    ]
+
+    total: dict = {}
+    for ids in lists:
+        for r, d in enumerate(ids):
+            total[d] = total.get(d, 0) + scale // (k_const + r + 1)
+    want = [
+        (i + 1, d, total[d])
+        for i, d in enumerate(sorted(total, key=lambda d: (-total[d], d)))
+    ]
+    assert got == want
