@@ -1564,6 +1564,55 @@ def test_term_overlap_topk_set_semantics(spark):
     assert got == [(1, 3, 3), (2, 2, 2), (3, 5, 2), (4, 1, 1)]
 
 
+def test_retrieval_plans_no_global_sort(tables):
+    """term_overlap_topk and rrf_fuse must lower their top-k to
+    TakeOrderedAndProject (per-partition partial top-k + driver merge),
+    never a full Sort+Exchange — the bm25_topk scale contract."""
+    from tidier_spark.operators.quality import (
+        bm25_topk,
+        rrf_fuse,
+        term_overlap_topk,
+    )
+
+    docs = tables["documents"]
+    ov_plan = (
+        term_overlap_topk(docs, ["spark", "vector"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in ov_plan
+    fused = rrf_fuse(
+        [
+            bm25_topk(docs, ["spark", "vector"], k=5),
+            term_overlap_topk(docs, ["spark", "vector"], k=5),
+        ],
+        k=5,
+    )
+    f_plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in f_plan
+    assert "CartesianProduct" not in f_plan
+
+
+def test_pagerank_plan_shape(tables):
+    """pagerank's per-round aggregate must keep map-side partial
+    aggregation (two HashAggregates per groupBy) and produce no
+    cartesian product; driver state is the single count scalar."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.graph import pagerank
+
+    docs = tables["documents"]
+    edges = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") % 7).alias("id_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    plan = (
+        pagerank(edges, nodes, iters=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final per round
+
+
 def test_pq_topk_recall_with_rerank(tables):
     emb = tables["embeddings"].limit(200)
     exact = {
