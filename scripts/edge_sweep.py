@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude] [q ...]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids] [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
 columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
@@ -25,7 +25,11 @@ lands near BIGINT max — any multi-row sum overflows: Spark ANSI raises
 where DuckDB silently promotes to HUGEINT.  The PINNED contract: a
 Spark-side ARITHMETIC_OVERFLOW on a fixed-point family entry is the
 DESIRED loud behavior at 100 TB (silent wraparound is the failure
-mode); such entries classify ``pinned`` via MAGNITUDE_PINS below.)
+mode); such entries classify ``pinned`` via MAGNITUDE_PINS below;
+``dupids`` = every primary id collapsed by ``id // 2``, applied at the
+PK *and* every FK site of the same key so referential structure stays
+coherent — each id now names ~2 rows, so upsert/SCD2/as-of tie
+handling, rank ties, and m:n join fan-out all activate board-wide.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -64,6 +68,23 @@ ONEGROUP_CONSTS = {
 }
 
 
+# dupids: id columns collapsed by ``id // 2`` per table.  The SAME key
+# collapses at its PK and FK sites (o_orderkey and l_orderkey both
+# halve), so joins stay referentially coherent but become m:n — and
+# every "unique id" assumption (upsert keys, SCD2 entity ids, as-of
+# series ids, rank tie-breaks) faces a 2-row id.
+DUPID_COLS = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
 # magnitude axis: entries whose Spark-side error on near-BIGINT penny
 # fixed point is the PINNED loud contract (ANSI overflow raising beats
 # DuckDB's silent HUGEINT promotion at 100 TB — an engine that quietly
@@ -87,6 +108,70 @@ MAGNITUDE_FLOAT_PINS = {
     "frame_apply_wmean",
     "stream_trailing",
 }
+
+
+# dupids axis: entries whose semantics are keyed on a primary id — the
+# id IS the row's identity (the document/vector/entity named X).  Unique
+# primary ids are a DECLARED INPUT INVARIANT for these (the provided
+# guard is expectations.validate(df, {id: [("unique",)]})); under
+# duplicate ids "the row named X" is ambiguous and the engines resolve
+# it differently (per-row vs per-id-merged, pair dedup by id, candidate
+# pick).  Each pin still runs the STRONGEST machine-checkable residual
+# guarantee (triaged cell-by-cell 2026-08-15) so dropped-id /
+# fabricated-row defects cannot hide behind the pin:
+#   subset_onekey:<k> — spark ⊆ oracle candidate multiset, exactly one
+#                       spark row per key, key sets equal (upsert picks
+#                       a valid per-key winner from the same candidates)
+#   distinct_eq       — set(spark) == set(oracle); only row
+#                       multiplicities diverge (duplicate-id join fan-out)
+#   subset            — spark rows ⊆ oracle rows (spark's pair dedup by
+#                       id emits no row the oracle would not)
+#   id_set:<col>      — distinct <col> values equal (identity-ambiguity
+#                       family: values diverge, the id universe may not)
+#   declared          — no machine check beyond the declared invariant
+#                       (per-row vs per-id signatures share no structure)
+DUPID_PINS = {
+    "merge_upsert": "subset_onekey:o_orderkey",
+    "snapshot_diff": "distinct_eq",
+    "semantic_dedup": "distinct_eq",
+    "corpus_clean": "subset",
+    "fuzzy_names": "subset",
+    "cosine_topk": "id_set:query_id",
+    "knn_join": "id_set:query_id",
+    "pq_topk_full": "id_set:query_id",
+    "kmeans_clusters": "id_set:vec_id",
+    "pagerank_dups": "id_set:doc_id",
+    "bpe_subwords": "id_set:doc_id",
+    "bpe_encode": "id_set:doc_id",
+    "lm_bigram": "id_set:doc_id",
+    "dedup_simhash": "id_set:doc_id",
+    "repeated_spans": "id_set:doc_id",
+    "pipeline_e2e": "id_set:doc_id",
+    "lsh_topk": "id_set:metric",
+    "ivf_topk": "id_set:metric",
+    "ivfpq_topk": "id_set:metric",
+    "pq_topk": "id_set:metric",
+    "simhash_pairs": "declared",
+}
+
+
+def _dupid_pin_ok(check: str, s_rows: list, o_rows: list, cols: list) -> bool:
+    ss, os_ = set(s_rows), set(o_rows)
+    if check == "declared":
+        return True
+    if check == "distinct_eq":
+        return ss == os_
+    if check == "subset":
+        return ss <= os_
+    if check.startswith("subset_onekey:"):
+        ki = cols.index(check.split(":", 1)[1])
+        keys_s = {r[ki] for r in s_rows}
+        keys_o = {r[ki] for r in o_rows}
+        return ss <= os_ and keys_s == keys_o and len(s_rows) == len(keys_s)
+    if check.startswith("id_set:"):
+        ci = cols.index(check.split(":", 1)[1])
+        return {r[ci] for r in s_rows} == {r[ci] for r in o_rows}
+    raise ValueError(check)
 
 
 def _float_close(s_rows: list, o_rows: list) -> bool:
@@ -188,6 +273,16 @@ def build_fixture(kind: str) -> str:
                 tbl.schema.field(i),
                 pc.multiply(tbl.column(i), pa.scalar(1e13)),
             )
+        elif kind == "dupids":
+            import pyarrow.compute as pc
+
+            for col in DUPID_COLS.get(t, ()):
+                i = tbl.schema.get_field_index(col)
+                typ = tbl.schema.field(i).type
+                halved = pc.divide(
+                    tbl.column(i).cast(pa.int64()), pa.scalar(2, pa.int64())
+                )
+                tbl = tbl.set_column(i, tbl.schema.field(i), halved.cast(typ))
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
@@ -232,8 +327,11 @@ def main() -> int:
             continue
         s_err = o_err = None
         s_rows = o_rows = None
+        s_cols: list = []
         try:
-            s_rows = canon(fn(spark, sf_dir).toPandas())
+            pdf = fn(spark, sf_dir).toPandas()
+            s_cols = sorted(pdf.columns)
+            s_rows = canon(pdf)
         except Exception as e:
             s_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
         sql = oracles.get(name)
@@ -275,8 +373,16 @@ def main() -> int:
             and _float_close(s_rows, o_rows)
         ):
             cls = "pinned"
+        pin_check = None
+        if kind == "dupids" and cls == "mismatch" and name in DUPID_PINS:
+            pin_check = DUPID_PINS[name]
+            if _dupid_pin_ok(pin_check, s_rows, o_rows, s_cols):
+                cls = "pinned"
+            else:
+                pin_check = f"FAILED:{pin_check}"
         results[name] = {
             "class": cls,
+            **({"pin_check": pin_check} if pin_check else {}),
             "spark_rows": None if s_rows is None else len(s_rows),
             "oracle_rows": None if o_rows is None else len(o_rows),
             "spark_err": s_err,

@@ -196,6 +196,25 @@ def main():
     rows.append(("star_cc_path", "100k chain", timeit(ccs(100_000), reps=1)))
     rows.append(("star_cc_path", "1M chain", timeit(ccs(1_000_000), reps=1)))
 
+    # 9. fixed-point PageRank: 3 unrolled rounds, each an (edges ⋈ ranks)
+    # equi-join + dst hash-aggregate — timing includes the eager n count
+    from tidier_spark.operators.graph import pagerank
+
+    def pr(n):
+        nodes = spark.range(n).select(F.col("id"))
+        edges = spark.range(2 * n).select(
+            (F.col("id") % n).alias("id_a"),
+            F.when(
+                F.col("id") < n, (F.col("id") * 7 + 1) % n
+            ).otherwise((F.col("id") * 13 + 5) % n).alias("id_b"),
+        )
+        return lambda: pagerank(
+            edges, nodes, src="id_a", dst="id_b", id_col="id", iters=3
+        ).agg(F.sum("pr_fp")).collect()
+
+    rows.append(("pagerank_3it", "1M n/2M e", timeit(pr(1_000_000), reps=1)))
+    rows.append(("pagerank_3it", "10M n/20M e", timeit(pr(10_000_000), reps=1)))
+
     print(f"{'operator':<20} {'size':>10} {'sec':>8}")
     for op, size, sec in rows:
         print(f"{op:<20} {size:>10} {sec:>8.2f}")
