@@ -13,7 +13,8 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids] [q ...]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties]
+       [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
 columns rewritten to ALL NULL — SQL's NULLs-form-one-window-partition
@@ -29,7 +30,13 @@ mode); such entries classify ``pinned`` via MAGNITUDE_PINS below;
 ``dupids`` = every primary id collapsed by ``id // 2``, applied at the
 PK *and* every FK site of the same key so referential structure stays
 coherent — each id now names ~2 rows, so upsert/SCD2/as-of tie
-handling, rank ties, and m:n join fan-out all activate board-wide.)
+handling, rank ties, and m:n join fan-out all activate board-wide;
+``ordties`` = ``events.ts`` floored to the hour — the one fine-grained
+ORDER BY column on the board gains heavy tie groups, so any window /
+ranking / as-of / sessionize path whose tie-break is not a total order
+goes nondeterministic and diverges from the oracle.  On the shipped
+fixtures ``ts`` is unique, so a tie-break fix is hash-preserving by
+construction.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -273,6 +280,19 @@ def build_fixture(kind: str) -> str:
                 tbl.schema.field(i),
                 pc.multiply(tbl.column(i), pa.scalar(1e13)),
             )
+        elif kind == "ordties" and t == "events":
+            # floor ts to the hour: every ordering/as-of/sessionize path
+            # over events now sees ~hour-sized tie groups
+            import pyarrow.compute as pc
+
+            i = tbl.schema.get_field_index("ts")
+            typ = tbl.schema.field(i).type
+            us = tbl.column(i).cast(pa.int64())
+            floored = pc.multiply(
+                pc.divide(us, pa.scalar(3_600_000_000, pa.int64())),
+                pa.scalar(3_600_000_000, pa.int64()),
+            )
+            tbl = tbl.set_column(i, tbl.schema.field(i), floored.cast(typ))
         elif kind == "dupids":
             import pyarrow.compute as pc
 
