@@ -3495,6 +3495,20 @@ def _q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(ev, _VALIDATE_RULES)
 
 
+def _q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Referential-integrity audit: events whose user lost its parent
+    # after curating the customer dimension (drop negative balances) —
+    # child aggregates to key cardinality first, then left-anti joins
+    # the distinct parent keys (key-sized join, AQE-broadcast parent).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.expectations import fk_orphans
+
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
+    return fk_orphans(ev, cust, "user_id", parent_keys="c_custkey")
+
+
 def _q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edit-distance self-join (entity matching): customer-name pairs
     # within Levenshtein distance 1 via FastSS deletion-neighborhood
@@ -3841,6 +3855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_global_coarse": _q_quantiles_global_coarse,
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_dups": _q_pagerank_dups,
+        "fk_orphans": _q_fk_orphans,
     }
 
 
@@ -4096,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
         "pagerank_dups": _pagerank_dups_oracle(),
+        "fk_orphans": _fk_orphans_oracle(),
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
@@ -5005,6 +5021,18 @@ def _hybrid_rrf_oracle() -> str:
                doc_id, rrf_fp
         FROM fused
         ORDER BY rrf_fp DESC, doc_id ASC LIMIT 25"""
+
+
+def _fk_orphans_oracle() -> str:
+    from tidier_spark.operators.expectations import fk_orphans_sql
+
+    return fk_orphans_sql(
+        "events",
+        "customer",
+        "user_id",
+        parent_keys="c_custkey",
+        parent_where="c_acctbal >= 0",
+    )
 
 
 def _pagerank_dups_oracle() -> str:

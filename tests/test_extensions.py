@@ -712,6 +712,80 @@ def test_validate_reports_exact_violation_counts(spark):
     assert got[("v", "between_0_10")] == (2, False)  # 50.0 and -1.0
 
 
+def test_fk_orphans_null_fk_and_parent_key_mapping(spark):
+    from tidier_spark.operators.expectations import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (3, "z"), (None, "n"), (9, "q")],
+        "uid long, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(1,), (2,), (None,)], "pid long"
+    )
+    got = {
+        (r["uid"], r["n_rows"])
+        for r in fk_orphans(child, parent, "uid", parent_keys="pid").collect()
+    }
+    # uid=1 has a parent; NULL FK is never an orphan; 3 and 9 dangle
+    assert got == {(3, 1), (9, 1)}
+
+
+def test_fk_orphans_matches_duckdb_mirror(tables, sf_dir):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.expectations import fk_orphans, fk_orphans_sql
+
+    ev, cust = tables["events"], tables["customer"]
+    got = sorted(
+        (r["user_id"], r["n_rows"])
+        for r in fk_orphans(
+            ev, cust.where(F.col("c_acctbal") >= 0), "user_id",
+            parent_keys="c_custkey",
+        ).collect()
+    )
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = [
+        (int(a), int(b))
+        for a, b in con.execute(
+            fk_orphans_sql(
+                "events", "customer", "user_id",
+                parent_keys="c_custkey", parent_where="c_acctbal >= 0",
+            )
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want and len(got) > 0
+
+
+def test_upsert_duplicate_key_input_repairs_invariant(spark):
+    # the dupids-axis contract (docs/EDGE_SWEEP.md): on duplicate-key
+    # input, upsert emits EXACTLY one row per key, and the winner is a
+    # valid candidate — greatest order tuple, update side on exact tie
+    from tidier_spark.operators.merge import upsert
+
+    target = spark.createDataFrame(
+        [(1, 10, "t_old"), (1, 20, "t_new"), (2, 5, "t_only")],
+        "k long, ver long, who string",
+    )
+    updates = spark.createDataFrame(
+        [(1, 20, "u_tie"), (3, 1, "u_ins"), (3, 2, "u_ins2")],
+        "k long, ver long, who string",
+    )
+    got = {
+        r["k"]: (r["ver"], r["who"])
+        for r in upsert(target, updates, "k", order_cols=["ver"]).collect()
+    }
+    # one row per key; k=1: ver-20 tie -> update side wins over t_new;
+    # k=3: two update rows -> greatest ver wins deterministically
+    assert got == {1: (20, "u_tie"), 2: (5, "t_only"), 3: (2, "u_ins2")}
+
+
 def test_update_rollup_equals_full_recompute(tables):
     # folding history + delta (and delta split into two steps) must equal
     # the one-shot aggregate exactly

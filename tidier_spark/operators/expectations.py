@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "validate_sql"]
+__all__ = ["validate", "validate_sql", "fk_orphans", "fk_orphans_sql"]
 
 
 def _rule_name(rule: tuple) -> str:
@@ -129,6 +129,74 @@ def validate(df: DataFrame, rules: dict[str, list[tuple]]) -> DataFrame:
         .select("r.column", "r.rule", "r.n_violations")
         .withColumn("ok", F.col("n_violations") == 0)
         .orderBy("column", "rule")
+    )
+
+
+def fk_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    keys: str | list[str],
+    parent_keys: str | list[str] | None = None,
+) -> DataFrame:
+    """Referential-integrity audit: child FK values with no parent row —
+    the cross-table check :func:`validate`'s single-table rules can't
+    express.  The canonical pipeline shape: after curating a dimension
+    (dropping bad customers, pruned documents), find the fact rows that
+    lost their parent.
+
+    Returns one row per orphan key value: ``(*keys, n_rows)``, ordered
+    by the keys.  NULL FKs are never orphans (SQL FK semantics: a NULL
+    reference points at nothing, so it cannot dangle) — forbid them
+    separately with a ``("not_null",)`` rule.
+
+    Scale: child aggregates to key cardinality FIRST (one shuffle with
+    map-side combine), then left-anti joins the distinct parent keys —
+    the join runs on two key-sized frames, never fact-sized rows, and
+    AQE broadcasts the parent side when it is dim-sized.
+    """
+    ck = [keys] if isinstance(keys, str) else list(keys)
+    pk = ck if parent_keys is None else (
+        [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+    )
+    parents = (
+        parent.select(*[F.col(p).alias(c) for p, c in zip(pk, ck)])
+        .na.drop()
+        .distinct()
+    )
+    nn = child
+    for c in ck:
+        nn = nn.where(F.col(c).isNotNull())
+    agg = nn.groupBy(*ck).agg(F.count(F.lit(1)).alias("n_rows"))
+    return agg.join(parents, ck, "left_anti").orderBy(*ck)
+
+
+def fk_orphans_sql(
+    child: str,
+    parent: str,
+    keys: str | list[str],
+    parent_keys: str | list[str] | None = None,
+    parent_where: str | None = None,
+) -> str:
+    """DuckDB mirror of :func:`fk_orphans` (``parent_where`` lets the
+    caller express a curated/filtered parent inline)."""
+    ck = [keys] if isinstance(keys, str) else list(keys)
+    pk = ck if parent_keys is None else (
+        [parent_keys] if isinstance(parent_keys, str) else list(parent_keys)
+    )
+    sel = ", ".join(f"{p} AS {c}" for p, c in zip(pk, ck))
+    notnull_p = " AND ".join(f"{p} IS NOT NULL" for p in pk)
+    pwhere = f"({parent_where}) AND {notnull_p}" if parent_where else notnull_p
+    notnull_c = " AND ".join(f"{c} IS NOT NULL" for c in ck)
+    on = " AND ".join(f"a.{c} = p.{c}" for c in ck)
+    cols = ", ".join(f"a.{c}" for c in ck)
+    order = ", ".join(ck)
+    return (
+        f"WITH pks AS (SELECT DISTINCT {sel} FROM {parent} WHERE {pwhere}),\n"
+        f"agg AS (SELECT {', '.join(ck)}, count(*) AS n_rows FROM {child}\n"
+        f"        WHERE {notnull_c} GROUP BY {', '.join(ck)})\n"
+        f"SELECT {cols}, CAST(a.n_rows AS BIGINT) AS n_rows\n"
+        f"FROM agg a ANTI JOIN pks p ON {on}\n"
+        f"ORDER BY {order}"
     )
 
 
