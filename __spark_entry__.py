@@ -1084,9 +1084,22 @@ def _q_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = D.near_dup_pairs(docs, k=8, bands=4, threshold=0.3)
-    edges = pairs.selectExpr("id_a", "id_b").unionAll(
-        pairs.selectExpr("id_b AS id_a", "id_a AS id_b")
-    )
+    # symmetrize via explode, NOT unionAll of two selects: union would
+    # put the banded pair-generation lineage in the plan twice, and the
+    # eager edge checkpoint inside pagerank() would then compute it
+    # twice (measured ~2x the minhash cost at sf0.1)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.id_a", "e.id_b")
     nodes = docs.select(F.col("doc_id").alias("id")).distinct()
     pr = pagerank(edges, nodes, src="id_a", dst="id_b", id_col="id", iters=3)
     return pr.withColumnRenamed("id", "doc_id")
@@ -3668,17 +3681,43 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2(ev, "user_id", "ts", "event_type", "event_id")
 
 
+# ORDERING IS DELIBERATE: the driver's correctness run covers the FIRST
+# 50 queries() entries in registration order.  Round-7 rotation (r06
+# verdict-queue item #1, applied at the end of round 6): positions 1-50
+# are exactly the r4-vintage cohort — entries whose FIRST driver-green
+# CORRECTNESS row was r04 — which after the r06 window becomes the
+# oldest never-re-checked cohort (the whole TPC-H q4-q22 block, the IO
+# round-trips, the r4 temporal/streaming additions).  The rotation pin
+# test (tests/test_extensions.py) DERIVES this cohort from the recorded
+# CORRECTNESS_r01..r05 files and asserts the head matches, so the list
+# below cannot silently drift from the ledger (SURVEY.md section 7.5a).
+# Every entry regardless of position is hash-verified each round by
+# scripts/check_entry.py.
+_R7_WINDOW_HEAD = [
+    "asof_tolerance", "attribution_linear", "contamination",
+    "csv_roundtrip", "dedup_against", "dup_clusters", "event_transitions",
+    "funnel_windowed", "fuzzy_names", "gapfill_interp",
+    "incremental_rollup", "jsonl_roundtrip", "label_centroids",
+    "length_buckets", "lm_bigram", "lm_surprisal", "orc_roundtrip",
+    "overlap_join", "pack_sequences", "pq_topk", "robust_outliers",
+    "sink_roundtrip", "skew_report", "stratified_mix",
+    "stream_dedup_against", "stream_ewma", "stream_scd2",
+    "stream_trailing", "time_weighted", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "validate_events", "winsorize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING IS DELIBERATE: the driver's correctness run covers the
-    # FIRST 50 entries in registration order.  Round-6 rotation (verdict
-    # r05 task #1): positions 1-50 are exactly the r3-vintage cohort
-    # (first driver-green in CORRECTNESS_r03) — after r05 every board
-    # entry has >=1 driver row, and this cohort is the largest
-    # never-re-checked one (two rounds stale) AND contains everything
-    # tuned in r4/r5 (kmeans_clusters, sketch_quantiles, ivfpq_topk,
-    # dup_clusters' inputs, frame_apply_*).  See the rotation ledger in
-    # SURVEY.md section 7.5a.  Every entry regardless of position is
-    # hash-verified each round by scripts/check_entry.py.
+    base = _queries_registry()
+    head = {k: base[k] for k in _R7_WINDOW_HEAD}
+    head.update((k, v) for k, v in base.items() if k not in head)
+    return head
+
+
+def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r06 driver window: the 50 r3-vintage entries, re-confirmed
         "repeated_spans": _q_repeated_spans,

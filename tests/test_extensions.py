@@ -2856,17 +2856,19 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys.
-    Round-6 contract (verdict r05 task #1): positions 1-50 are exactly
-    the r3-vintage cohort — entries whose FIRST driver CORRECTNESS row
-    was r03 — the largest never-re-checked cohort, containing all the
-    r4/r5-tuned entries.  Pin it so an accidental reorder fails fast."""
+    Round-7 contract (r06 queue item #1, applied end of round 6):
+    positions 1-50 are exactly the r4-vintage cohort — entries whose
+    FIRST driver CORRECTNESS row was r04 — the oldest never-re-checked
+    cohort after the r06 window.  The cohort is DERIVED from the
+    recorded CORRECTNESS files, so the hand-written head list in
+    __spark_entry__ cannot silently drift from the ledger."""
     import json
     import os
 
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 170
+    assert len(keys) == len(set(keys)) == 171
     first_green: dict[str, str] = {}
     for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
@@ -2877,12 +2879,12 @@ def test_driver_window_head_is_never_checked_rotation():
                     if v.get("hash_match"):
                         first_green.setdefault(k, r)
     if first_green:
-        r3_cohort = {k for k, r in first_green.items() if r == "03"}
-        assert len(r3_cohort) == 50, len(r3_cohort)
+        r4_cohort = {k for k, r in first_green.items() if r == "04"}
+        assert len(r4_cohort) == 50, len(r4_cohort)
         head = keys[:50]
-        # the r3-vintage entries lead the window, all of them
-        assert set(head) == r3_cohort, sorted(
-            r3_cohort.symmetric_difference(head)
+        # the r4-vintage entries lead the window, all of them
+        assert set(head) == r4_cohort, sorted(
+            r4_cohort.symmetric_difference(head)
         )
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()

@@ -288,7 +288,13 @@ def pagerank(
     list with the rank frame plus a (dst) hash aggregate with map-side
     combine — the connected_components per-round shape; driver state is
     the single scalar ``n`` (one count job).  ``iters`` is fixed, so the
-    plan is a bounded unroll, no convergence collect per round.
+    plan is a bounded unroll, no convergence collect per round.  The
+    edge and id frames are eagerly localCheckpointed before the unroll
+    (the connected_components/kmeans discipline): an expensive upstream
+    lineage — e.g. the minhash-banded near-dup pair generation — would
+    otherwise be RE-DERIVED once per iteration wherever exchange reuse
+    cannot cover it (measured 10.8 s → 2.s-range on the sf0.1 near-dup
+    graph); both frames are edge/node-sized, never corpus-row-sized.
     Returns ``(id_col, pr_fp)``.
     """
     n = nodes.count()
@@ -298,13 +304,15 @@ def pagerank(
         )
     init = scale // n
     base = (15 * init) // 100
-    ids = nodes.select(F.col(id_col).alias("__u")).distinct()
+    ids = nodes.select(F.col(id_col).alias("__u")).distinct().localCheckpoint()
     outdeg = edges.groupBy(F.col(src).alias("__u")).agg(
         F.count(F.lit(1)).alias("__d")
     )
-    e = edges.select(
-        F.col(src).alias("__u"), F.col(dst).alias("__v")
-    ).join(outdeg, "__u")
+    e = (
+        edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .join(outdeg, "__u")
+        .localCheckpoint()
+    )
     ranks = ids.select("__u", F.lit(int(init)).cast("bigint").alias("__pr"))
     for _ in range(iters):
         sums = (
