@@ -3682,37 +3682,40 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ORDERING IS DELIBERATE: the driver's correctness run covers the FIRST
-# 50 queries() entries in registration order.  Round-7 rotation (r06
-# verdict-queue item #1, applied at the end of round 6): positions 1-50
-# are exactly the r4-vintage cohort — entries whose FIRST driver-green
-# CORRECTNESS row was r04 — which after the r06 window becomes the
-# oldest never-re-checked cohort (the whole TPC-H q4-q22 block, the IO
-# round-trips, the r4 temporal/streaming additions).  The rotation pin
-# test (tests/test_extensions.py) DERIVES this cohort from the recorded
-# CORRECTNESS_r01..r05 files and asserts the head matches, so the list
-# below cannot silently drift from the ledger (SURVEY.md section 7.5a).
+# 50 queries() entries in registration order, snapshotted from the
+# repo's END-of-round state.  The ROUND-6 window (r05 verdict task #1,
+# commit 07a1d3c) is the r3-vintage cohort — entries whose FIRST
+# driver-green CORRECTNESS row was r03 — the largest never-re-checked
+# cohort, containing everything tuned in r4/r5; CORRECTNESS_r06 must
+# cover exactly these, so the head stays r3-vintage through the end of
+# round 6.  The rotation pin test (tests/test_extensions.py) DERIVES
+# the cohort from the recorded CORRECTNESS_r01..r05 files and asserts
+# the head matches, so this list cannot silently drift from the ledger
+# (SURVEY.md section 7.5a).  ROUND 7's opening move: replace this list
+# with the r4-vintage cohort (derivable the same way; written out in
+# SURVEY 7.9) so CORRECTNESS_r07 re-confirms the then-oldest rows.
 # Every entry regardless of position is hash-verified each round by
 # scripts/check_entry.py.
-_R7_WINDOW_HEAD = [
-    "asof_tolerance", "attribution_linear", "contamination",
-    "csv_roundtrip", "dedup_against", "dup_clusters", "event_transitions",
-    "funnel_windowed", "fuzzy_names", "gapfill_interp",
-    "incremental_rollup", "jsonl_roundtrip", "label_centroids",
-    "length_buckets", "lm_bigram", "lm_surprisal", "orc_roundtrip",
-    "overlap_join", "pack_sequences", "pq_topk", "robust_outliers",
-    "sink_roundtrip", "skew_report", "stratified_mix",
-    "stream_dedup_against", "stream_ewma", "stream_scd2",
-    "stream_trailing", "time_weighted", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "validate_events", "winsorize",
+_DRIVER_WINDOW_HEAD = [
+    "repeated_spans", "classifier_score", "quantile_prune", "bpe_train",
+    "bpe_subwords", "budget_mix", "dup_regions", "pipeline_e2e",
+    "srp_embedding", "gapfill_rollup", "sessionize", "text_tokens_bpe",
+    "lsh_topk", "ivf_topk", "dedup_embedding_lsh", "semantic_dedup",
+    "stream_sessions", "stream_attribution", "stream_upsert",
+    "stream_rollup", "stream_enrich", "asof_nearest", "sketch_cms",
+    "knn_join", "hard_negatives", "frame_apply_median",
+    "frame_apply_wmean", "grouped_apply_demean", "udtf_sentences",
+    "salted_agg", "skew_join", "grouping_sets", "slice_prop",
+    "sketch_distinct", "sketch_quantiles", "sketch_kll", "sketch_theta",
+    "sketch_topk", "pq_topk_full", "ivfpq_topk", "kmeans_clusters",
+    "perceptron", "bpe_encode", "scd2_history", "ewma_smooth",
+    "bm25_topk", "stream_funnel", "tpch_q1", "tpch_q2", "tpch_q3",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_registry()
-    head = {k: base[k] for k in _R7_WINDOW_HEAD}
+    head = {k: base[k] for k in _DRIVER_WINDOW_HEAD}
     head.update((k, v) for k, v in base.items() if k not in head)
     return head
 

@@ -2855,13 +2855,14 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 
 def test_driver_window_head_is_never_checked_rotation():
-    """The driver's correctness run covers the FIRST 50 queries() keys.
-    Round-7 contract (r06 queue item #1, applied end of round 6):
-    positions 1-50 are exactly the r4-vintage cohort — entries whose
-    FIRST driver CORRECTNESS row was r04 — the oldest never-re-checked
-    cohort after the r06 window.  The cohort is DERIVED from the
-    recorded CORRECTNESS files, so the hand-written head list in
-    __spark_entry__ cannot silently drift from the ledger."""
+    """The driver's correctness run covers the FIRST 50 queries() keys,
+    snapshotted from the END-of-round repo state.  Round-6 contract
+    (verdict r05 task #1): positions 1-50 are exactly the r3-vintage
+    cohort — entries whose FIRST driver CORRECTNESS row was r03 — so
+    CORRECTNESS_r06 re-confirms the largest never-re-checked cohort.
+    The cohort is DERIVED from the recorded CORRECTNESS files, so the
+    hand-written head list in __spark_entry__ cannot silently drift
+    from the ledger.  Round 7 flips this to the r4 cohort."""
     import json
     import os
 
@@ -2879,12 +2880,12 @@ def test_driver_window_head_is_never_checked_rotation():
                     if v.get("hash_match"):
                         first_green.setdefault(k, r)
     if first_green:
-        r4_cohort = {k for k, r in first_green.items() if r == "04"}
-        assert len(r4_cohort) == 50, len(r4_cohort)
+        r3_cohort = {k for k, r in first_green.items() if r == "03"}
+        assert len(r3_cohort) == 50, len(r3_cohort)
         head = keys[:50]
-        # the r4-vintage entries lead the window, all of them
-        assert set(head) == r4_cohort, sorted(
-            r4_cohort.symmetric_difference(head)
+        # the r3-vintage entries lead the window, all of them
+        assert set(head) == r3_cohort, sorted(
+            r3_cohort.symmetric_difference(head)
         )
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
