@@ -3687,6 +3687,57 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # commit 07a1d3c) is the r3-vintage cohort — entries whose FIRST
 # driver-green CORRECTNESS row was r03 — the largest never-re-checked
 # cohort, containing everything tuned in r4/r5; CORRECTNESS_r06 must
+def _q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union-of-time-ranges per user: each event opens a value-derived
+    # span; overlapping spans collapse to one row (cumulative-max flag +
+    # running sum — one shuffle on the key, sessionize cost shape).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import interval_merge
+
+    ev = read_table(spark, sf_dir, "events")
+    dur_us = (
+        F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(3600)) + 60
+    ) * 1_000_000
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + dur_us).alias("e_ts"),
+    )
+    return interval_merge(iv, "s_ts", "e_ts", by="user_id")
+
+
+def _q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row DISTINCT window counts — the aggregate Spark's window
+    # functions refuse: trailing-20-rows distinct via collect_set
+    # (bounded frame), running distinct via the first-occurrence-flag
+    # cumsum (no per-row set — the 100 TB-safe lowering).  The DuckDB
+    # oracle uses native count(DISTINCT) OVER: a genuine
+    # cross-implementation differential.
+    from tidier_spark.operators.temporal import rolling_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    return rolling_distinct(
+        ev,
+        "event_type",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame_rows=20,
+    ).select("event_id", "droll", "dcum")
+
+
+def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic per-group mode (ties -> smallest value): count per
+    # (key, value) with map-side combine, then row_number over the
+    # already-aggregated frame — the window sorts value-cardinality
+    # rows, never raw rows.  Native mode() on BOTH engines is
+    # arbitrary-tie and banned by the determinism rule.
+    from tidier_spark.verbs import mode_by
+
+    ev = read_table(spark, sf_dir, "events")
+    return mode_by(ev, "event_type", by="user_id")
+
+
 # cover exactly these, so the head stays r3-vintage through the end of
 # round 6.  The rotation pin test (tests/test_extensions.py) DERIVES
 # the cohort from the recorded CORRECTNESS_r01..r05 files and asserts
@@ -3898,6 +3949,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "pagerank_dups": _q_pagerank_dups,
         "fk_orphans": _q_fk_orphans,
+        "interval_merge": _q_interval_merge,
+        "window_distinct": _q_window_distinct,
+        "mode_per_key": _q_mode_per_key,
     }
 
 
@@ -4154,6 +4208,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_oracle(),
         "pagerank_dups": _pagerank_dups_oracle(),
         "fk_orphans": _fk_orphans_oracle(),
+        "interval_merge": _interval_merge_oracle(),
+        "window_distinct": _window_distinct_oracle(),
+        "mode_per_key": _mode_per_key_oracle(),
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
@@ -5063,6 +5120,37 @@ def _hybrid_rrf_oracle() -> str:
                doc_id, rrf_fp
         FROM fused
         ORDER BY rrf_fp DESC, doc_id ASC LIMIT 25"""
+
+
+def _interval_merge_oracle() -> str:
+    from tidier_spark.operators.temporal import interval_merge_sql
+
+    dur = "(60 + ((CAST(round(value * 100) AS BIGINT) % 3600) + 3600) % 3600)"
+    return interval_merge_sql(
+        "events",
+        "epoch_us(ts)",
+        f"epoch_us(ts) + {dur} * 1000000",
+        by="user_id",
+    )
+
+
+def _window_distinct_oracle() -> str:
+    from tidier_spark.operators.temporal import rolling_distinct_sql
+
+    return rolling_distinct_sql(
+        "events",
+        "event_type",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame_rows=20,
+        select="event_id",
+    )
+
+
+def _mode_per_key_oracle() -> str:
+    from tidier_spark.verbs import mode_by_sql
+
+    return mode_by_sql("events", "event_type", by="user_id")
 
 
 def _fk_orphans_oracle() -> str:

@@ -823,3 +823,117 @@ def test_asof_tolerance_null_quotes_match_oracle(spark):
         assert got == want
     finally:
         con.close()
+
+
+def test_interval_merge_hand_case(spark):
+    import datetime as dt
+
+    from tidier_spark.operators.temporal import interval_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("a", ts(0), ts(10)),
+        ("a", ts(5), ts(15)),   # overlaps -> merges
+        ("a", ts(15), ts(18)),  # touches end exactly (gap 0) -> merges
+        ("a", ts(30), ts(40)),  # separate
+        ("a", ts(32), ts(33)),  # nested -> merges into [30,40]
+        ("b", ts(0), ts(1)),    # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = {
+        (r["k"], r["merge_start_us"], r["merge_end_us"], r["n_intervals"])
+        for r in interval_merge(df, "s", "e", by="k").collect()
+    }
+    us = 1_000_000
+    t0us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * us
+    assert got == {
+        ("a", t0us + 0, t0us + 18 * us, 3),
+        ("a", t0us + 30 * us, t0us + 40 * us, 2),
+        ("b", t0us + 0, t0us + 1 * us, 1),
+    }
+
+
+def test_interval_merge_gap_bridges(spark):
+    import datetime as dt
+
+    from tidier_spark.operators.temporal import interval_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, t0 + dt.timedelta(seconds=10)),
+        ("a", t0 + dt.timedelta(seconds=14), t0 + dt.timedelta(seconds=20)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    assert interval_merge(df, "s", "e", by="k").count() == 2
+    merged = interval_merge(df, "s", "e", by="k", gap_seconds=5).collect()
+    assert len(merged) == 1 and merged[0]["n_intervals"] == 2
+
+
+def test_interval_merge_oracle(tables, sf_dir):
+    from tidier_spark.operators.temporal import interval_merge, interval_merge_sql
+
+    ev = tables["events"]
+    dur_us = (
+        F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(3600)) + 60
+    ) * 1_000_000
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + dur_us).alias("e_ts"),
+    )
+    dur = "(60 + ((CAST(round(value * 100) AS BIGINT) % 3600) + 3600) % 3600)"
+    assert_matches_oracle(
+        interval_merge(iv, "s_ts", "e_ts", by="user_id"),
+        interval_merge_sql(
+            "events", "epoch_us(ts)", f"epoch_us(ts) + {dur} * 1000000",
+            by="user_id",
+        ),
+        sf_dir,
+    )
+
+
+def test_rolling_distinct_nulls_dropped(spark):
+    from tidier_spark.operators.temporal import rolling_distinct
+
+    rows = [
+        ("a", 1, "x"),
+        ("a", 2, None),   # counts in neither column
+        ("a", 3, "y"),
+        ("a", 4, "x"),    # already seen -> dcum stays 2
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v string")
+    got = {
+        r["i"]: (r["droll"], r["dcum"])
+        for r in rolling_distinct(
+            df, "v", by="k", order_by=["i"], frame_rows=2
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 2), 4: (2, 2)}
+
+
+def test_rolling_distinct_oracle(tables, sf_dir):
+    from tidier_spark.operators.temporal import (
+        rolling_distinct,
+        rolling_distinct_sql,
+    )
+
+    r = rolling_distinct(
+        tables["events"],
+        "event_type",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame_rows=20,
+    ).select("event_id", "droll", "dcum")
+    assert_matches_oracle(
+        r,
+        rolling_distinct_sql(
+            "events", "event_type",
+            by="user_id", order_by=["ts", "event_id"],
+            frame_rows=20, select="event_id",
+        ),
+        sf_dir,
+    )

@@ -765,3 +765,34 @@ def test_grouped_apply_arrow_equals_pandas(tables):
     a = {tuple(r) for r in grouped_apply(ev, "user_id", demean_pd, ddl).collect()}
     b = {tuple(r) for r in grouped_apply_arrow(ev, "user_id", demean_pa, ddl).collect()}
     assert a == b and len(a) > 0
+
+
+def test_mode_by_tie_breaks_to_smallest(spark):
+    from tidier_spark.verbs import mode_by
+
+    rows = [
+        ("a", "z"), ("a", "z"), ("a", "b"), ("a", "b"),  # tie z/b -> b
+        ("b", None), ("b", None), ("b", "q"),            # NULLs dropped -> q
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {(r["k"], r["mode_val"], r["mode_n"]) for r in
+           mode_by(df, "v", by="k").collect()}
+    assert got == {("a", "b", 2), ("b", "q", 1)}
+
+
+def test_mode_by_all_null_group_emits_nothing(spark):
+    from tidier_spark.verbs import mode_by
+
+    df = spark.createDataFrame([("a", None)], "k string, v string")
+    assert mode_by(df, "v", by="k").count() == 0
+
+
+def test_mode_by_oracle(tables, sf_dir):
+    from helpers import assert_matches_oracle
+    from tidier_spark.verbs import mode_by, mode_by_sql
+
+    assert_matches_oracle(
+        mode_by(tables["events"], "event_type", by="user_id"),
+        mode_by_sql("events", "event_type", by="user_id"),
+        sf_dir,
+    )

@@ -38,6 +38,10 @@ __all__ = [
     "funnel_windowed_sql",
     "linear_attribution",
     "linear_attribution_sql",
+    "interval_merge",
+    "interval_merge_sql",
+    "rolling_distinct",
+    "rolling_distinct_sql",
 ]
 
 
@@ -1162,3 +1166,177 @@ def linear_attribution_sql(
                count(*)::BIGINT AS n_convs,
                CAST(sum((cents * 1000000) // n) AS BIGINT) AS credit_fp
         FROM pairs GROUP BY 1"""
+
+
+def interval_merge(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    *,
+    by: str | list[str] | None = None,
+    gap_seconds: int = 0,
+) -> DataFrame:
+    """Merge overlapping (or within ``gap_seconds``) intervals per key —
+    the classic "union of time ranges" operator (uptime stitching,
+    on-call coverage, contiguous-booking collapse) that plain SQL GROUP
+    BY cannot express.
+
+    Lowering (one shuffle on the keys, one per-key sort — the sessionize
+    cost shape, SURVEY §2.3 temporal row): order intervals by
+    ``(start, end)`` in epoch-µs; an interval starts a NEW merged group
+    iff its start exceeds the running ``max(end)`` of all earlier
+    intervals plus the gap (a rows-frame cumulative max — incremental,
+    never re-scans the frame); group ids are the running sum of those
+    flags; a final hash aggregate emits one row per merged interval:
+    ``(*keys, merge_start_us, merge_end_us, n_intervals)``.
+
+    Determinism: ties on ``(start, end)`` are order-insensitive — a row
+    sharing a start with an earlier row can never open a new group
+    (the earlier row's end ≥ its own start, intervals being valid), so
+    no tiebreak column is needed.  Zero-length intervals merge into
+    whatever covers their instant.  At 100 TB the shuffle is on the key
+    columns; a single key with billions of intervals serializes that
+    key's sort — same documented bound as :func:`sessionize`.
+    """
+    if gap_seconds < 0:
+        raise ValueError("gap_seconds must be >= 0")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    s = F.unix_micros(F.col(start_col))
+    e = F.unix_micros(F.col(end_col))
+    w = Window.partitionBy(*keys).orderBy(s.asc(), e.asc())
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+    # first row per key: lag-max NULL → comparison NULL → otherwise 0
+    new_flag = F.when(s > prev_max_end + F.lit(gap_us), 1).otherwise(0)
+    grp = F.sum(new_flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__s_us", s)
+        .withColumn("__e_us", e)
+        .withColumn("__grp", grp)
+        .groupBy(*keys, F.col("__grp"))
+        .agg(
+            F.min("__s_us").alias("merge_start_us"),
+            F.max("__e_us").alias("merge_end_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__grp")
+    )
+
+
+def interval_merge_sql(
+    table: str,
+    start_expr: str,
+    end_expr: str,
+    *,
+    by: str | list[str] | None = None,
+    gap_seconds: int = 0,
+) -> str:
+    """DuckDB mirror of :func:`interval_merge` — the same cumulative-max
+    flag/running-sum lowering in portable window SQL (``start_expr`` /
+    ``end_expr`` are epoch-µs SQL expressions)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    ksel = "".join(f"{k}, " for k in keys)
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+        WITH iv AS (
+          SELECT {ksel}{start_expr} AS s_us, {end_expr} AS e_us
+          FROM {table}
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN s_us > max(e_us) OVER (
+                        {part}ORDER BY s_us, e_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) + {gap_us} THEN 1 ELSE 0 END AS new_flag
+          FROM iv
+        ),
+        grouped AS (
+          SELECT *, sum(new_flag) OVER (
+                   {part}ORDER BY s_us, e_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS grp
+          FROM flagged
+        )
+        SELECT {ksel}
+               CAST(min(s_us) AS BIGINT) AS merge_start_us,
+               CAST(max(e_us) AS BIGINT) AS merge_end_us,
+               count(*)::BIGINT AS n_intervals
+        FROM grouped GROUP BY {ksel}grp"""
+
+
+def rolling_distinct(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str,
+    order_by: list[str],
+    frame_rows: int,
+    cum_col: str = "dcum",
+    rolling_col: str = "droll",
+) -> DataFrame:
+    """Per-row DISTINCT counts over windows — the aggregate Spark's
+    window functions refuse (``count(DISTINCT ...) OVER`` raises), with
+    a different lowering per frame shape:
+
+    * ``rolling_col`` — distinct values in the trailing ``frame_rows``
+      rows (inclusive): ``size(collect_set(v) OVER rows-frame)``.  The
+      set materializes per row, so memory is O(frame distinct) —
+      bounded frames only by design.
+    * ``cum_col`` — distinct values seen so far (running distinct):
+      lowered WITHOUT any per-row set as a first-occurrence flag
+      (``row_number() = 1`` over ``(key, value)``) plus a running sum —
+      two incremental window passes sharing one shuffle, O(1) state per
+      row, safe for unbounded history at 100 TB where the collect_set
+      lowering would hold every historical value per row.
+
+    NULL values count in neither (collect_set and SQL COUNT(DISTINCT)
+    both drop NULLs; the first-occurrence flag mirrors that).
+    ``order_by`` must be a total order (pass a unique id last) — a
+    rows frame over ties is partition-order-dependent on BOTH engines.
+    """
+    order = [F.col(c) for c in order_by]
+    w = Window.partitionBy(by).orderBy(*order)
+    roll = F.size(
+        F.collect_set(F.col(value_col)).over(
+            w.rowsBetween(-(frame_rows - 1), 0)
+        )
+    ).cast("long")
+    first_seen = Window.partitionBy(by, value_col).orderBy(*order)
+    flag = F.when(
+        F.col(value_col).isNotNull()
+        & (F.row_number().over(first_seen) == 1),
+        1,
+    ).otherwise(0)
+    cum = F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(rolling_col, roll).withColumn(
+        cum_col, cum.cast("long")
+    )
+
+
+def rolling_distinct_sql(
+    table: str,
+    value_col: str,
+    *,
+    by: str,
+    order_by: list[str],
+    frame_rows: int,
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`rolling_distinct` using the engine's
+    native ``count(DISTINCT ...) OVER`` (Spark lacks it) — a genuine
+    cross-implementation differential, not a lowering echo."""
+    ob = ", ".join(order_by)
+    return f"""
+        SELECT {select},
+               count(DISTINCT {value_col}) OVER (
+                 PARTITION BY {by} ORDER BY {ob}
+                 ROWS BETWEEN {frame_rows - 1} PRECEDING AND CURRENT ROW
+               )::BIGINT AS droll,
+               count(DISTINCT {value_col}) OVER (
+                 PARTITION BY {by} ORDER BY {ob}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS dcum
+        FROM {table}"""

@@ -44,6 +44,8 @@ __all__ = [
     "union_",
     "intersect_",
     "setdiff",
+    "mode_by",
+    "mode_by_sql",
 ]
 
 
@@ -636,3 +638,76 @@ def setdiff(a: DataFrame, b: DataFrame) -> DataFrame:
     distinct would be bag-difference: a row duplicated in ``a`` more times
     than in ``b`` would wrongly survive.)"""
     return a.subtract(b)
+
+
+def mode_by(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | list[str],
+    out: str = "mode_val",
+    n_col: str = "mode_n",
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col`` per
+    key, ties broken toward the SMALLEST value — unlike Spark's / DuckDB's
+    ``mode()`` aggregates, whose tie winner is partition-order dependent
+    (Spark picks an arbitrary max-count value; determinism rule forbids
+    that on the board).
+
+    Lowering: hash-aggregate counts per ``(keys, value)`` (partial
+    map-side combine — the shuffle carries one row per distinct pair,
+    not per input row), then ``row_number`` over ``(count DESC, value
+    ASC)`` per key on that already-aggregated frame.  The window's
+    partition size is the per-key VALUE CARDINALITY, never the raw row
+    count, so a billion-row key with a thousand distinct values sorts a
+    thousand rows — scale-safe where a naive sort-all-rows would not be.
+    NULL values are dropped (they are not a mode candidate, matching
+    SQL aggregate NULL semantics).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias(n_col))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(n_col).desc(), F.col(value_col).asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed(value_col, out)
+        .select(*keys, out, n_col)
+    )
+
+
+def mode_by_sql(
+    table: str,
+    value_col: str,
+    *,
+    by: str | list[str],
+    out: str = "mode_val",
+    n_col: str = "mode_n",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB mirror of :func:`mode_by` — same count + row_number
+    lowering (DuckDB's native ``mode()`` has the same arbitrary-tie
+    problem the operator exists to fix, so the mirror can't use it)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    ks = ", ".join(keys)
+    return f"""
+        WITH counts AS (
+          SELECT {ks}, {value_col}, count(*)::BIGINT AS {n_col}
+          FROM {table}
+          WHERE {value_col} IS NOT NULL AND ({where})
+          GROUP BY {ks}, {value_col}
+        )
+        SELECT {ks}, {value_col} AS {out}, {n_col}
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY {ks}
+                   ORDER BY {n_col} DESC, {value_col} ASC
+                 ) AS rn
+          FROM counts
+        ) WHERE rn = 1"""
