@@ -2844,6 +2844,31 @@ def _q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming per-key RUNNING DISTINCT COUNT (applyInPandasWithState;
+    # state = the per-key value set, O(cardinality) not O(events)),
+    # replayed through the real engine and hash-checked against native
+    # SQL count(DISTINCT) OVER — the fourth stream==batch==SQL parity.
+    from tidier_spark.sources import read_stream_table
+    from tidier_spark.streaming import run_stream, stream_running_distinct
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    out = stream_running_distinct(
+        ev,
+        key_col="user_id",
+        time_col="ts",
+        value_col="event_type",
+        tiebreak_col="event_id",
+    )
+    res = run_stream(
+        out,
+        name="stream_distinct_entry",
+        output_mode="append",
+        state_partitions=16,
+    )
+    return res.selectExpr("key AS user_id", "ts_us", "tb AS event_id", "dcum")
+
+
 def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Class-prototype centroids per label: exact BIGINT component sums
     # (mergeable partials), |labels|·d groups after one map-side-combined
@@ -3952,6 +3977,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_merge": _q_interval_merge,
         "window_distinct": _q_window_distinct,
         "mode_per_key": _q_mode_per_key,
+        "stream_distinct": _q_stream_distinct,
     }
 
 
@@ -4211,6 +4237,13 @@ def oracle_sql() -> dict[str, str]:
         "interval_merge": _interval_merge_oracle(),
         "window_distinct": _window_distinct_oracle(),
         "mode_per_key": _mode_per_key_oracle(),
+        "stream_distinct": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   count(DISTINCT event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS dcum
+            FROM events""",
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,

@@ -2869,7 +2869,7 @@ def test_driver_window_head_is_never_checked_rotation():
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 174
+    assert len(keys) == len(set(keys)) == 175
     first_green: dict[str, str] = {}
     for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
@@ -3211,3 +3211,68 @@ def test_star_cc_empty_and_isolated(spark):
         for r in connected_components_star(empty, nodes).collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+def test_stream_running_distinct_multi_batch_matches_batch(spark, tmp_path):
+    # Value set must CARRY across micro-batches: 'a' seen in batch 1
+    # must not re-count in batch 2; NULL values emit rows but add
+    # nothing (SQL count(DISTINCT) semantics on both paths).
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.operators.temporal import rolling_distinct
+    from tidier_spark.streaming import run_stream, stream_running_distinct
+
+    base = 1_700_000_000_000_000
+    vals = ["a", "b", None, "a", "c", "b", "d", None, "a", "e"]
+    rows = [(1, base + i * 60_000_000, i, vals[i]) for i in range(len(vals))]
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:4], rows[4:])):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+            "event_id": [r[2] for r in chunk],
+            "event_type": pa.array([r[3] for r in chunk], type=pa.string()),
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_running_distinct(
+        stream, key_col="user_id", time_col="ts",
+        value_col="event_type", tiebreak_col="event_id",
+    )
+    res = run_stream(out, name="t_stream_rdist_mb", output_mode="append")
+    got = sorted(
+        (r["key"], r["ts_us"], r["tb"], r["dcum"]) for r in res.collect()
+    )
+    bdf = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, event_type string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id", "event_type")
+    want = sorted(
+        (r["user_id"], r["us"], r["event_id"], r["dcum"])
+        for r in rolling_distinct(
+            bdf.withColumn("us", F.unix_micros("ts")),
+            "event_type", by="user_id", order_by=["ts", "event_id"],
+            frame_rows=2,
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+    # hand-check the NULL rows and the cross-batch carry
+    by_tb = {tb: d for (_k, _t, tb, d) in got}
+    assert by_tb[2] == 2   # NULL after a,b
+    assert by_tb[3] == 2   # 'a' again -> no increment
+    assert by_tb[4] == 3   # 'c' arrives in batch 2, set carried
+    assert by_tb[9] == 5

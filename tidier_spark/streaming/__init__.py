@@ -29,6 +29,7 @@ from .sliding import (  # noqa: F401
     stream_interval_join,
     stream_ewma,
     stream_funnel_advances,
+    stream_running_distinct,
     stream_session_agg,
     stream_trailing_agg,
     stream_windowed_agg,
@@ -41,6 +42,7 @@ __all__ = [
     "stream_funnel_advances",
     "stream_ewma",
     "stream_dedup",
+    "stream_running_distinct",
     "stream_interval_join",
     "stream_merge_parquet",
     "stream_scd2_parquet",

@@ -619,3 +619,92 @@ def stream_ewma(
             ),
         )
     )
+
+
+def stream_running_distinct(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming per-key RUNNING DISTINCT COUNT — the stateful replay of
+    :func:`~tidier_spark.operators.temporal.rolling_distinct`'s ``dcum``
+    column, so live counting and batch backfill share one definition
+    (the stream == batch == SQL three-way parity the session/EWMA/
+    trailing operators established).
+
+    Emits one append-mode row per event: ``(key, ts_us, tb, dcum)`` —
+    the number of distinct non-NULL values the key has seen up to and
+    including that event.  NULL values count nothing but still emit a
+    row (matching the batch first-occurrence-flag lowering and SQL
+    ``count(DISTINCT) OVER``).
+
+    State per key = the set of values seen, stored as ``array<string>``
+    — O(per-key value CARDINALITY), not O(events): bounded domains
+    (event types, status codes, countries) stay tiny forever.  For
+    unbounded domains (URLs, user agents) swap in a sketch
+    (``approx_count_distinct`` over windowed aggregation) — exact
+    running distinct over an unbounded domain fundamentally requires
+    the set.  Events are processed in (time, tiebreak) order within
+    each batch; the in-order arrival contract across batches matches
+    :func:`stream_trailing_agg`.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("tb", LongType()),
+            StructField("dcum", LongType()),
+        ]
+    )
+    state_schema = "seen array<string>"
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen: set[str] = set(state.get[0]) if state.exists else set()
+        rows = {c: [] for c in ("key", "ts_us", "tb", "dcum")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+            ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
+            tbs = pdf[tiebreak_col].to_numpy()
+            vals = pdf[value_col].to_numpy(dtype=object)
+            for t, tb, v in zip(ts_us, tbs, vals):
+                if v is not None and v == v:  # skip None/NaN
+                    seen.add(str(v))
+                rows["key"].append(key[0])
+                rows["ts_us"].append(int(t))
+                rows["tb"].append(int(tb))
+                rows["dcum"].append(len(seen))
+        state.update((sorted(seen),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return (
+        stream.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias(time_col),
+            F.col(value_col).alias(value_col),
+            F.col(tiebreak_col).alias(tiebreak_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if timeout_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
