@@ -215,6 +215,47 @@ def main():
     rows.append(("pagerank_3it", "1M n/2M e", timeit(pr(1_000_000), reps=1)))
     rows.append(("pagerank_3it", "10M n/20M e", timeit(pr(10_000_000), reps=1)))
 
+    # 11. interval merge (cummax flag + running sum + hash agg): 1k keys,
+    # ~25% of consecutive spans overlap — the union-of-ranges shape
+    from tidier_spark.operators.temporal import interval_merge
+
+    def imerge(n):
+        df = spark.range(n).select(
+            (F.col("id") % 1000).alias("k"),
+            F.timestamp_micros(
+                (F.col("id") / 1000).cast("long") * 1_000_000
+            ).alias("s"),
+            F.timestamp_micros(
+                (F.col("id") / 1000).cast("long") * 1_000_000
+                + (F.xxhash64("id") % 2_000_000 + 2_000_000)
+            ).alias("e"),
+        )
+        out = interval_merge(df, "s", "e", by="k")
+        return lambda: out.agg(
+            F.sum("n_intervals"), F.count(F.lit(1))
+        ).collect()
+
+    rows.append(("interval_merge", "6M rows", timeit(imerge(6_000_000))))
+    rows.append(("interval_merge", "60M rows", timeit(imerge(60_000_000))))
+
+    # 12. running distinct (first-occurrence flag + cumsum — the
+    # set-free lowering); 1k keys, 1k distinct values per key
+    from tidier_spark.operators.temporal import rolling_distinct
+
+    def rdist(n):
+        df = spark.range(n).select(
+            (F.col("id") % 1000).alias("k"),
+            F.col("id").alias("i"),
+            (F.xxhash64("id") % 1000).cast("string").alias("v"),
+        )
+        out = rolling_distinct(
+            df, "v", by="k", order_by=["i"], frame_rows=20
+        )
+        return lambda: out.agg(F.sum("dcum"), F.sum("droll")).collect()
+
+    rows.append(("running_distinct", "6M rows", timeit(rdist(6_000_000))))
+    rows.append(("running_distinct", "60M rows", timeit(rdist(60_000_000))))
+
     print(f"{'operator':<20} {'size':>10} {'sec':>8}")
     for op, size, sec in rows:
         print(f"{op:<20} {size:>10} {sec:>8.2f}")
