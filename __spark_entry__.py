@@ -4498,7 +4498,9 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_oracle(),
         "knn_join": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec
-                       FROM embeddings),
+                       FROM embeddings
+                       WHERE list_sum(list_transform(
+                               embedding::DOUBLE[], x -> x * x)) > 0),
             sims AS (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(
@@ -5803,11 +5805,18 @@ def _recall_guarantee_oracle(metric: str) -> str:
     whens = " ".join(
         f"WHEN {n} THEN {d}" for n, d in sorted(deciles.items())
     )
+    # the decile CASE keys on the SEARCHABLE corpus size (zero-norm
+    # vectors excluded, mirroring nonzero_vectors) — on an all-excluded
+    # corpus it falls through to NULL, matching the Spark guarantee
+    # row's undefined decile (zerovec axis)
     return f"""
         SELECT '{metric}' AS metric,
                CAST(count(*) AS BIGINT) AS n_exact,
                true AS recall_ok,
-               CAST(CASE (SELECT count(*) FROM embeddings) {whens} END
+               CAST(CASE (SELECT count(*) FROM embeddings
+                          WHERE list_sum(list_transform(
+                                  embedding::DOUBLE[], x -> x * x)) > 0)
+                    {whens} END
                     AS BIGINT) AS recall_decile
         FROM ({inner})"""
 

@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -280,6 +280,29 @@ def build_fixture(kind: str) -> str:
                 tbl.schema.field(i),
                 pc.multiply(tbl.column(i), pa.scalar(1e13)),
             )
+        elif kind == "constval" and t == "events":
+            # zero-variance value column: std = 0 (scale_features),
+            # MAD = 0 (robust_outliers), q_lo == q_hi (winsorize),
+            # single-point histogram range, degenerate quantiles —
+            # every "divide by spread" path goes 0/0 at once
+            i = tbl.schema.get_field_index("value")
+            tbl = tbl.set_column(
+                i,
+                tbl.schema.field(i),
+                pa.array([7.0] * tbl.num_rows, type=pa.float64()),
+            )
+        elif kind == "zerovec" and t == "embeddings":
+            # every embedding becomes the ZERO vector: cosine = 0/0,
+            # all pairwise distances 0 (k-means/IVF/PQ train on one
+            # point), hyperplane projections sign(0) — the degenerate
+            # geometry no fixture row exercises
+            col = tbl.column("embedding")
+            dim = len(col.slice(0, 1).to_pylist()[0] or [])
+            i = tbl.schema.get_field_index("embedding")
+            zeros = pa.array(
+                [[0.0] * dim] * tbl.num_rows, type=col.type
+            )
+            tbl = tbl.set_column(i, tbl.schema.field(i), zeros)
         elif kind == "ordties" and t == "events":
             # floor ts to the hour: every ordering/as-of/sessionize path
             # over events now sees ~hour-sized tie groups
@@ -377,6 +400,15 @@ def main() -> int:
             cls = "both_empty" if not s_rows else "match"
         else:
             cls = "mismatch"
+        # empty/zerovec: index/model training is undefined on zero vectors
+        # and fails with a NAMED error (never a numpy stack trace) — the
+        # documented loud-by-design contract (docs/EDGE_SWEEP.md)
+        if (
+            kind in ("empty", "zerovec")
+            and cls == "spark_err"
+            and "cannot train on an empty corpus" in (s_err or "")
+        ):
+            cls = "pinned"
         if (
             kind == "magnitude"
             and cls in ("spark_err", "loud_both")

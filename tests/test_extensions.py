@@ -3276,3 +3276,30 @@ def test_stream_running_distinct_multi_batch_matches_batch(spark, tmp_path):
     assert by_tb[3] == 2   # 'a' again -> no increment
     assert by_tb[4] == 3   # 'c' arrives in batch 2, set carried
     assert by_tb[9] == 5
+
+
+def test_cosine_topk_excludes_zero_norm_vectors(spark):
+    # cosine is UNDEFINED for the zero vector (0/0): it must appear as
+    # neither query nor neighbor — the SQL-NULL-style exclusion the
+    # zerovec edge axis pins board-wide — and the remaining vectors'
+    # ranking must be unaffected.
+    from tidier_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # zero norm -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, k=3).collect()
+    ids = {r["query_id"] for r in got} | {r["neighbor_id"] for r in got}
+    assert 4 not in ids
+    assert {r["query_id"] for r in got} == {1, 2, 3}
+    # each surviving query ranks exactly the other two survivors
+    from collections import Counter
+
+    assert Counter(r["query_id"] for r in got) == {1: 2, 2: 2, 3: 2}
+    # both methods agree after exclusion
+    got_sql = cosine_topk(df, k=3, method="sql").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got_sql))

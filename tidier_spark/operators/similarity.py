@@ -44,6 +44,7 @@ __all__ = [
     "label_centroids_sql",
     "assign_clusters",
     "cosine_topk_sql",
+    "nonzero_vectors",
 ]
 
 
@@ -62,6 +63,26 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def nonzero_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop zero-norm (and NULL) vectors — cosine similarity is UNDEFINED
+    for them (0/0), so every cosine-metric operator excludes them from
+    both the corpus and the query side, the way SQL aggregates drop
+    NULLs.  The alternatives are worse at 100 TB: raising kills a
+    petabyte job over one broken encoder output, and letting NaN flow
+    makes ranking order engine-dependent (numpy drops NaN from top-k
+    where SQL ORDER BY sorts it first).  JVM-side column expression —
+    one codegen'd pass, no Python.  The DuckDB oracle mirrors apply the
+    same ``list_sum(x*x) > 0`` predicate (zerovec edge axis,
+    docs/EDGE_SWEEP.md).
+    """
+    ssq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.where(ssq > 0)
 
 
 def unit_vectors(df: DataFrame, id_col: str, vec_col: str, out: str = "__uv") -> DataFrame:
@@ -101,6 +122,9 @@ def cosine_topk(
       crossJoin of pre-normalized vectors — the portable fallback and the
       form the DuckDB oracle mirrors exactly.
     """
+    df = nonzero_vectors(df, vec_col)
+    if queries is not None:
+        queries = nonzero_vectors(queries, vec_col)
     if method == "numpy":
         return _cosine_topk_blas(df, id_col, vec_col, k, queries, chunk_size)
     q = unit_vectors(queries or df, id_col, vec_col, "__qv").withColumnRenamed(
@@ -521,7 +545,8 @@ def lsh_topk(
     from pyspark.sql import Window
 
     sigs = _lsh_signatures(
-        df, id_col, vec_col, n_planes, n_tables, n_dims, carry_vec=True
+        nonzero_vectors(df, vec_col),
+        id_col, vec_col, n_planes, n_tables, n_dims, carry_vec=True,
     )
     partials = _bucket_topk_partials(sigs, id_col, k, ["tbl", "sig"])
     w = Window.partitionBy("query_id").orderBy(
@@ -736,6 +761,7 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    df = nonzero_vectors(df, vec_col)
     spark = df.sparkSession
     cent = train_quantizer(
         df,
@@ -974,6 +1000,7 @@ def pq_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    df = nonzero_vectors(df, vec_col)
     spark = df.sparkSession
     # One bounded collection feeds training AND, when it exhausts the
     # corpus (len(sample) < sample_size ⇒ the corpus has exactly that many
@@ -1191,6 +1218,7 @@ def ivfpq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    df = nonzero_vectors(df, vec_col)
     spark = df.sparkSession
     sample = _training_sample(df, id_col, vec_col, sample_size)
     cent = train_quantizer(
@@ -1483,8 +1511,11 @@ def cosine_topk_sql(
     every vector stays a candidate, mirroring ``cosine_topk(queries=...)``.
     """
     qp = f" AND (a.{query_pred})" if query_pred else ""
+    # zero-norm vectors are excluded on BOTH engines (cosine undefined;
+    # see nonzero_vectors) — a no-op on unit-normalized fixtures
     return f"""
-WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS vec FROM {table}),
+WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS vec FROM {table}
+           WHERE list_sum(list_transform({vec_col}::DOUBLE[], x -> x * x)) > 0),
 sims AS (
   SELECT a.{id_col} AS query_id, b.{id_col} AS neighbor_id,
          round(
