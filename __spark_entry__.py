@@ -3763,6 +3763,50 @@ def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(ev, "event_type", by="user_id")
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The co-located-join layout lever at 100 TB: both fact tables
+    # written bucketed (+ sorted) on the join key into the SAME bucket
+    # count, so the join consumes the on-disk hash layout — NO exchange
+    # on either side (asserted in tests/test_plans.py).  At cluster
+    # scale this is the difference between re-shuffling 100 TB per join
+    # and never shuffling the fact table at all after ingest.
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import write_parquet
+
+    ord_ = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = tempfile.mkdtemp(prefix="tidier_bucketed_join_")
+    write_parquet(
+        ord_, os.path.join(base, "o"),
+        bucket_by=(8, ["o_orderkey"]), table="tidier_bucket_orders",
+    )
+    write_parquet(
+        li, os.path.join(base, "l"),
+        bucket_by=(8, ["l_orderkey"]), table="tidier_bucket_lineitem",
+    )
+    o = spark.table("tidier_bucket_orders")
+    l = spark.table("tidier_bucket_lineitem")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("long").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # cover exactly these, so the head stays r3-vintage through the end of
 # round 6.  The rotation pin test (tests/test_extensions.py) DERIVES
 # the cohort from the recorded CORRECTNESS_r01..r05 files and asserts
@@ -3978,6 +4022,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distinct": _q_window_distinct,
         "mode_per_key": _q_mode_per_key,
         "stream_distinct": _q_stream_distinct,
+        "bucketed_join": _q_bucketed_join,
     }
 
 
@@ -4244,6 +4289,14 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    )::BIGINT AS dcum
             FROM events""",
+        "bucketed_join": """
+            SELECT o_orderpriority,
+                   CAST(sum(round(l_extendedprice * 100)
+                            * (100 - round(l_discount * 100)))
+                        AS BIGINT) AS revenue_e4,
+                   count(*)::BIGINT AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority""",
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,

@@ -373,3 +373,29 @@ def test_exact_quantiles_partial_agg_single_window(tables):
     assert "partial_count" in plan or "Partial" in plan, plan
     # and the builtin whole-group-buffer percentile is nowhere in it
     assert "percentile(" not in plan, plan
+
+
+def test_bucketed_join_consumes_disk_layout_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed+sorted on the join key into the same bucket
+    count: the SortMergeJoin must consume the on-disk hash layout — no
+    Exchange on either join input (the only allowed shuffle is the
+    final groupBy agg).  This is the no-reshuffle-after-ingest lever
+    at 100 TB."""
+    import __spark_entry__ as entrymod
+    from tidier_spark.plans import count_exchanges, explain_str
+
+    # at fixture scale Catalyst (rightly) broadcasts the small side;
+    # disable broadcast to expose the plan the 100 TB regime would use —
+    # the bucketed layout must then carry the join with NO exchange
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entrymod._q_bucketed_join(spark, sf_dir)
+        # one exchange total: the o_orderpriority aggregate; zero for
+        # the join (both scans read Bucketed: true, 8/8 buckets)
+        assert count_exchanges(df) == 1
+        plan = explain_str(df, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2  # both scans bucket-aware
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
