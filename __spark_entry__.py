@@ -3763,6 +3763,42 @@ def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(ev, "event_type", by="user_id")
 
 
+def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-window correlation (value vs event time — windowed trend
+    # detection): Spark's corr() as a native WINDOW aggregate,
+    # incremental co-moments inside one WindowExec — no UDF, no
+    # re-scan per frame.  Zero-variance frames yield NaN on Spark and
+    # NULL on DuckDB; nanvl-to-NULL pins one contract (the constval
+    # axis regime).  Rounded to 4 decimals before hashing: corr is in
+    # [-1, 1] and the two engines accumulate co-moments in different
+    # orders.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    # corr built from var_pop/covar_pop (Welford co-moments, division
+    # by n — safe for any non-empty frame) instead of native corr():
+    # Spark's ANSI corr raises DIVIDE_BY_ZERO on a zero-variance frame
+    # (constval/ordties axes) where DuckDB returns NULL.  The explicit
+    # variance guard pins ONE contract: undefined correlation -> NULL.
+    x = F.unix_micros("ts").cast("double")
+    y = F.col("value")
+    vx = F.var_pop(x).over(w)
+    vy = F.var_pop(y).over(w)
+    cxy = F.covar_pop(y, x).over(w)
+    c = F.when((vx > 0) & (vy > 0), cxy / F.sqrt(vx * vy))
+    # + 0.0 folds IEEE -0.0 to +0.0 (a tiny negative corr rounds to
+    # -0.0 on one engine and 0.0 on the other; the hash is repr-aware)
+    return ev.select(
+        "event_id", (F.round(c, 4) + F.lit(0.0)).alias("corr20")
+    )
+
+
 def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The co-located-join layout lever at 100 TB: both fact tables
     # written bucketed (+ sorted) on the join key into the SAME bucket
@@ -4023,6 +4059,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_per_key": _q_mode_per_key,
         "stream_distinct": _q_stream_distinct,
         "bucketed_join": _q_bucketed_join,
+        "rolling_corr": _q_rolling_corr,
     }
 
 
@@ -4297,6 +4334,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority""",
+        "rolling_corr": """
+            SELECT event_id,
+                   round(corr(value, epoch_us(ts)::DOUBLE) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                   ), 4) + 0.0 AS corr20
+            FROM events""",
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
             SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
