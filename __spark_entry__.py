@@ -3763,6 +3763,77 @@ def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(ev, "event_type", by="user_id")
 
 
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema evolution across parquet generations — the 100 TB archive
+    # reality: an old partition lacks a later column.  v1 files (even
+    # event_ids) are written WITHOUT event_type; v2 adds it.
+    # mergeSchema unions the schemas and back-fills NULL for the old
+    # files; the oracle derives the same semantics from the source
+    # table (even ids -> NULL event_type), so the differential checks
+    # Spark's merged-read against an independent derivation.
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="tidier_schema_evo_")
+    v1 = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    v2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("__missing__")).alias(
+                "etype"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_vc"
+            ),
+        )
+    )
+
+
+def _q_regr_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-key OLS trend (slope/intercept of value vs time-in-days):
+    # covar_pop/var_pop moments with an explicit variance guard — the
+    # rolling_corr lesson: Spark's ANSI regr_slope raises on a
+    # zero-variance regressor where DuckDB returns NULL.  The DuckDB
+    # oracle uses NATIVE regr_slope/regr_intercept — a genuine
+    # cross-implementation differential.
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts").cast("double") / 86_400_000_000.0).alias("x")
+    g = ev.select("user_id", F.col("value").alias("y"), x).groupBy("user_id")
+    a = g.agg(
+        F.var_pop("x").alias("vx"),
+        F.covar_pop("y", "x").alias("cxy"),
+        F.avg("y").alias("my"),
+        F.avg("x").alias("mx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    slope = F.when(F.col("vx") > 0, F.col("cxy") / F.col("vx"))
+    return a.select(
+        "user_id",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope6"),
+        (F.round(F.col("my") - slope * F.col("mx"), 4) + F.lit(0.0)).alias(
+            "intercept4"
+        ),
+        "n_events",
+    )
+
+
 def _q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Trailing-window correlation (value vs event time — windowed trend
     # detection): Spark's corr() as a native WINDOW aggregate,
@@ -4060,6 +4131,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct": _q_stream_distinct,
         "bucketed_join": _q_bucketed_join,
         "rolling_corr": _q_rolling_corr,
+        "schema_evolution": _q_schema_evolution,
+        "regr_by_key": _q_regr_by_key,
     }
 
 
@@ -4334,6 +4407,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority""",
+        "schema_evolution": """
+            SELECT coalesce(CASE WHEN event_id % 2 = 0 THEN NULL
+                                 ELSE event_type END,
+                            '__missing__') AS etype,
+                   count(*)::BIGINT AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_vc
+            FROM events GROUP BY 1""",
+        "regr_by_key": """
+            SELECT user_id,
+                   round(regr_slope(value,
+                         epoch_us(ts) / 86400000000.0), 6) + 0.0 AS slope6,
+                   round(regr_intercept(value,
+                         epoch_us(ts) / 86400000000.0), 4) + 0.0
+                     AS intercept4,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY user_id""",
         "rolling_corr": """
             SELECT event_id,
                    round(corr(value, epoch_us(ts)::DOUBLE) OVER (

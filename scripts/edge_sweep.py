@@ -114,6 +114,10 @@ MAGNITUDE_FLOAT_PINS = {
     "incremental_rollup",
     "frame_apply_wmean",
     "stream_trailing",
+    # r6: OLS moments at value*1e13 — both engines complete; measured
+    # rel drift <= 5.8e-11 (abs drift is large only because the values
+    # themselves are ~1e13; the checked rel-1e-9 tolerance governs)
+    "regr_by_key",
 }
 
 
