@@ -410,7 +410,33 @@ def main() -> int:
         if (
             kind in ("empty", "zerovec")
             and cls == "spark_err"
-            and "cannot train on an empty corpus" in (s_err or "")
+            and (
+                "cannot train on an empty corpus" in (s_err or "")
+                or "input DataFrame is empty" in (s_err or "")
+            )
+        ):
+            cls = "pinned"
+        # preepoch: the two watermark-eviction paths now fail LOUDLY on
+        # pre-1970 event times (r6 verdict task #6: a JVM assert_true
+        # naming the epoch_offset_us knob raises USER_RAISED_EXCEPTION
+        # instead of Spark silently dropping the rows) — that loud
+        # failure IS the pinned contract
+        if (
+            kind == "preepoch"
+            and cls == "spark_err"
+            and name in ("stream_sessions", "stream_attribution")
+            and "USER_RAISED_EXCEPTIO" in (s_err or "")
+        ):
+            cls = "pinned"
+        # documented engine divergence (EDGE_SWEEP.md): grouping sets /
+        # rollup over an EMPTY table — Spark's Expand lowering emits
+        # zero rows where the SQL standard (and DuckDB) emit one global
+        # row; pinned by test_grouping_sets_empty_input_known_divergence
+        if (
+            kind == "empty"
+            and cls == "mismatch"
+            and name in ("grouping_sets", "rollup_agg")
+            and not (s_rows or [])
         ):
             cls = "pinned"
         if (
