@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -294,6 +294,22 @@ def build_fixture(kind: str) -> str:
                 i,
                 tbl.schema.field(i),
                 pa.array([7.0] * tbl.num_rows, type=pa.float64()),
+            )
+        elif kind == "alldup" and t == "documents":
+            # every document becomes ONE identical text: the dedup
+            # degenerate — all minhash/simhash signatures equal, every
+            # band bucket maximally hot, one giant duplicate cluster,
+            # n-gram vocabularies collapse to one document's grams
+            col = tbl.column("text").to_pylist()
+            const = next((v for v in col if v), "the quick brown fox")
+            i = tbl.schema.get_field_index("text")
+            tbl = tbl.set_column(
+                i,
+                tbl.schema.field(i),
+                pa.array(
+                    [const if v is not None else None for v in col],
+                    type=pa.string(),
+                ),
             )
         elif kind == "zerovec" and t == "embeddings":
             # every embedding becomes the ZERO vector: cosine = 0/0,
