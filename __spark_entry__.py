@@ -3763,6 +3763,21 @@ def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(ev, "event_type", by="user_id")
 
 
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc triangle counts over the near-dup graph (dense dup-clique
+    # vs accidental-chain signal): compact-forward — canonical id_a <
+    # id_b edges, wedge join + closing join, each triangle found once,
+    # no n2 stage.  Same banded pair generation as dup_clusters /
+    # pagerank_dups; DuckDB mirror composes the identical joins over
+    # minhash_pairs_sql.
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators.graph import triangle_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(docs, k=8, bands=4, threshold=0.3)
+    return triangle_count(pairs, id_out="doc_id")
+
+
 def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Schema evolution across parquet generations — the 100 TB archive
     # reality: an old partition lacks a later column.  v1 files (even
@@ -4133,6 +4148,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": _q_rolling_corr,
         "schema_evolution": _q_schema_evolution,
         "regr_by_key": _q_regr_by_key,
+        "triangle_count": _q_triangle_count,
     }
 
 
@@ -4407,6 +4423,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority""",
+        "triangle_count": _triangle_count_oracle(),
         "schema_evolution": """
             SELECT coalesce(CASE WHEN event_id % 2 = 0 THEN NULL
                                  ELSE event_type END,
@@ -5384,6 +5401,15 @@ def _fk_orphans_oracle() -> str:
         "user_id",
         parent_keys="c_custkey",
         parent_where="c_acctbal >= 0",
+    )
+
+
+def _triangle_count_oracle() -> str:
+    from tidier_spark.operators import dedup as D
+    from tidier_spark.operators.graph import triangle_count_sql
+
+    return triangle_count_sql(
+        D.minhash_pairs_sql(k=8, bands=4, threshold=0.3), id_out="doc_id"
     )
 
 

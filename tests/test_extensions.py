@@ -2869,7 +2869,7 @@ def test_driver_window_head_is_never_checked_rotation():
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 179
+    assert len(keys) == len(set(keys)) == 180
     first_green: dict[str, str] = {}
     for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
@@ -3303,3 +3303,17 @@ def test_cosine_topk_excludes_zero_norm_vectors(spark):
     # both methods agree after exclusion
     got_sql = cosine_topk(df, k=3, method="sql").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got_sql))
+
+
+def test_triangle_count_hand_graph(spark):
+    # 4-clique on {1,2,3,4}: C(4,3)=4 triangles, each node in 3;
+    # pendant chain 4-5-6 adds no triangle; edges are id_a < id_b
+    # canonical (the near_dup_pairs contract).
+    from itertools import combinations
+
+    from tidier_spark.operators.graph import triangle_count
+
+    edges = list(combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id"], r["n_tri"]) for r in triangle_count(df).collect()}
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}

@@ -43,6 +43,8 @@ __all__ = [
     "connected_components_star",
     "dup_clusters",
     "pagerank",
+    "triangle_count",
+    "triangle_count_sql",
 ]
 
 
@@ -333,3 +335,67 @@ def pagerank(
     return ranks.select(
         F.col("__u").alias(id_col), F.col("__pr").alias("pr_fp")
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "id",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the local
+    clustering signal (dense dup-cliques vs accidental chains) built on
+    the canonical compact-forward algorithm: with edges stored once in
+    ``src < dst`` canonical order (exactly what near_dup_pairs emits),
+    every triangle ``a < b < c`` is found exactly once by two equi-joins
+    —  wedge (a,b)+(b,c), closed by (a,c).  No n² stage: the wedge join
+    is edge⋈edge on the shared middle vertex, and at 100 TB the classic
+    skew refinement (orient edges by degree so high-degree vertices
+    never form wedge middles) drops in by re-canonicalizing ``pairs``
+    before the call; both joins shuffle on node ids only.
+
+    Output: one row per node appearing in ≥1 triangle —
+    ``(id_out, n_tri)``.  Isolated/triangle-free nodes are absent (join
+    the node table with ``fill(0)`` for a dense vector).
+    """
+    a, b = F.col(src), F.col(dst)
+    # the edge list fans out into THREE join branches; without an eager
+    # checkpoint the (possibly expensive) upstream — minhash banding +
+    # verification for near-dup graphs — re-derives per branch wherever
+    # exchange reuse can't cover it (the pagerank/CC lesson, measured
+    # 3.2 -> 2.0 s on the entry at sf0.1)
+    pairs = pairs.select(a.alias(src), b.alias(dst)).localCheckpoint()
+    a, b = F.col(src), F.col(dst)
+    e1 = pairs.select(a.alias("a"), b.alias("b"))
+    e2 = pairs.select(a.alias("b2"), b.alias("c"))
+    e3 = pairs.select(a.alias("a3"), b.alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    exploded = tris.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(id_out)
+    )
+    return exploded.groupBy(id_out).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+
+
+def triangle_count_sql(pairs_sql: str, id_out: str = "id") -> str:
+    """DuckDB mirror of :func:`triangle_count` over a pairs subquery
+    (``id_a < id_b`` canonical)."""
+    return f"""
+        WITH pairs AS ({pairs_sql}),
+        tri AS (
+          SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+          FROM pairs p1
+          JOIN pairs p2 ON p2.id_a = p1.id_b
+          JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b
+        ),
+        nodes AS (
+          SELECT a AS {id_out} FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        )
+        SELECT {id_out}, count(*)::BIGINT AS n_tri
+        FROM nodes GROUP BY {id_out}"""
