@@ -215,6 +215,32 @@ def main():
     rows.append(("pagerank_3it", "1M n/2M e", timeit(pr(1_000_000), reps=1)))
     rows.append(("pagerank_3it", "10M n/20M e", timeit(pr(10_000_000), reps=1)))
 
+    # 13. triangle counting (compact-forward, canonical edges): sparse
+    # synthetic graph, avg degree 4, triangles planted by construction
+    from tidier_spark.operators.graph import triangle_count
+
+    def tric(n):
+        # chain (i, i+1) plus a chord (i, i+2) at every even i: exactly
+        # n/2 planted triangles (i, i+1, i+2), canonical order for free
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        chords = spark.range((n - 2) // 2).select(
+            (F.col("id") * 2).alias("id_a"),
+            (F.col("id") * 2 + 2).alias("id_b"),
+        )
+        out = triangle_count(chain.unionAll(chords))
+        expected = 3 * ((n - 2) // 2)  # each triangle counts at 3 nodes
+
+        def run():
+            got = out.agg(F.sum("n_tri")).collect()[0][0]
+            assert got == expected, (got, expected)
+
+        return run
+
+    rows.append(("triangle_count", "1.3M edges", timeit(tric(1_000_000), reps=1)))
+    rows.append(("triangle_count", "13M edges", timeit(tric(10_000_000), reps=1)))
+
     # 11. interval merge (cummax flag + running sum + hash agg): 1k keys,
     # ~25% of consecutive spans overlap — the union-of-ranges shape
     from tidier_spark.operators.temporal import interval_merge
