@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -311,6 +311,23 @@ def build_fixture(kind: str) -> str:
                     type=pa.string(),
                 ),
             )
+        elif kind == "longdoc" and t == "documents":
+            # ONE document becomes ~200x longer than every other (its
+            # own text repeated): per-row skew for tokenizers, shingle
+            # explosion, minhash, BPE counting, length stats — the
+            # one-giant-row regime no fixture produces
+            col = tbl.column("text").to_pylist()
+            first = next(
+                (j for j, v in enumerate(col) if v), None
+            )
+            if first is not None:
+                col[first] = (col[first] + " ") * 200
+                i = tbl.schema.get_field_index("text")
+                tbl = tbl.set_column(
+                    i,
+                    tbl.schema.field(i),
+                    pa.array(col, type=pa.string()),
+                )
         elif kind == "zerovec" and t == "embeddings":
             # every embedding becomes the ZERO vector: cosine = 0/0,
             # all pairwise distances 0 (k-means/IVF/PQ train on one
