@@ -3763,6 +3763,26 @@ def _q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mode_by(ev, "event_type", by="user_id")
 
 
+def _q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GROUP BY CUBE — the all-subsets grouping-set shape (rollup and
+    # explicit grouping_sets already have entries); Spark computes the
+    # 4 subset levels in ONE pass via Expand + partial aggregation, no
+    # per-level rescan.
+    from pyspark.sql import functions as F
+
+    from tidier_spark import summarise
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        sum_qty="sum(l_quantity)",
+        sum_price_c="sum(round(l_extendedprice * 100))",
+        n="n()",
+        by=["l_returnflag", "l_linestatus"],
+        cube=True,
+    ).withColumn("sum_price_c", F.col("sum_price_c").cast("long"))
+
+
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-doc triangle counts over the near-dup graph (dense dup-clique
     # vs accidental-chain signal): compact-forward — canonical id_a <
@@ -4149,6 +4169,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": _q_schema_evolution,
         "regr_by_key": _q_regr_by_key,
         "triangle_count": _q_triangle_count,
+        "cube_agg": _q_cube_agg,
     }
 
 
@@ -4358,6 +4379,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(round(l_extendedprice * 100)) AS BIGINT)
+                     AS sum_price_c,
+                   count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
         "analytic_fns": """
             SELECT o_orderkey,
                    lag(o_totalprice, 1) OVER w AS prev_price,

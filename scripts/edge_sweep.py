@@ -468,7 +468,7 @@ def main() -> int:
         if (
             kind == "empty"
             and cls == "mismatch"
-            and name in ("grouping_sets", "rollup_agg")
+            and name in ("grouping_sets", "rollup_agg", "cube_agg")
             and not (s_rows or [])
         ):
             cls = "pinned"

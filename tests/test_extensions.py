@@ -2869,7 +2869,7 @@ def test_driver_window_head_is_never_checked_rotation():
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 180
+    assert len(keys) == len(set(keys)) == 181
     first_green: dict[str, str] = {}
     for r in ("01", "02", "03", "04", "05"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
