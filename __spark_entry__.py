@@ -3949,35 +3949,49 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# cover exactly these, so the head stays r3-vintage through the end of
-# round 6.  The rotation pin test (tests/test_extensions.py) DERIVES
-# the cohort from the recorded CORRECTNESS_r01..r05 files and asserts
-# the head matches, so this list cannot silently drift from the ledger
-# (SURVEY.md section 7.5a).  ROUND 7's opening move: replace this list
-# with the r4-vintage cohort (derivable the same way; written out in
-# SURVEY 7.9) so CORRECTNESS_r07 re-confirms the then-oldest rows.
-# Every entry regardless of position is hash-verified each round by
-# scripts/check_entry.py.
+# The driver's correctness run covers the FIRST 50 queries() keys.
+# Round-7 rotation (verdict r06 task #1): the head is the r4-vintage
+# cohort — the 50 entries whose FIRST hash-green driver row was
+# CORRECTNESS_r04 — the largest never-re-checked cohort, including
+# everything tuned since (pq/ANN rework, streaming min-of-5, tpch).
+# The rotation pin test (tests/test_extensions.py) DERIVES the cohort
+# from the recorded CORRECTNESS_r01..r06 files and asserts the head
+# matches, so this list cannot silently drift from the ledger
+# (SURVEY.md section 7.5a).  Every entry regardless of position is
+# hash-verified each round by scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    "repeated_spans", "classifier_score", "quantile_prune", "bpe_train",
-    "bpe_subwords", "budget_mix", "dup_regions", "pipeline_e2e",
-    "srp_embedding", "gapfill_rollup", "sessionize", "text_tokens_bpe",
-    "lsh_topk", "ivf_topk", "dedup_embedding_lsh", "semantic_dedup",
-    "stream_sessions", "stream_attribution", "stream_upsert",
-    "stream_rollup", "stream_enrich", "asof_nearest", "sketch_cms",
-    "knn_join", "hard_negatives", "frame_apply_median",
-    "frame_apply_wmean", "grouped_apply_demean", "udtf_sentences",
-    "salted_agg", "skew_join", "grouping_sets", "slice_prop",
-    "sketch_distinct", "sketch_quantiles", "sketch_kll", "sketch_theta",
-    "sketch_topk", "pq_topk_full", "ivfpq_topk", "kmeans_clusters",
-    "perceptron", "bpe_encode", "scd2_history", "ewma_smooth",
-    "bm25_topk", "stream_funnel", "tpch_q1", "tpch_q2", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "stream_ewma", "stream_scd2",
+    "stream_dedup_against", "stream_trailing", "csv_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "sink_roundtrip", "pq_topk",
+    "fuzzy_names", "overlap_join", "time_weighted", "gapfill_interp",
+    "asof_tolerance", "event_transitions", "dedup_against",
+    "dup_clusters", "contamination", "pack_sequences",
+    "label_centroids", "lm_bigram", "lm_surprisal", "funnel_windowed",
+    "attribution_linear", "incremental_rollup", "winsorize",
+    "robust_outliers", "skew_report", "length_buckets",
+    "stratified_mix", "validate_events",
+]
+
+# Positions 51-65 (verdict r06 task #2): the 15 round-6 entries that
+# have NO driver CORRECTNESS row yet (judge-verified strict-mimic
+# green at 3 sfs in r06).  If the driver window ever widens past 50 —
+# or when round 8 rotates — these are reached FIRST, so every board
+# entry regains a current driver row soonest.
+_DRIVER_WINDOW_NEXT = [
+    "dup_clusters_star", "quantiles_global_coarse", "hybrid_rrf",
+    "pagerank_dups", "fk_orphans", "interval_merge", "window_distinct",
+    "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
+    "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_registry()
     head = {k: base[k] for k in _DRIVER_WINDOW_HEAD}
+    head.update((k, base[k]) for k in _DRIVER_WINDOW_NEXT)
     head.update((k, v) for k, v in base.items() if k not in head)
     return head
 

@@ -2856,22 +2856,24 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys,
-    snapshotted from the END-of-round repo state.  Round-6 contract
-    (verdict r05 task #1): positions 1-50 are exactly the r3-vintage
-    cohort — entries whose FIRST driver CORRECTNESS row was r03 — so
-    CORRECTNESS_r06 re-confirms the largest never-re-checked cohort.
-    The cohort is DERIVED from the recorded CORRECTNESS files, so the
-    hand-written head list in __spark_entry__ cannot silently drift
-    from the ledger.  Round 7 flips this to the r4 cohort."""
+    snapshotted from the END-of-round repo state.  Round-7 contract
+    (verdict r06 tasks #1-2): positions 1-50 are exactly the r4-vintage
+    cohort — entries whose FIRST hash-green driver CORRECTNESS row was
+    r04 — so CORRECTNESS_r07 re-confirms the largest never-re-checked
+    cohort; positions 51-65 are the 15 entries with NO driver row yet
+    (judge-verified in r06), so any window widening or the round-8
+    rotation reaches them first.  Both cohorts are DERIVED from the
+    recorded CORRECTNESS files, so the hand-written lists in
+    __spark_entry__ cannot silently drift from the ledger."""
     import json
     import os
 
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries().keys())
-    assert len(keys) == len(set(keys)) == 181
+    assert len(keys) == len(set(keys)) == len(entrymod._queries_registry())
     first_green: dict[str, str] = {}
-    for r in ("01", "02", "03", "04", "05"):
+    for r in ("01", "02", "03", "04", "05", "06"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
@@ -2880,13 +2882,19 @@ def test_driver_window_head_is_never_checked_rotation():
                     if v.get("hash_match"):
                         first_green.setdefault(k, r)
     if first_green:
-        r3_cohort = {k for k, r in first_green.items() if r == "03"}
-        assert len(r3_cohort) == 50, len(r3_cohort)
+        r4_cohort = {k for k, r in first_green.items() if r == "04"}
+        assert len(r4_cohort) == 50, len(r4_cohort)
         head = keys[:50]
-        # the r3-vintage entries lead the window, all of them
-        assert set(head) == r3_cohort, sorted(
-            r3_cohort.symmetric_difference(head)
+        # the r4-vintage entries lead the window, all of them
+        assert set(head) == r4_cohort, sorted(
+            r4_cohort.symmetric_difference(head)
         )
+        # positions 51-65: every ledgered entry with no driver row yet
+        never = {k for k in keys if k not in first_green}
+        nxt = keys[50:50 + len(entrymod._DRIVER_WINDOW_NEXT)]
+        assert set(nxt) == set(entrymod._DRIVER_WINDOW_NEXT)
+        # no never-checked r6-vintage entry may sit BELOW position 65
+        assert never.issuperset(nxt) or never == set(), sorted(never)
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(keys)
