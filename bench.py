@@ -114,13 +114,16 @@ def main() -> None:
                 ),
                 "w",
             ) as fh:
-                fh.write(line + "\n")
-                # the PER-RUN matrix (verdict r05 task #2): lets any
-                # reader attribute a headline delta to code vs box noise
-                # without re-running.  Second line of the repo-local
-                # record only — the driver's stdout tail stays compact.
+                # ONE json document (ADVICE r06: two JSON lines broke
+                # json.load consumers).  The PER-RUN matrix (verdict r05
+                # task #2) is embedded under "runs" — it lets any reader
+                # attribute a headline delta to code vs box noise without
+                # re-running; repo-local record only, the driver's stdout
+                # tail stays compact (the printed line omits it).
                 fh.write(
-                    json.dumps({"runs": run_matrix}, separators=(",", ":"))
+                    json.dumps(
+                        dict(record, runs=run_matrix), separators=(",", ":")
+                    )
                     + "\n"
                 )
         except OSError:

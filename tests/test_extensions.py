@@ -3286,6 +3286,63 @@ def test_stream_running_distinct_multi_batch_matches_batch(spark, tmp_path):
     assert by_tb[9] == 5
 
 
+def test_stream_running_distinct_multi_arrow_chunk_group(spark, tmp_path):
+    """ADVICE r06: a key whose micro-batch spans multiple Arrow chunks
+    (> spark.sql.execution.arrow.maxRecordsPerBatch) must be ordered
+    GLOBALLY by (time, tiebreak), not per chunk — per-chunk sorting
+    silently diverges from the batch count(DISTINCT) OVER definition.
+    Force 2-row chunks and feed one key's 10 events in REVERSE time
+    order, so any per-chunk sort would process late events first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidier_spark.operators.temporal import rolling_distinct
+    from tidier_spark.streaming import run_stream, stream_running_distinct
+
+    base = 1_700_000_000_000_000
+    vals = ["a", "b", None, "a", "c", "b", "d", None, "a", "e"]
+    rows = [(1, base + i * 60_000_000, i, vals[i]) for i in range(len(vals))]
+    src = tmp_path / "dsrc_chunks"
+    src.mkdir()
+    rev = rows[::-1]  # reverse arrival order within the ONE micro-batch
+    t = pa.table({
+        "user_id": [r[0] for r in rev],
+        "ts": pa.array([r[1] for r in rev], type=pa.timestamp("us")),
+        "event_id": [r[2] for r in rev],
+        "event_type": pa.array([r[3] for r in rev], type=pa.string()),
+    })
+    pq.write_table(t, src / "b0.parquet")
+
+    saved = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).parquet(str(src))
+        out = stream_running_distinct(
+            stream, key_col="user_id", time_col="ts",
+            value_col="event_type", tiebreak_col="event_id",
+        )
+        res = run_stream(out, name="t_stream_rdist_chunks", output_mode="append")
+        got = sorted(
+            (r["key"], r["ts_us"], r["tb"], r["dcum"]) for r in res.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", saved)
+    bdf = spark.createDataFrame(
+        rows, "user_id long, us long, event_id long, event_type string"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id", "event_type")
+    want = sorted(
+        (r["user_id"], r["us"], r["event_id"], r["dcum"])
+        for r in rolling_distinct(
+            bdf.withColumn("us", F.unix_micros("ts")),
+            "event_type", by="user_id", order_by=["ts", "event_id"],
+            frame_rows=2,
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+
+
 def test_cosine_topk_excludes_zero_norm_vectors(spark):
     # cosine is UNDEFINED for the zero vector (0/0): it must appear as
     # neither query nor neighbor — the SQL-NULL-style exclusion the

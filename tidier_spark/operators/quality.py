@@ -38,6 +38,7 @@ __all__ = [
     "srp_embedding_sql",
     "bm25_topk",
     "term_overlap_topk",
+    "term_overlap_topk_sql",
     "rrf_fuse",
     "bm25_topk_sql",
     "robust_outliers",

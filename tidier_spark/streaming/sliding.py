@@ -86,6 +86,27 @@ def run_stream(
     return stream.sparkSession.table(name)
 
 
+def _concat_in_order(
+    pdfs: Iterable[pd.DataFrame], sort_cols: list[str]
+) -> pd.DataFrame | None:
+    """Collect a key's whole micro-batch and sort it ONCE.
+
+    The ``applyInPandasWithState`` iterator yields Arrow-batch slices
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``, default 10k rows);
+    a key whose micro-batch spans multiple slices must be ordered
+    GLOBALLY across them — sorting each slice independently silently
+    interleaves out-of-order events and per-row stateful outputs diverge
+    from the batch/SQL definition they claim parity with.  Stable
+    mergesort, so equal sort keys keep arrival order.  Returns ``None``
+    for an empty iterator (timeout-only invocations).
+    """
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return pdf.sort_values(sort_cols, kind="mergesort")
+
+
 def stream_windowed_agg(
     stream: DataFrame,
     exprs: dict[str, str],
@@ -174,12 +195,11 @@ def stream_trailing_agg(
             ts_list, val_list = list(ts_list), list(val_list)
         else:
             ts_list, val_list = [], []
-        outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
+        pdf = _concat_in_order(pdfs, [time_col])
+        rows = {"key": [], "ts": [], "value": [], "trail_avg": []}
+        if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns→µs
             vals = pdf[value_col].to_numpy()
-            rows = {"key": [], "ts": [], "value": [], "trail_avg": []}
             for t, v in zip(ts_us, vals):
                 ts_list.append(int(t))
                 val_list.append(float(v))
@@ -196,14 +216,13 @@ def stream_trailing_agg(
                 rows["ts"].append(pd.Timestamp(t * 1000))
                 rows["value"].append(v)
                 rows["trail_avg"].append(sum(val_list) / len(val_list))
-            out = pd.DataFrame(rows)
-            out["ts"] = out["ts"].astype("datetime64[us]")
-            outs.append(out)
         state.update((ts_list, val_list))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        for o in outs:
-            yield o
+        if rows["key"]:
+            out = pd.DataFrame(rows)
+            out["ts"] = out["ts"].astype("datetime64[us]")
+            yield out
 
     return (
         stream.select(
@@ -480,8 +499,8 @@ def stream_funnel_advances(
             return
         times = list(state.get[0]) if state.exists else [-1] * k
         rows = {"key": [], "step": [], "t_us": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col, kind="mergesort")
+        pdf = _concat_in_order(pdfs, [time_col])
+        if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             st = pdf[step_col].to_numpy()
             for t, s in zip(ts_us, st):
@@ -565,8 +584,8 @@ def stream_ewma(
         else:
             vals, isnull = [], []
         rows = {c: [] for c in ("key", "ts_us", "tb", "ewma_num", "ewma_den", "ewma100")}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+        pdf = _concat_in_order(pdfs, [time_col, tiebreak_col])
+        if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             tbs = pdf[tiebreak_col].to_numpy()
             raw = pdf[value_col].to_numpy(dtype=object)
@@ -670,8 +689,8 @@ def stream_running_distinct(
             return
         seen: set[str] = set(state.get[0]) if state.exists else set()
         rows = {c: [] for c in ("key", "ts_us", "tb", "dcum")}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
+        pdf = _concat_in_order(pdfs, [time_col, tiebreak_col])
+        if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             tbs = pdf[tiebreak_col].to_numpy()
             vals = pdf[value_col].to_numpy(dtype=object)
