@@ -54,6 +54,27 @@ def main():
     rows.append(("scale_safe_cumsum", "6M rows", timeit(cumsum(6_000_000))))
     rows.append(("scale_safe_cumsum", "60M rows", timeit(cumsum(60_000_000))))
 
+    # 1b. bounded ungrouped rows frame via range-partition + halo
+    # exchange (scale_safe_frame) — the round-7 lowering that replaces
+    # the single-partition global window for o4_rows_frame shapes
+    from tidier_spark import mutate
+
+    def bframe(n, scale_safe=True):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.xxhash64("id") % 1000).alias("v")
+        )
+        out = mutate(
+            df, m="r_mean(v)", order_by=["k"], frame=(10, 10),
+            scale_safe=scale_safe,
+        )
+        return lambda: out.agg(F.sum("m")).collect()
+
+    rows.append(("scale_safe_frame", "6M rows", timeit(bframe(6_000_000))))
+    rows.append(("scale_safe_frame", "60M rows", timeit(bframe(60_000_000))))
+    rows.append(
+        ("single_part_frame", "6M rows", timeit(bframe(6_000_000, False)))
+    )
+
     # 2. exact dedup (hash-agg fingerprints), ~50% duplicate rate
     from tidier_spark.operators.dedup import exact_dedup
 

@@ -187,6 +187,101 @@ def test_scale_safe_cummean_and_max(tables):
         assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect())), expr
 
 
+def test_scale_safe_rows_frame_matches_single_partition(tables):
+    # verdict r06 task #3: ungrouped BOUNDED rows frame through the
+    # range-partition + halo exchange — bit-identical to the global
+    # window, and the heavy stage keeps the range partitioner's task
+    # count (no single-partition funnel).
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", (F.round(F.col("value") * 100)).cast("long").alias("v100")
+    )
+    safe = mutate(
+        ev, m="r_mean(v100)", order_by=["event_id"],
+        frame=(3, 2), scale_safe=True,
+    )
+    plan = explain_str(safe, "simple")
+    assert "__tpid" in plan  # halo-exchange stage present
+    naive = mutate(ev, m="r_mean(v100)", order_by=["event_id"], frame=(3, 2))
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
+    assert sorted(safe.columns) == sorted(naive.columns)
+
+
+def test_scale_safe_rows_frame_complete_and_shifted(tables):
+    # complete=True must NULL the clipped global edges identically, and a
+    # SHIFTED frame (both bounds following) must survive partitions
+    # narrower than the shift (the contiguity-widening rule).
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", (F.round(F.col("value") * 100)).cast("long").alias("v100")
+    )
+    for frame in ((4, 0), (-2, 5)):
+        for complete in (False, True):
+            safe = mutate(
+                ev, m="sum(v100)", order_by=["event_id"], frame=frame,
+                complete=complete, scale_safe=True,
+            )
+            naive = mutate(
+                ev, m="sum(v100)", order_by=["event_id"], frame=frame,
+                complete=complete,
+            )
+            key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+            assert sorted(map(key, safe.collect())) == sorted(
+                map(key, naive.collect())
+            ), (frame, complete)
+
+
+def test_scale_safe_range_frame_matches_single_partition(tables):
+    # value-based (index) frames: halo by index value, rangeBetween per
+    # target partition; ties on the index (events share timestamps at
+    # second granularity? no — event_id ties don't exist; value ties DO)
+    # are frame-set-deterministic because RANGE frames include all peers.
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", "ts",
+        (F.round(F.col("value") * 100)).cast("long").alias("v100"),
+    )
+    from tidier_spark.frames import seconds
+
+    kw = dict(
+        m="r_mean(v100)", index="ts", frame=(seconds(600), seconds(0)),
+    )
+    safe = mutate(ev, scale_safe=True, **kw)
+    naive = mutate(ev, **kw)
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
+    # complete=True: global-extent rule
+    kwc = dict(kw, complete=True)
+    safe_c = mutate(ev, scale_safe=True, **kwc)
+    naive_c = mutate(ev, **kwc)
+    assert sorted(map(key, safe_c.collect())) == sorted(
+        map(key, naive_c.collect())
+    )
+
+
+def test_scale_safe_range_frame_null_index_is_loud(spark):
+    import pyspark.errors
+
+    from tidier_spark import mutate
+    from tidier_spark.frames import seconds
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, None, 2.0)], "id long, t double, v double"
+    )
+    out = mutate(
+        df, m="sum(v)", index="t", frame=(5, 5), scale_safe=True
+    )
+    try:
+        out.collect()
+        raise AssertionError("NULL index must fail loudly")
+    except Exception as e:  # noqa: BLE001 — Spark wraps in PySparkRuntimeError
+        assert "NULL" in str(e) or "scale_safe" in str(e), e
+
+
 def test_lsh_rerank_is_bucket_local(tables):
     # The ANN scoring must stay distributed: no driver collect of the
     # vector table (the round-1 scale-killer), no cartesian pair space.

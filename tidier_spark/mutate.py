@@ -193,11 +193,15 @@ def mutate(
                 (`R/mutate.R:58-62`).
     restore_order : re-sort output to input order (global sort; see module
                 docstring).
-    scale_safe: lower UNGROUPED cumulative exprs (cumsum/cummax/...) via the
+    scale_safe: lower UNGROUPED ordered exprs without the single-partition
+                global window: cumulatives (cumsum/cummax/...) via the
                 two-pass range-partitioned prefix aggregate
-                (:func:`tidier_spark.window.scale_safe_cumulative`) instead
-                of a single-partition global window.  Opt-in because float
-                sums re-associate (integer/decimal results are identical).
+                (:func:`tidier_spark.window.scale_safe_cumulative`); BOUNDED
+                rows/range frames via the range-partition + halo exchange
+                (:func:`tidier_spark.window.scale_safe_frame`, bit-identical
+                results, hash-pinned).  Opt-in because float prefix sums
+                re-associate (integer/decimal results are identical) and
+                the frame path costs one extra broadcast join.
     kw_exprs  : exprs as keyword args (``avg_x="avg(x)"``).
     """
     exprs: dict[str, object] = {}
@@ -264,6 +268,18 @@ def _apply_one(
 
     # --- frame present: per-window summarise context (R/mutate.R:204-229) ---
     if frame_spec is not None:
+        safe = _apply_scale_safe_frame(
+            df,
+            name,
+            expr,
+            order_l=order_l,
+            frame_spec=frame_spec,
+            index=index,
+            desc=desc,
+            complete=complete,
+        ) if (scale_safe and not by_l) else None
+        if safe is not None:
+            return safe
         plan = compile_window(
             df, by=by_l, order_by=order_l, frame=frame_spec, index=index, desc=desc
         )
@@ -353,6 +369,84 @@ def _apply_one(
 
     # --- plain row-wise projection (O1) ---
     return df.withColumn(name, F.expr(expr))
+
+
+def _apply_scale_safe_frame(
+    df: DataFrame,
+    name: str,
+    expr: object,
+    *,
+    order_l: list[object],
+    frame_spec: FrameSpec,
+    index: str | None,
+    desc: bool | list[bool],
+    complete: bool,
+) -> DataFrame | None:
+    """Lower an UNGROUPED bounded-frame mutate through the range-partition
+    + halo exchange (:func:`tidier_spark.window.scale_safe_frame`) instead
+    of the single-partition global window.  Returns ``None`` when the
+    combination isn't eligible (calendar/unbounded frames, Column/Tier-C
+    expressions, frame-independent expressions) — the caller falls through
+    to the reference-faithful default lowering.  Results are bit-identical
+    to the default plan (hash-pinned in tests/test_plans.py)."""
+    if not isinstance(expr, str) or frame_spec.is_calendar:
+        return None
+    try:
+        if index is not None:
+            from .window import _index_order_key
+
+            _, unit, _ = _index_order_key(df, index)
+            lo, hi = frame_spec.range_bounds(unit)
+            if lo <= -(2**62) or hi >= 2**62:
+                return None
+        else:
+            lo, hi = frame_spec.row_bounds()
+            if lo < -(2**31) or hi > 2**31:
+                return None
+    except ValueError:
+        return None
+    if _RANKING_RE.match(expr):
+        return None
+    outer, calls = windowize(expr)
+    if not calls:
+        return None
+    from .window import scale_safe_frame
+
+    aug, spec, home, helpers = scale_safe_frame(
+        df, order_by=order_l or None, frame=frame_spec, index=index, desc=desc
+    )
+    for ph, call in calls:
+        aug = aug.withColumn(ph, F.expr(call).over(spec))
+    value = F.expr(outer)
+    if complete:
+        if index is None:
+            # full ⇔ the frame holds exactly width rows; every frame row is
+            # present in the target partition, so the per-partition count
+            # equals the global one.  Materialized BEFORE the home filter —
+            # a window evaluated after .where(home) would count only home
+            # rows and mis-NULL partition-leading rows.
+            aug = aug.withColumn("__wcnt", F.count(F.lit(1)).over(spec))
+            helpers = [*helpers, "__wcnt"]
+            value = F.when(F.col("__wcnt") == hi - lo + 1, value)
+        else:
+            # full ⇔ [k+lo, k+hi] inside the GLOBAL index extent (one tiny
+            # agg row, broadcast — the ungrouped analog of the partition
+            # extent rule)
+            extent = aug.agg(
+                F.min("__k").alias("__gmin"), F.max("__k").alias("__gmax")
+            )
+            aug = aug.crossJoin(F.broadcast(extent))
+            helpers = [*helpers, "__gmin", "__gmax"]
+            value = F.when(
+                (F.col("__k") + F.lit(lo) >= F.col("__gmin"))
+                & (F.col("__k") + F.lit(hi) <= F.col("__gmax")),
+                value,
+            )
+    return (
+        aug.where(home)
+        .withColumn(name, value)
+        .drop(*helpers, *[ph for ph, _ in calls])
+    )
 
 
 def _balanced(s: str) -> bool:

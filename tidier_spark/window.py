@@ -32,6 +32,7 @@ __all__ = [
     "compile_window",
     "quote_ident",
     "scale_safe_cumulative",
+    "scale_safe_frame",
 ]
 
 
@@ -290,3 +291,159 @@ def scale_safe_cumulative(
         combine(F.col("__local"), F.col("__off"))
     )
     return joined.withColumn(out, result).drop("__pid", "__local", "__off")
+
+
+def _ordered_cols(order_by: list[object], desc: bool | list[bool]) -> list[Column]:
+    """Order columns with per-key desc applied (compile_window's rule)."""
+    if isinstance(desc, bool):
+        descs = [desc] * len(order_by)
+    else:
+        descs = list(desc)
+        if len(descs) == 1:
+            descs = descs * len(order_by)
+        if len(descs) != len(order_by):
+            raise ValueError(".desc must be length 1 or match .order_by")
+    cols = []
+    for c, d in zip(order_by, descs):
+        if hasattr(c, "to_spark"):  # verbs.desc marker
+            cols.append(c.to_spark())
+        else:
+            cols.append(_as_col(c).desc() if d else _as_col(c).asc())
+    return cols
+
+
+def scale_safe_frame(
+    df: DataFrame,
+    *,
+    order_by: list[object] | None = None,
+    frame: FrameSpec,
+    index: str | None = None,
+    desc: bool | list[bool] = False,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, WindowSpec, Column, list[str]]:
+    """Ungrouped BOUNDED frame WITHOUT the single-partition window.
+
+    The reference's ungrouped sliding frames (`R/mutate.R:204-229`) force a
+    total order; Spark's direct lowering is ``OVER (ORDER BY ...)`` with no
+    PARTITION BY — every row through one task, the last driver-side-of-the-
+    cluster bottleneck in the engine.  Because the frame is FINITE, each
+    row's frame touches only a bounded neighborhood, so the classic
+    distributed shape applies — range-partition + halo exchange:
+
+    1. ``repartitionByRange(n, keys)`` — contiguous key ranges, one per
+       partition, ``__pid`` stamped;
+    2. a tiny per-partition bounds table (n rows: global-index extent for
+       ROWS frames, min/max index value for RANGE frames);
+    3. every row is broadcast-joined against the bounds and lands in each
+       partition whose HOME rows' frames can reach it (its own partition
+       plus a halo ``|lo|``/``|hi|`` deep — rows duplicate only across
+       boundaries they straddle, ~(n·width)/N overhead);
+    4. the original window runs per target partition — n parallel tasks —
+       and only home rows (``__tpid == __pid``) keep their value.
+
+    Same row sets, same in-frame order as the single-partition plan, so
+    results are bit-identical (hash-pinned in tests/test_plans.py).
+
+    Returns ``(augmented_df, window_spec, home_predicate, helper_cols)`` —
+    the caller computes aggregates ``.over(spec)``, filters on the
+    predicate, and drops the helpers.  ROWS frames use a synthetic global
+    row index (per-partition ``row_number`` + broadcast prefix offsets),
+    so the window's ORDER BY is tie-free by construction; RANGE frames
+    require a non-NULL index (checked JVM-side per row, loud error).
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    if index is not None:
+        # --- RANGE frame: halo by index value -----------------------------
+        key, unit, _ = _index_order_key(df, index)
+        lo, hi = frame.range_bounds(unit)
+        if lo <= -(2**62) or hi >= 2**62:
+            raise ValueError(
+                "scale_safe_frame requires finite frame bounds; use "
+                "scale_safe_cumulative for (inf, 0) prefixes"
+            )
+        guarded = F.when(
+            F.assert_true(
+                F.col(index).isNotNull(),
+                F.lit(
+                    f"scale_safe range frame: index column {index!r} has NULL "
+                    "values — NULL index rows have no position on the range "
+                    "axis; filter them or use the default lowering"
+                ),
+            ).isNull(),
+            key,
+        )
+        ranged = (
+            df.withColumn("__k", guarded)
+            .repartitionByRange(n, F.col("__k"))
+            .withColumn("__pid", F.spark_partition_id())
+        )
+        bounds = ranged.groupBy("__pid").agg(
+            F.min("__k").alias("__minv"), F.max("__k").alias("__maxv")
+        )
+        bounds = bounds.select(
+            F.col("__pid").alias("__tpid"), "__minv", "__maxv"
+        )
+        lo2, hi2 = min(lo, 0), max(hi, 0)
+        copied = ranged.join(
+            F.broadcast(bounds),
+            (F.col("__k") >= F.col("__minv") + F.lit(lo2))
+            & (F.col("__k") <= F.col("__maxv") + F.lit(hi2)),
+        ).drop("__minv", "__maxv")
+        spec = (
+            Window.partitionBy("__tpid")
+            .orderBy(F.col("__k"))
+            .rangeBetween(lo, hi)
+        )
+        home = F.col("__tpid") == F.col("__pid")
+        return copied, spec, home, ["__pid", "__tpid", "__k"]
+
+    # --- ROWS frame: halo by global row index -----------------------------
+    if not order_by:
+        raise ValueError("scale_safe_frame rows mode requires order_by")
+    lo, hi = frame.row_bounds()
+    if lo < -(2**31) or hi > 2**31:
+        raise ValueError(
+            "scale_safe_frame requires finite frame bounds; use "
+            "scale_safe_cumulative for (inf, 0) prefixes"
+        )
+    ocols = _ordered_cols(list(order_by), desc)
+    ranged = df.repartitionByRange(n, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*ocols)
+    loc = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_prev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # n rows total — single-task here is free
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0)).alias("__off"),
+        "__cnt",
+    )
+    bounds = offs.select(
+        F.col("__pid").alias("__tpid"),
+        F.col("__off").alias("__start"),
+        (F.col("__off") + F.col("__cnt") - 1).alias("__end"),
+    )
+    gdf = (
+        loc.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+        .withColumn("__gidx", F.col("__lrn") - 1 + F.col("__off"))
+        .drop("__lrn", "__off")
+    )
+    # copy row h into every target whose home frames reach it; widening to
+    # [start+min(lo,0), end+max(hi,0)] keeps each partition's global-index
+    # set CONTIGUOUS (physical ROWS offsets stay exact even for shifted
+    # frames like (2,5) over partitions narrower than the shift)
+    lo2, hi2 = min(lo, 0), max(hi, 0)
+    copied = gdf.join(
+        F.broadcast(bounds),
+        (F.col("__gidx") >= F.col("__start") + F.lit(lo2))
+        & (F.col("__gidx") <= F.col("__end") + F.lit(hi2)),
+    ).drop("__start", "__end")
+    spec = (
+        Window.partitionBy("__tpid").orderBy("__gidx").rowsBetween(lo, hi)
+    )
+    home = F.col("__tpid") == F.col("__pid")
+    return copied, spec, home, ["__pid", "__tpid", "__gidx"]
