@@ -1308,7 +1308,12 @@ def _q_slice_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tidier_spark.verbs import slice_max
 
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        # rows without the leading order key cannot rank in "top 1% by
+        # price"; engines order NULLs differently, so exclude on both
+        # sides (nullvals edge axis; the oracle carries the same WHERE)
+        F.col("l_extendedprice").isNotNull()
+    )
     price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     order = F.struct(
         price_c.alias("p"),
@@ -3628,9 +3633,15 @@ def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with NO corpus-sized broadcast or collect anywhere.  Guarantee row
     # ≥ 0.6 recall@3 (measured 0.86 at sf0.01, 0.80 at sf0.1); n_exact
     # independently recomputed by the DuckDB brute-force oracle.
+    # The corpus is localCheckpoint'd ONCE: index construction is many
+    # small driver-coordinated jobs (k-means rounds, per-subspace
+    # codebooks, encode) that would each re-scan the source — measured
+    # 4.2 -> 2.9 s isolated at sf0.1 (BENCH_NOTES r7).  The cluster-scale
+    # analog is persisting the encoded table once at index-build time
+    # (exactly FAISS's build-once contract), not an sf0.1 trick.
     from tidier_spark.operators import similarity as S
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint()
     approx = S.ivfpq_topk(emb, k=3)
     return _ann_guarantee_row(emb, approx, "ivfpq_recall_at_3", 0.6)
 
@@ -3959,6 +3970,67 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_o4_frame_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-safe TWIN of o4_rows_frame (verdict r06 task #3): the same
+    # ungrouped bounded rows frame, lowered through scale_safe_frame's
+    # range-partition + halo exchange instead of the single-partition
+    # global window — the oracle is identical to o4_rows_frame's, so the
+    # driver hash proves the distributed lowering bit-matches the
+    # reference semantics (R/mutate.R:204-215).
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg7="avg(round(value * 100)) / 100",
+        order_by=["ts", "event_id"],
+        frame=(3, 3),
+        scale_safe=True,
+    ).select("event_id", "avg7")
+
+
+def _q_o5_range_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-safe UNGROUPED range frame: trailing 1-hour mean over the
+    # whole events table (no partition key — the shape that funnels
+    # through one task under the default lowering), via the value-halo
+    # exchange.  Grouped range frames (o5_range_flagship) already
+    # distribute on the group key; this entry covers the global case.
+    from tidier_spark.frames import seconds
+
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_1h="avg(round(value * 100)) / 100",
+        index="ts",
+        frame=(seconds(3600), seconds(0)),
+        scale_safe=True,
+    ).select("event_id", "avg_1h")
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document token-distribution diversity in exact integer bits
+    # (floor-log2 domain — float ln is not engine-portable): the
+    # within-doc repetition/diversity quality axis (C4/Gopher-style).
+    from tidier_spark.operators.text import token_entropy
+
+    return token_entropy(read_table(spark, sf_dir, "documents"))
+
+
+def _q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source token-distribution drift vs the corpus blend (integer
+    # floor-log2 KL analog) — the slice-vs-corpus divergence monitor of
+    # a training-data pipeline.
+    from tidier_spark.operators.text import source_kl_drift
+
+    return source_kl_drift(read_table(spark, sf_dir, "documents"))
+
+
+def _q_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise source vocabulary overlap (distinct-token Jaccard via a
+    # token-keyed self-join — never a cross join of vocabularies).
+    from tidier_spark.operators.text import vocab_jaccard
+
+    return vocab_jaccard(read_table(spark, sf_dir, "documents"))
+
+
 # The driver's correctness run covers the FIRST 50 queries() keys.
 # Round-7 rotation (verdict r06 task #1): the head is the r4-vintage
 # cohort — the 50 entries whose FIRST hash-green driver row was
@@ -3985,16 +4057,19 @@ _DRIVER_WINDOW_HEAD = [
     "stratified_mix", "validate_events",
 ]
 
-# Positions 51-65 (verdict r06 task #2): the 15 round-6 entries that
-# have NO driver CORRECTNESS row yet (judge-verified strict-mimic
-# green at 3 sfs in r06).  If the driver window ever widens past 50 —
-# or when round 8 rotates — these are reached FIRST, so every board
-# entry regains a current driver row soonest.
+# Positions 51-70 (verdict r06 task #2): the entries with NO driver
+# CORRECTNESS row yet — the 15 round-6 entries (judge-verified
+# strict-mimic green at 3 sfs in r06) followed by the 5 round-7
+# additions (builder-verified green at 3 sfs).  If the driver window
+# ever widens past 50 — or when round 8 rotates — these are reached
+# FIRST, so every board entry regains a current driver row soonest.
 _DRIVER_WINDOW_NEXT = [
     "dup_clusters_star", "quantiles_global_coarse", "hybrid_rrf",
     "pagerank_dups", "fk_orphans", "interval_merge", "window_distinct",
     "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
     "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
+    "o4_frame_scale", "o5_range_scale", "token_entropy", "kl_drift",
+    "vocab_jaccard",
 ]
 
 
@@ -4194,6 +4269,12 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regr_by_key": _q_regr_by_key,
         "triangle_count": _q_triangle_count,
         "cube_agg": _q_cube_agg,
+        # -- round 7: scale-safe ungrouped frames + corpus-drift family
+        "o4_frame_scale": _q_o4_frame_scale,
+        "o5_range_scale": _q_o5_range_scale,
+        "token_entropy": _q_token_entropy,
+        "kl_drift": _q_kl_drift,
+        "vocab_jaccard": _q_vocab_jaccard,
     }
 
 
@@ -4370,12 +4451,15 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
                   FROM events)""",
         "pivot_wider": """
+            -- count(value), not count(*): values_fn="count" is SQL
+            -- count(col) — NULL values do not count (nullvals axis:
+            -- count(*) silently diverged when value went all-NULL)
             SELECT user_id,
-                   count(*) FILTER (event_type = 'click') AS click,
-                   count(*) FILTER (event_type = 'view') AS view,
-                   count(*) FILTER (event_type = 'purchase') AS purchase,
-                   count(*) FILTER (event_type = 'signup') AS signup,
-                   count(*) FILTER (event_type = 'error') AS error
+                   count(value) FILTER (event_type = 'click') AS click,
+                   count(value) FILTER (event_type = 'view') AS view,
+                   count(value) FILTER (event_type = 'purchase') AS purchase,
+                   count(value) FILTER (event_type = 'signup') AS signup,
+                   count(value) FILTER (event_type = 'error') AS error
             FROM events GROUP BY 1""",
         "locf_fill": """
             SELECT event_id,
@@ -4715,11 +4799,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok, TRUE AS merged_ok
             FROM lineitem GROUP BY 1""",
         "sketch_kll": """
+            -- HAVING: a group with zero non-NULL values builds no KLL
+            -- partial and emits no row (nullvals edge axis)
             SELECT l_returnflag,
                    quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
                    quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
-            FROM lineitem GROUP BY 1""",
+            FROM lineitem GROUP BY 1
+            HAVING count(l_extendedprice) > 0""",
         "across_agg": """
             SELECT l_returnflag,
                    sum(round(l_quantity * 100))::BIGINT AS l_quantity_sum_c,
@@ -4797,11 +4884,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok,
                    TRUE AS inter_ok""",
         "sketch_quantiles": """
+            -- HAVING: quantiles over zero non-NULL values are undefined —
+            -- the group emits no row, matching the Spark side's
+            -- exact/approx inner join (nullvals edge axis)
             SELECT l_returnflag,
                    quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
                    quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
-            FROM lineitem GROUP BY 1""",
+            FROM lineitem GROUP BY 1
+            HAVING count(l_extendedprice) > 0""",
         "stream_rollup": """
             SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT)
                      AS bucket_epoch,
@@ -4942,6 +5033,26 @@ def oracle_sql() -> dict[str, str]:
                    concat_ws('-', string_split_regex(c_name, '#')[1],
                              string_split_regex(c_name, '#')[2]) AS tag
             FROM customer""",
+        # -- round 7: scale-safe ungrouped frames + corpus-drift family.
+        # o4_frame_scale's oracle is o4_rows_frame's verbatim — the
+        # distributed halo-exchange lowering must hash-match the same SQL
+        # definition the single-partition plan matches.
+        "o4_frame_scale": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) / 100 AS avg7
+            FROM events""",
+        "o5_range_scale": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW) / 100 AS avg_1h
+            FROM events""",
+        "token_entropy": _token_entropy_oracle(),
+        "kl_drift": _kl_drift_oracle(),
+        "vocab_jaccard": _vocab_jaccard_oracle(),
     }
 
 
@@ -5018,6 +5129,24 @@ def _lm_surprisal_oracle() -> str:
     from tidier_spark.operators.text import unigram_surprisal_sql
 
     return unigram_surprisal_sql()
+
+
+def _token_entropy_oracle() -> str:
+    from tidier_spark.operators.text import token_entropy_sql
+
+    return token_entropy_sql()
+
+
+def _kl_drift_oracle() -> str:
+    from tidier_spark.operators.text import source_kl_drift_sql
+
+    return source_kl_drift_sql()
+
+
+def _vocab_jaccard_oracle() -> str:
+    from tidier_spark.operators.text import vocab_jaccard_sql
+
+    return vocab_jaccard_sql()
 
 
 def _hard_negatives_oracle() -> str:
@@ -5954,6 +6083,9 @@ def _profile_events_oracle() -> str:
 
 
 _SLICE_PROP_ORACLE = """
+    -- l_extendedprice IS NOT NULL: a row without the leading order key
+    -- cannot rank in "top 1% by price" — engines order NULLs
+    -- differently, so they are excluded on both sides (nullvals axis)
     SELECT l_returnflag, l_orderkey, l_linenumber,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
     FROM (
@@ -5964,6 +6096,7 @@ _SLICE_PROP_ORACLE = """
                         l_linenumber DESC, l_suppkey DESC) AS rk,
              count(*) OVER (PARTITION BY l_returnflag) AS cnt
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     )
     WHERE rk <= floor(0.01 * cnt)"""
 

@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -36,7 +36,17 @@ ORDER BY column on the board gains heavy tie groups, so any window /
 ranking / as-of / sessionize path whose tie-break is not a total order
 goes nondeterministic and diverges from the oracle.  On the shipped
 fixtures ``ts`` is unique, so a tie-break fix is hash-preserving by
-construction.)
+construction; ``clockskew`` = every table's PHYSICAL row order
+deterministically shuffled — arrival order no longer correlates with
+any timestamp or id, so any implicit reliance on file order (batch
+first()/limit without sort, streaming in-order-arrival assumptions
+inside a micro-batch) diverges; both engines read the same shuffled
+files, so order-independent entries still match; ``nullvals`` = every
+MEASURE/content column rewritten to ALL NULL (events.value, lineitem
+amounts, o_totalprice, documents.text, embeddings.embedding) — the
+value-side complement of ``nullkeys``: R na.rm vs SQL NULL aggregate
+identities, fixed-point rounding of NULL, text/vector operators over
+fully-NULL content, trainers over an effectively empty corpus.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -89,6 +99,17 @@ DUPID_COLS = {
     "events": ("event_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
+}
+
+
+# nullvals: measure/content columns nulled per table (the value-side
+# complement of nullkeys' key columns)
+NULLVAL_COLS = {
+    "events": ("value",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "documents": ("text",),
+    "embeddings": ("embedding",),
 }
 
 
@@ -363,6 +384,28 @@ def build_fixture(kind: str) -> str:
                     tbl.column(i).cast(pa.int64()), pa.scalar(2, pa.int64())
                 )
                 tbl = tbl.set_column(i, tbl.schema.field(i), halved.cast(typ))
+        elif kind == "clockskew":
+            # deterministic physical-order shuffle (md5 of row ordinal):
+            # arrival order decorrelates from every timestamp/id column
+            import hashlib as _hl
+
+            import pyarrow as _pa
+
+            n = tbl.num_rows
+            perm = sorted(
+                range(n),
+                key=lambda j: _hl.md5(f"{t}:{j}".encode()).hexdigest(),
+            )
+            tbl = tbl.take(_pa.array(perm, type=_pa.int64()))
+        elif kind == "nullvals":
+            for col in NULLVAL_COLS.get(t, ()):
+                i = tbl.schema.get_field_index(col)
+                typ = tbl.schema.field(i).type
+                tbl = tbl.set_column(
+                    i,
+                    pa.field(col, typ, nullable=True),
+                    pa.nulls(tbl.num_rows, type=typ),
+                )
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
@@ -376,7 +419,19 @@ def canon(df) -> list:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
     for tup in df.itertuples(index=False):
-        rows.append(tuple(str(v) for v in tup))
+        # normalize NULL spellings: a NULL in an object column surfaces
+        # as None from Spark's toPandas but NaN from DuckDB's .df() —
+        # same value, different str() (found by the nullvals axis, where
+        # all-NULL boolean columns flagged spuriously).  The guard stays
+        # scalar-safe (no pd.isna — it vectorizes over list cells).
+        rows.append(
+            tuple(
+                "<NA>"
+                if v is None or (isinstance(v, float) and v != v)
+                else str(v)
+                for v in tup
+            )
+        )
     return sorted(rows)
 
 
@@ -437,11 +492,12 @@ def main() -> int:
             cls = "both_empty" if not s_rows else "match"
         else:
             cls = "mismatch"
-        # empty/zerovec: index/model training is undefined on zero vectors
-        # and fails with a NAMED error (never a numpy stack trace) — the
-        # documented loud-by-design contract (docs/EDGE_SWEEP.md)
+        # empty/zerovec/nullvals: index/model training is undefined on an
+        # empty/zero/all-NULL corpus and fails with a NAMED error (never a
+        # numpy stack trace) — the documented loud-by-design contract
+        # (docs/EDGE_SWEEP.md)
         if (
-            kind in ("empty", "zerovec")
+            kind in ("empty", "zerovec", "nullvals")
             and cls == "spark_err"
             and (
                 "cannot train on an empty corpus" in (s_err or "")

@@ -3382,3 +3382,174 @@ def test_triangle_count_hand_graph(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {(r["id"], r["n_tri"]) for r in triangle_count(df).collect()}
     assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+
+
+def test_token_entropy_hand_values_and_duckdb(spark):
+    """Floor-log2 entropy on crafted docs: a uniform-repetition doc has 0
+    bits; 4 distinct singletons have bitlen(4)-bitlen(1)=2 bits/token;
+    NULL/token-free docs keep the (0,0,0,NULL) house convention.  Also a
+    live DuckDB differential via the SQL mirror."""
+    import duckdb
+
+    from tidier_spark.operators.text import token_entropy, token_entropy_sql
+
+    rows = [
+        (1, "a a a a"),        # n=4, one token: entropy 0
+        (2, "a b c d"),        # 4 singletons: 4*(bitlen(4)-bitlen(1)) = 8
+        (3, "a a b b"),        # 2 tokens x2: 4*(3-2) = 4 -> 1.0 bits
+        (4, None),             # token-free
+        (5, "!!!"),            # tokenless after tokenize
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_distinct"], r["entropy_bits_num"],
+            r["bits_per_token"],
+        )
+        for r in token_entropy(df).collect()
+    }
+    assert got[1] == (4, 1, 0, 0.0)
+    assert got[2] == (4, 4, 8, 2.0)
+    assert got[3] == (4, 2, 4, 1.0)
+    assert got[4] == (0, 0, 0, None)
+    assert got[5] == (0, 0, 0, None)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a a a a'), (2, 'a b c d'), (3, 'a a b b'), (4, NULL), (5, '!!!')"
+        ") t(doc_id, text)"
+    )
+    odf = con.execute(token_entropy_sql()).df()
+    want = {
+        int(r.doc_id): (
+            int(r.n_tokens), int(r.n_distinct), int(r.entropy_bits_num),
+            None if r.bits_per_token != r.bits_per_token else float(r.bits_per_token),
+        )
+        for r in odf.itertuples()
+    }
+    assert want == got
+
+
+def test_source_kl_drift_single_source_is_zero(spark):
+    # one source == the corpus: c_st == c_t and n_s == n, so every term
+    # cancels — drift must be exactly 0 regardless of content
+    from tidier_spark.operators.text import source_kl_drift
+
+    rows = [(i, f"tok{i % 7} common words here", "web") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = source_kl_drift(df).collect()
+    assert len(got) == 1
+    assert got[0]["drift_bits_num"] == 0 and got[0]["drift_bits"] == 0.0
+
+
+def test_vocab_jaccard_hand_overlap(spark):
+    from tidier_spark.operators.text import vocab_jaccard
+
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "b c d", "s2"),
+        (3, "x y", "s3"),   # no overlap with s1/s2 -> pairs omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_inter"], r["jaccard"]
+        )
+        for r in vocab_jaccard(df).collect()
+    }
+    assert got == {("s1", "s2"): (3, 3, 2, 0.5)}
+
+
+def test_nullvals_contracts_text_family(spark):
+    """NULL text is token-free on both engines (nullvals edge axis):
+    counts coalesce to 0, signatures to the documented empty value,
+    csv/clean_text to '' — never NULL-vs-0 engine splits."""
+    from tidier_spark.operators.bpe import bpe_apply, bpe_encode
+    from tidier_spark.operators.corpus import chunk_documents
+    from tidier_spark.operators.dedup import excise_duplicate_regions, simhash
+    from tidier_spark.operators.quality import classifier_score, srp_embedding
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    cs = {r["doc_id"]: (r["score_milli"], r["label"])
+          for r in classifier_score(df).collect()}
+    assert cs[2] == (0, False)
+    assert chunk_documents(df).where("doc_id = 2").count() == 0
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sh[2] == 0
+    ba = {r["doc_id"]: r["n_subwords"] for r in bpe_apply(df, [("h", "e")]).collect()}
+    assert ba[2] == 0
+    be = {r["doc_id"]: (r["n_subwords"], r["ids_csv"])
+          for r in bpe_encode(df, [("h", "e")], ["h", "e", "l", "o", "w", "r", "d"]).collect()}
+    assert be[2] == (0, "")
+    er = {r["doc_id"]: (r["n_tokens"], r["n_covered"], r["clean_text"])
+          for r in excise_duplicate_regions(df, gram_tokens=2, min_count=2).collect()}
+    assert er[2] == (0, 0, "")
+    srp = srp_embedding(df, dim=4).where("doc_id = 2").collect()
+    assert [r["value"] for r in srp] == [0, 0, 0, 0]
+
+
+def test_nullvals_contracts_vector_family(spark):
+    """NULL vectors are excluded from vector operators on both engines
+    (the zerovec contract extended by the nullvals axis); trainers with
+    zero usable vectors fail with the NAMED empty-corpus error, never a
+    numpy stack trace."""
+    import pytest
+
+    from tidier_spark.operators.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+    from tidier_spark.operators.quality import perceptron_fit
+    from tidier_spark.operators.similarity import kmeans_fit, label_centroids
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, [0.9, 0.1], 1), (3, None, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # mixed NULLs: excluded, not crashed
+    assert embedding_near_dup(mixed, threshold=0.5).count() == 1  # (1,2)
+    pairs = embedding_near_dup_lsh(mixed, threshold=0.5, n_dims=2).collect()
+    assert all({r["id_a"], r["id_b"]} <= {1, 2} for r in pairs)
+    lc = label_centroids(mixed)
+    assert lc.where("label = 2").count() == 0
+    assert kmeans_fit(mixed, k=2, iters=1).count() == 2
+    assert perceptron_fit(mixed, iters=1).count() == 2
+    allnull = spark.createDataFrame(
+        [(1, None, 1), (2, None, 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="input DataFrame is empty"):
+        kmeans_fit(allnull, k=2, iters=1)
+    with pytest.raises(ValueError, match="input DataFrame is empty"):
+        perceptron_fit(allnull, iters=1)
+
+
+def test_nullvals_contracts_payload_and_sketch(spark):
+    """NULL payloads decode to NULL features (one corrupt media row must
+    not kill the job); a KLL cell with zero non-NULL values emits no
+    partial instead of an empty sketch buffer."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.multimodal import extract_features
+    from tidier_spark.operators.sketches import (
+        kll_merged_quantiles,
+        kll_partials,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "text", bytearray(b"abc")), (2, "text", None)],
+        "media_id long, modality string, payload binary",
+    )
+    feats = {r["media_id"]: (r["n_bytes"], r["width"])
+             for r in extract_features(media).collect()}
+    assert feats[1][0] == 3 and feats[1][1] is not None
+    assert feats[2] == (None, None)
+    vals = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None)], "g string, v long"
+    )
+    parts = kll_partials(vals, "v", by="g")
+    assert [r["g"] for r in parts.collect()] == ["a"]
+    merged = kll_merged_quantiles(parts, [0.5], by="g").collect()
+    assert len(merged) == 1 and merged[0]["g"] == "a"

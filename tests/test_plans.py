@@ -203,6 +203,11 @@ def test_scale_safe_rows_frame_matches_single_partition(tables):
     )
     plan = explain_str(safe, "simple")
     assert "__tpid" in plan  # halo-exchange stage present
+    # the bucket id must be a PURE FUNCTION of the row — never
+    # spark_partition_id() over a sampled range exchange, whose per-job
+    # re-execution assigned rows inconsistent ids across plan branches
+    # (measured as silently dropped rows at sf0.01, round 7)
+    assert "SPARK_PARTITION_ID" not in plan.upper(), plan
     naive = mutate(ev, m="r_mean(v100)", order_by=["event_id"], frame=(3, 2))
     key = lambda r: (r["event_id"], r["m"])  # noqa: E731
     assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
@@ -388,12 +393,16 @@ def test_chunk_documents_no_shuffle(tables):
 
 def test_shuffle_rows_multi_task(tables):
     """The permutation rank must NOT collapse to a single-partition global
-    window: the scale-safe lowering range-partitions on the hash key."""
+    window: the scale-safe lowering buckets on the hash key (round 7: a
+    deterministic percentile-literal bucket id hashed across tasks — the
+    former physical rangepartitioning exchange is gone by design, and
+    spark_partition_id() with it; see window._det_bucket_id)."""
     from tidier_spark.operators.corpus import shuffle_rows
 
     s = shuffle_rows(tables["documents"])
     txt = explain_str(s, "simple")
-    assert "rangepartitioning" in txt.lower(), txt
+    assert "hashpartitioning(__pid" in txt, txt
+    assert "SPARK_PARTITION_ID" not in txt.upper(), txt
 
 
 def test_repeated_spans_broadcast_anti_probe(tables):

@@ -331,18 +331,24 @@ def _apply_one(
             # ungrouped cumulative: avoid the single-partition global window
             from .window import scale_safe_cumulative
 
-            if fn == "avg":  # cummean = Σ/Σ over two prefix passes
-                s, c = f"__ss_{name}", f"__sc_{name}"
-                df = scale_safe_cumulative(
-                    df, inner, order_by=order_l, out=s, fn="sum"
+            try:
+                if fn == "avg":  # cummean = Σ/Σ over two prefix passes
+                    s, c = f"__ss_{name}", f"__sc_{name}"
+                    out = scale_safe_cumulative(
+                        df, inner, order_by=order_l, out=s, fn="sum"
+                    )
+                    out = scale_safe_cumulative(
+                        out, inner, order_by=order_l, out=c, fn="count"
+                    )
+                    return out.withColumn(name, F.col(s) / F.col(c)).drop(s, c)
+                return scale_safe_cumulative(
+                    df, inner, order_by=order_l, out=name, fn=fn
                 )
-                df = scale_safe_cumulative(
-                    df, inner, order_by=order_l, out=c, fn="count"
-                )
-                return df.withColumn(name, F.col(s) / F.col(c)).drop(s, c)
-            return scale_safe_cumulative(
-                df, inner, order_by=order_l, out=name, fn=fn
-            )
+            except ValueError:
+                # e.g. a non-numeric or unnamed leading order key (bucket
+                # split points need an ordered numeric domain) — fall back
+                # to the reference-faithful single-partition lowering
+                pass
         plan = compile_window(
             df,
             by=by_l,
@@ -412,9 +418,16 @@ def _apply_scale_safe_frame(
         return None
     from .window import scale_safe_frame
 
-    aug, spec, home, helpers = scale_safe_frame(
-        df, order_by=order_l or None, frame=frame_spec, index=index, desc=desc
-    )
+    try:
+        aug, spec, home, helpers = scale_safe_frame(
+            df, order_by=order_l or None, frame=frame_spec, index=index,
+            desc=desc,
+        )
+    except ValueError:
+        # e.g. a non-numeric leading order key (split points need an
+        # ordered numeric domain) — fall back to the reference-faithful
+        # single-partition lowering
+        return None
     for ph, call in calls:
         aug = aug.withColumn(ph, F.expr(call).over(spec))
     value = F.expr(outer)

@@ -236,6 +236,9 @@ def bpe_apply(
         F.lit(0).cast("long"),
         lambda acc, w: acc + segment(w),
     )
+    # NULL text → NULL token array → NULL fold; a no-content doc has 0
+    # subwords, matching the SQL mirror's coalesced sum (nullvals axis)
+    n_sub = F.coalesce(n_sub, F.lit(0).cast("long"))
     return df.select(F.col(id_col), n_sub.alias("n_subwords"))
 
 
@@ -422,7 +425,10 @@ def bpe_encode(
     # 0 for empty) halves the per-token work
     enc = df.select(
         F.col(id_col),
-        F.array_join(ids_str, ",").alias("ids_csv"),
+        # coalesce: NULL text → NULL token array → NULL csv; a no-content
+        # doc encodes to the empty sequence ('' / 0 subwords) on both
+        # engines (nullvals edge axis)
+        F.coalesce(F.array_join(ids_str, ","), F.lit("")).alias("ids_csv"),
     )
     n_sub = F.when(F.col("ids_csv") == "", F.lit(0)).otherwise(
         F.length("ids_csv")

@@ -322,7 +322,11 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be >= 1")
     toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     t = F.col("__t")
-    n = F.size(t)
+    # NULL text tokenizes to a NULL array; coalesce size to 0 so NULL
+    # documents are token-free (zero chunks) rather than falling into the
+    # n_chunks arithmetic where greatest() drops the NULL and fabricates
+    # one empty chunk (nullvals edge axis)
+    n = F.coalesce(F.size(t), F.lit(0))
     extra = F.greatest(
         F.lit(0),
         F.floor((n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)),
@@ -368,8 +372,10 @@ def chunk_documents_sql(
           SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
         ),
         nc AS (
+          -- coalesce: NULL text = token-free = zero chunks (matches the
+          -- Spark side's size-coalesce; nullvals edge axis)
           SELECT {id_col}, t,
-                 CASE WHEN len(t) = 0 THEN 0
+                 CASE WHEN coalesce(len(t), 0) = 0 THEN 0
                       ELSE 1 + greatest(0, floor((len(t) - {chunk_tokens}
                                  + {stride - 1}) / {stride}))::BIGINT END AS n_chunks
           FROM toks

@@ -603,7 +603,13 @@ def embedding_near_dup(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from .similarity import nonzero_vectors
+
     spark = df.sparkSession
+    # cosine-metric contract (zerovec/nullvals axes): NULL and zero-norm
+    # vectors are excluded — a NULL embedding reaching np.vstack would
+    # kill the job over one broken encoder row
+    df = nonzero_vectors(df, vec_col)
     cand_src = df.select(id_col, vec_col)
     n = cand_src.count()
 
@@ -718,8 +724,12 @@ def embedding_near_dup_lsh(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from .similarity import _lsh_signatures
+    from .similarity import _lsh_signatures, nonzero_vectors
 
+    # cosine-metric contract (zerovec/nullvals axes): NULL/zero-norm
+    # vectors carry no signature and are excluded up front — otherwise a
+    # NULL __vec reaches the bucket matmul and kills the job
+    df = nonzero_vectors(df, vec_col)
     sigs = _lsh_signatures(
         df, id_col, vec_col, n_planes, n_tables, n_dims, carry_vec=True
     )
@@ -830,7 +840,10 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    # coalesce: NULL text folds to a NULL signature — the documented
+    # token-free contract is signature 0, same as the empty array and the
+    # SQL mirror's left-join coalesce (nullvals edge axis)
+    return df.select(F.col(id_col), F.coalesce(sig, F.lit(0)).alias("simhash"))
 
 
 def simhash_candidate_pairs(
@@ -968,8 +981,12 @@ WITH tok AS (
   FROM {table}
 ),
 hashed AS (SELECT {id_col}, {hash60_sql('tok')} AS h FROM tok),
-sums AS (SELECT {id_col}, {bit_sums} FROM hashed GROUP BY {id_col})
-SELECT {id_col}, ({sig}) AS simhash FROM sums
+sums AS (SELECT {id_col}, {bit_sums} FROM hashed GROUP BY {id_col}),
+sigs AS (SELECT {id_col}, ({sig}) AS simhash FROM sums)
+-- left join back: token-free docs (incl. NULL text) keep signature 0,
+-- matching the Spark fold's documented contract (nullvals edge axis)
+SELECT d.{id_col}, coalesce(g.simhash, 0)::BIGINT AS simhash
+FROM {table} d LEFT JOIN sigs g USING ({id_col})
 """
 
 
@@ -1280,9 +1297,11 @@ def excise_duplicate_regions(
     )
     return joined.select(
         F.col(id_col),
-        F.size("__t").cast("long").alias("n_tokens"),
+        # coalesce: NULL text is token-free — (0, 0, '') on both engines
+        # (nullvals edge axis), the tokenless-doc 0/NULL house convention
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_tokens"),
         F.size(empty_guard).cast("long").alias("n_covered"),
-        F.array_join(kept_guard, " ").alias("clean_text"),
+        F.coalesce(F.array_join(kept_guard, " "), F.lit("")).alias("clean_text"),
     )
 
 
@@ -1321,8 +1340,10 @@ def excise_duplicate_regions_sql(
           FROM grams JOIN dup USING (h) GROUP BY {id_col}
         )
         SELECT t.{id_col},
-               len(t.t)::BIGINT AS n_tokens,
-               len(list_filter(range(1, len(t.t) + 1),
+               -- coalesce: NULL text is token-free — (0, 0, '') on both
+               -- engines (nullvals edge axis)
+               coalesce(len(t.t), 0)::BIGINT AS n_tokens,
+               len(list_filter(range(1, coalesce(len(t.t), 0) + 1),
                    pos -> len(list_filter(coalesce(s.st, []),
                           x -> x <= pos AND pos <= x + {L - 1})) > 0))::BIGINT
                  AS n_covered,

@@ -127,15 +127,25 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dec: list[tuple[int, int, int]] = []
+            # NULL payload → NULL features (never bytes(None)): one
+            # missing/corrupt media row must not kill a petabyte decode
+            # job — the SQL-NULL propagation the oracle mirror applies
+            # (nullvals edge axis)
+            dec: list[tuple[int | None, int | None, int | None]] = []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                if payload is None:
+                    dec.append((None, None, None))
+                    continue
                 fn = decoders.get(modality, fake_decoder)
                 dec.append(fn(bytes(payload)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
                     "width": [d[0] for d in dec],
                     "height": [d[1] for d in dec],
                     "duration_ms": [d[2] for d in dec],

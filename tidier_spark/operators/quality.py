@@ -406,6 +406,10 @@ def classifier_score(
         F.lit(0).cast("long"),
         lambda acc, x: acc + (hash60(x) % 2001 - F.lit(1000)),
     )
+    # NULL text → NULL token array → NULL aggregate; a no-content doc
+    # scores the empty-sum 0 (label false), matching the SQL mirror's
+    # coalesced sum (nullvals edge axis)
+    score = F.coalesce(score, F.lit(0).cast("long"))
     return df.select(F.col(id_col), score.alias(out)).withColumn(
         "label", F.col(out) > 0
     )
@@ -542,8 +546,14 @@ def srp_embedding(
             F.shiftright(h, j).bitwiseAND(F.lit(1)) == 0, F.lit(1)
         ).otherwise(F.lit(-1))
 
+    # NULL text → NULL token array → NULL fold; a no-content doc projects
+    # to the zero vector (empty sum), matching the SQL mirror's coalesced
+    # sum (nullvals edge axis)
     comps = [
-        F.aggregate(F.col("__hs"), F.lit(0).cast("long"), bit_sum(j))
+        F.coalesce(
+            F.aggregate(F.col("__hs"), F.lit(0).cast("long"), bit_sum(j)),
+            F.lit(0).cast("long"),
+        )
         for j in range(dim)
     ]
     return hashed.select(
@@ -979,7 +989,10 @@ def perceptron_fit(
     distributed determinism possible — classic sequential perceptron
     updates are order-dependent by construction.
     """
-    base = df.select(
+    # NULL feature vectors carry no trainable signal and are excluded
+    # (nullvals edge axis — a NULL would otherwise flow to len() below);
+    # zero vectors stay: they are valid points in feature space
+    base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.concat(
             F.transform(
@@ -995,7 +1008,9 @@ def perceptron_fit(
     )
     first = base.select("__x").first()
     if first is None:
-        raise ValueError("perceptron_fit: input DataFrame is empty")
+        raise ValueError(
+            "perceptron_fit: input DataFrame is empty (no non-NULL vectors)"
+        )
     dims = len(first["__x"])
     w = [0] * dims
 

@@ -1360,7 +1360,10 @@ def kmeans_fit(
     # materialization for the iters+1 passes, but the storage is released
     # when the returned frame (which references it) is garbage-collected,
     # instead of pinning corpus-sized vectors until someone unpersists.
-    base = df.select(
+    # NULL vectors have no position in the space and are excluded
+    # (nullvals edge axis — a NULL centroid init would otherwise crash);
+    # zero vectors stay: k-means is Euclidean, not cosine
+    base = df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
@@ -1369,7 +1372,9 @@ def kmeans_fit(
     ).localCheckpoint(eager=True)
     init = base.orderBy(id_col).limit(k).collect()
     if not init:
-        raise ValueError("kmeans_fit: input DataFrame is empty")
+        raise ValueError(
+            "kmeans_fit: input DataFrame is empty (no non-NULL vectors)"
+        )
     cents = [list(r["__x"]) for r in init]
     dims = len(cents[0])
 
@@ -1586,13 +1591,16 @@ def label_centroids_sql(
     dims: int = 64,
 ) -> str:
     """DuckDB mirror of :func:`label_centroids` (0-based dims to match
-    Spark posexplode; HUGEINT-dodging casts)."""
+    Spark posexplode; HUGEINT-dodging casts).  NULL vectors contribute no
+    components on either engine (Spark's posexplode drops them; here the
+    WHERE does — nullvals edge axis)."""
     return f"""
         WITH comps AS (
           SELECT {label_col} AS label, (i - 1)::BIGINT AS dim,
                  CAST(round(CAST({vec_col}[i] AS DOUBLE) * {scale}) AS BIGINT)
                    AS comp
           FROM {table}, (SELECT unnest(range(1, {dims + 1})) AS i)
+          WHERE {vec_col} IS NOT NULL
         )
         SELECT label, dim,
                CAST(sum(comp) AS BIGINT) AS comp_sum,

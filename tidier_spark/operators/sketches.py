@@ -295,6 +295,11 @@ def kll_partials(
     rank error ~0.8% at the default k=1600.
     """
     keys = _keys(by) + _keys(part)
+    # NULL values contribute nothing to a quantile sketch; a cell with
+    # ZERO non-NULL values would otherwise emit an empty sketch buffer
+    # that kll_sketch_get_quantile rejects downstream (nullvals edge
+    # axis) — SQL aggregate-drop-NULL semantics, cell disappears instead
+    df = df.where(F.col(col).isNotNull())
     agg = F.kll_sketch_agg_bigint(F.col(col), F.lit(k)).alias("kll_sketch")
     return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
 

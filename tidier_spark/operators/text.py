@@ -63,6 +63,12 @@ __all__ = [
     "fingerprint_sql",
     "shingles_sql",
     "hash60_sql",
+    "token_entropy",
+    "token_entropy_sql",
+    "source_kl_drift",
+    "source_kl_drift_sql",
+    "vocab_jaccard",
+    "vocab_jaccard_sql",
 ]
 
 
@@ -250,11 +256,15 @@ def token_count_bpe_sql(col: str = "text") -> str:
 
 def rolling_fingerprint_sql(col: str = "text") -> str:
     # Byte-level mirror of rolling_fingerprint: fold over UTF-8 hex pairs.
+    # The CASE guard keeps NULL text NULL (Spark's fold over a NULL array
+    # is NULL; DuckDB's list_prepend(seed, NULL) would yield the bare
+    # seed — nullvals edge axis).
     return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend({ROLLING_SEED}::BIGINT,"
         f" list_transform(regexp_extract_all(upper(hex(encode({col}))),"
         " '[0-9A-F]{2}'), p -> ('0x' || p)::BIGINT)),"
-        f" (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD})"
+        f" (acc, x) -> (acc * {ROLLING_BASE} + x) % {ROLLING_MOD}) END"
     )
 
 
@@ -598,3 +608,281 @@ SELECT d.{id_col},
 FROM {table} d
 LEFT JOIN cond_doc c USING ({id_col})
 LEFT JOIN first_doc fd USING ({id_col})"""
+
+
+def token_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document token-distribution diversity in EXACT integer bits —
+    the within-doc complement of :func:`unigram_surprisal` (which scores
+    against CORPUS frequencies): low values flag repetitive/boilerplate
+    docs, high values diverse vocabulary.  The quality-filter axis C4 and
+    Gopher implement with entropy-style repetition rules.
+
+    Float ``ln`` is not reproducible across engines (module portability
+    notes), so entropy stays in the floor-log2 integer domain:
+    ``entropy_bits_num = Σ_tok c·(bitlen(n) − bitlen(c))`` where ``c`` is
+    the token's in-doc count, ``n`` the doc's token total, and
+    ``bitlen(x) = length(bin(x))`` exact integer bit-length.  The
+    per-token term is the floor-log2 information of the token's in-doc
+    probability; ``bits_per_token = num / n`` is one division of exact
+    operands (correctly-rounded IEEE — portable).
+
+    Returns one row per input doc: ``(id_col, n_tokens, n_distinct,
+    entropy_bits_num, bits_per_token)`` — token-free docs keep
+    ``(0, 0, 0, NULL)`` (the house tokenless convention).
+
+    Scale shape: explode → one (doc, token) hash aggregate with map-side
+    combine → a doc-partitioned window for the total (re-uses the
+    aggregate's rows; |docs|·|distinct-per-doc| cardinality) → one
+    (doc) aggregate.  No Python, no driver state, no broadcast of
+    anything corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    cnts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col)
+    bitlen = lambda x: F.length(F.bin(x))  # noqa: E731
+    withn = cnts.withColumn("n", F.sum("c").over(w))
+    per_doc = withn.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.col("c") * (bitlen(F.col("n")) - bitlen(F.col("c")))
+        ).cast("long").alias("entropy_bits_num"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("entropy_bits_num", F.lit(0)).alias("entropy_bits_num"),
+            F.round(
+                F.col("entropy_bits_num") / F.col("n_tokens"), 6
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def token_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`token_entropy` (HUGEINT-dodging casts)."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}
+),
+cnts AS (
+  SELECT {id_col}, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+),
+withn AS (
+  SELECT {id_col}, c,
+         CAST(sum(c) OVER (PARTITION BY {id_col}) AS BIGINT) AS n
+  FROM cnts
+),
+per_doc AS (
+  SELECT {id_col},
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * (length(bin(n)) - length(bin(c)))) AS BIGINT)
+           AS entropy_bits_num
+  FROM withn GROUP BY 1
+)
+SELECT d.{id_col},
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_distinct, 0) AS n_distinct,
+       coalesce(p.entropy_bits_num, 0) AS entropy_bits_num,
+       round(CAST(p.entropy_bits_num AS DOUBLE) / p.n_tokens, 6)
+         AS bits_per_token
+FROM {table} d LEFT JOIN per_doc p USING ({id_col})"""
+
+
+def source_kl_drift(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-source token-distribution DRIFT against the corpus-wide
+    distribution, in exact integer bits — the slice-vs-corpus divergence
+    monitor of a training-data pipeline (is one crawl slice's vocabulary
+    profile shifting away from the blend?).
+
+    Floor-log2 KL analog, fully in the integer domain:
+    ``drift_bits_num = Σ_tok c_st·((bitlen(c_st) − bitlen(n_s)) −
+    (bitlen(c_t) − bitlen(n)))`` — per token, the floor-log2 of the
+    in-source probability minus the corpus probability, weighted by the
+    source's occurrences.  ``drift_bits = num / n_s`` one exact-operand
+    division.  Zero when the source's profile matches the corpus at
+    bit-length granularity; grows with divergence (sign carries
+    direction at this granularity, so it is a drift STATISTIC, not a
+    true KL — which float portability rules out).
+
+    Returns one row per source: ``(source, n_tokens, n_distinct,
+    drift_bits_num, drift_bits)``.
+
+    Scale shape: one (source, token) hash aggregate → token-partitioned
+    window for corpus counts + source-partitioned window for source
+    totals (both over the vocab-sized aggregate, never raw occurrences)
+    → 1-row corpus total broadcast via crossJoin → one (source)
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok"))
+    cnts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    bitlen = lambda x: F.length(F.bin(x))  # noqa: E731
+    withg = (
+        cnts.withColumn("c_t", F.sum("c_st").over(Window.partitionBy("tok")))
+        .withColumn("n_s", F.sum("c_st").over(Window.partitionBy("source")))
+    )
+    totals = cnts.agg(F.sum("c_st").alias("n"))
+    term = F.col("c_st") * (
+        (bitlen(F.col("c_st")) - bitlen(F.col("n_s")))
+        - (bitlen(F.col("c_t")) - bitlen(F.col("n")))
+    )
+    return (
+        withg.crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(term).cast("long").alias("drift_bits_num"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "drift_bits_num",
+            F.round(
+                F.col("drift_bits_num") / F.col("n_tokens"), 6
+            ).alias("drift_bits"),
+        )
+    )
+
+
+def source_kl_drift_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`source_kl_drift`."""
+    return f"""
+WITH tok AS (
+  SELECT {source_col} AS source, unnest({tokens_sql(text_col)}) AS tok
+  FROM {table}
+),
+cnts AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY 1, 2
+),
+withg AS (
+  SELECT source, tok, c_st,
+         CAST(sum(c_st) OVER (PARTITION BY tok) AS BIGINT) AS c_t,
+         CAST(sum(c_st) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM cnts
+),
+tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM cnts)
+SELECT source,
+       CAST(sum(c_st) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c_st * ((length(bin(c_st)) - length(bin(n_s)))
+                        - (length(bin(c_t)) - length(bin(tot.n)))))
+            AS BIGINT) AS drift_bits_num,
+       round(CAST(sum(c_st * ((length(bin(c_st)) - length(bin(n_s)))
+                              - (length(bin(c_t)) - length(bin(tot.n)))))
+                  AS DOUBLE) / sum(c_st), 6) AS drift_bits
+FROM withg CROSS JOIN tot
+GROUP BY source"""
+
+
+def vocab_jaccard(
+    df,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Pairwise VOCABULARY overlap between sources: distinct-token
+    Jaccard for every source pair that shares at least one token — the
+    cross-slice similarity view of a corpus blend (which crawl slices
+    are near-duplicates at the vocabulary level, which contribute novel
+    tokens).
+
+    Returns ``(source_a, source_b, n_a, n_b, n_inter, jaccard)`` with
+    ``source_a < source_b`` (each unordered pair once); ``jaccard =
+    n_inter / (n_a + n_b − n_inter)`` exact-operand division rounded to
+    6.  Pairs with EMPTY intersection are omitted (their join row never
+    forms) — a zero-overlap pair is the absence signal.
+
+    Scale shape: distinct (source, token) — one hash aggregate,
+    vocab·sources cardinality — then a token-keyed self equi-join whose
+    fan-out per token is the number of sources containing it (bounded by
+    the source count, NOT the corpus), one (pair) hash aggregate, and a
+    broadcast of the source-size table (|sources| rows).  Never a
+    cross join of vocabularies.
+    """
+    v = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok")
+    ).distinct()
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_v"))
+    a = v.select(F.col("source").alias("source_a"), "tok")
+    b = v.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_v").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_v").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def vocab_jaccard_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`vocab_jaccard`."""
+    return f"""
+WITH v AS (
+  SELECT DISTINCT {source_col} AS source, t.tok
+  FROM {table}, unnest({tokens_sql(text_col)}) AS t(tok)
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_v FROM v GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       sa.n_v AS n_a, sb.n_v AS n_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE)
+             / (sa.n_v + sb.n_v - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b"""

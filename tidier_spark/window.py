@@ -251,16 +251,19 @@ def scale_safe_cumulative(
     task — the classic scale cliff.  This lowering is the textbook two-pass
     distributed prefix aggregate:
 
-    1. ``repartitionByRange(n, k)`` — a range partitioner puts each key
-       range (equal keys together) in its own partition, in key order;
-    2. per-partition prefix via a window on ``spark_partition_id()`` —
-       n parallel tasks;
-    3. per-partition totals (n tiny rows) get an EXCLUSIVE prefix combine
+    1. a DETERMINISTIC range-bucket id ``__pid`` (percentile split points
+       embedded as literals — equal keys share a bucket; see
+       :func:`_det_bucket_id` for why ``repartitionByRange`` +
+       ``spark_partition_id()`` is unsound when plan branches re-execute);
+    2. per-bucket prefix via a window on ``__pid`` — n parallel tasks;
+    3. per-bucket totals (n tiny rows) get an EXCLUSIVE prefix combine
        and broadcast-join back as offsets.
 
     Exact for integer/decimal aggregates; for doubles the additions
     re-associate (same caveat any distributed sum has).  ``cummean`` callers
-    combine a sum pass and a count pass (Σ/Σ, never mean-of-means).
+    combine a sum pass and a count pass (Σ/Σ, never mean-of-means).  The
+    leading order key must be numeric/date/timestamp (bucket split points
+    need an ordered numeric domain).
     """
     if fn not in _PREFIX_COMBINE:
         raise ValueError(
@@ -269,9 +272,14 @@ def scale_safe_cumulative(
     agg, merge, combine = _PREFIX_COMBINE[fn]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ocols = [_as_col(c) for c in order_by]
-    ranged = df.repartitionByRange(n, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    lead = order_by[0]
+    if not isinstance(lead, str):
+        raise ValueError(
+            "scale_safe_cumulative needs a NAMED leading order column"
+        )
+    lead_key = _bucket_order_key(df, lead)
+    pid = _det_bucket_id(df, lead_key, n, desc=False, null_last=False)
+    ranged = df.withColumn("__pid", pid.cast("int"))
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*ocols)
@@ -312,6 +320,67 @@ def _ordered_cols(order_by: list[object], desc: bool | list[bool]) -> list[Colum
     return cols
 
 
+def _bucket_order_key(df: DataFrame, col: str) -> Column:
+    """Numeric ORDER-PRESERVING projection of a column for range
+    bucketing: numeric/date/timestamp via the epoch cast
+    (:func:`_index_order_key`); strings via their first-8-UTF-8-bytes
+    value (byte-lexicographic UTF-8 order == code-point order, and
+    right-zero-padding keeps prefix order), so equal-prefix ties simply
+    share a bucket — coarseness is fine for bucketing, which only needs
+    contiguity in the sort order, not injectivity."""
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.StringType):
+        hx = F.rpad(
+            F.substring(F.upper(F.hex(F.encode(F.col(col), "UTF-8"))), 1, 15),
+            15,
+            "0",
+        )
+        return F.conv(hx, 16, 10).cast("long")
+    key, _, _ = _index_order_key(df, col)
+    return key
+
+
+def _det_bucket_id(
+    df: DataFrame, key: Column, n: int, *, desc: bool, null_last: bool
+) -> Column:
+    """Deterministic range-bucket id in [0, n): percentile split points
+    collected ONCE (one aggregate pass, a model-sized driver artifact)
+    and embedded as literals, so the id is a PURE FUNCTION of the row.
+
+    ``spark_partition_id()`` after ``repartitionByRange`` is NOT that:
+    the range exchange samples per execution, and a plan whose branches
+    (window, counts, broadcast builds) re-execute it can assign the same
+    row different partition ids across jobs — measured at sf0.01 as
+    silently dropped rows.  A pure-function id is consistent across any
+    re-execution, retry, or exchange-reuse decision by construction.
+
+    Ties equal to a split value land in the lower bucket together, so
+    buckets are contiguous ranges of the key with ties unsplit.
+    """
+    if n < 2:
+        return F.lit(0)
+    probs = [(i + 1) / n for i in range(n - 1)]
+    row = df.select(
+        F.percentile_approx(
+            key, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("s")
+    ).collect()
+    arr = row[0]["s"] if row else None
+    splits = [v for v in (arr or []) if v is not None]
+    if not splits:
+        return F.lit(0)
+    if desc:
+        splits = list(reversed(splits))
+        cmps = [F.when(key < F.lit(s), 1).otherwise(0) for s in splits]
+    else:
+        cmps = [F.when(key > F.lit(s), 1).otherwise(0) for s in splits]
+    bucket = cmps[0]
+    for c in cmps[1:]:
+        bucket = bucket + c
+    null_pid = len(splits) if null_last else 0
+    return F.when(key.isNull(), F.lit(null_pid)).otherwise(bucket)
+
+
 def scale_safe_frame(
     df: DataFrame,
     *,
@@ -328,17 +397,18 @@ def scale_safe_frame(
     PARTITION BY — every row through one task, the last driver-side-of-the-
     cluster bottleneck in the engine.  Because the frame is FINITE, each
     row's frame touches only a bounded neighborhood, so the classic
-    distributed shape applies — range-partition + halo exchange:
+    distributed shape applies — range-bucket + halo exchange:
 
-    1. ``repartitionByRange(n, keys)`` — contiguous key ranges, one per
-       partition, ``__pid`` stamped;
-    2. a tiny per-partition bounds table (n rows: global-index extent for
+    1. a DETERMINISTIC range-bucket id ``__pid`` (percentile split points
+       embedded as literals — see :func:`_det_bucket_id` for why
+       ``repartitionByRange`` + ``spark_partition_id()`` is unsound here);
+    2. a tiny per-bucket bounds table (n rows: global-index extent for
        ROWS frames, min/max index value for RANGE frames);
     3. every row is broadcast-joined against the bounds and lands in each
-       partition whose HOME rows' frames can reach it (its own partition
-       plus a halo ``|lo|``/``|hi|`` deep — rows duplicate only across
+       bucket whose HOME rows' frames can reach it (its own bucket plus a
+       halo ``|lo|``/``|hi|`` deep — rows duplicate only across
        boundaries they straddle, ~(n·width)/N overhead);
-    4. the original window runs per target partition — n parallel tasks —
+    4. the original window runs per target bucket — n parallel tasks —
        and only home rows (``__tpid == __pid``) keep their value.
 
     Same row sets, same in-frame order as the single-partition plan, so
@@ -347,9 +417,12 @@ def scale_safe_frame(
     Returns ``(augmented_df, window_spec, home_predicate, helper_cols)`` —
     the caller computes aggregates ``.over(spec)``, filters on the
     predicate, and drops the helpers.  ROWS frames use a synthetic global
-    row index (per-partition ``row_number`` + broadcast prefix offsets),
-    so the window's ORDER BY is tie-free by construction; RANGE frames
-    require a non-NULL index (checked JVM-side per row, loud error).
+    row index (per-bucket ``row_number`` + broadcast prefix offsets), so
+    the window's ORDER BY is tie-free by construction; the leading order
+    key must be numeric/date/timestamp (split points need an ordered
+    numeric domain — other types raise, and mutate falls back to the
+    reference-faithful lowering).  RANGE frames require a non-NULL index
+    (checked JVM-side per row, loud error).
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
 
@@ -362,6 +435,7 @@ def scale_safe_frame(
                 "scale_safe_frame requires finite frame bounds; use "
                 "scale_safe_cumulative for (inf, 0) prefixes"
             )
+        pid = _det_bucket_id(df, key, n, desc=False, null_last=False)
         guarded = F.when(
             F.assert_true(
                 F.col(index).isNotNull(),
@@ -373,10 +447,8 @@ def scale_safe_frame(
             ).isNull(),
             key,
         )
-        ranged = (
-            df.withColumn("__k", guarded)
-            .repartitionByRange(n, F.col("__k"))
-            .withColumn("__pid", F.spark_partition_id())
+        ranged = df.withColumn("__k", guarded).withColumn(
+            "__pid", pid.cast("int")
         )
         bounds = ranged.groupBy("__pid").agg(
             F.min("__k").alias("__minv"), F.max("__k").alias("__maxv")
@@ -408,9 +480,26 @@ def scale_safe_frame(
             "scale_safe_cumulative for (inf, 0) prefixes"
         )
     ocols = _ordered_cols(list(order_by), desc)
-    ranged = df.repartitionByRange(n, *ocols).withColumn(
-        "__pid", F.spark_partition_id()
+    # bucket on the LEADING order key (ties unsplit, so buckets stay
+    # contiguous in the total order); _index_order_key raises for
+    # non-numeric leading keys — mutate falls back to the default plan
+    lead = order_by[0]
+    if hasattr(lead, "to_spark"):
+        raise ValueError(
+            "scale_safe_frame: desc() markers are carried via `desc`, not "
+            "order_by entries"
+        )
+    if not isinstance(lead, str):
+        raise ValueError(
+            "scale_safe_frame rows mode needs a NAMED leading order column"
+        )
+    lead_key = _bucket_order_key(df, lead)
+    descs = desc if isinstance(desc, list) else [desc]
+    lead_desc = bool(descs[0]) if descs else False
+    pid = _det_bucket_id(
+        df, lead_key, n, desc=lead_desc, null_last=lead_desc
     )
+    ranged = df.withColumn("__pid", pid.cast("int"))
     w_local = Window.partitionBy("__pid").orderBy(*ocols)
     loc = ranged.withColumn("__lrn", F.row_number().over(w_local))
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -433,9 +522,9 @@ def scale_safe_frame(
         .drop("__lrn", "__off")
     )
     # copy row h into every target whose home frames reach it; widening to
-    # [start+min(lo,0), end+max(hi,0)] keeps each partition's global-index
+    # [start+min(lo,0), end+max(hi,0)] keeps each bucket's global-index
     # set CONTIGUOUS (physical ROWS offsets stay exact even for shifted
-    # frames like (2,5) over partitions narrower than the shift)
+    # frames like (2,5) over buckets narrower than the shift)
     lo2, hi2 = min(lo, 0), max(hi, 0)
     copied = gdf.join(
         F.broadcast(bounds),
