@@ -4031,6 +4031,56 @@ def _q_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_jaccard(read_table(spark, sf_dir, "documents"))
 
 
+def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-7-day distinct users per day from MERGED per-day HLL
+    # partials (hll_trailing_distinct) — the continuous-rollup reuse
+    # pattern: exact count(DISTINCT) OVER a range frame is one of SQL's
+    # refused window aggregates, and the exact lowering needs the value
+    # set; the sketch union needs ≤7 KB-sized partials per day.
+    # Estimates are engine-specific, so the hashable contract is the
+    # exact count (live differential — the oracle recomputes it by a
+    # bounded 7-day fan-out) plus a ±5% accuracy flag on the estimate.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import hll_trailing_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    approx = hll_trailing_distinct(
+        ev, "user_id", time_col="ts", window_days=7
+    )
+    # exact trailing distinct, distributed: distinct (user, day) pairs
+    # fan out to the ≤7 target days they cover, then one countDistinct
+    # per target day — never a per-day rescan of raw events
+    day_us = F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+    pairs = ev.select(
+        F.col("user_id"), day_us.alias("d")
+    ).distinct()
+    exact = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.col("d") + F.lit(6 * 86_400_000_000),
+                    F.lit(86_400_000_000),
+                )
+            ).alias("day_us"),
+        )
+        .groupBy("day_us")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        # fan-out days past the last real day have no approx row; the
+        # inner join below drops them on both engines
+    )
+    return exact.join(approx, "day_us").select(
+        F.col("day_us"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("approx_trailing") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("hll_ok"),
+    )
+
+
 # The driver's correctness run covers the FIRST 50 queries() keys.
 # Round-7 rotation (verdict r06 task #1): the head is the r4-vintage
 # cohort — the 50 entries whose FIRST hash-green driver row was
@@ -4069,7 +4119,7 @@ _DRIVER_WINDOW_NEXT = [
     "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
     "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
     "o4_frame_scale", "o5_range_scale", "token_entropy", "kl_drift",
-    "vocab_jaccard",
+    "vocab_jaccard", "rolling_hll",
 ]
 
 
@@ -4275,6 +4325,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
+        "rolling_hll": _q_rolling_hll,
     }
 
 
@@ -5053,6 +5104,28 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),
         "vocab_jaccard": _vocab_jaccard_oracle(),
+        "rolling_hll": """
+            -- exact trailing-7-day distinct per day via the bounded
+            -- fan-out (each distinct (user, day) pair covers <= 7 target
+            -- days); days with no base row are absent on both engines,
+            -- and the estimate's accuracy flag is Spark-side (engine-
+            -- specific sketch), mirrored TRUE here (sketch_distinct
+            -- discipline)
+            WITH pairs AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(date_trunc('day', ts)) AS d
+              FROM events
+            ),
+            fan AS (
+              SELECT user_id, d + i * 86400000000 AS day_us
+              FROM pairs, (SELECT unnest(range(0, 7)) AS i)
+            ),
+            base AS (SELECT DISTINCT d AS day_us FROM pairs)
+            SELECT f.day_us,
+                   count(DISTINCT f.user_id)::BIGINT AS n_exact,
+                   TRUE AS hll_ok
+            FROM fan f JOIN base b USING (day_us)
+            GROUP BY 1""",
     }
 
 

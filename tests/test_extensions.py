@@ -3553,3 +3553,29 @@ def test_nullvals_contracts_payload_and_sketch(spark):
     assert [r["g"] for r in parts.collect()] == ["a"]
     merged = kll_merged_quantiles(parts, [0.5], by="g").collect()
     assert len(merged) == 1 and merged[0]["g"] == "a"
+
+
+def test_hll_trailing_distinct_day_gaps(spark):
+    """Trailing-7-day distinct via merged per-day HLL partials: the RANGE
+    frame counts DAY distance (a 10-day gap must fall out of the window),
+    and at these cardinalities the sketch is exact — pin the values."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.sketches import hll_trailing_distinct
+
+    base = 1_700_000_000_000_000
+    day = 86_400_000_000
+    rows = []
+    # day 0: users 1,2; day 1: users 2,3; day 20: user 9
+    for d, us in ((0, (1, 2)), (1, (2, 3)), (20, (9,))):
+        for u in us:
+            rows.append((u, base + d * day))
+    df = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = hll_trailing_distinct(
+        df, "user_id", time_col="ts", window_days=7
+    ).collect()
+    d0 = min(r["day_us"] for r in out)  # events start mid-day; truncation
+    got = {(r["day_us"] - d0) // day: r["approx_trailing"] for r in out}
+    assert got == {0: 2, 1: 3, 20: 1}  # day 20: gap > 7 days, window resets

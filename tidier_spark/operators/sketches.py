@@ -46,6 +46,7 @@ __all__ = [
     "topk_merged",
     "cms_build",
     "cms_query",
+    "hll_trailing_distinct",
 ]
 
 
@@ -565,4 +566,58 @@ def cms_query(
         fan.join(F.broadcast(cms), ["j", "bucket"], "left")
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias(out))
+    )
+
+
+def hll_trailing_distinct(
+    df: DataFrame,
+    col: str,
+    *,
+    time_col: str,
+    window_days: int = 7,
+    by: object = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Trailing-N-day DISTINCT estimate per day from MERGED per-day HLL
+    partials — the hypertable continuous-rollup reuse pattern: ingest
+    writes one KB-sized sketch per (group, day), and ANY trailing window
+    is a union of ≤ N sketches, never a rescan of raw events.  The exact
+    equivalent (count(DISTINCT) OVER a range frame) is one of SQL's
+    refused window aggregates and would need the full value set per
+    (group, day) — this is the 100 TB lowering.
+
+    Output: one row per (group, day): ``(keys..., day_us,
+    approx_trailing)``.  Implementation: per-day partials
+    (:func:`hll_partials` shape) → a ``collect_list`` over the trailing
+    RANGE frame in DAY units (≤ ``window_days`` KB-sized sketches per
+    row — bounded, group-count cardinality, not event cardinality) →
+    a 2-ary ``hll_union`` fold + one estimate.  Estimates are
+    deterministic but engine-specific, so oracle checks are accuracy
+    contracts against the exact count (see the ``rolling_hll`` entry).
+    """
+    from pyspark.sql import Window
+
+    keys = _keys(by)
+    day_us = F.unix_micros(F.date_trunc("DAY", F.col(time_col)))
+    parts = df.withColumn("__day_us", day_us).groupBy(*keys, "__day_us").agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
+    )
+    day_num = (F.col("__day_us") / F.lit(86_400_000_000)).cast("long")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_num)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    fold = (
+        "hll_sketch_estimate("
+        "aggregate(slice(__ks, 2, size(__ks) - 1), __ks[0], "
+        "(acc, x) -> hll_union(acc, x)))"
+    )
+    return (
+        parts.withColumn("__ks", F.collect_list("__sk").over(w))
+        .select(
+            *keys,
+            F.col("__day_us").alias("day_us"),
+            F.expr(fold).cast("long").alias("approx_trailing"),
+        )
     )
