@@ -172,11 +172,14 @@ def exact_quantiles(
     range-partitioned across every core, the one-row total arriving via
     a broadcast cross join.
 
-    NOTE: ``coarse_groups=True`` is EAGER — it materializes the
-    (group, value, count) aggregate (a localCheckpoint) at call time so
-    that every consumer of the range partitioning sees one fixed
-    ``__pid`` assignment (an AQE replan between branches would
-    otherwise silently misalign the prefix offsets).
+    ``coarse_groups=True`` runs ONE eager bounded pass at call time (the
+    percentile split-point collect that fixes the value buckets as
+    literals) — the bucket id is then a pure function of the row, so
+    every plan branch sees one ``__pid`` assignment under any
+    re-execution with no materialization of the aggregate (round 7;
+    previously an eager localCheckpoint pinned a sampled
+    repartitionByRange for the same guarantee at the cost of writing
+    the whole (group, value, count) frame).
     """
     from pyspark.sql import Window
 
@@ -187,17 +190,32 @@ def exact_quantiles(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     if coarse_groups:
+        from ..window import _det_bucket_id
+
         n_part = df.sparkSession.sparkContext.defaultParallelism
-        ranged = counts.repartitionByRange(
-            n_part, *[F.col(k) for k in keys], F.col(col)
-        ).withColumn("__pid", F.spark_partition_id())
-        # Materialize ONCE before branching: local and totals both read
-        # __pid, and repartitionByRange samples its boundaries — if the
-        # exchange were recomputed per branch (AQE replan, lost stage)
-        # the two branches could see DIFFERENT partitionings and the
-        # offsets would silently misalign.  localCheckpoint pins the
-        # computed partitions (and their pids) for every consumer.
-        ranged = ranged.localCheckpoint(eager=True)
+        # DETERMINISTIC value-range bucket id (round 7): a pure function
+        # of the row (percentile split points embedded as literals), so
+        # every branch — local prefix, totals, broadcast offsets — sees
+        # ONE pid assignment under any re-execution/replan, with no
+        # eager materialization.  (The former repartitionByRange +
+        # spark_partition_id + localCheckpoint pinned the sampled
+        # boundaries by materializing the aggregate — correct, but an
+        # extra write of the whole (group, value, count) frame; the
+        # literal-bucket id needs only one bounded percentile pass.)
+        # Bucketing on the VALUE alone spreads every group's range over
+        # all buckets — exactly the coarse-group regime — and within a
+        # group, pid ordering follows value ordering, which is all the
+        # prefix logic requires.  Order matters for cost: materialize
+        # the cardinality-bounded counts FIRST (localCheckpoint — the
+        # four branches below would otherwise each recompute its
+        # shuffle), then take split points from the materialized frame
+        # (a sub-second percentile job over distinct cells, the same
+        # distinct-mass balance the old range partitioner sampled).
+        base = counts.localCheckpoint(eager=True)
+        pid = _det_bucket_id(
+            base, F.col(col), n_part, desc=False, null_last=False
+        )
+        ranged = base.withColumn("__pid", pid.cast("int"))
         w_local = (
             Window.partitionBy("__pid", *keys)
             .orderBy(col)
