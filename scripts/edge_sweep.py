@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -46,7 +46,13 @@ MEASURE/content column rewritten to ALL NULL (events.value, lineitem
 amounts, o_totalprice, documents.text, embeddings.embedding) — the
 value-side complement of ``nullkeys``: R na.rm vs SQL NULL aggregate
 identities, fixed-point rounding of NULL, text/vector operators over
-fully-NULL content, trainers over an effectively empty corpus.)
+fully-NULL content, trainers over an effectively empty corpus;
+``manyfiles`` = every table written as ~40 single-row-group parquet
+slices in SHUFFLED slice order — stresses source-level file-order
+independence, AQE partition coalescing over tiny splits, and any
+one-file assumption; ``emptystr`` = text/content columns rewritten to
+'' (the OTHER no-content spelling vs nullvals' NULL) — the tokenless
+convention must hold for empty strings too.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -406,10 +412,49 @@ def build_fixture(kind: str) -> str:
                     pa.field(col, typ, nullable=True),
                     pa.nulls(tbl.num_rows, type=typ),
                 )
+        elif kind == "emptystr":
+            # text/content columns to '' — the non-NULL no-content
+            # spelling; tokenize('') must behave like tokenize(NULL)
+            # under the house tokenless convention
+            for col_name in ("text",) if t == "documents" else ():
+                i = tbl.schema.get_field_index(col_name)
+                import pyarrow as _pa
+
+                vals = tbl.column(i).to_pylist()
+                tbl = tbl.set_column(
+                    i,
+                    tbl.schema.field(i),
+                    _pa.array(
+                        ["" if v is not None else v for v in vals],
+                        type=_pa.string(),
+                    ),
+                )
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
-        pq.write_table(tbl, f"{out}/{t}.parquet")
+        if kind == "manyfiles":
+            # ~40 single-row-group slices per table, written under the
+            # table path in SHUFFLED slice order (file name order no
+            # longer matches row order) — Spark reads the directory,
+            # DuckDB the glob (see main())
+            import hashlib as _hl
+
+            d = f"{out}/{t}.parquet"
+            os.makedirs(d)
+            n = tbl.num_rows
+            k = min(40, max(1, n))
+            order = sorted(
+                range(k),
+                key=lambda j: _hl.md5(f"{t}:{j}".encode()).hexdigest(),
+            )
+            bounds = [(i * n) // k for i in range(k + 1)]
+            for slot, j in enumerate(order):
+                pq.write_table(
+                    tbl.slice(bounds[j], bounds[j + 1] - bounds[j]),
+                    f"{d}/part-{slot:03d}.parquet",
+                )
+        else:
+            pq.write_table(tbl, f"{out}/{t}.parquet")
     return out
 
 
@@ -474,8 +519,11 @@ def main() -> int:
             con = duckdb.connect()
             try:
                 for t in TABLES:
+                    src = f"{sf_dir}/{t}.parquet"
+                    if os.path.isdir(src):  # manyfiles: glob the slices
+                        src = f"{src}/*.parquet"
                     con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                        f"CREATE VIEW {t} AS SELECT * FROM '{src}'"
                     )
                 o_rows = canon(con.execute(sql).df())
             except Exception as e:

@@ -168,6 +168,12 @@ def pack_sequences(
         "n_tokens",
         F.col(n_tokens_col) if n_tokens_col else token_count(text_col),
     ).select(id_col, "n_tokens")
+    # localCheckpoint: the prefix lowering needs two passes (split-point
+    # percentiles + the prefix itself); when `df` is an expensive derived
+    # frame (pipeline_e2e: the whole dedup→gate chain) the second pass
+    # would re-execute it.  `base` is two narrow columns — the
+    # materialization is 16 bytes/doc at any scale.
+    base = base.localCheckpoint(eager=True)
     c = scale_safe_cumulative(
         base, "n_tokens", order_by=[id_col], out="__cum", fn="sum"
     )
@@ -480,8 +486,17 @@ def shuffle_rows(
 
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
     tagged = df.withColumn("__k", key)
+    # md5 keys are UNIFORM over the hex-string domain by construction, so
+    # the range-bucket split points are STATIC literals (uniform cuts of
+    # the 60-bit prefix projection _bucket_order_key applies to strings)
+    # — zero data passes to derive them, and the permutation stays a
+    # single-pass-over-input plan
+    n = df.sparkSession.sparkContext.defaultParallelism
+    dom = 16**15
+    splits = [(i + 1) * dom // n for i in range(n - 1)]
     ranked = scale_safe_cumulative(
-        tagged, "1", order_by=["__k", id_col], out=out, fn="sum"
+        tagged, "1", order_by=["__k", id_col], out=out, fn="sum",
+        split_points=splits,
     )
     return ranked.withColumn(out, F.col(out).cast("long")).drop("__k")
 

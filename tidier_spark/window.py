@@ -244,6 +244,7 @@ def scale_safe_cumulative(
     out: str,
     fn: str = "sum",
     n_partitions: int | None = None,
+    split_points: list | None = None,
 ) -> DataFrame:
     """Ungrouped ordered cumulative WITHOUT the single-partition window.
 
@@ -278,7 +279,9 @@ def scale_safe_cumulative(
             "scale_safe_cumulative needs a NAMED leading order column"
         )
     lead_key = _bucket_order_key(df, lead)
-    pid = _det_bucket_id(df, lead_key, n, desc=False, null_last=False)
+    pid = _det_bucket_id(
+        df, lead_key, n, desc=False, null_last=False, splits=split_points
+    )
     ranged = df.withColumn("__pid", pid.cast("int"))
     w_local = (
         Window.partitionBy("__pid")
@@ -341,7 +344,13 @@ def _bucket_order_key(df: DataFrame, col: str) -> Column:
 
 
 def _det_bucket_id(
-    df: DataFrame, key: Column, n: int, *, desc: bool, null_last: bool
+    df: DataFrame,
+    key: Column,
+    n: int,
+    *,
+    desc: bool,
+    null_last: bool,
+    splits: list | None = None,
 ) -> Column:
     """Deterministic range-bucket id in [0, n): percentile split points
     collected ONCE (one aggregate pass, a model-sized driver artifact)
@@ -356,17 +365,25 @@ def _det_bucket_id(
 
     Ties equal to a split value land in the lower bucket together, so
     buckets are contiguous ranges of the key with ties unsplit.
+
+    ``splits`` short-circuits the percentile pass with caller-supplied
+    boundary values (ascending) — ANY monotone literals are CORRECT
+    (only balance quality varies), so callers whose key distribution is
+    known a priori (a uniform hash key, a dense id) can skip the data
+    pass entirely.  That matters when ``df`` is an expensive derived
+    frame: the percentile collect re-executes its whole upstream plan.
     """
     if n < 2:
         return F.lit(0)
-    probs = [(i + 1) / n for i in range(n - 1)]
-    row = df.select(
-        F.percentile_approx(
-            key, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
-        ).alias("s")
-    ).collect()
-    arr = row[0]["s"] if row else None
-    splits = [v for v in (arr or []) if v is not None]
+    if splits is None:
+        probs = [(i + 1) / n for i in range(n - 1)]
+        row = df.select(
+            F.percentile_approx(
+                key, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+            ).alias("s")
+        ).collect()
+        arr = row[0]["s"] if row else None
+        splits = [v for v in (arr or []) if v is not None]
     if not splits:
         return F.lit(0)
     if desc:
