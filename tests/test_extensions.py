@@ -3579,3 +3579,38 @@ def test_hll_trailing_distinct_day_gaps(spark):
     d0 = min(r["day_us"] for r in out)  # events start mid-day; truncation
     got = {(r["day_us"] - d0) // day: r["approx_trailing"] for r in out}
     assert got == {0: 2, 1: 3, 20: 1}  # day 20: gap > 7 days, window resets
+
+
+def test_fingerprint_empty_vs_null_text(spark):
+    """Tokenless-but-NON-NULL docs fingerprint as md5('') — all empty
+    docs are content-identical and must group in exact dedup — while
+    NULL text stays NULL; DuckDB mirror agrees (emptystr edge axis:
+    DuckDB array_to_string([]) is NULL where Spark array_join is '')."""
+    import hashlib
+
+    import duckdb
+
+    from tidier_spark.operators.text import fingerprint, fingerprint_sql
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!!"), (3, None), (4, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert got[1] == got[2] == empty_md5
+    assert got[3] is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, ''), (2, '!!!'), "
+        "(3, NULL), (4, 'a b')) v(doc_id, text)"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {fingerprint_sql('text')} FROM t"
+        ).fetchall()
+    )
+    assert want == got

@@ -315,7 +315,15 @@ def detect_language_sql(col: str = "text") -> str:
 
 
 def fingerprint_sql(col: str = "text") -> str:
-    return f"md5(array_to_string(list_sort(list_distinct({tokens_sql(col)})), ' '))"
+    # DuckDB array_to_string([]) is NULL where Spark array_join([]) is ''
+    # — a tokenless-but-NON-NULL doc must fingerprint as md5('') on both
+    # engines (all empty docs are content-identical, so exact dedup must
+    # group them); NULL text stays NULL (emptystr edge axis).
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"md5(coalesce(array_to_string(list_sort(list_distinct("
+        f"{tokens_sql(col)})), ' '), '')) END"
+    )
 
 
 def shingles_sql(col: str = "text", n: int = 3) -> str:
