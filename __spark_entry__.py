@@ -2450,6 +2450,69 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming windowed APPROXIMATE distinct (per-day distinct users
+    # through the real streaming engine): HLL register max-merge is
+    # order-independent, so the streamed estimate equals the batch
+    # estimate on the same data — asserted live (stream == batch), and
+    # both are held to the ±5% accuracy contract against the exact
+    # count, which the DuckDB oracle recomputes independently
+    # (sketch_distinct discipline; estimates themselves are
+    # engine-specific and never hashed).  The scale story: per-window
+    # state is one KB-sized register set, not the user-id set
+    # stream_distinct keeps for EXACT running counts.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.sources import read_stream_table, read_table
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    r = stream_windowed_agg(
+        ev,
+        # rsd 0.01: the ±5% contract below is then a 5-sigma bound per
+        # window (the default 0.05 rsd makes 5% a 1-sigma coin flip —
+        # measured 15/30 windows outside it at sf0.1)
+        {"n_approx": "approx_count_distinct(user_id, 0.01)"},
+        time_col="ts",
+        window="1 day",
+    )
+    out = run_stream(
+        r,
+        name="stream_hll_result",
+        output_mode="complete",
+        state_partitions=8,
+    )
+    bat = read_table(spark, sf_dir, "events")
+    exact = bat.groupBy(
+        F.window(F.col("ts"), "1 day").alias("w")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    batch_est = bat.groupBy(
+        F.window(F.col("ts"), "1 day").alias("w")
+    ).agg(F.approx_count_distinct("user_id", 0.01).alias("n_batch"))
+    e = exact.select(
+        F.col("w.start").cast("long").alias("bucket_epoch"), "n_exact"
+    )
+    b = batch_est.select(
+        F.col("w.start").cast("long").alias("bucket_epoch"), "n_batch"
+    )
+    s = out.select(
+        F.col("window_start").cast("long").alias("bucket_epoch"), "n_approx"
+    )
+    return (
+        e.join(s, "bucket_epoch")
+        .join(b, "bucket_epoch")
+        .select(
+            "bucket_epoch",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_approx") == F.col("n_batch")).alias("stream_eq_batch"),
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_ok"),
+        )
+    )
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Contrastive-training pair mining: per anchor vector, the highest-
     # cosine neighbor that is NOT a near-duplicate (cos < 0.4) — the
@@ -4119,7 +4182,7 @@ _DRIVER_WINDOW_NEXT = [
     "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
     "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
     "o4_frame_scale", "o5_range_scale", "token_entropy", "kl_drift",
-    "vocab_jaccard", "rolling_hll",
+    "vocab_jaccard", "rolling_hll", "stream_hll",
 ]
 
 
@@ -4326,6 +4389,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
         "rolling_hll": _q_rolling_hll,
+        "stream_hll": _q_stream_hll,
     }
 
 
@@ -5104,6 +5168,15 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),
         "vocab_jaccard": _vocab_jaccard_oracle(),
+        "stream_hll": """
+            -- exact per-day distinct; the estimate flags are Spark-side
+            -- (engine-specific sketches), mirrored TRUE here
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT)
+                     AS bucket_epoch,
+                   count(DISTINCT user_id)::BIGINT AS n_exact,
+                   TRUE AS stream_eq_batch,
+                   TRUE AS hll_ok
+            FROM events GROUP BY 1""",
         "rolling_hll": """
             -- exact trailing-7-day distinct per day via the bounded
             -- fan-out (each distinct (user, day) pair covers <= 7 target

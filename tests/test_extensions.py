@@ -3614,3 +3614,57 @@ def test_fingerprint_empty_vs_null_text(spark):
         ).fetchall()
     )
     assert want == got
+
+
+def test_stream_windowed_approx_distinct_multi_batch(spark, tmp_path):
+    """Windowed approx_count_distinct through the streaming engine over
+    TWO micro-batches must equal the batch estimate on the same data —
+    HLL register max-merge is order- and batch-split-independent."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.streaming import run_stream, stream_windowed_agg
+
+    base = 1_700_000_000_000_000
+    rows = [(u, base + i * 3_600_000_000) for i, u in enumerate(
+        [1, 2, 3, 1, 2, 9, 9, 4, 5, 1]
+    )]
+    src = tmp_path / "hllsrc"
+    src.mkdir()
+    for bi, chunk in enumerate((rows[:5], rows[5:])):
+        t = pa.table({
+            "user_id": [r[0] for r in chunk],
+            "ts": pa.array([r[1] for r in chunk], type=pa.timestamp("us")),
+        })
+        pq.write_table(t, src / f"b{bi}.parquet")
+    now = _time.time()
+    _os.utime(src / "b0.parquet", (now - 60, now - 60))
+    _os.utime(src / "b1.parquet", (now, now))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    r = stream_windowed_agg(
+        stream, {"n_approx": "approx_count_distinct(user_id)"},
+        time_col="ts", window="1 day",
+    )
+    out = run_stream(r, name="t_stream_hll_mb", output_mode="complete")
+    got = {
+        r2["window_start"]: r2["n_approx"] for r2 in out.collect()
+    }
+    bdf = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    want = {
+        r2["w"]["start"]: r2["n"]
+        for r2 in bdf.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) >= 6
