@@ -286,7 +286,12 @@ def exact_quantiles(
         v_lo = F.col(f"__vlo_{i}").cast("double")
         v_hi = F.col(f"__vhi_{i}").cast("double")
         outs.append(
-            F.when(fpos == cpos, v_lo)
+            # v_lo == v_hi: both neighbor indices fall inside ONE distinct
+            # value's count range — the built-in's value->count buffer
+            # short-circuits there without interpolating, and
+            # v*(c-pos) + v*(pos-f) is NOT exactly v in IEEE (399 ->
+            # 399.00000000000006; hypothesis-found divergence, round 7)
+            F.when((fpos == cpos) | (v_lo == v_hi), v_lo)
             .otherwise(
                 v_lo * (cpos.cast("double") - pos)
                 + v_hi * (pos - fpos.cast("double"))
