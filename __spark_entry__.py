@@ -4000,7 +4000,28 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tidier_spark.sources import write_parquet
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # the cache tag fingerprints the SOURCE CONTENT (path + file sizes +
+    # mtimes), not just the path — if the data at sf_dir is regenerated
+    # within a session, or a persistent warehouse outlives the data,
+    # tableExists on a path-only tag would silently serve stale buckets
+    def _fingerprint(name: str) -> str:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        parts = []
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        return "|".join(parts)
+
+    tag = hashlib.md5(
+        "\x1e".join(
+            [sf_dir, _fingerprint("orders"), _fingerprint("lineitem")]
+        ).encode()
+    ).hexdigest()[:10]
     t_o, t_l = f"tidier_bucket_orders_{tag}", f"tidier_bucket_lineitem_{tag}"
     if not (spark.catalog.tableExists(t_o) and spark.catalog.tableExists(t_l)):
         ord_ = read_table(spark, sf_dir, "orders").select(
@@ -4145,44 +4166,64 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-7 rotation (verdict r06 task #1): the head is the r4-vintage
-# cohort — the 50 entries whose FIRST hash-green driver row was
-# CORRECTNESS_r04 — the largest never-re-checked cohort, including
-# everything tuned since (pq/ANN rework, streaming min-of-5, tpch).
-# The rotation pin test (tests/test_extensions.py) DERIVES the cohort
-# from the recorded CORRECTNESS_r01..r06 files and asserts the head
-# matches, so this list cannot silently drift from the ledger
-# (SURVEY.md section 7.5a).  Every entry regardless of position is
-# hash-verified each round by scripts/check_entry.py.
+# Round-8 rotation (verdict r07 task #1): positions 1-21 are the
+# r5-vintage cohort (first hash-green driver row = CORRECTNESS_r05),
+# positions 22-43 the 22 entries that had NO driver row through r07
+# (15 r6 + 7 r7 additions — judge-verified strict-green in r07, now
+# converted to durable driver rows), positions 44-50 the seven oldest
+# r2-vintage entries (exactly two driver rows ever).  The rotation pin
+# test (tests/test_extensions.py) DERIVES all three cohorts from the
+# recorded CORRECTNESS_r01..r07 files and asserts the head matches, so
+# this list cannot silently drift from the ledger (SURVEY.md section
+# 7.5a).  Every entry regardless of position is hash-verified each
+# round by scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "stream_ewma", "stream_scd2",
-    "stream_dedup_against", "stream_trailing", "csv_roundtrip",
-    "jsonl_roundtrip", "orc_roundtrip", "sink_roundtrip", "pq_topk",
-    "fuzzy_names", "overlap_join", "time_weighted", "gapfill_interp",
-    "asof_tolerance", "event_transitions", "dedup_against",
-    "dup_clusters", "contamination", "pack_sequences",
-    "label_centroids", "lm_bigram", "lm_surprisal", "funnel_windowed",
-    "attribution_linear", "incremental_rollup", "winsorize",
-    "robust_outliers", "skew_report", "length_buckets",
-    "stratified_mix", "validate_events",
-]
-
-# Positions 51-70 (verdict r06 task #2): the entries with NO driver
-# CORRECTNESS row yet — the 15 round-6 entries (judge-verified
-# strict-mimic green at 3 sfs in r06) followed by the 5 round-7
-# additions (builder-verified green at 3 sfs).  If the driver window
-# ever widens past 50 — or when round 8 rotates — these are reached
-# FIRST, so every board entry regains a current driver row soonest.
-_DRIVER_WINDOW_NEXT = [
+    # 1-21: r5-vintage
+    "shuffle_rows", "boilerplate_ngrams", "repetition_signals",
+    "salient_terms", "hash_split", "session_agg", "merge_upsert",
+    "snapshot_diff", "profile_events", "pii_scrub", "histogram",
+    "det_sample", "funnel", "complete_grid", "scale_features",
+    "across_agg", "chunk_docs", "weighted_sample", "cohort_retention",
+    "hashed_features", "separate_unite",
+    # 22-43: never driver-checked through r07 (15 r6 + 7 r7)
     "dup_clusters_star", "quantiles_global_coarse", "hybrid_rrf",
     "pagerank_dups", "fk_orphans", "interval_merge", "window_distinct",
     "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
     "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
     "o4_frame_scale", "o5_range_scale", "token_entropy", "kl_drift",
     "vocab_jaccard", "rolling_hll", "stream_hll",
+    # 44-50: oldest r2-vintage (driver rows r02 only, or r02+r05)
+    "o7_calendar_complete", "asof_forward", "interval_join",
+    "ivf_topk_full", "join_full", "join_right", "pivot_longer",
+]
+
+# Positions 51-100: the planned ROUND-9 window (verdict r07 task #2 —
+# written down now so the staleness ledger survives context loss):
+# the 12 remaining entries whose LAST driver row is r02, then the 26
+# r1-vintage entries last re-confirmed r05, then the 12 stalest
+# r3-vintage entries last re-confirmed r06.  After r9 every board
+# entry has a driver row <= 3 rounds old.  If the driver window ever
+# widens past 50 this round, these are reached first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r02
+    "analytic_fns", "diff_pct", "fill_up", "median_frame",
+    "nest_roundtrip", "pivot_wider", "props_json", "rollup_agg",
+    "star_join", "summarise_pricing", "topk_per_group",
+    "windowed_rollup",
+    # last driver row r05 (r1-vintage O-parity + dedup set)
+    "asof_join", "compound_expr", "corpus_clean", "cosine_topk",
+    "dedup_embedding", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "inf_frame", "locf_fill",
+    "multimodal_features", "o1_project", "o2_cumsum", "o2_desc_rank",
+    "o3_group_broadcast", "o4_complete", "o4_rows_frame",
+    "o5_range_flagship", "o6_grouped_rows", "o7_calendar_frame",
+    "o8_overwrite", "o9_sql_window", "r_semantics", "simhash_pairs",
+    "text_analysis",
+    # stalest r3-vintage, last driver row r06
+    "asof_nearest", "bm25_topk", "bpe_encode", "bpe_subwords",
+    "bpe_train", "budget_mix", "classifier_score",
+    "dedup_embedding_lsh", "dup_regions", "ewma_smooth",
+    "frame_apply_median", "frame_apply_wmean",
 ]
 
 

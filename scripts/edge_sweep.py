@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -52,7 +52,17 @@ slices in SHUFFLED slice order — stresses source-level file-order
 independence, AQE partition coalescing over tiny splits, and any
 one-file assumption; ``emptystr`` = text/content columns rewritten to
 '' (the OTHER no-content spelling vs nullvals' NULL) — the tokenless
-convention must hold for empty strings too.)
+convention must hold for empty strings too; ``tz`` = the DATA is
+unchanged but the whole HOST moves to Asia/Kolkata (UTC+05:30 — a
+half-hour offset catches date-boundary bugs a whole-hour zone never
+will): the Spark session is created with session+JVM timezone
+Kolkata, the Python process TZ is Kolkata, and DuckDB's TimeZone is
+Kolkata.  The engine contract is that results are HOST-TZ-INDEPENDENT
+— read_table pins spark.sql.session.timeZone=UTC at every scan
+(sources/__init__.py) and the oracles are naive-timestamp arithmetic
+— so every entry must still hash-match the same UTC oracle; any flag
+is a real tz leak (a pre-pin literal, a JVM-default-tz legacy path, a
+Python-side local-time conversion, a tz-sensitive DuckDB function).)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -483,21 +493,47 @@ def canon(df) -> list:
 def main() -> int:
     kind = sys.argv[1] if len(sys.argv) > 1 else "empty"
     only = set(sys.argv[2:])
+    if kind == "tz":
+        # move the whole HOST to Kolkata before any engine starts: the
+        # Python process (pandas/Arrow local-time paths), the JVM default
+        # zone (legacy datetime paths), the Spark session default (the
+        # read_table UTC pin must override it), and DuckDB (below)
+        import time as _time
+
+        os.environ["TZ"] = "Asia/Kolkata"
+        _time.tzset()
     sf_dir = build_fixture(kind)
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("edge-sweep")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    if kind == "tz":
+        builder = (
+            builder.config("spark.sql.session.timeZone", "Asia/Kolkata")
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Duser.timezone=Asia/Kolkata",
+            )
+            .config(
+                "spark.executor.extraJavaOptions",
+                "-Duser.timezone=Asia/Kolkata",
+            )
+        )
+    else:
+        builder = builder.config("spark.sql.session.timeZone", "UTC")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if kind == "tz":
+        # getOrCreate may have reused a live UTC session (same-process
+        # reruns) — re-assert the session zone; read_table must still win
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -518,6 +554,8 @@ def main() -> int:
         if sql is not None:
             con = duckdb.connect()
             try:
+                if kind == "tz":
+                    con.execute("SET TimeZone='Asia/Kolkata'")
                 for t in TABLES:
                     src = f"{sf_dir}/{t}.parquet"
                     if os.path.isdir(src):  # manyfiles: glob the slices

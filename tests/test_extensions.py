@@ -1027,6 +1027,66 @@ def test_shuffle_rows_is_permutation(tables):
     assert a != c
 
 
+def test_string_key_literal_matches_column_projection(spark):
+    """string_key_literal (Python) and _bucket_order_key's string branch
+    (Column) must project identically — static split literals derived
+    through the former are compared against the latter at runtime, and
+    any divergence silently re-introduces the ADVICE-r7 skew."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.window import _bucket_order_key, string_key_literal
+
+    vals = [
+        "", "0", "8", "f", "deadbeefcafe", "0" * 32, "f" * 32,
+        "8000000000000000" + "0" * 16, "user_000123", "https://ex.com/a",
+        "héllo-unicode", "ééé", "zzzzzzzzzzzzzzzzzz",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r.s: r.k
+        for r in df.select("s", _bucket_order_key(df, "s").alias("k")).collect()
+    }
+    for v in vals:
+        assert got[v] == string_key_literal(v), (v, got[v], string_key_literal(v))
+
+
+def test_shuffle_rows_static_splits_balance(spark):
+    """The static split literals must live in the PROJECTED string domain:
+    raw uniform cuts of [0, 16^15) put all md5 keys in 1-3 of n buckets
+    (ADVICE r7 — the ASCII-hex bytes only occupy 0x30-0x39/0x61-0x66),
+    silently degrading the permutation to the single-task prefix window.
+    Pin: for n=8, every bucket receives rows and the spread is bounded.
+    Exercises the REAL projection + bucket-id code path, not a mirror."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.window import (
+        _bucket_order_key,
+        _det_bucket_id,
+        string_key_literal,
+    )
+
+    n = 8
+    splits = sorted(
+        {string_key_literal("%032x" % ((i + 1) * 16**32 // n)) for i in range(n - 1)}
+    )
+    assert len(splits) == n - 1  # distinct boundaries in the projected domain
+    ids = [(f"doc{i}",) for i in range(2000)]
+    df = spark.createDataFrame(ids, ["doc_id"]).withColumn(
+        "__k", F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("shuffle")))
+    )
+    key = _bucket_order_key(df, "__k")
+    pid = _det_bucket_id(df, key, n, desc=False, null_last=False, splits=splits)
+    counts = {
+        r.p: r.c
+        for r in df.select(pid.alias("p")).groupBy("p").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    assert set(counts) == set(range(n)), counts
+    assert max(counts.values()) < 2 * (2000 / n), counts
+
+
 def test_dedup_against_cross_side_only(spark):
     from tidier_spark.operators.dedup import dedup_against
 
@@ -2856,15 +2916,18 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys,
-    snapshotted from the END-of-round repo state.  Round-7 contract
-    (verdict r06 tasks #1-2): positions 1-50 are exactly the r4-vintage
-    cohort — entries whose FIRST hash-green driver CORRECTNESS row was
-    r04 — so CORRECTNESS_r07 re-confirms the largest never-re-checked
-    cohort; positions 51-65 are the 15 entries with NO driver row yet
-    (judge-verified in r06), so any window widening or the round-8
-    rotation reaches them first.  Both cohorts are DERIVED from the
-    recorded CORRECTNESS files, so the hand-written lists in
-    __spark_entry__ cannot silently drift from the ledger."""
+    snapshotted from the END-of-round repo state.  Round-8 contract
+    (verdict r07 tasks #1-2): positions 1-21 are the r5-vintage cohort
+    (first hash-green driver row = r05), positions 22-43 the 22
+    entries with NO driver row through r07, positions 44-50 a 7-entry
+    subset of the r2-vintage cohort (the oldest driver rows).
+    Positions 51-100 hold the planned round-9 window: first every
+    remaining entry whose LAST driver row is r02, then r1-vintage
+    entries last confirmed r05.  All cohorts are DERIVED from the
+    recorded CORRECTNESS_r01..r07 files (r08+ deliberately NOT read —
+    the contract pins the rotation as planned, not as later recorded),
+    so the hand-written lists in __spark_entry__ cannot silently drift
+    from the ledger."""
     import json
     import os
 
@@ -2873,7 +2936,8 @@ def test_driver_window_head_is_never_checked_rotation():
     keys = list(entrymod.queries().keys())
     assert len(keys) == len(set(keys)) == len(entrymod._queries_registry())
     first_green: dict[str, str] = {}
-    for r in ("01", "02", "03", "04", "05", "06"):
+    last_green: dict[str, str] = {}
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
@@ -2881,20 +2945,34 @@ def test_driver_window_head_is_never_checked_rotation():
                     # ledger semantics (SURVEY 7.5a): first HASH-GREEN row
                     if v.get("hash_match"):
                         first_green.setdefault(k, r)
+                        last_green[k] = r
     if first_green:
-        r4_cohort = {k for k, r in first_green.items() if r == "04"}
-        assert len(r4_cohort) == 50, len(r4_cohort)
-        head = keys[:50]
-        # the r4-vintage entries lead the window, all of them
-        assert set(head) == r4_cohort, sorted(
-            r4_cohort.symmetric_difference(head)
+        r5_cohort = {k for k, r in first_green.items() if r == "05"}
+        assert len(r5_cohort) == 21, len(r5_cohort)
+        assert set(keys[:21]) == r5_cohort, sorted(
+            r5_cohort.symmetric_difference(keys[:21])
         )
-        # positions 51-65: every ledgered entry with no driver row yet
         never = {k for k in keys if k not in first_green}
-        nxt = keys[50:50 + len(entrymod._DRIVER_WINDOW_NEXT)]
-        assert set(nxt) == set(entrymod._DRIVER_WINDOW_NEXT)
-        # no never-checked r6-vintage entry may sit BELOW position 65
-        assert never.issuperset(nxt) or never == set(), sorted(never)
+        assert len(never) == 22, sorted(never)
+        assert set(keys[21:43]) == never, sorted(
+            never.symmetric_difference(keys[21:43])
+        )
+        r2_cohort = {k for k, r in first_green.items() if r == "02"}
+        tail = set(keys[43:50])
+        assert tail <= r2_cohort, sorted(tail - r2_cohort)
+        # round-9 queue: the 12 last-green-r02 leftovers lead it...
+        stale_r02 = {k for k, r in last_green.items() if r == "02"} - tail
+        nxt = entrymod._DRIVER_WINDOW_NEXT
+        assert keys[50:50 + len(nxt)] == nxt
+        assert set(nxt[: len(stale_r02)]) == stale_r02, sorted(
+            stale_r02.symmetric_difference(nxt[: len(stale_r02)])
+        )
+        # ...followed only by entries last confirmed r05/r06
+        rest = nxt[len(stale_r02):]
+        assert all(last_green.get(k) in ("05", "06") for k in rest), [
+            (k, last_green.get(k)) for k in rest
+            if last_green.get(k) not in ("05", "06")
+        ]
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(keys)

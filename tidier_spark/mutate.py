@@ -345,9 +345,10 @@ def _apply_one(
                     df, inner, order_by=order_l, out=name, fn=fn
                 )
             except ValueError:
-                # e.g. a non-numeric or unnamed leading order key (bucket
-                # split points need an ordered numeric domain) — fall back
-                # to the reference-faithful single-partition lowering
+                # e.g. an unnamed or unbucketable leading order key
+                # (numeric/date/timestamp/string are supported; anything
+                # else raises) — fall back to the reference-faithful
+                # single-partition lowering
                 pass
         plan = compile_window(
             df,
@@ -424,9 +425,9 @@ def _apply_scale_safe_frame(
             desc=desc,
         )
     except ValueError:
-        # e.g. a non-numeric leading order key (split points need an
-        # ordered numeric domain) — fall back to the reference-faithful
-        # single-partition lowering
+        # e.g. an unbucketable leading order key (numeric/date/timestamp/
+        # string are supported; anything else raises) — fall back to the
+        # reference-faithful single-partition lowering
         return None
     for ph, call in calls:
         aug = aug.withColumn(ph, F.expr(call).over(spec))

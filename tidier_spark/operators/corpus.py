@@ -482,18 +482,25 @@ def shuffle_rows(
     prefix-combined and broadcast back as offsets.  n parallel tasks,
     two passes, exact integer positions.
     """
-    from ..window import scale_safe_cumulative
+    from ..window import scale_safe_cumulative, string_key_literal
 
     key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
     tagged = df.withColumn("__k", key)
-    # md5 keys are UNIFORM over the hex-string domain by construction, so
-    # the range-bucket split points are STATIC literals (uniform cuts of
-    # the 60-bit prefix projection _bucket_order_key applies to strings)
-    # — zero data passes to derive them, and the permutation stays a
-    # single-pass-over-input plan
+    # md5 keys are UNIFORM over the 32-hex-char string domain by
+    # construction, so the range-bucket split points are STATIC literals —
+    # uniform cuts of [0, 16^32) rendered as md5-shaped hex strings, then
+    # mapped through string_key_literal into the PROJECTED domain
+    # _bucket_order_key compares against (hex of the ASCII bytes; raw-
+    # domain cuts land everything in 1-3 buckets — ADVICE r7, simulated).
+    # Zero data passes to derive them, and the permutation stays a
+    # single-pass-over-input plan.
     n = df.sparkSession.sparkContext.defaultParallelism
-    dom = 16**15
-    splits = [(i + 1) * dom // n for i in range(n - 1)]
+    splits = sorted(
+        {
+            string_key_literal("%032x" % ((i + 1) * 16**32 // n))
+            for i in range(n - 1)
+        }
+    )
     ranked = scale_safe_cumulative(
         tagged, "1", order_by=["__k", id_col], out=out, fn="sum",
         split_points=splits,

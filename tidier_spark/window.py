@@ -263,8 +263,11 @@ def scale_safe_cumulative(
     Exact for integer/decimal aggregates; for doubles the additions
     re-associate (same caveat any distributed sum has).  ``cummean`` callers
     combine a sum pass and a count pass (Σ/Σ, never mean-of-means).  The
-    leading order key must be numeric/date/timestamp (bucket split points
-    need an ordered numeric domain).
+    leading order key must be numeric/date/timestamp/string — strings are
+    bucketed by their first-8-UTF-8-bytes projection (see
+    :func:`_bucket_order_key`; long-common-prefix populations collapse to
+    one bucket — correct but single-task; static ``split_points`` for a
+    string key must be derived via :func:`string_key_literal`).
     """
     if fn not in _PREFIX_COMBINE:
         raise ValueError(
@@ -330,7 +333,21 @@ def _bucket_order_key(df: DataFrame, col: str) -> Column:
     value (byte-lexicographic UTF-8 order == code-point order, and
     right-zero-padding keeps prefix order), so equal-prefix ties simply
     share a bucket — coarseness is fine for bucketing, which only needs
-    contiguity in the sort order, not injectivity."""
+    contiguity in the sort order, not injectivity.
+
+    HAZARD — prefix collapse: a string population sharing one long
+    common prefix (URLs, ``user_...`` ids) projects to ONE value, i.e.
+    one bucket — silently restoring the single-partition window the
+    scale_safe lowerings exist to avoid (results stay correct).  If the
+    leading order key can look like that, prepend a dispersing key
+    (a hash) or pass explicit ``split_points``.
+
+    Callers supplying static ``split_points`` for a string key MUST
+    derive them in THIS projected domain via
+    :func:`string_key_literal` — raw-domain literals land every row in
+    a handful of buckets (ADVICE r7: ASCII hex bytes occupy only
+    0x30-0x39/0x61-0x66, so uniform cuts of [0, 16^15) miss the data).
+    """
     dtype = df.schema[col].dataType
     if isinstance(dtype, T.StringType):
         hx = F.rpad(
@@ -341,6 +358,19 @@ def _bucket_order_key(df: DataFrame, col: str) -> Column:
         return F.conv(hx, 16, 10).cast("long")
     key, _, _ = _index_order_key(df, col)
     return key
+
+
+def string_key_literal(value: str) -> int:
+    """Python-side twin of :func:`_bucket_order_key`'s string branch:
+    the first 15 hex chars of the UTF-8 bytes, zero-right-padded, as an
+    integer.  Callers deriving STATIC ``split_points`` for a string
+    order key (e.g. :func:`~tidier_spark.operators.corpus.shuffle_rows`
+    over uniform md5 hex keys) must map their raw-domain boundaries
+    through this so the literals live in the same projected domain the
+    runtime compares against — kept adjacent to the Column version so
+    the two transforms can only change in lockstep."""
+    hx = value.encode("utf-8").hex().upper()[:15].ljust(15, "0")
+    return int(hx, 16)
 
 
 def _det_bucket_id(
@@ -436,9 +466,10 @@ def scale_safe_frame(
     predicate, and drops the helpers.  ROWS frames use a synthetic global
     row index (per-bucket ``row_number`` + broadcast prefix offsets), so
     the window's ORDER BY is tie-free by construction; the leading order
-    key must be numeric/date/timestamp (split points need an ordered
-    numeric domain — other types raise, and mutate falls back to the
-    reference-faithful lowering).  RANGE frames require a non-NULL index
+    key must be numeric/date/timestamp/string (strings via the 8-byte
+    UTF-8 prefix projection of :func:`_bucket_order_key`, with its
+    prefix-collapse hazard; unsupported types raise, and mutate falls
+    back to the reference-faithful lowering).  RANGE frames require a non-NULL index
     (checked JVM-side per row, loud error).
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
