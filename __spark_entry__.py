@@ -739,6 +739,32 @@ def _q_summarise_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pricing_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The DECIMAL(38) money escape hatch (verdict r07 task #7): the same
+    # TPC-H Q1 pricing shape as summarise_pricing, but the money columns
+    # aggregate as DECIMAL(38,2) — exact and association-order-independent
+    # at ANY magnitude (the penny-BIGINT default is exact only below 2^53
+    # pennies; docs/EDGE_SWEEP.md magnitude axis).  Output pennies as
+    # BIGINT (hash-stable across engines); the oracle routes DuckDB's
+    # double->decimal conversion through VARCHAR to pin the same
+    # shortest-repr rounding Spark uses (tidier_spark/money.py).
+    from pyspark.sql import functions as F
+
+    from tidier_spark import summarise
+    from tidier_spark.money import money_sum_pennies
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return summarise(
+        li,
+        sum_base_price_c=money_sum_pennies("l_extendedprice"),
+        sum_disc_price_c=money_sum_pennies(
+            "l_extendedprice * (1 - l_discount)"
+        ),
+        n="n()",
+        by=["l_returnflag", "l_linestatus"],
+    )
+
+
 def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice_max with ties (rank) — deterministic under ties, unlike
     # row_number without a full tiebreak.
@@ -4431,6 +4457,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_jaccard": _q_vocab_jaccard,
         "rolling_hll": _q_rolling_hll,
         "stream_hll": _q_stream_hll,
+        # -- round-8 additions
+        "pricing_decimal": _q_pricing_decimal,
     }
 
 
@@ -5240,6 +5268,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM fan f JOIN base b USING (day_us)
             GROUP BY 1""",
+        "pricing_decimal": """
+            -- CAST(v AS VARCHAR) pins DuckDB to the shortest-decimal
+            -- representation Spark's double->decimal conversion uses
+            -- (tidier_spark/money.py: money_cast_sql)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
+                                 AS DECIMAL(38,2))) * 100 AS BIGINT)
+                     AS sum_base_price_c,
+                   CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                                      AS VARCHAR)
+                                 AS DECIMAL(38,2))) * 100 AS BIGINT)
+                     AS sum_disc_price_c,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2""",
     }
 
 

@@ -1,0 +1,314 @@
+"""API-contract axis (verdict r07 task #5): degenerate / negative / zero
+parameters across the public operator surface.
+
+Contract: a meaningless parameter fails LOUDLY with a NAMED error (the
+message names the function or the parameter and its valid range) at call
+time — never a JVM arithmetic error deep inside a running job, a numpy
+stack trace, silent garbage, or (the worst found) a JVM SIGSEGV
+(``approx_count_distinct(rsd=0)`` crashes the whole session inside
+HLL++'s prepare path).  Parameters with a SENSIBLE degenerate meaning are
+documented passthroughs and pinned here instead:
+
+* top-k ``k=0`` → empty result (generated pipelines produce k=0)
+* ``n_per_group=0`` sampling → selects nothing
+* ``frame=(0, 0)`` → the current row alone (a real 1-row frame)
+* ``chunk_documents(stride > chunk_tokens)`` → gap sampling (documented)
+* ``n_probe > n_lists`` → clamps to full probe (== exact)
+* ``sessionize(gap_seconds=0)`` → ties share a session, any positive gap
+  starts one
+
+Probed empirically 2026-08-15 (round 8); every RAISE case below was a
+crash, a misleading internal error, or silent garbage before the named
+validation landed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (i, f"the quick brown fox {i} jumps over lazy dogs", "web", 7)
+            for i in range(6)
+        ],
+        ["doc_id", "text", "source", "n_tokens"],
+    )
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)], i % 2) for i in range(6)],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [(i, i % 2, float(i), "view") for i in range(6)],
+        ["event_id", "user_id", "value", "event_type"],
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("event_id") * 1_000_000
+        ),
+    )
+
+
+# --- loud-and-named cases ---------------------------------------------------
+# (case_id, module, build(df-kind) -> thunk, match regex)
+
+RAISES = [
+    # sketches — rsd=0 SIGSEGVed the JVM before the guard
+    ("rsd_zero", "ev", lambda m, d: m.approx_n_distinct(d, "user_id", rsd=0.0),
+     r"rsd must be in \(0, 1\)"),
+    ("rsd_one", "ev", lambda m, d: m.approx_n_distinct(d, "user_id", rsd=1.0),
+     r"rsd must be in \(0, 1\)"),
+    ("hll_lgk", "ev", lambda m, d: m.hll_partials(d, "user_id", lg_k=3),
+     r"lg_k must be in \[4, 21\]"),
+    ("theta_lgk", "ev", lambda m, d: m.theta_partials(d, "user_id", lg_k=0),
+     r"lg_k must be in \[4, 21\]"),
+    ("kll_k", "ev", lambda m, d: m.kll_partials(d, "value", k=0),
+     r"k must be in \[8, 65535\]"),
+    ("exact_q_prob", "ev", lambda m, d: m.exact_quantiles(d, "value", [-0.5]),
+     r"probabilities must be in \[0, 1\]"),
+    ("approx_q_prob", "ev", lambda m, d: m.approx_quantiles(d, "value", [1.5]),
+     r"probabilities must be in \[0, 1\]"),
+    ("topk_k_neg", "ev",
+     lambda m, d: m.topk_merged(m.topk_partials(d, "event_type"), k=-1),
+     r"k must be >= 0"),
+    ("topk_overfetch", "ev",
+     lambda m, d: m.topk_merged(m.topk_partials(d, "event_type"), k=2, overfetch=0),
+     r"overfetch must be >= 1"),
+    ("hll_trail_days", "ev",
+     lambda m, d: m.hll_trailing_distinct(d, "user_id", time_col="ts", window_days=0),
+     r"window_days must be >= 1"),
+    # dedup
+    ("minhash_k0", "docs", lambda m, d: m.minhash_signatures(d, k=0),
+     r"k must be >= 1"),
+    ("minhash_bands0", "docs", lambda m, d: m.minhash_candidate_pairs(d, bands=0),
+     r"bands must be >= 1"),
+    ("minhash_bands_nodiv", "docs",
+     lambda m, d: m.minhash_candidate_pairs(d, k=8, bands=3),
+     r"must divide k"),
+    ("shingle_n0", "docs", lambda m, d: m.near_dup_pairs(d, shingle_n=0),
+     r"shingle_n must be >= 1"),
+    ("ngram_shingle0", "docs", lambda m, d: m.ngram_jaccard_pairs(d, shingle_n=0),
+     r"shingle_n must be >= 1"),
+    ("emb_chunk0", "vecs", lambda m, d: m.embedding_near_dup(d, chunk_size=0),
+     r"chunk_size must be >= 1"),
+    ("emb_lsh_planes0", "vecs",
+     lambda m, d: m.embedding_near_dup_lsh(d, n_planes=0),
+     r"n_planes must be >= 1"),
+    ("simhash_block0", "docs",
+     lambda m, d: m.simhash_candidate_pairs(d, block_bits=0),
+     r"block_bits must be in"),
+    ("simhash_hamming_neg", "docs",
+     lambda m, d: m.simhash_candidate_pairs(d, max_hamming=-1),
+     r"max_hamming must be >= 0"),
+    # similarity
+    ("cosine_k_neg", "vecs", lambda m, d: m.cosine_topk(d, k=-1),
+     r"k must be >= 0"),
+    ("lsh_planes0", "vecs", lambda m, d: m.lsh_topk(d, n_planes=0),
+     r"n_planes must be >= 1"),
+    ("ivf_lists0", "vecs", lambda m, d: m.ivf_topk(d, n_lists=0),
+     r"n_lists must be >= 1"),
+    ("ivf_probe0", "vecs", lambda m, d: m.ivf_topk(d, n_probe=0),
+     r"n_probe must be >= 1"),
+    ("pq_codes0", "vecs", lambda m, d: m.pq_topk(d, m=2, n_codes=0),
+     r"n_codes must be >= 1"),
+    ("kmeans_k0", "vecs", lambda m, d: m.kmeans_fit(d, k=0),
+     r"n_clusters must be >= 1"),
+    # corpus
+    ("pack_budget0", "docs", lambda m, d: m.pack_sequences(d, budget=0),
+     r"budget must be >= 1"),
+    ("pack_budget_neg", "docs", lambda m, d: m.pack_sequences(d, budget=-5),
+     r"budget must be >= 1"),
+    ("hash_split_buckets0", "docs", lambda m, d: m.hash_split(d, buckets=0),
+     r"buckets must be >= 1"),
+    ("det_sample_neg", "docs",
+     lambda m, d: m.deterministic_sample(d, -3, by="source"),
+     r"n_per_group must be >= 0"),
+    ("weighted_sample_neg", "docs",
+     lambda m, d: m.weighted_sample(d, -1, weight_col="n_tokens"),
+     r"n_per_group must be >= 0"),
+    ("length_buckets_n0", "docs", lambda m, d: m.length_buckets(d, n_buckets=0),
+     r"n_buckets must be >= 1"),
+    ("length_buckets_batch0", "docs",
+     lambda m, d: m.length_buckets(d, batch_size=0),
+     r"batch_size must be >= 1"),
+    # quality
+    ("winsorize_inverted", "ev",
+     lambda m, d: m.winsorize(d, "value", lower=0.9, upper=0.1),
+     r"0 <= lower <= upper <= 1"),
+    ("winsorize_lo_neg", "ev", lambda m, d: m.winsorize(d, "value", lower=-0.5),
+     r"0 <= lower <= upper <= 1"),
+    ("robust_k_neg", "ev", lambda m, d: m.robust_outliers(d, "value", k=-1.0),
+     r"k must be >= 0"),
+    ("hashed_dim0", "docs", lambda m, d: m.hashed_features(d, dim=0),
+     r"dim must be >= 1"),
+    ("bm25_k_neg", "docs", lambda m, d: m.bm25_topk(d, ["fox"], k=-1),
+     r"k must be >= 0"),
+    ("rrf_kconst0", "docs", lambda m, d: m.rrf_fuse([d], k_const=0),
+     r"k_const must be >= 1"),
+    # temporal
+    ("sessionize_gap_neg", "ev",
+     lambda m, d: m.sessionize(d, "user_id", "ts", -5),
+     r"gap_seconds must be >= 0"),
+    ("gapfill_bucket0", "ev",
+     lambda m, d: m.time_bucket_gapfill(d, "user_id", "ts", "value", bucket_seconds=0),
+     r"bucket_seconds must be >= 1"),
+    ("twa_bucket0", "ev",
+     lambda m, d: m.time_weighted_avg(d, "user_id", "ts", "value", "event_id", bucket_seconds=0),
+     r"bucket_seconds must be >= 1"),
+    ("ewma_lookback0", "ev",
+     lambda m, d: m.ewma(d, "user_id", "ts", "value", "event_id", lookback=0),
+     r"lookback must be >= 1"),
+    ("funnel_steps_empty", "ev",
+     lambda m, d: m.funnel(d, "user_id", "ts", "event_type", []),
+     r"steps must be non-empty"),
+    ("asof_tol_neg", "ev",
+     lambda m, d: m.asof_join(
+         d, d.select("ts", F.col("value").alias("v2"), "user_id"),
+         on="user_id", time_col="ts", value_cols=["v2"], tolerance_us=-5),
+     r"tolerance_us must be >= 0"),
+    # text
+    ("shingles_n0", "docs",
+     lambda m, d: d.select(m.shingles("text", n=0)),
+     r"n must be >= 1"),
+]
+
+MODS = {
+    "ev": "tidier_spark.operators.sketches",
+    "docs": "tidier_spark.operators.dedup",
+    "vecs": "tidier_spark.operators.similarity",
+}
+
+
+def _mod_for(case_id: str):
+    import tidier_spark.operators.corpus as cp
+    import tidier_spark.operators.dedup as dd
+    import tidier_spark.operators.graph as gr
+    import tidier_spark.operators.quality as q
+    import tidier_spark.operators.similarity as sim
+    import tidier_spark.operators.sketches as sk
+    import tidier_spark.operators.temporal as tp
+    import tidier_spark.operators.text as tx
+
+    for prefix, mod in (
+        ("rsd", sk), ("hll", sk), ("theta", sk), ("kll", sk),
+        ("exact_q", sk), ("approx_q", sk), ("topk", sk),
+        ("minhash", dd), ("shingle", dd), ("ngram", dd), ("emb", dd),
+        ("simhash", dd),
+        ("cosine", sim), ("lsh", sim), ("ivf", sim), ("pq", sim),
+        ("kmeans", sim),
+        ("pack", cp), ("hash_split", cp), ("det_sample", cp),
+        ("weighted_sample", cp), ("length_buckets", cp),
+        ("winsorize", q), ("robust", q), ("hashed", q), ("bm25", q),
+        ("rrf", q),
+        ("sessionize", tp), ("gapfill", tp), ("twa", tp), ("ewma", tp),
+        ("funnel", tp), ("asof", tp),
+        ("shingles", tx),
+        ("pagerank", gr), ("cc_", gr),
+    ):
+        if case_id.startswith(prefix):
+            return mod
+    raise KeyError(case_id)
+
+
+@pytest.mark.parametrize(
+    "case_id,kind,thunk,match", RAISES, ids=[c[0] for c in RAISES]
+)
+def test_degenerate_param_raises_named(case_id, kind, thunk, match, request):
+    frame = request.getfixturevalue(kind)
+    mod = _mod_for(case_id)
+    with pytest.raises(ValueError, match=match):
+        # validation must fire at CALL time, before any job runs — the
+        # thunk result is not even collected
+        thunk(mod, frame)
+
+
+def test_graph_iter_params_raise_named(spark):
+    import tidier_spark.operators.graph as gr
+
+    edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    with pytest.raises(ValueError, match=r"max_iter must be >= 1"):
+        gr.connected_components(edges, nodes, max_iter=0)
+    with pytest.raises(ValueError, match=r"iters must be >= 1"):
+        gr.pagerank(edges, nodes, iters=0)
+
+
+# --- documented passthroughs -------------------------------------------------
+
+
+def test_topk_k0_is_empty(vecs, docs):
+    from tidier_spark.operators.quality import bm25_topk
+    from tidier_spark.operators.similarity import cosine_topk
+
+    assert cosine_topk(vecs, k=0).count() == 0
+    assert bm25_topk(docs, ["fox"], k=0).count() == 0
+
+
+def test_sample_n0_selects_nothing(docs):
+    from tidier_spark.operators.corpus import (
+        deterministic_sample,
+        weighted_sample,
+    )
+
+    assert deterministic_sample(docs, 0, by="source").count() == 0
+    assert weighted_sample(docs, 0, weight_col="n_tokens").count() == 0
+
+
+def test_frame_00_is_current_row(ev):
+    from tidier_spark.mutate import mutate
+
+    rows = (
+        mutate(ev, m="avg(value)", order_by=["ts"], frame=(0, 0))
+        .select("value", "m")
+        .collect()
+    )
+    assert rows and all(r.m == r.value for r in rows)
+
+
+def test_frame_reversed_raises_loud(ev):
+    # lo > hi is not a frame; Spark names the bad comparison at analysis
+    from pyspark.sql.utils import AnalysisException
+
+    from tidier_spark.mutate import mutate
+
+    with pytest.raises(AnalysisException):
+        mutate(ev, m="avg(value)", order_by=["ts"], frame=(-3, -5)).collect()
+
+
+def test_ivf_probe_clamps_to_full(vecs):
+    from tidier_spark.operators.similarity import ivf_topk
+
+    full = ivf_topk(vecs, k=2, n_lists=2, n_probe=2)
+    over = ivf_topk(vecs, k=2, n_lists=2, n_probe=99)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, over.collect()))
+
+
+def test_sessionize_gap0_ties_share_session(spark):
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1_000_000), (2, 1_000_000), (3, 2_000_000)],
+        ["event_id", "us"],
+    ).select(
+        "event_id",
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    out = sessionize(df, "user_id", "ts", 0, tiebreak_cols=["event_id"])
+    sess = {r.event_id: r.session_id for r in out.collect()}
+    assert sess[1] == sess[2] != sess[3]

@@ -2953,9 +2953,13 @@ def test_driver_window_head_is_never_checked_rotation():
             r5_cohort.symmetric_difference(keys[:21])
         )
         never = {k for k in keys if k not in first_green}
-        assert len(never) == 22, sorted(never)
-        assert set(keys[21:43]) == never, sorted(
-            never.symmetric_difference(keys[21:43])
+        # positions 22-43: the 22 entries that had no driver row at the
+        # r7->r8 rotation (round-8 ADDITIONS also have none yet — they
+        # are `never` members but sit after position 50, reached by a
+        # later rotation)
+        assert len(set(keys[21:43])) == 22
+        assert set(keys[21:43]) <= never, sorted(
+            set(keys[21:43]) - never
         )
         r2_cohort = {k for k, r in first_green.items() if r == "02"}
         tail = set(keys[43:50])

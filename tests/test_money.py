@@ -1,0 +1,106 @@
+"""DECIMAL(38) money-aggregate escape hatch (verdict r07 task #7).
+
+The crafted differential lives at 3e14 + cents — past the 2^53 penny
+cliff (|v·100| ≈ 3e16, double ulp > 1) where the default fixed-point
+path is documented-inexact (docs/EDGE_SWEEP.md magnitude axis), but
+well inside DECIMAL(38,2) and BIGINT-penny range.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tidier_spark.money import (
+    money_avg,
+    money_cast,
+    money_sum,
+    money_sum_pennies,
+    money_sum_pennies_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def big_money(spark):
+    # 200 doubles around 3e14 with cent parts; 3 groups
+    vals = [3.0e14 + i * 1.37e10 + 0.37 + 0.01 * (i % 7) for i in range(200)]
+    pdf = pd.DataFrame({"g": [i % 3 for i in range(200)], "v": vals})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_decimal_sum_matches_duckdb_at_1e14(big_money):
+    """Spark decimal pennies == DuckDB decimal pennies (via the
+    shortest-repr VARCHAR hop), bit-exact, at a magnitude where the
+    engines' DEFAULT penny paths are out of the exact domain."""
+    df, pdf = big_money
+    got = {
+        r.g: r.s
+        for r in df.groupBy("g")
+        .agg(F.expr(money_sum_pennies("v")).alias("s"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(
+        con.execute(
+            f"SELECT g, {money_sum_pennies_sql('v')} AS s FROM t GROUP BY g"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want, (got, want)
+
+
+def test_decimal_sum_is_partition_independent(big_money):
+    """The point of the hatch: the decimal total is identical under any
+    partitioning / aggregation order (128-bit exact accumulation) —
+    where the double path's sum re-associates."""
+    df, _ = big_money
+    total = lambda frame: frame.agg(  # noqa: E731
+        F.expr(money_sum_pennies("v")).alias("s")
+    ).collect()[0].s
+    assert total(df) == total(df.repartition(13)) == total(df.repartition(1))
+
+
+def test_default_penny_path_documented_inexact_here(big_money):
+    """Prove the hatch matters: at this magnitude round(v*100) pennies
+    drift from the decimal-exact cents (double ulp > 1 ⇒ the binary
+    value cannot hold the cent).  If this ever starts matching, the
+    escape hatch documentation is stale."""
+    df, _ = big_money
+    dec = df.agg(F.expr(money_sum_pennies("v")).alias("s")).collect()[0].s
+    pen = df.agg(
+        F.expr("CAST(sum(round(v * 100)) AS BIGINT)").alias("s")
+    ).collect()[0].s
+    assert dec != pen
+
+
+def test_decimal_overflow_is_loud(spark):
+    """Past BIGINT pennies the hatch RAISES (ANSI) — never wraps."""
+    pdf = pd.DataFrame({"v": [1.5e15 + i * 1.0e11 for i in range(200)]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        df.agg(F.expr(money_sum_pennies("v")).alias("s")).collect()
+
+
+def test_money_avg_and_cast_shapes(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [1.005, 2.015, 3.025]}))
+    row = df.agg(
+        F.expr(money_avg("v")).alias("a"),
+        F.expr(money_sum("v")).alias("s"),
+    ).collect()[0]
+    # HALF_UP at the cent on the shortest repr: 1.005 -> 1.01,
+    # 2.015 -> 2.02, 3.025 -> 3.03 (the written text IS the shortest
+    # repr of each parsed double, so the decimal sees the written
+    # half-cents and rounds them all up)
+    assert str(row.s) == "6.06" and str(row.a) == "2.020000"
+    sel = df.select(F.expr(money_cast("v")).alias("c"))
+    assert sel.schema["c"].dataType.simpleString() == "decimal(38,2)"
+
+
+def test_money_scale_validated():
+    with pytest.raises(ValueError, match=r"scale must be in \[0, 18\]"):
+        money_cast("v", scale=-1)
+    with pytest.raises(ValueError, match=r"scale must be in \[0, 18\]"):
+        money_sum_pennies("v", scale=19)

@@ -161,6 +161,10 @@ def pack_sequences(
     range-partitioned prefix sum, n parallel tasks, exact for the integer
     token counts.
     """
+    if budget < 1:
+        # budget=0 dies as a JVM DIVIDE_BY_ZERO deep in the prefix plan;
+        # budget<0 is worse — it silently emits nonsense bin ids
+        raise ValueError(f"pack_sequences: budget must be >= 1, got {budget}")
     from ..window import scale_safe_cumulative
     from .text import token_count
 
@@ -206,6 +210,8 @@ def hash_split(
     """
     from .text import hash60
 
+    if buckets < 1:
+        raise ValueError(f"hash_split: buckets must be >= 1, got {buckets}")
     if fracs is None:
         fracs = {"train": 0.9, "val": 0.05, "test": 0.05}
     if abs(sum(fracs.values()) - 1.0) > 1e-9:
@@ -268,7 +274,14 @@ def deterministic_sample(
 
     Plan: one window shuffle on the group keys; the hash is a scalar
     expression.  Changing ``salt`` redraws the sample.
+
+    ``n_per_group=0`` selects nothing (documented passthrough for
+    generated pipelines); negative n is a caller bug and raises.
     """
+    if n_per_group < 0:
+        raise ValueError(
+            f"deterministic_sample: n_per_group must be >= 0, got {n_per_group}"
+        )
     from pyspark.sql import Window
 
     from .text import hash60
@@ -423,7 +436,12 @@ def weighted_sample(
     portability.)
 
     Plan: one scalar hash + one window shuffle on the group keys.
+    ``n_per_group=0`` selects nothing; negative n raises (caller bug).
     """
+    if n_per_group < 0:
+        raise ValueError(
+            f"weighted_sample: n_per_group must be >= 0, got {n_per_group}"
+        )
     from pyspark.sql import Window
 
     from .text import hash60
@@ -801,6 +819,10 @@ def length_buckets(
       on the bucket id, and equal-frequency buckets are balanced by
       construction — no hot partition).
     """
+    if n_buckets < 1:
+        raise ValueError(f"length_buckets: n_buckets must be >= 1, got {n_buckets}")
+    if batch_size < 1:
+        raise ValueError(f"length_buckets: batch_size must be >= 1, got {batch_size}")
     from .text import token_count
 
     # NULL text counts as 0 tokens: engines disagree on NULL sort order

@@ -119,11 +119,17 @@ def _distinct_shingles(
     persist it: the tokenize→shingle→explode lineage is the expensive part
     and would otherwise be recomputed by every consumer.
 
+    ``shingle_n`` is validated here, at the one shared producer: n=0
+    silently degenerates every document to the same empty shingle set —
+    all-pairs candidates, quadratic AND wrong.
+
     Tokens are materialized into a column BEFORE the shingle lambda: a
     ``slice(tokens(text), i, n)`` lambda re-runs the regex tokenizer per
     shingle index (O(doc_len · n_shingles) — 8s for 5k docs at sf0.1);
     over a column reference it is O(doc_len).
     """
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
     from .text import tokens
 
     df = _fan_out(df)
@@ -158,6 +164,8 @@ def minhash_signatures(
     One explode + one groupBy: shuffle is on ``id_col`` only.  MinHash is
     duplicate-insensitive, so distinct shingles give identical signatures.
     """
+    if k < 1:
+        raise ValueError(f"minhash_signatures: k must be >= 1, got {k}")
     sh = (
         _shingle_df
         if _shingle_df is not None
@@ -184,6 +192,8 @@ def minhash_candidate_pairs(
     rows-per-band r = k // bands; band signature = md5 of its r min-hashes.
     The pair join is an equi-join on (band, sig) — never a cross join.
     """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     r = k // bands
@@ -290,6 +300,8 @@ def banded_signatures(
     as a table, and every later :func:`dedup_against` /
     ``stream_dedup_against`` batch joins against it instead of
     re-aggregating the reference side's min-hashes."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     r = k // bands
@@ -346,6 +358,8 @@ def dedup_against(
     (doc, band) — so reruns pay only the candidate join +
     verification).
     """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     if k % bands:
         raise ValueError(f"bands={bands} must divide k={k} (k % bands == 0)")
     from pyspark import StorageLevel
@@ -597,6 +611,10 @@ def embedding_near_dup(
     admits no pruning; for the bucketed-candidate variant (approximate,
     subquadratic) see :func:`embedding_near_dup_lsh`.
     """
+    if chunk_size < 1:
+        raise ValueError(
+            f"embedding_near_dup: chunk_size must be >= 1, got {chunk_size}"
+        )
     import math
 
     import numpy as np
@@ -720,6 +738,9 @@ def embedding_near_dup_lsh(
     through two joins — Σ_bucket |b|² BLAS flops inside the bucket are
     orders cheaper (measured 12.6 s → ~2 s at sf0.1).
     """
+    for nm, v in (("n_planes", n_planes), ("n_tables", n_tables), ("n_dims", n_dims)):
+        if v < 1:
+            raise ValueError(f"embedding_near_dup_lsh: {nm} must be >= 1, got {v}")
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -860,6 +881,15 @@ def simhash_candidate_pairs(
     at 60 bits; larger ``max_hamming`` makes this a recall-bounded heuristic
     (documented, deterministic).
     """
+    if not 1 <= block_bits <= SIMHASH_BITS:
+        raise ValueError(
+            f"simhash_candidate_pairs: block_bits must be in "
+            f"[1, {SIMHASH_BITS}], got {block_bits}"
+        )
+    if max_hamming < 0:
+        raise ValueError(
+            f"simhash_candidate_pairs: max_hamming must be >= 0, got {max_hamming}"
+        )
     from pyspark import StorageLevel
 
     sigs = simhash(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)

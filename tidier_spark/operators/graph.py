@@ -69,6 +69,11 @@ def connected_components(
     fraction of the documents — the loop's shuffle volume is bounded by
     it, not by |nodes|.
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"connected_components: max_iter must be >= 1, got {max_iter} "
+            "(0 iterations would silently return unmerged labels)"
+        )
     # EAGERLY checkpoint the EDGE LIST itself (one materialization of the
     # expensive upstream pair pipeline — minhash banding + jaccard
     # verify; persist()-then-union would race the two orientations'
@@ -167,6 +172,10 @@ def connected_components_star(
     round's frame is localCheckpoint-ed to truncate the growing plan —
     the iterative-Spark discipline of :func:`connected_components`.
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"connected_components_star: max_iter must be >= 1, got {max_iter}"
+        )
     e0 = (
         edges.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
@@ -299,6 +308,11 @@ def pagerank(
     graph); both frames are edge/node-sized, never corpus-row-sized.
     Returns ``(id_col, pr_fp)``.
     """
+    if iters < 1:
+        raise ValueError(
+            f"pagerank: iters must be >= 1, got {iters} "
+            "(0 iterations would silently return the uniform init vector)"
+        )
     n = nodes.count()
     if n == 0:
         return nodes.select(

@@ -168,6 +168,8 @@ def salient_terms(
     a sort-merge join on term, skew-bounded because stopword-heavy hot
     terms are still one row each on the df side.
     """
+    if k < 0:
+        raise ValueError(f"salient_terms: k must be >= 0, got {k}")
     from .text import tokens
 
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
@@ -230,6 +232,8 @@ def hashed_features(
     Plan: tokenize → explode → one groupBy on (id, bucket) with map-side
     partial counts.  One shuffle, keys led by the doc id (no hot keys).
     """
+    if dim < 1:
+        raise ValueError(f"hashed_features: dim must be >= 1, got {dim}")
     from .dedup import _fan_out
     from .text import hash60, tokens
 
@@ -616,6 +620,8 @@ def bm25_topk(
     only.  Docs with zero tokens contribute nothing to N/Σdl in either
     engine (they also can't match a term), keeping the mirrors aligned.
     """
+    if k < 0:
+        raise ValueError(f"bm25_topk: k must be >= 0, got {k}")
     from .text import tokens
 
     if not query_terms:
@@ -743,6 +749,8 @@ def term_overlap_topk(
     term array — no explode, no shuffle); the global top-k lowers to
     TakeOrdered exactly as in :func:`bm25_topk`.
     """
+    if k < 0:
+        raise ValueError(f"term_overlap_topk: k must be >= 0, got {k}")
     from .text import tokens
 
     if not query_terms:
@@ -820,6 +828,10 @@ def rrf_fuse(
     over at most Σkᵢ rows — model-sized, never corpus-sized.  Returns
     ``(rank, id, rrf_fp)``.
     """
+    if k < 0:
+        raise ValueError(f"rrf_fuse: k must be >= 0, got {k}")
+    if k_const < 1:
+        raise ValueError(f"rrf_fuse: k_const must be >= 1, got {k_const}")
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
     scored = None
@@ -876,6 +888,8 @@ def robust_outliers(
     midpoint halves at worst — engine-portable doubles; the flag
     comparison replays identically on any engine.
     """
+    if k < 0:
+        raise ValueError(f"robust_outliers: k must be >= 0, got {k}")
     keys = [by] if isinstance(by, str) else list(by or [])
     ids = id_cols or []
     pct = (
@@ -1128,6 +1142,10 @@ def winsorize(
     ``exact=False`` swaps in ``percentile_approx`` (the bounded-state
     100 TB lowering).
     """
+    if not 0.0 <= lower <= upper <= 1.0:
+        raise ValueError(
+            f"winsorize: need 0 <= lower <= upper <= 1, got ({lower}, {upper})"
+        )
     keys = [by] if isinstance(by, str) else list(by or [])
     ids = id_cols or []
     probs = F.array(F.lit(float(lower)), F.lit(float(upper)))

@@ -95,6 +95,21 @@ def unit_vectors(df: DataFrame, id_col: str, vec_col: str, out: str = "__uv") ->
     )
 
 
+def _check_topk_params(fn: str, **params: int) -> None:
+    """Named bound checks for the ANN family: k >= 0 (k=0 is the documented
+    empty search — useful in generated pipelines), every structural
+    parameter >= 1.  Without these the failure modes are a numpy
+    "argmax of an empty sequence" (n_lists=0), an empty-projection Python
+    worker crash (n_planes=0), or — worst — k<0 silently returning EVERY
+    pair (a negative rank bound inverts the cut)."""
+    k = params.pop("k", None)
+    if k is not None and k < 0:
+        raise ValueError(f"{fn}: k must be >= 0, got {k}")
+    for name, v in params.items():
+        if v < 1:
+            raise ValueError(f"{fn}: {name} must be >= 1, got {v}")
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -122,6 +137,7 @@ def cosine_topk(
       crossJoin of pre-normalized vectors — the portable fallback and the
       form the DuckDB oracle mirrors exactly.
     """
+    _check_topk_params("cosine_topk", k=k, chunk_size=chunk_size)
     df = nonzero_vectors(df, vec_col)
     if queries is not None:
         queries = nonzero_vectors(queries, vec_col)
@@ -542,6 +558,9 @@ def lsh_topk(
     on neighbor id.  Recall < 1 by construction; raise n_tables / lower
     n_planes to trade cost for recall.
     """
+    _check_topk_params(
+        "lsh_topk", k=k, n_planes=n_planes, n_tables=n_tables, n_dims=n_dims
+    )
     from pyspark.sql import Window
 
     sigs = _lsh_signatures(
@@ -673,6 +692,7 @@ def train_quantizer(
     broadcast regardless of table size.  ``_sample`` lets callers pass a
     pre-collected ``_training_sample`` frame (same first-rows contract) to
     share one collection across trainers."""
+    _check_topk_params("train_quantizer", n_lists=n_lists)
     import numpy as np
 
     sample = (
@@ -756,6 +776,7 @@ def ivf_topk(
     lives only inside the bucket matmuls; no pair join materializes.
     Recall rises with ``n_probe`` (== n_lists ⇒ exact).
     """
+    _check_topk_params("ivf_topk", k=k, n_lists=n_lists, n_probe=n_probe)
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -995,6 +1016,10 @@ def pq_topk(
     other ANN paths.  Approximate by construction; the entry carries a
     recall guarantee row and pytest holds the recall differential.
     """
+    _check_topk_params(
+        "pq_topk", k=k, m=m, n_codes=n_codes,
+        **({} if shortlist is None else {"shortlist": shortlist}),
+    )
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1214,6 +1239,10 @@ def ivfpq_topk(
     6-decimal rounding before ranking).  Recall rises with ``n_probe`` and
     ``shortlist``; the entry carries a recall guarantee row.
     """
+    _check_topk_params(
+        "ivfpq_topk", k=k, n_lists=n_lists, n_probe=n_probe, m=m,
+        n_codes=n_codes, shortlist=shortlist,
+    )
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1356,6 +1385,7 @@ def kmeans_fit(
     Returns ``(id, cluster)`` for the assignment under the FINAL
     centroids (i.e. ``iters`` updates then one assignment pass).
     """
+    _check_topk_params("kmeans_fit", k=None, n_clusters=k)
     # localCheckpoint, not persist (ADVICE r05 #4): same one-time
     # materialization for the iters+1 passes, but the storage is released
     # when the returned frame (which references it) is garbage-collected,

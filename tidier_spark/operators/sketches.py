@@ -54,6 +54,22 @@ def _keys(by: object) -> list[str]:
     return [by] if isinstance(by, str) else list(by or [])
 
 
+def _check_probs(fn: str, probs: list[float]) -> None:
+    # out-of-range probabilities are NOT uniformly loud downstream:
+    # percentile_approx raises, but the exact lowering's pos arithmetic
+    # silently clamps into garbage — validate at the API boundary
+    bad = [p for p in probs if not 0.0 <= p <= 1.0]
+    if bad:
+        raise ValueError(f"{fn}: probabilities must be in [0, 1], got {bad}")
+
+
+def _check_lg_k(fn: str, lg_k: int) -> None:
+    # mirror the DataSketches bound analysis-time (the engine error only
+    # surfaces when a task runs, deep in a possibly-large job)
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"{fn}: lg_k must be in [4, 21], got {lg_k}")
+
+
 def approx_n_distinct(
     df: DataFrame, col: str, *, by: object = None, rsd: float = 0.05
 ) -> DataFrame:
@@ -62,6 +78,13 @@ def approx_n_distinct(
     One shuffle on the group keys; the shuffled payload per group is the
     HLL register array (KBs), independent of the true cardinality.
     """
+    # rsd=0 does not merely error: Spark's HLL++ prepare path SIGSEGVs the
+    # JVM (measured: UnsafeRow.getLong crash, whole session gone) — guard
+    # BEFORE anything reaches the executor
+    if not 0 < rsd < 1:
+        raise ValueError(
+            f"approx_n_distinct: rsd must be in (0, 1), got {rsd}"
+        )
     keys = _keys(by)
     agg = F.approx_count_distinct(col, rsd).alias(f"approx_n_{col}")
     return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
@@ -82,6 +105,7 @@ def hll_partials(
     these cells are written once per batch and persisted; totals come from
     :func:`hll_merge` over any subset of cells, never from re-scanning.
     """
+    _check_lg_k("hll_partials", lg_k)
     keys = _keys(by) + _keys(part)
     return df.groupBy(*keys).agg(
         F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll_sketch")
@@ -118,6 +142,7 @@ def approx_quantiles(
     per group is O(accuracy), vs a full sort for exact percentile — the
     difference between a bounded hash aggregate and a spill at 100 TB.
     """
+    _check_probs("approx_quantiles", probs)
     keys = _keys(by)
     agg = F.percentile_approx(
         F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
@@ -183,6 +208,7 @@ def exact_quantiles(
     """
     from pyspark.sql import Window
 
+    _check_probs("exact_quantiles", probs)
     keys = _keys(by)
     counts = (
         df.where(F.col(col).isNotNull())
@@ -318,6 +344,8 @@ def kll_partials(
     :func:`kll_merged_quantiles` without touching raw data.  Normalized
     rank error ~0.8% at the default k=1600.
     """
+    if not 8 <= k <= 65535:
+        raise ValueError(f"kll_partials: k must be in [8, 65535], got {k}")
     keys = _keys(by) + _keys(part)
     # NULL values contribute nothing to a quantile sketch; a cell with
     # ZERO non-NULL values would otherwise emit an empty sketch buffer
@@ -344,6 +372,7 @@ def kll_merged_quantiles(
     not per row: its size is the partial count, bounded and small by
     construction.  Output: ``approx_q`` array aligned with ``probs``.
     """
+    _check_probs("kll_merged_quantiles", probs)
     keys = _keys(by)
     arr = ", ".join(f"{float(p)!r}D" for p in probs)
     fold = (
@@ -379,6 +408,7 @@ def theta_partials(
     many distinct users did both X and Y" over 100 TB without shuffling
     every raw id: per-segment KB-sized sketches combine in milliseconds.
     """
+    _check_lg_k("theta_partials", lg_k)
     keys = _keys(by) + _keys(part)
     agg = F.theta_sketch_agg(F.col(col), F.lit(lg_k)).alias("theta_sketch")
     return df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
@@ -473,6 +503,10 @@ def topk_merged(
     """
     from pyspark.sql import Window
 
+    if k < 0:
+        raise ValueError(f"topk_merged: k must be >= 0, got {k}")
+    if overfetch < 1:
+        raise ValueError(f"topk_merged: overfetch must be >= 1, got {overfetch}")
     keys = _keys(by)
     est_k = min(int(k) * max(1, int(overfetch)), int(max_items_tracked))
     # combine and estimate in two steps: an UNGROUPED combine over zero
@@ -620,6 +654,11 @@ def hll_trailing_distinct(
     """
     from pyspark.sql import Window
 
+    if window_days < 1:
+        raise ValueError(
+            f"hll_trailing_distinct: window_days must be >= 1, got {window_days}"
+        )
+    _check_lg_k("hll_trailing_distinct", lg_k)
     keys = _keys(by)
     day_us = F.unix_micros(F.date_trunc("DAY", F.col(time_col)))
     parts = df.withColumn("__day_us", day_us).groupBy(*keys, "__day_us").agg(

@@ -74,6 +74,10 @@ def asof_join(
     the supplying row's time — not the nearest right row's — is the
     honest staleness).  Same plan; one extra windowed column per value.
     """
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(
+            f"asof_join: tolerance_us must be >= 0, got {tolerance_us}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
@@ -286,6 +290,8 @@ def sessionize(
     session boundary become partition/engine-dependent — pass a unique id
     column to make the assignment deterministic.
     """
+    if gap_seconds < 0:
+        raise ValueError(f"sessionize: gap_seconds must be >= 0, got {gap_seconds}")
     t = F.unix_micros(F.col(time_col))
     order = [t, *(F.col(c) for c in tiebreak_cols)]
     w = Window.partitionBy(key_col).orderBy(*order)
@@ -396,6 +402,8 @@ def funnel(
     definition ("earliest qualifying completion") matches the standard
     product-analytics semantics.
     """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
     t = F.unix_micros(F.col(time_col))
     stage = (
         df.where(F.col(step_col) == steps[0])
@@ -591,6 +599,10 @@ def time_bucket_gapfill(
     bucket.  Grid join and window share the key partitioning, so AQE
     plans them without a second exchange of the data rows.
     """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"time_bucket_gapfill: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
     if fill not in ("locf", "zero", "null", "linear"):
         raise ValueError("fill must be locf|zero|null|linear")
     b_us = int(bucket_seconds) * 1_000_000
@@ -761,6 +773,8 @@ def ewma(
     Reference analog: tidier's rows-frame mean over ``[-K, 0]``
     (``R/mutate.R:164-176``) with geometric instead of uniform weights.
     """
+    if lookback < 1:
+        raise ValueError(f"ewma: lookback must be >= 1, got {lookback}")
     w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
     x = F.round(F.col(value_col) * 100).cast("bigint")
     num = F.lit(0).cast("bigint")
@@ -843,6 +857,10 @@ def time_weighted_avg(
     co-partitioned with the window exchange under AQE.  No self-join, no
     per-key collection: scale-safe at any key cardinality.
     """
+    if bucket_seconds < 1:
+        raise ValueError(
+            f"time_weighted_avg: bucket_seconds must be >= 1, got {bucket_seconds}"
+        )
     b_us = bucket_seconds * 1_000_000
     w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
     t = F.unix_micros(F.col(time_col))
@@ -999,6 +1017,10 @@ def funnel_windowed(
     Earliest-qualifying semantics: each step time is the MIN event time
     that both follows and is within window of the previous step time.
     """
+    if not steps:
+        raise ValueError("funnel_windowed: steps must be non-empty")
+    if within_us < 0:
+        raise ValueError(f"funnel_windowed: within_us must be >= 0, got {within_us}")
     t = F.unix_micros(F.col(time_col))
     stage = (
         df.where(F.col(step_col) == steps[0])

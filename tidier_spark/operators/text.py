@@ -166,6 +166,8 @@ def fingerprint(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (input to MinHash)."""
+    if n < 1:
+        raise ValueError(f"shingles: n must be >= 1, got {n}")
     t = tokens(col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0))),
