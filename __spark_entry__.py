@@ -2860,6 +2860,22 @@ def _q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return budget_mix(docs, budget_tokens=15000, weights=_MIX_WEIGHTS)
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-weighted source mixture (round 8): budget shares
+    # proportional to n_source^0.5 — the T5/LLaMA low-resource-upweight
+    # rule — with the exponent lowered to an EXACT integer sqrt chain so
+    # weights/targets/thresholds are integer arithmetic, bit-equal on
+    # both engines (no libm pow).  Same one-stats-pass + broadcast-gate
+    # plan as budget_mix.
+    from tidier_spark.operators.corpus import temperature_mix
+    from tidier_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return temperature_mix(docs, budget_tokens=15000, alpha=0.5)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed BPE vocabulary training: one corpus pass builds the
     # word-count vocabulary; every merge round then runs on the (small)
@@ -4459,7 +4475,14 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": _q_stream_hll,
         # -- round-8 additions
         "pricing_decimal": _q_pricing_decimal,
+        "temperature_mix": _q_temperature_mix,
     }
+
+
+def _temperature_mix_oracle() -> str:
+    from tidier_spark.operators.corpus import temperature_mix_sql
+
+    return temperature_mix_sql("documents", 15000, alpha=0.5)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5268,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM fan f JOIN base b USING (day_us)
             GROUP BY 1""",
+        "temperature_mix": _temperature_mix_oracle(),
         "pricing_decimal": """
             -- CAST(v AS VARCHAR) pins DuckDB to the shortest-decimal
             -- representation Spark's double->decimal conversion uses

@@ -75,6 +75,43 @@ def main():
         ("single_part_frame", "6M rows", timeit(bframe(6_000_000, False)))
     )
 
+    # 1c. RANGE-mode ungrouped frame (value-halo exchange on a timestamp
+    # index — o5_range_scale's shape; r8: only ROWS mode had probe rows)
+    def rframe(n, scale_safe=True):
+        from tidier_spark.frames import seconds
+
+        df = spark.range(n).select(
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+            (F.xxhash64("id") % 1000).alias("v"),
+        )
+        out = mutate(
+            df, m="r_mean(v)", index="ts",
+            frame=(seconds(30), seconds(0)), scale_safe=scale_safe,
+        )
+        return lambda: out.agg(F.sum("m")).collect()
+
+    rows.append(("scale_safe_range", "6M rows", timeit(rframe(6_000_000))))
+    rows.append(("scale_safe_range", "60M rows", timeit(rframe(60_000_000))))
+    rows.append(
+        ("single_part_range", "6M rows", timeit(rframe(6_000_000, False)))
+    )
+
+    # 1d. stream_hll's BATCH TWIN (windowed approx-distinct, the shape the
+    # stream replays): state per window is one HLL register set — the
+    # probe pins that wall scales with row count, not distinct count
+    def whll(n):
+        df = spark.range(n).select(
+            F.timestamp_micros(F.col("id") * 1_000).alias("ts"),
+            (F.xxhash64("id") % 100_000).alias("user_id"),
+        )
+        out = df.groupBy(F.window("ts", "1 day")).agg(
+            F.approx_count_distinct("user_id", 0.01).alias("n")
+        )
+        return lambda: out.agg(F.sum("n")).collect()
+
+    rows.append(("windowed_hll_batch", "6M rows", timeit(whll(6_000_000))))
+    rows.append(("windowed_hll_batch", "60M rows", timeit(whll(60_000_000))))
+
     # 2. exact dedup (hash-agg fingerprints), ~50% duplicate rate
     from tidier_spark.operators.dedup import exact_dedup
 

@@ -312,3 +312,69 @@ def test_sessionize_gap0_ties_share_session(spark):
     out = sessionize(df, "user_id", "ts", 0, tiebreak_cols=["event_id"])
     sess = {r.event_id: r.session_id for r in out.collect()}
     assert sess[1] == sess[2] != sess[3]
+
+
+# --- temperature_mix (round 8) ----------------------------------------------
+
+
+def test_isqrt_sql_exact_at_square_boundaries(spark):
+    """floor(sqrt(double)) alone rounds UP across perfect squares; the
+    fix-up must give exact integer sqrt at k^2-1 / k^2 / k^2+1 — including
+    magnitudes where double ulp of n exceeds 1 but sqrt stays < 2^26."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import _isqrt_sql
+
+    cases = []
+    for k in (1, 2, 3, 10, 1_000, 94_906_265):  # last: isqrt(2^53)-ish
+        for n in (k * k - 1, k * k, k * k + 1):
+            if n >= 0:
+                cases.append(n)
+    df = spark.createDataFrame([(n,) for n in cases], ["n"])
+    got = {
+        r.n: r.s
+        for r in df.select("n", F.expr(_isqrt_sql("n")).alias("s")).collect()
+    }
+    import math
+
+    for n in cases:
+        assert got[n] == math.isqrt(n), (n, got[n], math.isqrt(n))
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """alpha=0.5 must give the low-resource source a HIGHER keep rate
+    than proportional mixing; alpha=1.0 must equal budget_mix with the
+    sources' token totals as weights (proportional)."""
+    from tidier_spark.operators.corpus import budget_mix, temperature_mix
+
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (i + 1000, "small", 100) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    def thr(out):
+        return {
+            r.source: r.thr_ppm for r in out.select("source", "thr_ppm").distinct().collect()
+        }
+
+    t_sqrt = thr(temperature_mix(df, 5000, alpha=0.5))
+    t_prop = thr(temperature_mix(df, 5000, alpha=1.0))
+    # proportional: both sources keep the same fraction of their tokens
+    assert t_prop["big"] == t_prop["small"]
+    # temperature: the small source's keep rate strictly exceeds the big's
+    assert t_sqrt["small"] > t_sqrt["big"]
+    # alpha=1 == budget_mix with totals as weights
+    bm = thr(budget_mix(df, 5000, {"big": 9000, "small": 1000}))
+    assert bm == t_prop
+
+
+def test_temperature_mix_alpha_grid_enforced(spark):
+    import pytest as _pytest
+
+    from tidier_spark.operators.corpus import temperature_mix
+
+    df = spark.createDataFrame([(1, "a", 10)], ["doc_id", "source", "n_tokens"])
+    with _pytest.raises(ValueError, match="alpha must be 1.0, 0.5 or 0.25"):
+        temperature_mix(df, 100, alpha=0.3)
+    with _pytest.raises(ValueError, match="budget_tokens must be >= 0"):
+        temperature_mix(df, -1)

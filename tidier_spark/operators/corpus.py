@@ -33,6 +33,8 @@ __all__ = [
     "remove_repeated_spans",
     "remove_repeated_spans_sql",
     "budget_mix",
+    "temperature_mix",
+    "temperature_mix_sql",
     "budget_mix_sql",
     "length_buckets",
     "length_buckets_sql",
@@ -784,6 +786,145 @@ def budget_mix_sql(
                        (({budget_tokens} * wt) // {total_w})
                          * 1000000 // avail)::BIGINT AS thr_ppm
           FROM avail JOIN w USING (src)
+        )
+        SELECT d.{id_col}, d.{source_col}, t.thr_ppm
+        FROM {table} d JOIN thr t ON d.{source_col} = t.src
+        WHERE (('0x' || substr(md5(d.{id_col}::VARCHAR || ':{salt}'), 1, 15))::BIGINT
+               % 1000000) < t.thr_ppm"""
+
+
+def _isqrt_sql(expr: str) -> str:
+    """Exact integer sqrt as portable SQL: ``floor(sqrt(n))`` with a
+    boundary fix-up — IEEE sqrt can round UP across a perfect square
+    (n = k²−1 → k.0), so the candidate is decremented when its square
+    exceeds n.  Exact for n < 2^52 (token totals, comfortably).  Written
+    once, used by both engines, so the weight arithmetic is bit-equal by
+    construction — the reason temperature_mix needs no libm pow."""
+    c = f"CAST(floor(sqrt({expr})) AS BIGINT)"
+    return f"(CASE WHEN {c} * {c} > ({expr}) THEN {c} - 1 ELSE {c} END)"
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-weighted source mixture: each source's share of the
+    token budget is proportional to ``n_s^alpha`` (its available tokens,
+    temperature-flattened) — the T5/mT5/LLaMA multi-source sampling rule
+    that UPWEIGHTS low-resource sources (alpha < 1) relative to plain
+    proportional mixing, without the manual ``weights`` dict of
+    :func:`budget_mix`.
+
+    ``alpha`` must be one of ``1.0`` (proportional), ``0.5``, ``0.25`` —
+    the sqrt-chain grid: ``n^0.5`` and ``n^0.25`` compute as EXACT integer
+    square roots (one/two :func:`_isqrt_sql` applications), so every
+    weight, target, and keep-threshold is integer arithmetic, identical
+    on any engine.  Arbitrary alpha would need libm ``pow``, whose last
+    ulp is not portable across engines — callers wanting e.g. 0.3 should
+    precompute weights and use :func:`budget_mix`.
+
+    Per-row decision (budget_mix discipline): keep iff
+    ``hash60(id:salt) mod 1e6 < thr_ppm(source)`` where ``thr_ppm =
+    min(1e6, (budget · w_s div Σw) · 1e6 div n_s)`` — a pure function of
+    (id, salt, per-source totals), reproducible on any layout or cluster
+    size.
+
+    Plan: one bounded aggregation (per-source totals — |sources| rows), a
+    1-row total broadcast back over it, then a broadcast join + map-only
+    gate over the corpus.  No wide shuffle; at 100 TB this is a stats
+    pass plus a filter, same as budget_mix.
+    """
+    from .text import hash60
+
+    if budget_tokens < 0:
+        raise ValueError(
+            f"temperature_mix: budget_tokens must be >= 0, got {budget_tokens}"
+        )
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            "temperature_mix: alpha must be 1.0, 0.5 or 0.25 (the exact "
+            f"sqrt-chain grid; see docstring), got {alpha}"
+        )
+    avail = df.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("long").alias("__n")
+    )
+    w_expr = "__n"
+    if alpha <= 0.5:
+        w_expr = _isqrt_sql(w_expr)
+    if alpha == 0.25:
+        w_expr = _isqrt_sql(w_expr)
+    # zero-token sources get weight 0 -> target 0 -> threshold 1e6 via
+    # the __n > 0 guard below (keep-all of nothing; mirrors budget_mix)
+    wdf = avail.withColumn("__w", F.expr(w_expr))
+    tot = wdf.agg(F.sum("__w").cast("long").alias("__tw"))
+    thr = wdf.crossJoin(F.broadcast(tot)).select(
+        F.col(source_col),
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.when(
+                (F.col("__n") > 0) & (F.col("__tw") > 0),
+                F.expr(
+                    f"(({int(budget_tokens)} * __w) div __tw)"
+                    " * 1000000 div __n"
+                ),
+            ).otherwise(F.lit(1_000_000)),
+        ).cast("long").alias("thr_ppm"),
+    )
+    key = F.pmod(
+        hash60(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(1_000_000),
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .where(key < F.col("thr_ppm"))
+        .select(F.col(id_col), F.col(source_col), F.col("thr_ppm"))
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    budget_tokens: int = 15000,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    tokens_expr: str | None = None,
+    salt: str = "tmix",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix` (same isqrt-chain weights,
+    same integer thresholds, same md5 row hash)."""
+    from .text import tokens_sql
+
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            f"temperature_mix_sql: alpha must be 1.0, 0.5 or 0.25, got {alpha}"
+        )
+    tok = tokens_expr or f"len({tokens_sql('text')})"
+    w_expr = "n"
+    if alpha <= 0.5:
+        w_expr = _isqrt_sql(w_expr)
+    if alpha == 0.25:
+        w_expr = _isqrt_sql(w_expr)
+    return f"""
+        WITH avail AS (
+          SELECT {source_col} AS src, CAST(sum({tok}) AS BIGINT) AS n
+          FROM {table} GROUP BY 1
+        ),
+        w AS (SELECT src, n, {w_expr} AS wt FROM avail),
+        tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw FROM w),
+        thr AS (
+          SELECT src,
+                 least(1000000,
+                       CASE WHEN n > 0 AND tw > 0 THEN
+                         (({budget_tokens} * wt) // tw) * 1000000 // n
+                       ELSE 1000000 END)::BIGINT AS thr_ppm
+          FROM w, tot
         )
         SELECT d.{id_col}, d.{source_col}, t.thr_ppm
         FROM {table} d JOIN thr t ON d.{source_col} = t.src
