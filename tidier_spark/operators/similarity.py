@@ -519,18 +519,24 @@ def _bucket_topk_partials(
         M = np.vstack(pdf["__vec"].to_numpy()).astype(np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         S = np.round(M @ M.T, 6)
+        # vectorized per-query top-k (r8: replaces a per-row Python
+        # argsort loop; same exclusion of self-and-id-duplicates, same
+        # (score desc, id asc) tie-break via the id-ordered stable sort)
         order_by_id = np.argsort(ids, kind="stable")
         kk = min(k, n - 1)
-        rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
-        for i in range(n):
-            s = S[i].copy()
-            s[ids == ids[i]] = -np.inf  # exclude self (and id-duplicates)
-            best = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:kk]
-            best = best[s[best] > -np.inf]
-            rows["query_id"].extend([int(ids[i])] * len(best))
-            rows["neighbor_id"].extend(int(ids[j]) for j in best)
-            rows["cos_sim"].extend(float(s[j]) for j in best)
-        return pd.DataFrame(rows)
+        ids_ord = ids[order_by_id]
+        SO = S[:, order_by_id]
+        SO = np.where(ids_ord[None, :] == ids[:, None], -np.inf, SO)
+        idx = np.argsort(-SO, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(SO, idx, axis=1)
+        keep = (vals > -np.inf).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk)[keep],
+                "neighbor_id": ids_ord[idx].ravel()[keep],
+                "cos_sim": vals.ravel()[keep],
+            }
+        )
 
     return bucketed.groupBy(*bucket_cols).applyInPandas(bucket_topk, out_schema)
 
@@ -850,17 +856,23 @@ def ivf_topk(
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         m_ids = ids[members]
         S = np.round(M @ M[members].T, 6)  # (queries × members)
+        # vectorized per-query top-k (r8: same loop replacement as the
+        # LSH bucket — self excluded, (score desc, id asc) tie-break)
         order_by_id = np.argsort(m_ids, kind="stable")
-        rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
-        for i in range(len(pdf)):
-            s = S[i].copy()
-            s[m_ids == ids[i]] = -np.inf  # exclude self
-            best = order_by_id[np.argsort(-s[order_by_id], kind="stable")][:k]
-            best = best[s[best] > -np.inf]
-            rows["query_id"].extend([int(ids[i])] * len(best))
-            rows["neighbor_id"].extend(int(m_ids[j]) for j in best)
-            rows["cos_sim"].extend(float(s[j]) for j in best)
-        return pd.DataFrame(rows)
+        ids_ord = m_ids[order_by_id]
+        SO = S[:, order_by_id]
+        SO = np.where(ids_ord[None, :] == ids[:, None], -np.inf, SO)
+        kk = min(k, SO.shape[1])
+        idx = np.argsort(-SO, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(SO, idx, axis=1)
+        keep = (vals > -np.inf).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids, kk)[keep],
+                "neighbor_id": ids_ord[idx].ravel()[keep],
+                "cos_sim": vals.ravel()[keep],
+            }
+        )
 
     partials = probed.groupBy("list_id").applyInPandas(list_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
@@ -1130,26 +1142,36 @@ def pq_topk(
                     sims += lut[:, s, codes[:, s]]
                 sims = np.round(sims, 6)
                 q_ids = pdf[id_col].to_numpy().astype(np.int64)
-                rows = {
-                    "query_id": [],
-                    "neighbor_id": [],
-                    "cos_sim": [],
-                    "rank": [],
-                }
-                for i in range(nq):
-                    sim = sims[i].copy()
-                    sim[ids == q_ids[i]] = -np.inf  # exclude self
-                    cand = np.argsort(-sim, kind="stable")[:n_cand]
-                    cand = cand[sim[cand] > -np.inf]
-                    if not len(cand):
-                        continue
-                    exact = np.round(V[cand] @ Q[i], 6)
-                    top = np.lexsort((ids[cand], -exact))[:k]
-                    rows["query_id"].extend([int(q_ids[i])] * len(top))
-                    rows["neighbor_id"].extend(int(ids[cand[j]]) for j in top)
-                    rows["cos_sim"].extend(float(exact[j]) for j in top)
-                    rows["rank"].extend(range(1, len(top) + 1))
-                yield pd.DataFrame(rows)
+                # vectorized shortlist + exact refine (r8: replaces a
+                # per-row Python argsort/lexsort loop; identical
+                # candidate sets and tie-breaks — PQ ties break on
+                # corpus-array position as before, exact ties on
+                # (score desc, neighbor id asc) via the row lexsort)
+                SM = np.where(ids[None, :] == q_ids[:, None], -np.inf, sims)
+                take = min(n_cand, SM.shape[1])
+                idx = np.argsort(-SM, axis=1, kind="stable")[:, :take]
+                vals = np.take_along_axis(SM, idx, axis=1)
+                exact = np.round(
+                    np.einsum("qtd,qd->qt", V[idx], Q, optimize=True), 6
+                )
+                exact = np.where(vals > -np.inf, exact, -np.inf)
+                nb = ids[idx]
+                kk = min(k, take)
+                top = np.lexsort((nb, -exact))[:, :kk]
+                tvals = np.take_along_axis(exact, top, axis=1)
+                keep = (tvals > -np.inf).ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, kk)[keep],
+                        "neighbor_id": np.take_along_axis(
+                            nb, top, axis=1
+                        ).ravel()[keep],
+                        "cos_sim": tvals.ravel()[keep],
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int64), nq
+                        )[keep],
+                    }
+                )
 
         return _fan_out(df.select(id_col, vec_col)).mapInPandas(
             score_rerank, rerank_schema
@@ -1174,16 +1196,20 @@ def pq_topk(
                 sims += lut[:, s, codes[:, s]]
             sims = np.round(sims, 6)
             q_ids = pdf[id_col].to_numpy().astype(np.int64)
-            rows = {"query_id": [], "neighbor_id": [], "pq_sim": []}
-            for i in range(nq):
-                sim = sims[i].copy()
-                sim[ids == q_ids[i]] = -np.inf  # exclude self
-                best = np.argsort(-sim, kind="stable")[:n_cand]
-                best = best[sim[best] > -np.inf]
-                rows["query_id"].extend([int(q_ids[i])] * len(best))
-                rows["neighbor_id"].extend(int(ids[j]) for j in best)
-                rows["pq_sim"].extend(float(sim[j]) for j in best)
-            yield pd.DataFrame(rows)
+            # vectorized candidate emission (r8; same per-row loop
+            # replacement as score_rerank — tie-breaks unchanged)
+            SM = np.where(ids[None, :] == q_ids[:, None], -np.inf, sims)
+            take = min(n_cand, SM.shape[1])
+            idx = np.argsort(-SM, axis=1, kind="stable")[:, :take]
+            vals = np.take_along_axis(SM, idx, axis=1)
+            keep = (vals > -np.inf).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, take)[keep],
+                    "neighbor_id": ids[idx].ravel()[keep],
+                    "pq_sim": vals.ravel()[keep],
+                }
+            )
 
     scored = _fan_out(df.select(id_col, vec_col)).mapInPandas(score, out_schema)
     if shortlist:
