@@ -104,3 +104,32 @@ def test_money_scale_validated():
         money_cast("v", scale=-1)
     with pytest.raises(ValueError, match=r"scale must be in \[0, 18\]"):
         money_sum_pennies("v", scale=19)
+
+
+def test_subnormal_and_tiny_values_flush_to_zero(spark):
+    """Hypothesis-found (r8): DuckDB's scientific-notation VARCHAR ->
+    DECIMAL parse rounds mantissa-first ('5e-300' -> 0.01, wrong), so
+    the mirror flushes |v| < half a minor unit to 0 — a HALF_UP no-op.
+    Pin the falsifying denormal plus the quirk band."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tidier_spark.money import money_sum_pennies, money_sum_pennies_sql
+
+    vals = [5e-324, 5e-300, 5e-10, 4.9e-324, 9.9e-05, 0.004999, 0.005, 1.0]
+    pdf = pd.DataFrame({"v": vals})
+    got = (
+        spark.createDataFrame(pdf)
+        .agg(F.expr(money_sum_pennies("v")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {money_sum_pennies_sql('v')} AS s FROM t"
+    ).fetchone()[0]
+    con.close()
+    # 0.005 -> 0.01 on both (shortest repr '0.005', HALF_UP); 1.0 -> 1.00
+    assert got == want == 101, (got, want)

@@ -1012,3 +1012,108 @@ def test_rrf_fuse_property_matches_python(lists, k_const, spark):
         for i, d in enumerate(sorted(total, key=lambda d: (-total[d], d)))
     ]
     assert got == want
+
+
+# --- round-8 additions -------------------------------------------------------
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(min_size=0, max_size=24),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_string_key_literal_lockstep_property(vals, spark):
+    """string_key_literal (Python) == _bucket_order_key string branch
+    (Column) for ARBITRARY unicode — the static-split contract: a
+    divergence silently re-introduces the ADVICE-r7 one-bucket skew.
+    Batched: one createDataFrame per example, all values compared."""
+    from tidier_spark.window import _bucket_order_key, string_key_literal
+
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r.s: r.k
+        for r in df.select("s", _bucket_order_key(df, "s").alias("k")).collect()
+    }
+    for v in vals:
+        assert got[v] == string_key_literal(v), repr(v)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ns=st.lists(
+        st.integers(min_value=0, max_value=2**52),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_isqrt_sql_matches_math_isqrt_property(ns, spark):
+    """_isqrt_sql == math.isqrt over [0, 2^52] — temperature_mix's
+    cross-engine weight arithmetic rests on this being EXACT."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.corpus import _isqrt_sql
+
+    df = spark.createDataFrame([(n,) for n in ns], ["n"])
+    got = {r.n: r.s for r in df.select("n", F.expr(_isqrt_sql("n")).alias("s")).collect()}
+    for n in ns:
+        assert got[n] == math.isqrt(n), n
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=9.0e13,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_money_decimal_sum_cross_engine_property(vals, spark):
+    """money_sum_pennies (Spark DECIMAL(38,2)) == the DuckDB mirror (with
+    its shortest-repr VARCHAR hop) for arbitrary non-negative doubles up
+    to 9e13 — spanning both sides of the 2^53-penny cliff where the
+    default penny path stops being exact."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tidier_spark.money import money_sum_pennies, money_sum_pennies_sql
+
+    pdf = pd.DataFrame({"v": vals})
+    got = (
+        spark.createDataFrame(pdf)
+        .agg(F.expr(money_sum_pennies("v")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT {money_sum_pennies_sql('v')} AS s FROM t"
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (got, want)

@@ -87,9 +87,18 @@ def money_cast_sql(col: str, *, scale: int = 2) -> str:
     """DuckDB-oracle twin of :func:`money_cast`: the VARCHAR hop pins
     DuckDB to the SHORTEST-DECIMAL representation Spark converts through
     — without it DuckDB rounds the exact binary value and the engines
-    drift one cent per row above the double's 2-dp-exact range."""
+    drift one cent per row above the double's 2-dp-exact range.
+
+    Magnitudes below half a minor unit are flushed to zero FIRST: they
+    round to 0 at this scale on any correct HALF_UP path anyway (a
+    semantics no-op), but DuckDB's scientific-notation VARCHAR→DECIMAL
+    parse rounds mantissa-first — ``'5e-300'`` (and every ``5e-<big>``)
+    lands on 0.01 where Spark's BigDecimal correctly gives 0.00.  Found
+    by the hypothesis differential at the denormal 5e-324."""
     _check(scale)
-    return f"CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,{scale}))"
+    half_unit = f"0.5e-{scale}" if scale else "0.5"
+    guarded = f"(CASE WHEN abs({col}) < {half_unit} THEN 0 ELSE {col} END)"
+    return f"CAST(CAST({guarded} AS VARCHAR) AS DECIMAL(38,{scale}))"
 
 
 def money_sum_pennies_sql(col: str, *, scale: int = 2) -> str:
