@@ -2876,6 +2876,59 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs, budget_tokens=15000, alpha=0.5)
 
 
+def _q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact ROC-AUC (rank-sum with average-rank ties) over a scored
+    # binary labeling of the embeddings table — the model-eval gate
+    # between classifier scoring and threshold selection.  Integer
+    # numerator/denominator so the value is engine-hashable; the rank
+    # prefix runs over DISTINCT scores (exact_quantiles discipline),
+    # never a per-row global window.  Score: a two-component affine map
+    # to ppm (deterministic double arithmetic, identical expression on
+    # both engines; wide distinct-score cardinality so the rank prefix
+    # is genuinely exercised).
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(
+            (
+                0.5
+                + F.col("embedding")[0].cast("double") / 2
+                + F.col("embedding")[1].cast("double") / 4
+            )
+            * 1_000_000
+        ).cast("long").alias("score_ppm"),
+        F.col("label"),
+    )
+    return auc_exact(scored, "score_ppm", "label")
+
+
+def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability-diagram bins over the same ppm score: fixed-width
+    # integer bins (never ntile — row-split order dependence), per-bin
+    # support + empirical positive rate as BIGINT ppm.  One hash
+    # aggregate with map-side combine.
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.evalmetrics import calibration_bins
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(
+            (
+                0.5
+                + F.col("embedding")[0].cast("double") / 2
+                + F.col("embedding")[1].cast("double") / 4
+            )
+            * 1_000_000
+        ).cast("long").alias("score_ppm"),
+        F.col("label"),
+    )
+    return calibration_bins(scored, "score_ppm", "label", n_bins=10)
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed BPE vocabulary training: one corpus pass builds the
     # word-count vocabulary; every merge round then runs on the (small)
@@ -4476,7 +4529,37 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-8 additions
         "pricing_decimal": _q_pricing_decimal,
         "temperature_mix": _q_temperature_mix,
+        "eval_auc": _q_eval_auc,
+        "calibration_bins": _q_calibration_bins,
     }
+
+
+def _scored_embeddings_cte() -> str:
+    # two-component affine ppm score shared by the eval entries: wide
+    # spread across bins AND values outside [0, 1e6] on real fixtures,
+    # so the clamp path is exercised (DuckDB lists are 1-based)
+    return """
+        SELECT CAST(round(1000000 * (0.5 + embedding[1]::DOUBLE / 2
+                                         + embedding[2]::DOUBLE / 4))
+                    AS BIGINT) AS score_ppm,
+               label
+        FROM embeddings"""
+
+
+def _eval_auc_oracle() -> str:
+    from tidier_spark.operators.evalmetrics import auc_exact_sql
+
+    return auc_exact_sql(
+        f"({_scored_embeddings_cte()})", "score_ppm", "label"
+    )
+
+
+def _calibration_bins_oracle() -> str:
+    from tidier_spark.operators.evalmetrics import calibration_bins_sql
+
+    return calibration_bins_sql(
+        f"({_scored_embeddings_cte()})", "score_ppm", "label", n_bins=10
+    )
 
 
 def _temperature_mix_oracle() -> str:
@@ -5292,6 +5375,8 @@ def oracle_sql() -> dict[str, str]:
             FROM fan f JOIN base b USING (day_us)
             GROUP BY 1""",
         "temperature_mix": _temperature_mix_oracle(),
+        "eval_auc": _eval_auc_oracle(),
+        "calibration_bins": _calibration_bins_oracle(),
         "pricing_decimal": """
             -- CAST(v AS VARCHAR) pins DuckDB to the shortest-decimal
             -- representation Spark's double->decimal conversion uses

@@ -378,3 +378,105 @@ def test_temperature_mix_alpha_grid_enforced(spark):
         temperature_mix(df, 100, alpha=0.3)
     with _pytest.raises(ValueError, match="budget_tokens must be >= 0"):
         temperature_mix(df, -1)
+
+
+# --- eval metrics (round 8) ---------------------------------------------------
+
+
+def test_auc_exact_hand_computed_with_ties(spark):
+    """Hand-checkable AUC: scores [1,2,2,3], labels [0,0,1,1].
+    Pairs (pos, neg): (2a,1)=win, (2a,2b-neg? no 2 neg is score2) ...
+    ranks (avg): 1->1, 2->2.5, 2->2.5, 3->4.  U = (2.5+4) - 2*3/2 = 3.5;
+    AUC = 3.5/(2*2) = 0.875."""
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1), (3, 1)], ["s", "y"]
+    )
+    r = auc_exact(df, "s", "y").collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.auc_num == 7 and r.auc_den == 8  # 2U = 7
+    assert abs(r.auc - 0.875) < 1e-12
+
+
+def test_auc_exact_perfect_and_inverted(spark):
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    perfect = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], ["s", "y"]
+    )
+    inverted = spark.createDataFrame(
+        [(4, 0), (3, 0), (2, 1), (1, 1)], ["s", "y"]
+    )
+    assert auc_exact(perfect, "s", "y").collect()[0].auc == 1.0
+    assert auc_exact(inverted, "s", "y").collect()[0].auc == 0.0
+
+
+def test_auc_exact_single_class_is_null(spark):
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], ["s", "y"])
+    r = auc_exact(df, "s", "y").collect()[0]
+    assert r.n_neg == 0 and r.auc is None
+
+
+def test_auc_exact_matches_sklearn_formula_random(spark):
+    """Differential vs a plain-Python rank-sum on random data with heavy
+    ties — including NULL scores/labels which must be excluded."""
+    import random
+
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    rng = random.Random(8)
+    rows = [
+        (
+            rng.choice([None, *range(10)]),
+            rng.choice([None, 0, 1]),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s int, y int")
+    r = auc_exact(df, "s", "y").collect()[0]
+    clean = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = sorted(s for s, y in clean if y)
+    neg = sorted(s for s, y in clean if not y)
+    wins = sum(
+        (1.0 if p > n_ else 0.5 if p == n_ else 0.0)
+        for p in pos
+        for n_ in neg
+    )
+    want = wins / (len(pos) * len(neg))
+    assert abs(r.auc - want) < 1e-12, (r.auc, want)
+    assert r.auc_num == int(round(2 * wins))
+
+
+def test_calibration_bins_arithmetic(spark):
+    from tidier_spark.operators.evalmetrics import calibration_bins
+
+    df = spark.createDataFrame(
+        [
+            (50_000, 0), (150_000, 1),     # bins 0, 1
+            (999_999, 1), (1_000_000, 1),  # bin 9 (top edge clamps)
+            (-5, 0), (2_000_000, 1),       # clamp low -> 0, high -> 9
+        ],
+        ["s", "y"],
+    )
+    got = {
+        r.bin: (r.n, r.n_pos, r.pos_rate_ppm)
+        for r in calibration_bins(df, "s", "y", n_bins=10).collect()
+    }
+    assert got[0] == (2, 0, 0)       # 50_000 and the clamped -5
+    assert got[1] == (1, 1, 1_000_000)
+    assert got[9] == (3, 3, 1_000_000)
+
+
+def test_calibration_bins_params_validated(spark):
+    import pytest as _pytest
+
+    from tidier_spark.operators.evalmetrics import calibration_bins
+
+    df = spark.createDataFrame([(1, 0)], ["s", "y"])
+    with _pytest.raises(ValueError, match="n_bins must be >= 1"):
+        calibration_bins(df, "s", "y", n_bins=0)
+    with _pytest.raises(ValueError, match="score_scale must be >= 1"):
+        calibration_bins(df, "s", "y", score_scale=0)
