@@ -2269,7 +2269,9 @@ def _q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_1").alias("p90_exact"),
     )
     approx = approx_quantiles(src, "p100", [0.5, 0.9], by="l_returnflag")
-    ok = lambda a, e: F.abs(a - F.col(e)) <= 0.02 * F.col(e)  # noqa: E731
+    # |exact|, not exact: a negative quantile would otherwise make the
+    # relative bound negative and the flag constant-false (negvals axis)
+    ok = lambda a, e: F.abs(a - F.col(e)) <= 0.02 * F.abs(F.col(e))  # noqa: E731
     return _nsjoin(exact, approx, "l_returnflag").select(
         "l_returnflag",
         "p50_exact",

@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -62,7 +62,13 @@ Kolkata.  The engine contract is that results are HOST-TZ-INDEPENDENT
 (sources/__init__.py) and the oracles are naive-timestamp arithmetic
 — so every entry must still hash-match the same UTC oracle; any flag
 is a real tz leak (a pre-pin literal, a JVM-default-tz legacy path, a
-Python-side local-time conversion, a tz-sensitive DuckDB function).)
+Python-side local-time conversion, a tz-sensitive DuckDB function);
+``negvals`` = every measure/money column SIGN-FLIPPED (events.value,
+lineitem amounts, o_totalprice) — the negative-operand regime no
+fixture reaches: integer ``div``/``%`` split between truncate-toward-
+zero (Spark) and floor (DuckDB ``//``) exactly on negatives, penny
+rounding of negative halves, winsorize/quantile bounds below zero,
+EWMA/regression sign handling.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -115,6 +121,14 @@ DUPID_COLS = {
     "events": ("event_id",),
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
+}
+
+
+# negvals: measure/money columns sign-flipped per table
+NEGVAL_COLS = {
+    "events": ("value",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_tax"),
+    "orders": ("o_totalprice",),
 }
 
 
@@ -413,6 +427,18 @@ def build_fixture(kind: str) -> str:
                 key=lambda j: _hl.md5(f"{t}:{j}".encode()).hexdigest(),
             )
             tbl = tbl.take(_pa.array(perm, type=_pa.int64()))
+        elif kind == "negvals":
+            import pyarrow.compute as pc
+
+            for col in NEGVAL_COLS.get(t, ()):
+                i = tbl.schema.get_field_index(col)
+                tbl = tbl.set_column(
+                    i,
+                    tbl.schema.field(i),
+                    pc.multiply(tbl.column(i), pa.scalar(-1.0)).cast(
+                        tbl.schema.field(i).type
+                    ),
+                )
         elif kind == "nullvals":
             for col in NULLVAL_COLS.get(t, ()):
                 i = tbl.schema.get_field_index(col)
