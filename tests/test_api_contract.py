@@ -480,3 +480,105 @@ def test_calibration_bins_params_validated(spark):
         calibration_bins(df, "s", "y", n_bins=0)
     with _pytest.raises(ValueError, match="score_scale must be >= 1"):
         calibration_bins(df, "s", "y", score_scale=0)
+
+
+# --- NaN contract (round 8, nanvals axis) -------------------------------------
+
+
+def test_complete_fill_preserves_nan_in_present_rows(spark):
+    """fill targets only the left-join NULLs of ABSENT combinations —
+    Spark's df.fillna would also rewrite a genuine NaN aggregate in
+    present rows (silent corruption; nanvals axis)."""
+    import math
+
+    from tidier_spark.verbs import complete
+
+    df = spark.createDataFrame(
+        [(1, "a", float("nan")), (2, "b", 5.0)], ["k", "g", "v"]
+    )
+    out = {(r.k, r.g): r.v for r in complete(df, "k", "g", fill={"v": 0.0}).collect()}
+    assert math.isnan(out[(1, "a")])          # present NaN survives
+    assert out[(2, "b")] == 5.0
+    assert out[(1, "b")] == 0.0 and out[(2, "a")] == 0.0  # absent filled
+
+
+def test_validate_between_counts_nan_both_engines(spark):
+    """A NaN measure is a RANGE VIOLATION: Spark side via the
+    order-robust NOT(lo <= v AND v <= hi); the DuckDB mirror needs an
+    explicit isnan disjunct because its vectorized column comparators
+    return NaN >= lo AND NaN <= hi both TRUE (measured, v1.0)."""
+    import duckdb
+    import pandas as pd
+
+    from tidier_spark.operators.expectations import validate, validate_sql
+
+    rules = {"v": [("between", -10, 10)]}
+    # build the Spark frame row-wise: the pandas path would collapse the
+    # NULL into NaN (float columns can't hold None) — exactly the
+    # distinction under test
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (99.0,), (None,)], "v double"
+    )
+    got = {r.rule: r.n_violations for r in validate(df, rules).collect()}
+    assert got["between_-10_10"] == 2  # NaN + 99; NULL passes
+    con = duckdb.connect()
+    # VALUES, not a registered pandas frame: DuckDB's pandas scan
+    # converts NaN to NULL on ingestion, which would hide the case
+    con.execute(
+        "CREATE VIEW t AS SELECT * FROM (VALUES (1.0::DOUBLE),"
+        " ('nan'::DOUBLE), (99.0::DOUBLE), (NULL::DOUBLE)) AS x(v)"
+    )
+    want = con.execute(validate_sql("t", rules)).df()
+    con.close()
+    assert int(want.loc[0, "n_violations"]) == 2
+
+
+def test_stream_ewma_nan_raises_named_null_skips(spark, tmp_path):
+    """True NaN raises the named fixed-point error (matching the batch
+    engine's ANSI penny cast); NULL still skips — the JVM-side isNull
+    flag is what separates them across the Arrow crossing."""
+    import pyspark
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tidier_spark.streaming import run_stream, stream_ewma
+
+    def make_stream(vals):
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        d = tmp_path / f"ewma_{'n' if any(v != v for v in vals if v is not None) else 'x'}"
+        d.mkdir()
+        pq_.write_table(
+            pa.table(
+                {
+                    "user_id": [1] * len(vals),
+                    "ts": pa.array(
+                        [1_700_000_000_000_000 + i * 1_000_000 for i in range(len(vals))],
+                        type=pa.timestamp("us"),
+                    ),
+                    "event_id": list(range(len(vals))),
+                    "value": pa.array(vals, type=pa.float64()),
+                }
+            ),
+            str(d / "part-0.parquet"),
+        )
+        sch = spark.read.parquet(str(d)).schema
+        return spark.readStream.schema(sch).parquet(str(d))
+
+    # NULL skips: runs clean, den reflects only the non-NULL lag
+    ok = stream_ewma(
+        make_stream([1.0, None, 3.0]),
+        key_col="user_id", time_col="ts", value_col="value",
+        tiebreak_col="event_id", lookback=2,
+    )
+    rows = run_stream(ok, name="ewma_nan_ok", output_mode="append").collect()
+    assert len(rows) == 3
+    # NaN raises the named error through the streaming engine
+    bad = stream_ewma(
+        make_stream([1.0, float("nan")]),
+        key_col="user_id", time_col="ts", value_col="value",
+        tiebreak_col="event_id", lookback=2,
+    )
+    with _pytest.raises(Exception, match="penny fixed point"):
+        run_stream(bad, name="ewma_nan_bad", output_mode="append").collect()

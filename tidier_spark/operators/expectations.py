@@ -13,7 +13,13 @@ Rules (constraint grammar):
 * ``("unique",)`` — rows sharing a value violate (counted as
   n_rows − n_distinct; NULLs ignored, matching SQL UNIQUE)
 * ``("between", lo, hi)`` — values outside [lo, hi] violate (NULL passes;
-  combine with not_null to forbid)
+  combine with not_null to forbid).  NaN VIOLATES: the predicate is
+  spelled ``NOT (lo <= v AND v <= hi)`` on Spark (NaN-largest total
+  order makes that count NaN) and with an explicit ``isnan`` disjunct
+  in the DuckDB mirror — measured on the nanvals edge axis: DuckDB
+  1.0's vectorized column comparators return ``NaN >= lo`` AND
+  ``NaN <= hi`` both TRUE (no consistent order, unlike its scalar
+  comparisons), so no plain-comparison spelling counts NaN there
 * ``("in_set", v1, v2, ...)`` — values outside the set violate
 * ``("matches", regex)`` — non-matching strings violate
 
@@ -74,8 +80,12 @@ def _violation_expr(col: str, rule: tuple):
         return F.sum(F.when(c.isNull(), 1).otherwise(0))
     if kind == "between":
         lo, hi = rule[1], rule[2]
+        # NOT(>= AND <=): NaN-robust under either comparison semantics
+        # (see module docstring; nanvals edge axis)
         return F.sum(
-            F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1).otherwise(0)
+            F.when(
+                c.isNotNull() & ~((c >= F.lit(lo)) & (c <= F.lit(hi))), 1
+            ).otherwise(0)
         )
     if kind == "in_set":
         vals = list(rule[1:])
@@ -210,9 +220,16 @@ def validate_sql(table: str, rules: dict[str, list[tuple]]) -> str:
             if kind == "not_null":
                 v = f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
             elif kind == "between":
+                # explicit isnan: DuckDB 1.0's vectorized column
+                # comparators return NaN >= lo AND NaN <= hi BOTH TRUE
+                # (no consistent order — measured on the nanvals axis),
+                # so no plain-comparison spelling can count NaN there;
+                # TRY_CAST keeps non-numeric between-rules valid
                 v = (
                     f"sum(CASE WHEN {col} IS NOT NULL AND"
-                    f" ({col} < {rule[1]} OR {col} > {rule[2]}) THEN 1 ELSE 0 END)"
+                    f" (coalesce(isnan(TRY_CAST({col} AS DOUBLE)), FALSE)"
+                    f"  OR {col} < {rule[1]} OR {col} > {rule[2]})"
+                    f" THEN 1 ELSE 0 END)"
                 )
             elif kind == "in_set":
                 vals = ", ".join(

@@ -589,8 +589,21 @@ def stream_ewma(
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             tbs = pdf[tiebreak_col].to_numpy()
             raw = pdf[value_col].to_numpy(dtype=object)
-            for t, tb, v in zip(ts_us, tbs, raw):
-                if v is None or v != v:
+            # NULL vs NaN: the Arrow crossing collapses both to nan in a
+            # float column, so the JVM-side __vnull flag is the only
+            # truth.  NULL skips (the batch twin's lag-coalesce); true
+            # NaN RAISES, matching the batch engine's ANSI penny cast
+            # (nanvals edge axis — silently treating NaN as missing
+            # broke the stream==batch parity contract).
+            nulls_jvm = pdf["__vnull"].to_numpy(dtype=bool)
+            for t, tb, v, vn in zip(ts_us, tbs, raw, nulls_jvm):
+                if (v is not None) and v != v and not vn:
+                    raise ValueError(
+                        "stream_ewma: NaN value is not representable in "
+                        "penny fixed point (the batch engine raises "
+                        "CAST_OVERFLOW; NULL is the missing-value spelling)"
+                    )
+                if vn or v is None or v != v:
                     vals.append(0)
                     isnull.append(True)
                 else:
@@ -624,6 +637,7 @@ def stream_ewma(
             F.col(time_col).alias(time_col),
             F.col(value_col).alias(value_col),
             F.col(tiebreak_col).alias(tiebreak_col),
+            F.col(value_col).isNull().alias("__vnull"),
         )
         .groupBy("key")
         .applyInPandasWithState(

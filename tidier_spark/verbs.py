@@ -568,7 +568,14 @@ def complete(
         grid = grid.crossJoin(df.select(*g).distinct())
     out = grid.join(df, on=flat, how="left")
     if fill:
-        out = out.fillna(fill)
+        # NULL-only fill, NOT df.fillna: Spark's na.fill also rewrites
+        # NaN, silently clobbering a genuine NaN aggregate in PRESENT
+        # rows to the absent-cell default (nanvals edge axis).  Only the
+        # left-join NULLs of absent combinations are the fill targets.
+        for c, v in fill.items():
+            out = out.withColumn(
+                c, F.when(F.col(c).isNull(), F.lit(v)).otherwise(F.col(c))
+            )
     return out.select(*df.columns)
 
 
