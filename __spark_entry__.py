@@ -4263,51 +4263,29 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-8 rotation (verdict r07 task #1): positions 1-21 are the
-# r5-vintage cohort (first hash-green driver row = CORRECTNESS_r05),
-# positions 22-43 the 22 entries that had NO driver row through r07
-# (15 r6 + 7 r7 additions — judge-verified strict-green in r07, now
-# converted to durable driver rows), positions 44-50 the seven oldest
-# r2-vintage entries (exactly two driver rows ever).  The rotation pin
-# test (tests/test_extensions.py) DERIVES all three cohorts from the
-# recorded CORRECTNESS_r01..r07 files and asserts the head matches, so
-# this list cannot silently drift from the ledger (SURVEY.md section
-# 7.5a).  Every entry regardless of position is hash-verified each
-# round by scripts/check_entry.py.
+# Round-9 rotation (verdict r08 task #1): positions 1-4 are the four
+# round-8 additions that have NO driver row through r08
+# (judge-verified strict-green in r08, now converted to durable
+# driver rows), positions 5-16 the 12 entries whose LAST driver row
+# is r02, positions 17-42 the 26 r1-vintage entries last re-confirmed
+# r05, positions 43-50 the 8 stalest r3-vintage entries last
+# re-confirmed r06.  After r9 every board entry has a driver row
+# <= 3 rounds old.  The rotation pin test (tests/test_extensions.py)
+# DERIVES all four cohorts from the recorded CORRECTNESS_r01..r08
+# files and asserts the head matches, so this list cannot silently
+# drift from the ledger (SURVEY.md section 7.5a).  Every entry
+# regardless of position is hash-verified each round by
+# scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    # 1-21: r5-vintage
-    "shuffle_rows", "boilerplate_ngrams", "repetition_signals",
-    "salient_terms", "hash_split", "session_agg", "merge_upsert",
-    "snapshot_diff", "profile_events", "pii_scrub", "histogram",
-    "det_sample", "funnel", "complete_grid", "scale_features",
-    "across_agg", "chunk_docs", "weighted_sample", "cohort_retention",
-    "hashed_features", "separate_unite",
-    # 22-43: never driver-checked through r07 (15 r6 + 7 r7)
-    "dup_clusters_star", "quantiles_global_coarse", "hybrid_rrf",
-    "pagerank_dups", "fk_orphans", "interval_merge", "window_distinct",
-    "mode_per_key", "stream_distinct", "bucketed_join", "rolling_corr",
-    "schema_evolution", "regr_by_key", "triangle_count", "cube_agg",
-    "o4_frame_scale", "o5_range_scale", "token_entropy", "kl_drift",
-    "vocab_jaccard", "rolling_hll", "stream_hll",
-    # 44-50: oldest r2-vintage (driver rows r02 only, or r02+r05)
-    "o7_calendar_complete", "asof_forward", "interval_join",
-    "ivf_topk_full", "join_full", "join_right", "pivot_longer",
-]
-
-# Positions 51-100: the planned ROUND-9 window (verdict r07 task #2 —
-# written down now so the staleness ledger survives context loss):
-# the 12 remaining entries whose LAST driver row is r02, then the 26
-# r1-vintage entries last re-confirmed r05, then the 12 stalest
-# r3-vintage entries last re-confirmed r06.  After r9 every board
-# entry has a driver row <= 3 rounds old.  If the driver window ever
-# widens past 50 this round, these are reached first.
-_DRIVER_WINDOW_NEXT = [
-    # last driver row r02
+    # 1-4: round-8 additions, never driver-checked through r08
+    "pricing_decimal", "temperature_mix", "eval_auc",
+    "calibration_bins",
+    # 5-16: last driver row r02
     "analytic_fns", "diff_pct", "fill_up", "median_frame",
     "nest_roundtrip", "pivot_wider", "props_json", "rollup_agg",
     "star_join", "summarise_pricing", "topk_per_group",
     "windowed_rollup",
-    # last driver row r05 (r1-vintage O-parity + dedup set)
+    # 17-42: last driver row r05 (r1-vintage O-parity + dedup set)
     "asof_join", "compound_expr", "corpus_clean", "cosine_topk",
     "dedup_embedding", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "dedup_simhash", "inf_frame", "locf_fill",
@@ -4316,11 +4294,36 @@ _DRIVER_WINDOW_NEXT = [
     "o5_range_flagship", "o6_grouped_rows", "o7_calendar_frame",
     "o8_overwrite", "o9_sql_window", "r_semantics", "simhash_pairs",
     "text_analysis",
-    # stalest r3-vintage, last driver row r06
+    # 43-50: stalest r3-vintage, last driver row r06
     "asof_nearest", "bm25_topk", "bpe_encode", "bpe_subwords",
     "bpe_train", "budget_mix", "classifier_score",
-    "dedup_embedding_lsh", "dup_regions", "ewma_smooth",
-    "frame_apply_median", "frame_apply_wmean",
+    "dedup_embedding_lsh",
+]
+
+# Positions 51-100: the planned ROUND-10 window (verdict r08 task #6 —
+# written down now so the staleness ledger survives context loss):
+# the 42 remaining r3-vintage entries whose LAST driver row is r06,
+# then the 8 oldest r4-vintage entries last re-confirmed r07.  After
+# r10 the stalest driver row on the board is r08 (2 rounds old).  If
+# the driver window ever widens past 50 this round, these are reached
+# first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r06 (42 remaining after the r9 head took 8)
+    "dup_regions", "ewma_smooth", "frame_apply_median",
+    "frame_apply_wmean", "repeated_spans", "quantile_prune",
+    "pipeline_e2e", "srp_embedding", "gapfill_rollup", "sessionize",
+    "text_tokens_bpe", "lsh_topk", "ivf_topk", "semantic_dedup",
+    "stream_sessions", "stream_attribution", "stream_upsert",
+    "stream_rollup", "stream_enrich", "sketch_cms", "knn_join",
+    "hard_negatives", "grouped_apply_demean", "udtf_sentences",
+    "salted_agg", "skew_join", "grouping_sets", "slice_prop",
+    "sketch_distinct", "sketch_quantiles", "sketch_kll",
+    "sketch_theta", "sketch_topk", "pq_topk_full", "ivfpq_topk",
+    "kmeans_clusters", "perceptron", "scd2_history", "stream_funnel",
+    "tpch_q1", "tpch_q2", "tpch_q3",
+    # oldest r4-vintage, last driver row r07
+    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11",
 ]
 
 
@@ -5379,21 +5382,25 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _temperature_mix_oracle(),
         "eval_auc": _eval_auc_oracle(),
         "calibration_bins": _calibration_bins_oracle(),
-        "pricing_decimal": """
-            -- CAST(v AS VARCHAR) pins DuckDB to the shortest-decimal
-            -- representation Spark's double->decimal conversion uses
-            -- (tidier_spark/money.py: money_cast_sql)
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR)
-                                 AS DECIMAL(38,2))) * 100 AS BIGINT)
-                     AS sum_base_price_c,
-                   CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
-                                      AS VARCHAR)
-                                 AS DECIMAL(38,2))) * 100 AS BIGINT)
-                     AS sum_disc_price_c,
-                   count(*) AS n
-            FROM lineitem GROUP BY 1, 2""",
+        "pricing_decimal": _pricing_decimal_oracle(),
     }
+
+
+def _pricing_decimal_oracle() -> str:
+    # Generated from money_sum_pennies_sql so the oracle spelling can
+    # never drift from the library's (ADVICE r8: a hand-inlined CAST
+    # chain omitted money_cast_sql's sub-half-unit guard — the DuckDB
+    # sci-notation VARCHAR->DECIMAL parse hazard the hatch exists for).
+    from tidier_spark.money import money_sum_pennies_sql
+
+    return f"""
+        SELECT l_returnflag, l_linestatus,
+               {money_sum_pennies_sql("l_extendedprice")}
+                 AS sum_base_price_c,
+               {money_sum_pennies_sql("l_extendedprice * (1 - l_discount)")}
+                 AS sum_disc_price_c,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2"""
 
 
 def _hashed_features_oracle() -> str:

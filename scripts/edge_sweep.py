@@ -65,10 +65,11 @@ is a real tz leak (a pre-pin literal, a JVM-default-tz legacy path, a
 Python-side local-time conversion, a tz-sensitive DuckDB function);
 ``negvals`` = every measure/money column SIGN-FLIPPED (events.value,
 lineitem amounts, o_totalprice) — the negative-operand regime no
-fixture reaches: integer ``div``/``%`` split between truncate-toward-
-zero (Spark) and floor (DuckDB ``//``) exactly on negatives, penny
-rounding of negative halves, winsorize/quantile bounds below zero,
-EWMA/regression sign handling.)
+fixture reaches: the axis CONFIRMS both engines' negative integer
+``div``/``%`` semantics agree (measured: Spark ``div`` and DuckDB
+``//`` both truncate toward zero, -7//2 = -3 — they do NOT split
+truncate-vs-floor), and exercises penny rounding of negative halves,
+winsorize/quantile bounds below zero, EWMA/regression sign handling.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 

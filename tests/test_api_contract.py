@@ -368,6 +368,85 @@ def test_temperature_mix_upweights_low_resource(spark):
     assert bm == t_prop
 
 
+def test_temperature_mix_trillion_token_totals(spark):
+    """ADVICE r8: with alpha=1.0 the weight IS the per-source token
+    total, so budget·w overflows BIGINT exactly at the trillion-token
+    design scale — the products must route through 128-bit
+    (DECIMAL(38,0) / HUGEINT).  Thresholds checked against exact
+    Python integers; the keep-all regime (budget >= available, where
+    even target·1e6 overflows) must clamp to 1e6, not raise."""
+    from tidier_spark.operators.corpus import temperature_mix
+
+    n_big, n_small = 3_000_000_000_000, 1_000_000_000_000  # 3T + 1T
+    # 200 docs per source (the op returns KEPT rows only — enough docs
+    # that every surviving threshold is observable)
+    rows = [(i, "big", n_big // 200) for i in range(200)] + [
+        (1000 + i, "small", n_small // 200) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    budget = 2_000_000_000_000  # 2T of 4T available
+    got = {
+        r.source: r.thr_ppm
+        for r in temperature_mix(df, budget, alpha=1.0)
+        .select("source", "thr_ppm")
+        .distinct()
+        .collect()
+    }
+    tw = n_big + n_small
+    want = {
+        s: min(10**6, (budget * n) // tw * 10**6 // n)
+        for s, n in (("big", n_big), ("small", n_small))
+    }
+    assert got == want, (got, want)
+
+    # keep-all regime: budget far past available -> thr = 1e6 everywhere
+    # (pre-fix this path raised on target·1e6 > 2^63 before the clamp)
+    keep_all = {
+        r.thr_ppm
+        for r in temperature_mix(df, 4_000_000_000_000_000, alpha=1.0)
+        .select("thr_ppm")
+        .distinct()
+        .collect()
+    }
+    assert keep_all == {1_000_000}
+
+
+def test_temperature_mix_trillion_matches_duckdb_mirror(spark):
+    """The HUGEINT mirror reproduces the DECIMAL(38,0) thresholds
+    bit-exactly at overflow-regime magnitudes."""
+    import duckdb
+
+    from tidier_spark.operators.corpus import temperature_mix, temperature_mix_sql
+
+    rows = [(i, "big" if i < 30 else "small", 100_000_000_000)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budget = 1_500_000_000_000
+    got = sorted(
+        (r.doc_id, r.source, r.thr_ppm)
+        for r in temperature_mix(df, budget, alpha=1.0).collect()
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{s}', {n})" for i, s, n in rows)
+            + ") t(doc_id, source, n_tokens)"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                temperature_mix_sql(
+                    "documents", budget, alpha=1.0, tokens_expr="n_tokens"
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (got[:3], want[:3])
+
+
 def test_temperature_mix_alpha_grid_enforced(spark):
     import pytest as _pytest
 
@@ -450,6 +529,35 @@ def test_auc_exact_matches_sklearn_formula_random(spark):
     assert r.auc_num == int(round(2 * wins))
 
 
+def test_auc_exact_ungrouped_uses_distributed_prefix(spark):
+    """Verdict r08 task #2: a CONTINUOUS score makes distinct ~= rows,
+    so the ungrouped rank prefix must be the two-pass bucketed lowering
+    (scale_safe_cumulative), not a global single-task window.  The plan
+    carries the per-bucket prefix stage (__pid), and the result is
+    bit-identical to the hand rank-sum (exact integer prefix)."""
+    import random
+
+    from tidier_spark.operators.evalmetrics import auc_exact
+    from tidier_spark.plans import explain_str
+
+    rng = random.Random(9)
+    # continuous-ish scores: 400 rows, ~all distinct
+    rows = [(rng.random(), rng.choice([0, 1])) for _ in range(400)]
+    df = spark.createDataFrame(rows, "s double, y int").repartition(8)
+    out = auc_exact(df, "s", "y")
+    assert "__pid" in explain_str(out, "simple")
+    r = out.collect()[0]
+    pos = sorted(s for s, y in rows if y)
+    neg = sorted(s for s, y in rows if not y)
+    wins = sum(
+        (1.0 if p > n_ else 0.5 if p == n_ else 0.0)
+        for p in pos
+        for n_ in neg
+    )
+    assert r.auc_num == int(round(2 * wins))
+    assert r.auc_den == 2 * len(pos) * len(neg)
+
+
 def test_calibration_bins_arithmetic(spark):
     from tidier_spark.operators.evalmetrics import calibration_bins
 
@@ -500,6 +608,34 @@ def test_complete_fill_preserves_nan_in_present_rows(spark):
     assert math.isnan(out[(1, "a")])          # present NaN survives
     assert out[(2, "b")] == 5.0
     assert out[(1, "b")] == 0.0 and out[(2, "a")] == 0.0  # absent filled
+
+
+def test_complete_fill_type_mismatch_skipped_like_fillna(spark):
+    """ADVICE r8: the NULL-only fill must keep fillna's type guard — a
+    mismatched fill value is SKIPPED, never coerced through
+    when/otherwise's common type (fill={'s': 0} on a string column must
+    NOT rewrite NULL -> '0'); and pre-existing explicit NULLs in
+    present rows ARE fill targets (same as fillna)."""
+    from tidier_spark.verbs import complete
+
+    df = spark.createDataFrame(
+        [(1, "a", None, None), (2, "b", "x", 5.0)],
+        "k int, g string, s string, v double",
+    )
+    out = {
+        (r.k, r.g): (r.s, r.v)
+        for r in complete(df, "k", "g", fill={"s": 0, "v": 0.0}).collect()
+    }
+    # int fill on a string column: skipped — present-row NULL stays NULL
+    assert out[(1, "a")] == (None, 0.0)  # v's explicit NULL IS filled
+    assert out[(2, "b")] == ("x", 5.0)
+    assert out[(1, "b")] == (None, 0.0)  # absent row: s skipped, v filled
+    # bool fill on a double column is also a mismatch (fillna rule)
+    out2 = {
+        (r.k, r.g): r.v
+        for r in complete(df, "k", "g", fill={"v": True}).collect()
+    }
+    assert out2[(1, "b")] is None
 
 
 def test_validate_between_counts_nan_both_engines(spark):

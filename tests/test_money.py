@@ -133,3 +133,60 @@ def test_subnormal_and_tiny_values_flush_to_zero(spark):
     con.close()
     # 0.005 -> 0.01 on both (shortest repr '0.005', HALF_UP); 1.0 -> 1.00
     assert got == want == 101, (got, want)
+
+
+def test_decimal_input_parquet_no_conversion_caveat(spark, tmp_path):
+    """Verdict r08 task #5: money.py claims the double->decimal
+    conversion caveat VANISHES with decimal-typed inputs (the real
+    100 TB money schema).  Crafted DECIMAL(20,2) parquet at 1e15+
+    magnitudes (far past the 2^53 penny cliff): Spark's decimal scan,
+    DuckDB through money_sum_pennies_sql (VARCHAR hop), and DuckDB
+    WITHOUT the hop must all agree bit-exactly — with decimal storage
+    there is no binary representation to disagree about."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tidier_spark.money import money_sum_pennies, money_sum_pennies_sql
+
+    path = str(tmp_path / "dec_money.parquet")
+    # 1e15-scale values with live cent digits; exact in DECIMAL(20,2),
+    # NOT representable as doubles (v*100 > 2^53)
+    spark.range(0, 200).select(
+        (F.col("id") % 3).alias("g"),
+        F.expr(
+            "CAST(1000000000000000.37 AS DECIMAL(20,2))"
+            " + CAST(id AS DECIMAL(20,2)) * CAST(137.41 AS DECIMAL(20,2))"
+        ).alias("v"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = {
+        r.g: r.s
+        for r in spark.read.parquet(path)
+        .groupBy("g")
+        .agg(F.expr(money_sum_pennies("v")).alias("s"))
+        .collect()
+    }
+    # exact integer ground truth (pennies), pure Python
+    base_c, step_c = 100000000000000037, 13741
+    want = {}
+    for i in range(200):
+        want[i % 3] = want.get(i % 3, 0) + base_c + i * step_c
+    assert got == want, (got, want)
+
+    con = duckdb.connect()
+    try:
+        hop = dict(
+            con.execute(
+                f"SELECT g, {money_sum_pennies_sql('v')} AS s"
+                f" FROM '{path}/*.parquet' GROUP BY g"
+            ).fetchall()
+        )
+        nohop = dict(
+            con.execute(
+                "SELECT g, CAST(sum(CAST(v AS DECIMAL(38,2))) * 100"
+                f" AS BIGINT) AS s FROM '{path}/*.parquet' GROUP BY g"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert hop == nohop == want, (hop, nohop)

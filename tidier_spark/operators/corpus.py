@@ -833,7 +833,13 @@ def temperature_mix(
     ``hash60(id:salt) mod 1e6 < thr_ppm(source)`` where ``thr_ppm =
     min(1e6, (budget · w_s div Σw) · 1e6 div n_s)`` — a pure function of
     (id, salt, per-source totals), reproducible on any layout or cluster
-    size.
+    size.  The two products route through DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB): unlike budget_mix's small user-declared shares,
+    ``w_s`` here is data-sized (the per-source token total for
+    alpha=1.0), so ``budget · w_s`` exceeds 2^63 exactly at the
+    trillion-token scale the operator targets (ADVICE r8); 128-bit
+    intermediates are exact to 10^38 and the quotients land back in
+    BIGINT (both ≤ max(budget, 1e6·thr-numerator) by construction).
 
     Plan: one bounded aggregation (per-source totals — |sources| rows), a
     1-row total broadcast back over it, then a broadcast join + map-only
@@ -869,9 +875,18 @@ def temperature_mix(
             F.lit(1_000_000).cast("long"),
             F.when(
                 (F.col("__n") > 0) & (F.col("__tw") > 0),
+                # 128-bit intermediates (see docstring): budget·w and
+                # target·1e6 overflow BIGINT at trillion-token totals.
+                # The keep-all branch (target >= n -> thr = 1e6) is
+                # decided BEFORE the ·1e6 product, so the final integral
+                # divide's quotient is < 1e6 and lands in BIGINT.
                 F.expr(
-                    f"(({int(budget_tokens)} * __w) div __tw)"
-                    " * 1000000 div __n"
+                    "CASE WHEN {t} >= __n THEN 1000000 "
+                    "ELSE (CAST({t} AS DECIMAL(38,0)) * 1000000) div __n "
+                    "END".format(
+                        t=f"((CAST({int(budget_tokens)} AS DECIMAL(38,0))"
+                        " * __w) div __tw)"
+                    )
                 ),
             ).otherwise(F.lit(1_000_000)),
         ).cast("long").alias("thr_ppm"),
@@ -922,7 +937,14 @@ def temperature_mix_sql(
           SELECT src,
                  least(1000000,
                        CASE WHEN n > 0 AND tw > 0 THEN
-                         (({budget_tokens} * wt) // tw) * 1000000 // n
+                         -- HUGEINT = DuckDB's 128-bit twin of the Spark
+                         -- side's DECIMAL(38,0) intermediates; keep-all
+                         -- decided before the *1e6 product (see the
+                         -- Column version)
+                         CASE WHEN (({budget_tokens}::HUGEINT * wt) // tw)
+                                >= n THEN 1000000
+                         ELSE ((({budget_tokens}::HUGEINT * wt) // tw)
+                               * 1000000 // n)::BIGINT END
                        ELSE 1000000 END)::BIGINT AS thr_ppm
           FROM w, tot
         )

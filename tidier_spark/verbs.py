@@ -570,9 +570,32 @@ def complete(
     if fill:
         # NULL-only fill, NOT df.fillna: Spark's na.fill also rewrites
         # NaN, silently clobbering a genuine NaN aggregate in PRESENT
-        # rows to the absent-cell default (nanvals edge axis).  Only the
-        # left-join NULLs of absent combinations are the fill targets.
+        # rows to the absent-cell default (nanvals edge axis).  Every
+        # NULL in the column is a fill target — the left-join NULLs of
+        # absent combinations AND pre-existing explicit NULLs in present
+        # rows (same targets fillna had); only NaN is preserved.
+        # fillna's type guard is kept: a fill value whose Python type
+        # doesn't match the column is SKIPPED, exactly as na.fill did —
+        # without it, when/otherwise would coerce through the common
+        # type (fill={'s': 0} on a string column rewriting NULL -> '0').
+        from pyspark.sql import types as T
+
+        _numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
         for c, v in fill.items():
+            dtype = out.schema[c].dataType
+            if isinstance(v, bool):
+                ok = isinstance(dtype, T.BooleanType)
+            elif isinstance(v, (int, float)):
+                ok = isinstance(dtype, _numeric)
+            elif isinstance(v, str):
+                ok = isinstance(dtype, T.StringType)
+            else:
+                ok = False
+            if not ok:
+                continue
             out = out.withColumn(
                 c, F.when(F.col(c).isNull(), F.lit(v)).otherwise(F.col(c))
             )
