@@ -4881,9 +4881,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "quantiles_global_coarse": """
-            SELECT quantile_cont(round(l_extendedprice * 100), 0.25) AS q25,
-                   quantile_cont(round(l_extendedprice * 100), 0.5)  AS q50,
-                   quantile_cont(round(l_extendedprice * 100), 0.75) AS q75
+            -- ::DOUBLE inside quantile_cont (here and the sketch_*
+            -- mirrors): DuckDB's quantile_cont over a DECIMAL argument
+            -- returns DECIMAL and quantizes the interpolated midpoint
+            -- at the input scale (x.5 -> x.0 at scale 0), where Spark's
+            -- exact_quantiles interpolates continuously in double; the
+            -- cast is a no-op on the shipped double fixture (decvals
+            -- axis, r9)
+            SELECT quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.25) AS q25,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.5)  AS q50,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.75) AS q75
             FROM lineitem""",
         # identical labeling contract, different distributed algorithm
         "dup_clusters_star": _dup_clusters_oracle(),
@@ -5097,8 +5104,8 @@ def oracle_sql() -> dict[str, str]:
             -- HAVING: a group with zero non-NULL values builds no KLL
             -- partial and emits no row (nullvals edge axis)
             SELECT l_returnflag,
-                   quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
-                   quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.5) AS p50_exact,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
             FROM lineitem GROUP BY 1
             HAVING count(l_extendedprice) > 0""",
@@ -5183,8 +5190,8 @@ def oracle_sql() -> dict[str, str]:
             -- the group emits no row, matching the Spark side's
             -- exact/approx inner join (nullvals edge axis)
             SELECT l_returnflag,
-                   quantile_cont(round(l_extendedprice * 100), 0.5) AS p50_exact,
-                   quantile_cont(round(l_extendedprice * 100), 0.9) AS p90_exact,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.5) AS p50_exact,
+                   quantile_cont(round(l_extendedprice * 100)::DOUBLE, 0.9) AS p90_exact,
                    TRUE AS p50_ok, TRUE AS p90_ok
             FROM lineitem GROUP BY 1
             HAVING count(l_extendedprice) > 0""",

@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -69,7 +69,15 @@ fixture reaches: the axis CONFIRMS both engines' negative integer
 ``div``/``%`` semantics agree (measured: Spark ``div`` and DuckDB
 ``//`` both truncate toward zero, -7//2 = -3 — they do NOT split
 truncate-vs-floor), and exercises penny rounding of negative halves,
-winsorize/quantile bounds below zero, EWMA/regression sign handling.)
+winsorize/quantile bounds below zero, EWMA/regression sign handling;
+``decvals`` = money columns retyped DECIMAL(15,2) — the TPC-H spec's
+own type (see DECVAL_COLS) — so the board runs on the real decimal
+money schema: decimal scans, decimal arithmetic/aggregation scale
+rules, and the decimal→pandas crossing (Spark emits exact Decimal
+objects where DuckDB's pandas conversion emits float64).  Mismatches
+classify ``pinned`` via the CHECKED half-ULP-of-emitted-scale rule
+(_decvals_half_ulp_ok): representational drift passes, value drift
+like the pre-fix quantile_cont midpoint quantization still flags.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -130,6 +138,23 @@ NEGVAL_COLS = {
     "events": ("value",),
     "lineitem": ("l_quantity", "l_extendedprice", "l_tax"),
     "orders": ("o_totalprice",),
+}
+
+
+# decvals: money columns retyped DECIMAL(15,2) — the TPC-H spec's own
+# type for them (the shipped fixture uses double).  The axis runs the
+# board on the "real 100 TB money schema" (money.py's phrase): decimal
+# scans, decimal arithmetic/aggregation, decimal->pandas crossing —
+# engine divergences here are exactly what a decimal-schema user hits.
+# Values are quantized HALF_UP at 2dp before retyping (fixture money
+# columns already carry <= 2dp, so this is a representation change,
+# not a value change) and BOTH engines read the same rewritten files.
+DECVAL_COLS = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
 }
 
 
@@ -255,6 +280,67 @@ def _dupid_pin_ok(check: str, s_rows: list, o_rows: list, cols: list) -> bool:
         ci = cols.index(check.split(":", 1)[1])
         return {r[ci] for r in s_rows} == {r[ci] for r in o_rows}
     raise ValueError(check)
+
+
+def _decvals_half_ulp_ok(s_rows: list, o_rows: list) -> bool:
+    """decvals checked pin: the Spark side emits DECIMAL cells (exact,
+    rounded HALF_UP at the result type's scale and PADDED with
+    trailing zeros past it — avg(DECIMAL(15,2)) renders '0.05010000'
+    for a rounding actually done at scale 6) where DuckDB's pandas
+    crossing emits float64.  Values agree, representations differ.
+    Cell rule, column-wise (cell drift perturbs row sort order):
+
+    * string-equal — pass;
+    * both float-parseable and within 4 double-ulps — pass (last-bit
+      conversion-order drift on double outputs);
+    * DuckDB's value quantized HALF_UP/HALF_EVEN at the NORMALIZED
+      scale of Spark's decimal (trailing zeros stripped) equals it —
+      pass (Spark's documented decimal rounding at the result scale).
+
+    Tight enough that a genuine value divergence still flags: the
+    pre-fix quantile_cont midpoint quantization (x.5 vs x.0 — a 0.5
+    gap against a 0.05 quantize unit) fails all three clauses."""
+    import decimal as _dec
+    import math as _math
+
+    if len(s_rows) != len(o_rows):
+        return False
+    if not s_rows:
+        return True
+    for ci in range(len(s_rows[0])):
+        sc = [r[ci] for r in s_rows]
+        oc = [r[ci] for r in o_rows]
+        if sc.count("<NA>") != oc.count("<NA>"):
+            return False
+        sv = [v for v in sc if v != "<NA>"]
+        ov = [v for v in oc if v != "<NA>"]
+        try:
+            sd = sorted((_dec.Decimal(v) for v in sv), key=float)
+            od = sorted((_dec.Decimal(v) for v in ov), key=float)
+        except (ValueError, _dec.InvalidOperation, ArithmeticError):
+            if sorted(sv) != sorted(ov):
+                return False
+            continue
+        for da, db in zip(sd, od):
+            if da == db:
+                continue
+            fa, fb = float(da), float(db)
+            if abs(fa - fb) <= 4 * _math.ulp(max(abs(fa), abs(fb))):
+                continue
+            nda = da.normalize()
+            k = max(0, -nda.as_tuple().exponent)
+            q = _dec.Decimal(1).scaleb(-k)
+            try:
+                if db.quantize(
+                    q, rounding=_dec.ROUND_HALF_UP
+                ) == nda or db.quantize(
+                    q, rounding=_dec.ROUND_HALF_EVEN
+                ) == nda:
+                    continue
+            except _dec.InvalidOperation:
+                pass
+            return False
+    return True
 
 
 def _float_close(s_rows: list, o_rows: list) -> bool:
@@ -471,6 +557,25 @@ def build_fixture(kind: str) -> str:
                     pc.multiply(tbl.column(i), pa.scalar(-1.0)).cast(
                         tbl.schema.field(i).type
                     ),
+                )
+        elif kind == "decvals":
+            import decimal as _dec
+
+            for col in DECVAL_COLS.get(t, ()):
+                i = tbl.schema.get_field_index(col)
+                fld = tbl.schema.field(i)
+                vals = [
+                    None
+                    if v is None
+                    else _dec.Decimal(str(v)).quantize(
+                        _dec.Decimal("0.01"), rounding=_dec.ROUND_HALF_UP
+                    )
+                    for v in tbl.column(i).to_pylist()
+                ]
+                tbl = tbl.set_column(
+                    i,
+                    pa.field(col, pa.decimal128(15, 2), nullable=fld.nullable),
+                    pa.array(vals, type=pa.decimal128(15, 2)),
                 )
         elif kind == "nullvals":
             for col in NULLVAL_COLS.get(t, ()):
@@ -707,6 +812,12 @@ def main() -> int:
             and cls == "mismatch"
             and name in MAGNITUDE_FLOAT_PINS
             and _float_close(s_rows, o_rows)
+        ):
+            cls = "pinned"
+        if (
+            kind == "decvals"
+            and cls == "mismatch"
+            and _decvals_half_ulp_ok(s_rows, o_rows)
         ):
             cls = "pinned"
         pin_check = None

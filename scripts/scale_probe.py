@@ -409,3 +409,139 @@ def skew_section():
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     print(f"join 20M skewed x 10k dim (no broadcast, no AQE-skew): "
           f"plain {pj:.2f}s  skew_join {sj:.2f}s")
+
+
+def r9_section():
+    """Round-9 probes for the round-8 additions (verdict r08 task #4):
+    decimal money aggregation, temperature_mix, eval_auc (continuous
+    scores -> distinct ~= rows, the regime the r9 two-pass prefix
+    lowering exists for, vs the naive global-window plan), and
+    calibration_bins.  Run:
+    python -c "import sys; sys.path.insert(0,'.'); \
+         from scripts.scale_probe import r9_section; r9_section()"
+    """
+    import time
+
+    from pyspark.sql import SparkSession, functions as F, Window
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def timeit(fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    rows = []
+
+    # 13. DECIMAL(38,2) money aggregation (pricing_decimal's shape) vs
+    # the default double-penny path — both one hash agg; the decimal
+    # pays 128-bit accumulation for exactness
+    from tidier_spark.money import money_sum_pennies
+
+    def money(n, decimal=True):
+        # 3e9-scale values: each row's pennies are double-exact, but the
+        # per-group SUM (~1e17 pennies at 60M rows) is past the 2^53
+        # cliff — the regime the decimal hatch exists for — while
+        # staying inside the BIGINT penny output
+        df = spark.range(n).select(
+            (F.col("id") % 16).alias("g"),
+            (
+                F.lit(3.0e9)
+                + (F.xxhash64("id") % 100_000_000).cast("double") / 100.0
+            ).alias("v"),
+        )
+        if decimal:
+            agg = F.expr(money_sum_pennies("v")).alias("s")
+        else:
+            agg = F.sum(F.round(F.col("v") * 100)).cast("long").alias("s")
+        out = df.groupBy("g").agg(agg)
+        return lambda: out.collect()
+
+    rows.append(("money_decimal_sum", "6M rows", timeit(money(6_000_000))))
+    rows.append(("money_decimal_sum", "60M rows", timeit(money(60_000_000))))
+    rows.append(("money_double_sum", "60M rows", timeit(money(60_000_000, False))))
+
+    # 14. temperature_mix: one bounded per-source agg + broadcast gate
+    from tidier_spark.operators.corpus import temperature_mix
+
+    def tmix(n):
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 32)).alias("source"),
+            (100 + F.xxhash64("id") % 1000).alias("n_tokens"),
+        )
+        return lambda: temperature_mix(df, n * 50).count()
+
+    rows.append(("temperature_mix", "6M docs", timeit(tmix(6_000_000))))
+    rows.append(("temperature_mix", "60M docs", timeit(tmix(60_000_000))))
+
+    # 15. eval_auc with CONTINUOUS scores (distinct ~= rows): the r9
+    # two-pass prefix vs the naive single-task global window
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    def aucdf(n):
+        return spark.range(n).select(
+            (F.xxhash64("id").cast("double") / 9.3e18).alias("s"),
+            (F.col("id") % 2).cast("int").alias("y"),
+        )
+
+    def auc(n):
+        out = auc_exact(aucdf(n), "s", "y")
+        return lambda: out.collect()
+
+    def auc_naive(n):
+        df = aucdf(n)
+        per = df.groupBy("s").agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("p"),
+        )
+        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+        r = per.withColumn(
+            "b", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+        )
+        g = r.agg(
+            F.sum(F.col("p") * (2 * (F.col("b") + 1) + F.col("c") - 1)).alias(
+                "r2"
+            ),
+            F.sum("p").alias("np"),
+            F.sum(F.col("c") - F.col("p")).alias("nn"),
+        )
+        return lambda: g.collect()
+
+    rows.append(("eval_auc_2pass", "6M distinct", timeit(auc(6_000_000))))
+    rows.append(("eval_auc_2pass", "60M distinct", timeit(auc(60_000_000))))
+    rows.append(("eval_auc_naive_window", "6M distinct", timeit(auc_naive(6_000_000))))
+    rows.append(("eval_auc_naive_window", "60M distinct", timeit(auc_naive(60_000_000))))
+
+    # 16. calibration_bins: one hash aggregate
+    from tidier_spark.operators.evalmetrics import calibration_bins
+
+    def calib(n):
+        df = spark.range(n).select(
+            F.pmod(F.xxhash64("id"), F.lit(1_000_001)).alias("s"),
+            (F.col("id") % 2).cast("int").alias("y"),
+        )
+        out = calibration_bins(df, "s", "y")
+        return lambda: out.collect()
+
+    rows.append(("calibration_bins", "6M rows", timeit(calib(6_000_000))))
+    rows.append(("calibration_bins", "60M rows", timeit(calib(60_000_000))))
+
+    print(f"{'operator':<24} {'size':>12} {'sec':>8}")
+    for op, size, sec in rows:
+        print(f"{op:<24} {size:>12} {sec:>8.2f}")

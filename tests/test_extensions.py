@@ -2985,6 +2985,26 @@ def test_driver_window_head_is_never_checked_rotation():
     assert set(oracles) == set(keys)
 
 
+def test_snapshot_diff_coerces_drifted_column_types(spark):
+    """decvals axis (r9): a DECIMAL(15,2) snapshot whose new side went
+    through a ``+ 1.0`` double promotion must still diff — the
+    per-column null-safe comparison gets Spark's implicit coercion
+    where the old one-struct inequality raised BINARY_OP_DIFF_TYPES.
+    1.00 (decimal) vs 1.0 (double) must compare EQUAL, not 'update'."""
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "1.00"), (2, "2.50"), (3, "3.00")], ["k", "vs"]
+    ).select("k", F.col("vs").cast("decimal(15,2)").alias("v"))
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, 3.5), (4, 9.0)], ["k", "v"]
+    )
+    got = {(r.k, r.change) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {(2, "update"), (3, "delete"), (4, "insert")}, got
+
+
 def test_snapshot_diff_null_transitions_match_duckdb(spark):
     """A value changing to/from NULL IS an update (struct inequality is
     null-safe in Spark); NULL -> NULL is unchanged.  Pinned against a

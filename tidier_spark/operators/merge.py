@@ -83,18 +83,42 @@ def snapshot_diff(
     changed key with ``change ∈ {'insert', 'delete', 'update'}``.
 
     Plan: full outer join on the key (sort-merge; both sides shuffle once
-    on the same key — co-partitioned), change class from null-ness plus a
-    single struct inequality over ``compare_cols``.
+    on the same key — co-partitioned), change class from a presence flag
+    per side plus an OR of per-column null-safe inequalities over
+    ``compare_cols``.  Column-wise (not one struct inequality) so
+    Spark's implicit binary-comparison coercion applies per column:
+    real snapshot pairs arrive with drifted-but-compatible types — e.g.
+    a DECIMAL(15,2) column whose new snapshot went through a ``+ 1.0``
+    double promotion — and a struct comparison rejects that with
+    BINARY_OP_DIFF_TYPES where the column comparison coerces both sides
+    to the common type (decvals axis, r9).  Null-safe (``<=>``) keeps
+    the NULL-transition semantics: value↔NULL is an update, NULL↔NULL
+    is unchanged (pinned against a DuckDB IS DISTINCT FROM
+    differential).  Genuinely incompatible column types still raise at
+    analysis, loudly and named.
     """
     ks = [keys] if isinstance(keys, str) else list(keys)
     cols = compare_cols or [c for c in new.columns if c not in ks]
-    o = old.select(*ks, F.struct(*cols).alias("__o"))
-    n = new.select(*ks, F.struct(*cols).alias("__n"))
+    o = old.select(
+        *ks,
+        F.lit(True).alias("__in_o"),
+        *[F.col(c).alias(f"__o_{i}") for i, c in enumerate(cols)],
+    )
+    n = new.select(
+        *ks,
+        F.lit(True).alias("__in_n"),
+        *[F.col(c).alias(f"__n_{i}") for i, c in enumerate(cols)],
+    )
     j = o.join(n, ks, "full_outer")
+    changed = F.lit(False)
+    for i in range(len(cols)):
+        changed = changed | ~(
+            F.col(f"__o_{i}").eqNullSafe(F.col(f"__n_{i}"))
+        )
     change = (
-        F.when(F.col("__o").isNull(), F.lit("insert"))
-        .when(F.col("__n").isNull(), F.lit("delete"))
-        .when(F.col("__o") != F.col("__n"), F.lit("update"))
+        F.when(F.col("__in_o").isNull(), F.lit("insert"))
+        .when(F.col("__in_n").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
     )
     return (
         j.withColumn("change", change)
