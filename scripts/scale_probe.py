@@ -416,7 +416,15 @@ def r9_section():
     decimal money aggregation, temperature_mix, eval_auc (continuous
     scores -> distinct ~= rows, the regime the r9 two-pass prefix
     lowering exists for, vs the naive global-window plan), and
-    calibration_bins.  Run:
+    calibration_bins.
+
+    HARNESS NOTE (r9 find): re-collecting the SAME Dataset object lets
+    Spark reuse its shuffle map outputs, so a min-of-2 over one plan
+    undercounts every pre-shuffle stage (measured: eval_auc at 60M
+    distinct, 63.8 s fresh vs 0.14 s on the second collect).  Every
+    probe here REBUILDS the full plan inside the timed function —
+    operator construction (including any eager split-point collects)
+    is part of the reported cost.  Run:
     python -c "import sys; sys.path.insert(0,'.'); \
          from scripts.scale_probe import r9_section; r9_section()"
     """
@@ -448,27 +456,28 @@ def r9_section():
 
     # 13. DECIMAL(38,2) money aggregation (pricing_decimal's shape) vs
     # the default double-penny path — both one hash agg; the decimal
-    # pays 128-bit accumulation for exactness
+    # pays 128-bit accumulation for exactness.  3e9-scale values: each
+    # row's pennies are double-exact, but the per-group SUM (~1e17
+    # pennies at 60M rows) is past the 2^53 cliff — the regime the
+    # decimal hatch exists for — while staying inside BIGINT output.
     from tidier_spark.money import money_sum_pennies
 
     def money(n, decimal=True):
-        # 3e9-scale values: each row's pennies are double-exact, but the
-        # per-group SUM (~1e17 pennies at 60M rows) is past the 2^53
-        # cliff — the regime the decimal hatch exists for — while
-        # staying inside the BIGINT penny output
-        df = spark.range(n).select(
-            (F.col("id") % 16).alias("g"),
-            (
-                F.lit(3.0e9)
-                + (F.xxhash64("id") % 100_000_000).cast("double") / 100.0
-            ).alias("v"),
-        )
-        if decimal:
-            agg = F.expr(money_sum_pennies("v")).alias("s")
-        else:
-            agg = F.sum(F.round(F.col("v") * 100)).cast("long").alias("s")
-        out = df.groupBy("g").agg(agg)
-        return lambda: out.collect()
+        def run():
+            df = spark.range(n).select(
+                (F.col("id") % 16).alias("g"),
+                (
+                    F.lit(3.0e9)
+                    + (F.xxhash64("id") % 100_000_000).cast("double") / 100.0
+                ).alias("v"),
+            )
+            if decimal:
+                agg = F.expr(money_sum_pennies("v")).alias("s")
+            else:
+                agg = F.sum(F.round(F.col("v") * 100)).cast("long").alias("s")
+            df.groupBy("g").agg(agg).collect()
+
+        return run
 
     rows.append(("money_decimal_sum", "6M rows", timeit(money(6_000_000))))
     rows.append(("money_decimal_sum", "60M rows", timeit(money(60_000_000))))
@@ -478,12 +487,15 @@ def r9_section():
     from tidier_spark.operators.corpus import temperature_mix
 
     def tmix(n):
-        df = spark.range(n).select(
-            F.col("id").alias("doc_id"),
-            F.concat(F.lit("s"), (F.col("id") % 32)).alias("source"),
-            (100 + F.xxhash64("id") % 1000).alias("n_tokens"),
-        )
-        return lambda: temperature_mix(df, n * 50).count()
+        def run():
+            df = spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("s"), (F.col("id") % 32)).alias("source"),
+                (100 + F.xxhash64("id") % 1000).alias("n_tokens"),
+            )
+            temperature_mix(df, n * 50).count()
+
+        return run
 
     rows.append(("temperature_mix", "6M docs", timeit(tmix(6_000_000))))
     rows.append(("temperature_mix", "60M docs", timeit(tmix(60_000_000))))
@@ -499,45 +511,57 @@ def r9_section():
         )
 
     def auc(n):
-        out = auc_exact(aucdf(n), "s", "y")
-        return lambda: out.collect()
+        def run():
+            auc_exact(aucdf(n), "s", "y").collect()
+
+        return run
 
     def auc_naive(n):
-        df = aucdf(n)
-        per = df.groupBy("s").agg(
-            F.count(F.lit(1)).cast("long").alias("c"),
-            F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
-            .cast("long")
-            .alias("p"),
-        )
-        w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-        r = per.withColumn(
-            "b", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-        )
-        g = r.agg(
-            F.sum(F.col("p") * (2 * (F.col("b") + 1) + F.col("c") - 1)).alias(
-                "r2"
-            ),
-            F.sum("p").alias("np"),
-            F.sum(F.col("c") - F.col("p")).alias("nn"),
-        )
-        return lambda: g.collect()
+        def run():
+            df = aucdf(n)
+            per = df.groupBy("s").agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                F.sum(F.when(F.col("y") != 0, 1).otherwise(0))
+                .cast("long")
+                .alias("p"),
+            )
+            w = Window.orderBy("s").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            r = per.withColumn(
+                "b", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+            )
+            r.agg(
+                F.sum(
+                    F.col("p") * (2 * (F.col("b") + 1) + F.col("c") - 1)
+                ).alias("r2"),
+                F.sum("p").alias("np"),
+                F.sum(F.col("c") - F.col("p")).alias("nn"),
+            ).collect()
+
+        return run
 
     rows.append(("eval_auc_2pass", "6M distinct", timeit(auc(6_000_000))))
     rows.append(("eval_auc_2pass", "60M distinct", timeit(auc(60_000_000))))
-    rows.append(("eval_auc_naive_window", "6M distinct", timeit(auc_naive(6_000_000))))
-    rows.append(("eval_auc_naive_window", "60M distinct", timeit(auc_naive(60_000_000))))
+    rows.append(
+        ("eval_auc_naive_window", "6M distinct", timeit(auc_naive(6_000_000), reps=1))
+    )
+    rows.append(
+        ("eval_auc_naive_window", "60M distinct", timeit(auc_naive(60_000_000), reps=1))
+    )
 
     # 16. calibration_bins: one hash aggregate
     from tidier_spark.operators.evalmetrics import calibration_bins
 
     def calib(n):
-        df = spark.range(n).select(
-            F.pmod(F.xxhash64("id"), F.lit(1_000_001)).alias("s"),
-            (F.col("id") % 2).cast("int").alias("y"),
-        )
-        out = calibration_bins(df, "s", "y")
-        return lambda: out.collect()
+        def run():
+            df = spark.range(n).select(
+                F.pmod(F.xxhash64("id"), F.lit(1_000_001)).alias("s"),
+                (F.col("id") % 2).cast("int").alias("y"),
+            )
+            calibration_bins(df, "s", "y").collect()
+
+        return run
 
     rows.append(("calibration_bins", "6M rows", timeit(calib(6_000_000))))
     rows.append(("calibration_bins", "60M rows", timeit(calib(60_000_000))))

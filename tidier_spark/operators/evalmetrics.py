@@ -87,8 +87,32 @@ def auc_exact(
     else:
         from ..window import scale_safe_cumulative
 
+        # bucket split points from a percentile pass over the RAW rows,
+        # not over per_score: any monotone literals are correct (only
+        # balance varies — and row-weighted balance is what we want),
+        # and the raw scan is one stage where the per_score pass would
+        # re-execute the whole distinct-score shuffle (measured 10.7 s
+        # of a 74 s call at 60M distinct)
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+        splits = None
+        if n_parts >= 2:
+            probs = [(i + 1) / n_parts for i in range(n_parts - 1)]
+            row = base.select(
+                F.percentile_approx(
+                    score_col,
+                    F.array(*[F.lit(p) for p in probs]),
+                    F.lit(10_000),
+                ).alias("s")
+            ).collect()
+            arr = row[0]["s"] if row else None
+            splits = sorted({v for v in (arr or []) if v is not None})
         ranked = scale_safe_cumulative(
-            per_score, "__c", order_by=[score_col], out="__cum", fn="sum"
+            per_score,
+            "__c",
+            order_by=[score_col],
+            out="__cum",
+            fn="sum",
+            split_points=splits or None,
         ).withColumn(
             "__before", (F.col("__cum") - F.col("__c")).cast("long")
         ).drop("__cum")
