@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -77,7 +77,19 @@ rules, and the decimal→pandas crossing (Spark emits exact Decimal
 objects where DuckDB's pandas conversion emits float64).  Mismatches
 classify ``pinned`` via the CHECKED half-ULP-of-emitted-scale rule
 (_decvals_half_ulp_ok): representational drift passes, value drift
-like the pre-fix quantile_cont midpoint quantization still flags.)
+like the pre-fix quantile_cont midpoint quantization still flags;
+``sfjump`` = the sf-JUMP probe (verdict r8 task #7b): a ~sf1 dataset
+built by replicating the sf0.1 fixtures SFJUMP_REPLICAS (default 10)
+times with FK-coherent key offsets — the same key domain offsets at
+its PK and every FK site, nation/region held fixed like TPC-H's own
+sf scaling, timestamps unchanged so event density rises 10x — then
+the FULL board runs strict Spark-vs-oracle on it.  The point is
+size-dependent plan cliffs the fixed 3-sf gate cannot see: AQE
+broadcast-threshold flips, sampled-boundary drift, sort-merge vs
+broadcast join switches, overflow at 10x sums.  Uses local[32] /
+32 shuffle partitions (the bench profile) instead of the 8/8 the
+small axes use, and records per-entry spark/oracle wall seconds in
+the output JSON so stragglers are visible, not silently capped.)
 Writes /tmp/edge_sweep_<kind>.json with the full classification.
 """
 
@@ -167,6 +179,42 @@ NULLVAL_COLS = {
     "documents": ("text",),
     "embeddings": ("embedding",),
 }
+
+
+# sfjump: every int64 key column, grouped by the DOMAIN it draws from —
+# replica i adds i*stride(domain) at the PK and every FK site of the
+# same domain, so referential structure is exactly 10 disjoint copies
+# of the sf0.1 universe sharing one nation/region dimension (TPC-H
+# itself holds nation/region fixed across sf).  Strides are computed
+# from the base data (next power of 10 above the domain's max), so
+# replica key ranges can never collide.
+SFJUMP_KEY_COLS = {
+    "customer": {"c_custkey": "custkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+# domain -> (owning table, PK column) for stride derivation
+SFJUMP_DOMAIN_PK = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+SFJUMP_REPLICAS = int(os.environ.get("SFJUMP_REPLICAS", "10"))
+SFJUMP_SRC = os.environ.get("SFJUMP_SRC", "/root/testdata/sf0.1")
 
 
 # nanvals axis: oracle-side crashes that are DuckDB ENGINE LIMITS, not
@@ -379,6 +427,41 @@ def build_fixture(kind: str) -> str:
     out = f"/tmp/edge_fixture_{kind}"
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
+    if kind == "sfjump":
+        import pyarrow.compute as pc
+
+        strides = {}
+        for dom, (t, col) in SFJUMP_DOMAIN_PK.items():
+            mx = pc.max(
+                pq.read_table(f"{SFJUMP_SRC}/{t}.parquet", columns=[col])
+                .column(col)
+            ).as_py()
+            stride = 10
+            while stride <= mx:
+                stride *= 10
+            strides[dom] = stride
+        for t in TABLES:
+            tbl = pq.read_table(f"{SFJUMP_SRC}/{t}.parquet")
+            key_cols = SFJUMP_KEY_COLS.get(t)
+            if not key_cols:  # nation / region: one shared dimension
+                pq.write_table(tbl, f"{out}/{t}.parquet")
+                continue
+            replicas = [tbl]
+            for i in range(1, SFJUMP_REPLICAS):
+                rep = tbl
+                for col, dom in key_cols.items():
+                    j = rep.schema.get_field_index(col)
+                    rep = rep.set_column(
+                        j,
+                        rep.schema.field(j),
+                        pc.add(
+                            rep.column(j),
+                            pa.scalar(i * strides[dom], pa.int64()),
+                        ),
+                    )
+                replicas.append(rep)
+            pq.write_table(pa.concat_tables(replicas), f"{out}/{t}.parquet")
+        return out
     for t in TABLES:
         tbl = pq.read_table(f"{SRC}/{t}.parquet")
         if kind == "unitext" and t == "documents":
@@ -670,13 +753,19 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # sfjump runs the bench profile (local[32]/32) — the whole point is
+    # the plan at realistic parallelism and data size; the small axes
+    # keep 8/8 so 22 sweeps stay cheap
+    cores, parts, mem = (
+        ("32", "32", "24g") if kind == "sfjump" else ("8", "8", "8g")
+    )
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("edge-sweep")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", parts)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", mem)
     )
     if kind == "tz":
         builder = (
@@ -708,12 +797,17 @@ def main() -> int:
         s_err = o_err = None
         s_rows = o_rows = None
         s_cols: list = []
+        import time as _t
+
+        _t0 = _t.perf_counter()
         try:
             pdf = fn(spark, sf_dir).toPandas()
             s_cols = sorted(pdf.columns)
             s_rows = canon(pdf)
         except Exception as e:
             s_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+        _t_spark = _t.perf_counter() - _t0
+        _t0 = _t.perf_counter()
         sql = oracles.get(name)
         if sql is not None:
             con = duckdb.connect()
@@ -827,6 +921,7 @@ def main() -> int:
                 cls = "pinned"
             else:
                 pin_check = f"FAILED:{pin_check}"
+        _t_oracle = _t.perf_counter() - _t0
         results[name] = {
             "class": cls,
             **({"pin_check": pin_check} if pin_check else {}),
@@ -834,9 +929,14 @@ def main() -> int:
             "oracle_rows": None if o_rows is None else len(o_rows),
             "spark_err": s_err,
             "oracle_err": o_err,
+            "spark_s": round(_t_spark, 2),
+            "oracle_s": round(_t_oracle, 2),
         }
         flag = "" if cls in ("match", "both_empty", "loud_both", "pinned") else "  <<<"
-        print(f"{cls:11s} {name}{flag}", flush=True)
+        print(
+            f"{cls:11s} {name}  [{_t_spark:.1f}s/{_t_oracle:.1f}s]{flag}",
+            flush=True,
+        )
 
     out = f"/tmp/edge_sweep_{kind}.json"
     with open(out, "w") as fh:
