@@ -214,7 +214,44 @@ SFJUMP_DOMAIN_PK = {
     "vec_id": ("embeddings", "vec_id"),
 }
 SFJUMP_REPLICAS = int(os.environ.get("SFJUMP_REPLICAS", "10"))
+# embeddings jumps 2x, not 10x: the exact-cosine families (cosine_topk,
+# knn_join, dedup_embedding, semantic_dedup and their oracles) are
+# all-pairs BY DOCUMENTED DESIGN (the exact-oracle forms), so cost is
+# quadratic in the vector count — 10x vectors = 100x pairs (400M x 64d
+# at 20k, hours in either engine).  2x vectors still quadruples the
+# pair count (16M), which is enough to move AQE/broadcast boundaries,
+# while the scale path for vectors is the LSH/IVF/PQ families, which
+# DO ride the full jump via their bounded structures.
+SFJUMP_TABLE_REPLICAS = {"embeddings": min(2, SFJUMP_REPLICAS)}
 SFJUMP_SRC = os.environ.get("SFJUMP_SRC", "/root/testdata/sf0.1")
+
+# sfjump: entries whose OUTPUT is quadratic in the replication factor —
+# they emit candidate PAIRS, and 10 exact copies of every document turn
+# each base near-pair into ~100 pairs (simhash_pairs measured >300M rows
+# at 10x docs).  Materializing that driver-side to compare is a harness
+# failure mode, not an engine one (the engine never collects it), so
+# these entries compare IN-ENGINE: exact row count plus an
+# order-insensitive polynomial checksum over the (all-integer) output
+# columns, built from the SAME SQL text in Spark and DuckDB
+# (P = 2^31-1 keeps the per-row hash < 2^31 and every intermediate
+# within BIGINT; the checksum SUM stays < 2^63 up to ~4e9 rows).  A
+# dropped row, fabricated row, or any drifted integer cell moves the
+# sum.  entry -> ordered integer output columns.
+SFJUMP_INT_AGG = {"simhash_pairs": ["id_a", "id_b", "hamming"]}
+
+
+def _int_checksum_exprs(cols: list) -> str:
+    p = 2_147_483_647  # 2^31 - 1
+    acc = "CAST(0 AS BIGINT)"
+    for c in cols:
+        acc = (
+            f"(({acc} * 31 + ((CAST({c} AS BIGINT) % {p}) + {p}) % {p})"
+            f" % {p})"
+        )
+    return [
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        f"CAST(coalesce(sum({acc}), 0) AS BIGINT) AS checksum",
+    ]
 
 
 # nanvals axis: oracle-side crashes that are DuckDB ENGINE LIMITS, not
@@ -447,7 +484,7 @@ def build_fixture(kind: str) -> str:
                 pq.write_table(tbl, f"{out}/{t}.parquet")
                 continue
             replicas = [tbl]
-            for i in range(1, SFJUMP_REPLICAS):
+            for i in range(1, SFJUMP_TABLE_REPLICAS.get(t, SFJUMP_REPLICAS)):
                 rep = tbl
                 for col, dom in key_cols.items():
                     j = rep.schema.get_field_index(col)
@@ -715,6 +752,34 @@ def build_fixture(kind: str) -> str:
     return out
 
 
+def sample_rows(rows: list) -> tuple[int, list]:
+    """Deterministic 1%-by-content subset for over-cap results.
+
+    sfjump can produce results with tens of millions of rows (pair
+    entries are quadratic in the replication factor); comparing the
+    full canon lists is minutes of pure Python per side.  Above
+    EDGE_SWEEP_SAMPLE_ROWS the compare switches LOUDLY (class suffix +
+    "sampled" in the JSON) to: exact row-COUNT equality plus value
+    equality on the subset of rows whose md5(row content) lands in a
+    fixed 1% slice.  Sampling keys on the stringified row, so both
+    engines select the same rows independent of order — a dropped or
+    drifted row still flags with P=1 on count and ~1% per-row on
+    values.
+    """
+    import hashlib as _hl
+
+    n = len(rows)
+    sampled = [
+        r
+        for r in rows
+        if int(_hl.md5("\x1f".join(r).encode()).hexdigest()[:8], 16) % 100 == 0
+    ]
+    return n, sampled
+
+
+SAMPLE_CAP = int(os.environ.get("EDGE_SWEEP_SAMPLE_ROWS", "5000000"))
+
+
 def canon(df) -> list:
     import pandas as pd  # noqa: F401
 
@@ -766,6 +831,11 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", mem)
+        # the sweep COLLECTS full results to compare them — at sfjump
+        # size a per-row entry's toPandas legitimately exceeds the 1g
+        # default (a harness need, not a product path: the engine
+        # itself never collects O(n) results)
+        .config("spark.driver.maxResultSize", "8g")
     )
     if kind == "tz":
         builder = (
@@ -791,8 +861,30 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
+    # subset runs (explicit entry args) write to a separate file so a
+    # quick one-entry smoke can never clobber a full-board artifact —
+    # the per-entry flush below rewrites the WHOLE dict each time
+    out = (
+        f"/tmp/edge_sweep_{kind}_subset.json"
+        if only
+        else f"/tmp/edge_sweep_{kind}.json"
+    )
+    # EDGE_SWEEP_RESUME=1: preload a previous partial run's output and
+    # skip entries already classified clean — restarts after a straggler
+    # kill re-run only the tail (results are flushed per entry below)
+    if os.environ.get("EDGE_SWEEP_RESUME") == "1" and os.path.exists(out):
+        with open(out) as fh:
+            prior = json.load(fh)
+        results.update(
+            (n, r)
+            for n, r in prior.items()
+            if r["class"] in ("match", "pinned", "both_empty", "loud_both")
+        )
+        print(f"resumed: {len(results)} entries carried over", flush=True)
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in results:
             continue
         s_err = o_err = None
         s_rows = o_rows = None
@@ -800,8 +892,12 @@ def main() -> int:
         import time as _t
 
         _t0 = _t.perf_counter()
+        agg_cols = SFJUMP_INT_AGG.get(name) if kind == "sfjump" else None
         try:
-            pdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            if agg_cols:
+                df = df.selectExpr(*_int_checksum_exprs(agg_cols))
+            pdf = df.toPandas()
             s_cols = sorted(pdf.columns)
             s_rows = canon(pdf)
         except Exception as e:
@@ -809,6 +905,8 @@ def main() -> int:
         _t_spark = _t.perf_counter() - _t0
         _t0 = _t.perf_counter()
         sql = oracles.get(name)
+        if sql is not None and agg_cols:
+            sql = f"SELECT {', '.join(_int_checksum_exprs(agg_cols))} FROM ({sql})"
         if sql is not None:
             con = duckdb.connect()
             try:
@@ -826,12 +924,23 @@ def main() -> int:
                 o_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
             finally:
                 con.close()
+        sampled = False
+        if (
+            s_rows is not None
+            and o_rows is not None
+            and max(len(s_rows), len(o_rows)) > SAMPLE_CAP
+        ):
+            sampled = True
+            s_n, s_rows = sample_rows(s_rows)
+            o_n, o_rows = sample_rows(o_rows)
         if s_err and o_err:
             cls = "loud_both"
         elif s_err:
             cls = "spark_err"
         elif o_err:
             cls = "oracle_err"
+        elif sampled:
+            cls = "match" if (s_n == o_n and s_rows == o_rows) else "mismatch"
         elif s_rows == o_rows:
             cls = "both_empty" if not s_rows else "match"
         else:
@@ -925,8 +1034,13 @@ def main() -> int:
         results[name] = {
             "class": cls,
             **({"pin_check": pin_check} if pin_check else {}),
-            "spark_rows": None if s_rows is None else len(s_rows),
-            "oracle_rows": None if o_rows is None else len(o_rows),
+            **(
+                {"sampled": True, "sample_rows": len(s_rows or [])}
+                if sampled
+                else {}
+            ),
+            "spark_rows": (s_n if sampled else None if s_rows is None else len(s_rows)),
+            "oracle_rows": (o_n if sampled else None if o_rows is None else len(o_rows)),
             "spark_err": s_err,
             "oracle_err": o_err,
             "spark_s": round(_t_spark, 2),
@@ -934,11 +1048,13 @@ def main() -> int:
         }
         flag = "" if cls in ("match", "both_empty", "loud_both", "pinned") else "  <<<"
         print(
-            f"{cls:11s} {name}  [{_t_spark:.1f}s/{_t_oracle:.1f}s]{flag}",
+            f"{cls:11s} {name}  [{_t_spark:.1f}s/{_t_oracle:.1f}s]"
+            f"{'  (sampled compare)' if sampled else ''}{flag}",
             flush=True,
         )
+        with open(out, "w") as fh:  # flush per entry: straggler-kill safe
+            json.dump(results, fh, indent=1)
 
-    out = f"/tmp/edge_sweep_{kind}.json"
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     from collections import Counter
