@@ -489,17 +489,33 @@ def topk_merged(
     max_items_tracked: int = 10_000,
     overfetch: int = 8,
 ) -> DataFrame:
-    """Combine previously-built heavy-hitters sketches per group and emit
+    """Merge previously-built heavy-hitters sketches per group and emit
     the top ``k`` items as rows ``(item, est_freq, topk_rank)``.
 
-    ``approx_top_k_combine`` is a real aggregate (unlike KLL's 2-ary
-    merge), so partial sketches from any slicing — per day, per ingest
-    batch, per shard — fold into the group answer without re-reading
-    data.  The estimate's own ordering is engine-internal (equal counts
-    in arbitrary order), so ``overfetch``·k items are pulled from the
-    sketch and re-ranked deterministically (freq desc, item asc) before
-    the cut — a boundary tie group smaller than (overfetch−1)·k items
-    then cannot change the reported top k.
+    The merge is a DISTRIBUTED SUM over the sketches' own (item, count)
+    contents: each partial is unpacked with ``approx_top_k_estimate``
+    (its full tracked list), exploded to rows, and folded with one hash
+    aggregate — map-side combined and shuffle-parallel, so partial
+    sketches from any slicing (per day, per ingest batch, per shard)
+    fold into the group answer without re-reading data, and no
+    single-reducer sketch-buffer funnel exists at cluster scale.
+
+    Spark's ``approx_top_k_combine`` is deliberately NOT used: when the
+    total merged entry count is far above ``maxItemsTracked`` it
+    silently loses even the heaviest items (measured, Spark 4.1: 84
+    partials of ~65k tracked items each, combined at
+    maxItemsTracked=100k → ``approx_top_k_estimate`` returns an EMPTY
+    list; at 250k → 7 items).  Found by the r9 sf-jump probe at 200k
+    distinct parts, minimal repro in ``tests/test_sketches_scale.py``.
+    Summing per-sketch counts is the standard frequent-items merge:
+    EXACT whenever no partial evicted (each cell's distinct cardinality
+    ≤ ``max_items_tracked`` — the documented exact contract), a
+    lower-bound estimate otherwise.
+
+    The final ranking is deterministic (freq desc, item asc) over the
+    complete merged list (bounded by n_partials × max_items_tracked
+    rows).  ``overfetch`` is retained for API compatibility; the merged
+    list is already complete, so no pre-rank cut is applied.
     """
     from pyspark.sql import Window
 
@@ -508,39 +524,23 @@ def topk_merged(
     if overfetch < 1:
         raise ValueError(f"topk_merged: overfetch must be >= 1, got {overfetch}")
     keys = _keys(by)
-    est_k = min(int(k) * max(1, int(overfetch)), int(max_items_tracked))
-    # combine and estimate in two steps: an UNGROUPED combine over zero
-    # sketches returns NULL, and approx_top_k_estimate(NULL) dies with a
-    # scala.MatchError inside the task — the lazy CASE WHEN evaluates the
-    # estimate only on real sketches, and the NULL row is then dropped
-    comb = F.expr(
-        f"approx_top_k_combine({sketch_col}, {int(max_items_tracked)})"
-    ).alias("__c")
-    # ungrouped merges group by a constant instead of a global agg: over
-    # ZERO input rows a global agg still emits one row and
-    # approx_top_k_combine dies on its null buffer (scala.MatchError);
-    # a grouped agg simply emits no groups
-    g = (
-        df.groupBy(*keys).agg(comb)
-        if keys
-        else df.groupBy(F.lit(1).alias("__g1")).agg(comb).drop("__g1")
+    est = F.expr(
+        f"approx_top_k_estimate({sketch_col}, {int(max_items_tracked)})"
     )
-    g = g.select(
-        *keys,
-        F.when(
-            F.col("__c").isNotNull(),
-            F.expr(f"approx_top_k_estimate(__c, {est_k})"),
-        ).alias("__top"),
-    ).where(F.col("__top").isNotNull())
-    ex = g.select(*keys, F.explode("__top").alias("__e")).select(
-        *keys,
-        F.col("__e.item").alias("item"),
-        F.col("__e.count").alias("est_freq"),
+    ex = (
+        df.where(F.col(sketch_col).isNotNull())
+        .select(*keys, F.explode(est).alias("__e"))
+        .select(
+            *keys,
+            F.col("__e.item").alias("item"),
+            F.col("__e.count").alias("__n"),
+        )
     )
+    g = ex.groupBy(*keys, "item").agg(F.sum("__n").alias("est_freq"))
     w = Window.partitionBy(*keys).orderBy(
         F.col("est_freq").desc(), F.col("item").asc()
     )
-    return ex.withColumn("topk_rank", F.row_number().over(w).cast("long")).where(
+    return g.withColumn("topk_rank", F.row_number().over(w).cast("long")).where(
         F.col("topk_rank") <= k
     )
 
