@@ -4263,52 +4263,20 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-9 rotation (verdict r08 task #1): positions 1-4 are the four
-# round-8 additions that have NO driver row through r08
-# (judge-verified strict-green in r08, now converted to durable
-# driver rows), positions 5-16 the 12 entries whose LAST driver row
-# is r02, positions 17-42 the 26 r1-vintage entries last re-confirmed
-# r05, positions 43-50 the 8 stalest r3-vintage entries last
-# re-confirmed r06.  After r9 every board entry has a driver row
-# <= 3 rounds old.  The rotation pin test (tests/test_extensions.py)
-# DERIVES all four cohorts from the recorded CORRECTNESS_r01..r08
-# files and asserts the head matches, so this list cannot silently
-# drift from the ledger (SURVEY.md section 7.5a).  Every entry
-# regardless of position is hash-verified each round by
-# scripts/check_entry.py.
+# Round-10 rotation (verdict r09 task #2): positions 1-42 are the 42
+# entries whose LAST hash-green driver row is r06 (including the
+# post-rewrite ``sketch_topk`` and the bench-outlier cohort
+# ``pipeline_e2e`` / ``repeated_spans`` / ``quantile_prune`` /
+# ``stream_attribution``), positions 43-50 the 8 oldest entries last
+# re-confirmed r07 (tpch_q4..q11).  After r10 the stalest driver row
+# on the board is r08 (2 rounds old).  The rotation pin test
+# (tests/test_extensions.py) DERIVES the cohorts from the recorded
+# CORRECTNESS_r01..r09 files and asserts the head matches, so this
+# list cannot silently drift from the ledger (SURVEY.md section
+# 7.5a).  Every entry regardless of position is hash-verified each
+# round by scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    # 1-4: round-8 additions, never driver-checked through r08
-    "pricing_decimal", "temperature_mix", "eval_auc",
-    "calibration_bins",
-    # 5-16: last driver row r02
-    "analytic_fns", "diff_pct", "fill_up", "median_frame",
-    "nest_roundtrip", "pivot_wider", "props_json", "rollup_agg",
-    "star_join", "summarise_pricing", "topk_per_group",
-    "windowed_rollup",
-    # 17-42: last driver row r05 (r1-vintage O-parity + dedup set)
-    "asof_join", "compound_expr", "corpus_clean", "cosine_topk",
-    "dedup_embedding", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "dedup_simhash", "inf_frame", "locf_fill",
-    "multimodal_features", "o1_project", "o2_cumsum", "o2_desc_rank",
-    "o3_group_broadcast", "o4_complete", "o4_rows_frame",
-    "o5_range_flagship", "o6_grouped_rows", "o7_calendar_frame",
-    "o8_overwrite", "o9_sql_window", "r_semantics", "simhash_pairs",
-    "text_analysis",
-    # 43-50: stalest r3-vintage, last driver row r06
-    "asof_nearest", "bm25_topk", "bpe_encode", "bpe_subwords",
-    "bpe_train", "budget_mix", "classifier_score",
-    "dedup_embedding_lsh",
-]
-
-# Positions 51-100: the planned ROUND-10 window (verdict r08 task #6 —
-# written down now so the staleness ledger survives context loss):
-# the 42 remaining r3-vintage entries whose LAST driver row is r06,
-# then the 8 oldest r4-vintage entries last re-confirmed r07.  After
-# r10 the stalest driver row on the board is r08 (2 rounds old).  If
-# the driver window ever widens past 50 this round, these are reached
-# first.
-_DRIVER_WINDOW_NEXT = [
-    # last driver row r06 (42 remaining after the r9 head took 8)
+    # 1-42: last driver row r06
     "dup_regions", "ewma_smooth", "frame_apply_median",
     "frame_apply_wmean", "repeated_spans", "quantile_prune",
     "pipeline_e2e", "srp_embedding", "gapfill_rollup", "sessionize",
@@ -4321,9 +4289,36 @@ _DRIVER_WINDOW_NEXT = [
     "sketch_theta", "sketch_topk", "pq_topk_full", "ivfpq_topk",
     "kmeans_clusters", "perceptron", "scd2_history", "stream_funnel",
     "tpch_q1", "tpch_q2", "tpch_q3",
-    # oldest r4-vintage, last driver row r07
+    # 43-50: oldest r4-vintage, last driver row r07
     "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q10", "tpch_q11",
+]
+
+# Positions 51-100: the planned ROUND-11 window (verdict r09 task #2
+# — written down now so the staleness ledger survives context loss):
+# the 42 remaining entries whose LAST driver row is r07, then the 8
+# alphabetically-first entries last re-confirmed r08.  After r11 the
+# stalest driver row on the board is r09 (2 rounds old).  If the
+# driver window ever widens past 50 this round, these are reached
+# first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r07 (42 remaining after the r10 head took 8)
+    "asof_tolerance", "attribution_linear", "contamination",
+    "csv_roundtrip", "dedup_against", "dup_clusters",
+    "event_transitions", "funnel_windowed", "fuzzy_names",
+    "gapfill_interp", "incremental_rollup", "jsonl_roundtrip",
+    "label_centroids", "length_buckets", "lm_bigram", "lm_surprisal",
+    "orc_roundtrip", "overlap_join", "pack_sequences", "pq_topk",
+    "robust_outliers", "sink_roundtrip", "skew_report",
+    "stratified_mix", "stream_dedup_against", "stream_ewma",
+    "stream_scd2", "stream_trailing", "time_weighted", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "validate_events", "winsorize",
+    # alphabetically-first r5-vintage, last driver row r08
+    "across_agg", "asof_forward", "boilerplate_ngrams",
+    "bucketed_join", "chunk_docs", "cohort_retention",
+    "complete_grid", "cube_agg",
 ]
 
 

@@ -198,7 +198,10 @@ SFJUMP_KEY_COLS = {
     },
     "supplier": {"s_suppkey": "suppkey"},
     "part": {"p_partkey": "partkey"},
-    "events": {"event_id": "event_id", "user_id": "user_id"},
+    # user_id is an FK into customer.c_custkey (fk_orphans, stream
+    # enrich, oracle joins) — it must ride the custkey domain's stride
+    # or replicas 1..N-1's events reference no customer (ADVICE r9).
+    "events": {"event_id": "event_id", "user_id": "custkey"},
     "documents": {"doc_id": "doc_id"},
     "embeddings": {"vec_id": "vec_id"},
 }
@@ -209,7 +212,6 @@ SFJUMP_DOMAIN_PK = {
     "suppkey": ("supplier", "s_suppkey"),
     "partkey": ("part", "p_partkey"),
     "event_id": ("events", "event_id"),
-    "user_id": ("events", "user_id"),
     "doc_id": ("documents", "doc_id"),
     "vec_id": ("embeddings", "vec_id"),
 }
@@ -305,13 +307,18 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 1
 }
 
 
-def _int_checksum_exprs(cols: list) -> str:
+def _int_checksum_exprs(cols: list) -> list[str]:
     p = 2_147_483_647  # 2^31 - 1
     acc = "CAST(0 AS BIGINT)"
     for c in cols:
+        # coalesce BEFORE the fold: a NULL cell would otherwise null the
+        # whole row's hash and silently drop it from the SUM (ADVICE r9).
+        # The sentinel -(p//2) is outside any real column's reduced range
+        # after the +p normalization, so NULL vs any value always moves
+        # the checksum.
         acc = (
-            f"(({acc} * 31 + ((CAST({c} AS BIGINT) % {p}) + {p}) % {p})"
-            f" % {p})"
+            f"(({acc} * 31 + ((coalesce(CAST({c} AS BIGINT), {-(p // 2)})"
+            f" % {p}) + {p}) % {p}) % {p})"
         )
     return [
         "CAST(count(*) AS BIGINT) AS n_rows",
@@ -991,6 +998,10 @@ def main() -> int:
                 o_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
             finally:
                 con.close()
+        # oracle timing stops HERE — before sampling/compare/pins, so
+        # multi-million-row pure-Python compare time is not attributed
+        # to the oracle (ADVICE r9)
+        _t_oracle = _t.perf_counter() - _t0
         sampled = False
         if (
             s_rows is not None
@@ -1104,7 +1115,6 @@ def main() -> int:
                 cls = "pinned"
             else:
                 pin_check = f"FAILED:{pin_check}"
-        _t_oracle = _t.perf_counter() - _t0
         results[name] = {
             "class": cls,
             **({"pin_check": pin_check} if pin_check else {}),

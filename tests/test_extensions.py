@@ -2916,18 +2916,16 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys,
-    snapshotted from the END-of-round repo state.  Round-9 contract
-    (verdict r08 tasks #1 and #6): positions 1-4 are the four round-8
-    additions with NO driver row through r08, positions 5-16 the 12
-    entries whose LAST hash-green driver row is r02, positions 17-42
-    the 26 r1-vintage entries last re-confirmed r05, positions 43-50
-    an 8-entry subset of the r3-vintage cohort last re-confirmed r06.
-    Positions 51-100 hold the planned round-10 window: the remaining
-    42 last-green-r06 entries, then last-green-r07 entries.  All
-    cohorts are DERIVED from the recorded CORRECTNESS_r01..r08 files
-    (r09+ deliberately NOT read — the contract pins the rotation as
-    planned, not as later recorded), so the hand-written lists in
-    __spark_entry__ cannot silently drift from the ledger."""
+    snapshotted from the END-of-round repo state.  Round-10 contract
+    (verdict r09 task #2): positions 1-42 are the 42 entries whose
+    LAST hash-green driver row is r06, positions 43-50 an 8-entry
+    subset of the cohort last re-confirmed r07.  Positions 51-100
+    hold the planned round-11 window: the remaining 42 last-green-r07
+    entries, then last-green-r08 entries.  All cohorts are DERIVED
+    from the recorded CORRECTNESS_r01..r09 files (r10+ deliberately
+    NOT read — the contract pins the rotation as planned, not as
+    later recorded), so the hand-written lists in __spark_entry__
+    cannot silently drift from the ledger."""
     import json
     import os
 
@@ -2935,50 +2933,38 @@ def test_driver_window_head_is_never_checked_rotation():
 
     keys = list(entrymod.queries().keys())
     assert len(keys) == len(set(keys)) == len(entrymod._queries_registry())
-    first_green: dict[str, str] = {}
     last_green: dict[str, str] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
                 for k, v in json.load(fh).items():
-                    # ledger semantics (SURVEY 7.5a): first HASH-GREEN row
+                    # ledger semantics (SURVEY 7.5a): last HASH-GREEN row
                     if v.get("hash_match"):
-                        first_green.setdefault(k, r)
                         last_green[k] = r
-    if first_green:
-        never = {k for k in keys if k not in first_green}
-        # positions 1-4: every entry with no driver row through r08
-        assert set(keys[:4]) == never, sorted(
-            never.symmetric_difference(keys[:4])
-        )
-        stale_r02 = {k for k, r in last_green.items() if r == "02"}
-        assert len(stale_r02) == 12, len(stale_r02)
-        assert set(keys[4:16]) == stale_r02, sorted(
-            stale_r02.symmetric_difference(keys[4:16])
-        )
-        stale_r05 = {k for k, r in last_green.items() if r == "05"}
-        assert len(stale_r05) == 26, len(stale_r05)
-        assert set(keys[16:42]) == stale_r05, sorted(
-            stale_r05.symmetric_difference(keys[16:42])
-        )
+    if last_green:
         stale_r06 = {k for k, r in last_green.items() if r == "06"}
-        tail = set(keys[42:50])
-        assert len(tail) == 8 and tail <= stale_r06, sorted(
-            tail - stale_r06
+        assert len(stale_r06) == 42, len(stale_r06)
+        assert set(keys[:42]) == stale_r06, sorted(
+            stale_r06.symmetric_difference(keys[:42])
         )
-        # round-10 queue: the 42 last-green-r06 leftovers lead it...
+        stale_r07 = {k for k, r in last_green.items() if r == "07"}
+        tail = set(keys[42:50])
+        assert len(tail) == 8 and tail <= stale_r07, sorted(
+            tail - stale_r07
+        )
+        # round-11 queue: the 42 last-green-r07 leftovers lead it...
         nxt = entrymod._DRIVER_WINDOW_NEXT
         assert keys[50:50 + len(nxt)] == nxt
-        r06_left = stale_r06 - tail
-        assert set(nxt[: len(r06_left)]) == r06_left, sorted(
-            r06_left.symmetric_difference(nxt[: len(r06_left)])
+        r07_left = stale_r07 - tail
+        assert set(nxt[: len(r07_left)]) == r07_left, sorted(
+            r07_left.symmetric_difference(nxt[: len(r07_left)])
         )
-        # ...followed only by entries last confirmed r07
-        rest = nxt[len(r06_left):]
-        assert all(last_green.get(k) == "07" for k in rest), [
+        # ...followed only by entries last confirmed r08
+        rest = nxt[len(r07_left):]
+        assert all(last_green.get(k) == "08" for k in rest), [
             (k, last_green.get(k)) for k in rest
-            if last_green.get(k) != "07"
+            if last_green.get(k) != "08"
         ]
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()

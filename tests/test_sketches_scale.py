@@ -72,6 +72,23 @@ def test_topk_merge_exact_under_cap_and_slicing_invariant(spark):
     assert outs[0] == outs[1], "merge result must not depend on the slicing"
 
 
+def test_topk_merge_cap_precondition_is_loud(spark):
+    # ADVICE r9: approx_top_k_estimate(sketch, k) raises the cryptic
+    # executor-side APPROX_TOP_K_MAX_ITEMS_TRACKED_LESS_THAN_K when k
+    # exceeds the sketch's BUILD-time cap (the old combine path
+    # re-capped at merge time, so this call pattern used to work).
+    # topk_merged must fail LOUDLY with its own named error instead.
+    import pytest
+
+    df = spark.range(1_000).select((F.col("id") % 37).alias("item"))
+    parts = topk_partials(df, "item", max_items_tracked=100)
+    with pytest.raises(Exception, match="topk_merged: max_items_tracked"):
+        topk_merged(parts, 5, max_items_tracked=50_000).collect()
+    # at or under the build cap the merge works
+    ok = topk_merged(parts, 5, max_items_tracked=100).collect()
+    assert len(ok) == 5 and ok[0]["est_freq"] >= ok[-1]["est_freq"]
+
+
 def test_topk_merge_empty_input(spark):
     empty = spark.range(0).select(
         F.col("id").alias("item"), (F.col("id") % 2).alias("p")

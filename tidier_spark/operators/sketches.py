@@ -516,6 +516,21 @@ def topk_merged(
     complete merged list (bounded by n_partials × max_items_tracked
     rows).  ``overfetch`` is retained for API compatibility; the merged
     list is already complete, so no pre-rank cut is applied.
+
+    PRECONDITION (differs from the old combine path, which re-capped at
+    merge time): ``max_items_tracked`` must be <= every partial's
+    BUILD-time cap — Spark's ``approx_top_k_estimate(sketch, k)``
+    requires a constant-literal ``k`` no larger than the sketch's own
+    ``maxItemsTracked`` (raises
+    APPROX_TOP_K_MAX_ITEMS_TRACKED_LESS_THAN_K otherwise, verified
+    Spark 4.1), so a per-row clamp is not expressible and a pre-scan of
+    the caps would re-execute the partials' whole lineage.  The
+    precondition is validated IN-PLAN: a ``CASE WHEN assert_true(...)``
+    gate (assert_true yields NULL on success, so the estimate branch
+    runs) raises a named, actionable error before Spark's cryptic
+    executor-side one.  Passing the exact build cap unpacks each
+    partial's full tracked list; passing a smaller value is allowed
+    only if it still covers every partial (same error otherwise).
     """
     from pyspark.sql import Window
 
@@ -524,8 +539,18 @@ def topk_merged(
     if overfetch < 1:
         raise ValueError(f"topk_merged: overfetch must be >= 1, got {overfetch}")
     keys = _keys(by)
+    mit = int(max_items_tracked)
+    err = (
+        f"topk_merged: max_items_tracked ({mit}) exceeds a partial "
+        "sketch''s build-time cap (' || CAST("
+        f"{sketch_col}.maxItemsTracked AS STRING) || '); pass "
+        "max_items_tracked <= the cap the partials were built with, "
+        "or rebuild the partials with a larger cap"
+    )
     est = F.expr(
-        f"approx_top_k_estimate({sketch_col}, {int(max_items_tracked)})"
+        f"CASE WHEN assert_true({sketch_col}.maxItemsTracked >= {mit}, "
+        f"'{err}') IS NULL THEN "
+        f"approx_top_k_estimate({sketch_col}, {mit}) END"
     )
     ex = (
         df.where(F.col(sketch_col).isNotNull())
