@@ -4760,8 +4760,11 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
                   FROM events)""",
         "median_frame": """
+            -- ::DOUBLE inside quantile_cont: decimal-schema inputs
+            -- otherwise quantize interpolated midpoints at the input
+            -- scale (decvals axis r10); no-op on the double fixture
             SELECT event_id,
-                   quantile_cont(round(value * 100), 0.5) OVER (
+                   quantile_cont(round(value * 100)::DOUBLE, 0.5) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100 AS med
             FROM events""",
@@ -5031,8 +5034,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY 1""",
         "frame_apply_median": """
+            -- ::DOUBLE inside quantile_cont: see median_frame
             SELECT event_id,
-                   quantile_cont(value, 0.5) OVER (
+                   quantile_cont(value::DOUBLE, 0.5) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
             FROM events""",

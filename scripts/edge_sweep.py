@@ -167,6 +167,14 @@ DECVAL_COLS = {
     "customer": ("c_acctbal",),
     "supplier": ("s_acctbal",),
     "part": ("p_retailprice",),
+    # r10 (verdict r9 task #5): events.value rides the axis too, so the
+    # 13 STREAMING entries (and every batch entry over events) cross
+    # decimal through watermarked aggs, stream-stream joins, and the
+    # applyInPandasWithState Arrow boundary — the r8 nanvals lesson says
+    # the pandas-tier crossing is where a type breaks silently.  The
+    # fixture's value column is exactly 2dp (verified 3 sfs), so this
+    # stays a representation change.
+    "events": ("value",),
 }
 
 
@@ -313,9 +321,10 @@ def _int_checksum_exprs(cols: list) -> list[str]:
     for c in cols:
         # coalesce BEFORE the fold: a NULL cell would otherwise null the
         # whole row's hash and silently drop it from the SUM (ADVICE r9).
-        # The sentinel -(p//2) is outside any real column's reduced range
-        # after the +p normalization, so NULL vs any value always moves
-        # the checksum.
+        # The sentinel's residue ((p - p//2) after normalization) sits
+        # far from the small-integer range real columns occupy, so a
+        # NULL<->value drift moves the checksum with the same
+        # hash-collision odds as any other drifted cell.
         acc = (
             f"(({acc} * 31 + ((coalesce(CAST({c} AS BIGINT), {-(p // 2)})"
             f" % {p}) + {p}) % {p}) % {p})"

@@ -164,19 +164,32 @@ _NINF = "CAST('-Infinity' AS DOUBLE)"
 
 def _r_template(fn: str, x: str, na_rm: bool) -> str:
     """SQL template with the R NA/empty rules (all-aggregate calls at top
-    level so :func:`windowize` can lower it onto any window)."""
+    level so :func:`windowize` can lower it onto any window).
+
+    The aggregate's input is cast to DOUBLE: R numeric vectors ARE
+    doubles (the reference evaluates these expressions in R, which has
+    no decimal type), so under a DECIMAL schema the R-faithful result
+    is the double computation — not Spark's decimal ``avg``, which
+    HALF_UP-quantizes at scale+4 (decvals axis, r10: r_semantics
+    diverged from its double-computing oracle by exactly that
+    quantization).  On the double/integer fixtures the cast is a no-op
+    (integral aggregates were already double-coerced by the ±Inf/0.0
+    coalesce literals); NULL structure is unchanged, so the poison
+    guard still counts the raw expression.
+    """
+    xd = f"CAST(({x}) AS DOUBLE)"
     if fn == "mean":
-        core = f"(CASE WHEN count({x}) = 0 THEN {_NAN} ELSE avg({x}) END)"
+        core = f"(CASE WHEN count({x}) = 0 THEN {_NAN} ELSE avg({xd}) END)"
     elif fn == "sum":
-        core = f"coalesce(sum({x}), CAST(0 AS DOUBLE))"
+        core = f"coalesce(sum({xd}), CAST(0 AS DOUBLE))"
     elif fn == "min":
-        core = f"coalesce(min({x}), {_PINF})"
+        core = f"coalesce(min({xd}), {_PINF})"
     elif fn == "max":
-        core = f"coalesce(max({x}), {_NINF})"
+        core = f"coalesce(max({xd}), {_NINF})"
     elif fn == "var":
-        core = f"var_samp({x})"
+        core = f"var_samp({xd})"
     elif fn == "sd":
-        core = f"stddev_samp({x})"
+        core = f"stddev_samp({xd})"
     else:  # pragma: no cover
         raise ValueError(fn)
     if na_rm:

@@ -12,6 +12,13 @@ These helpers make the R behavior *available and explicit* rather than
 accidental: each takes ``na_rm`` (default False, like R) and lowers to a
 null-guarded built-in aggregate — still Tier A, still incremental.  Used
 inside mutate frames they compose with any WindowSpec.
+
+Inputs are cast to DOUBLE before aggregating: R numeric vectors ARE
+doubles (R has no decimal type), so under a DECIMAL schema the
+R-faithful result is the double computation, not Spark's
+scale-quantizing decimal ``avg`` (decvals axis, r10).  A no-op on
+double/integral inputs — those were already double-coerced by the
+±Inf/0.0 coalesce literals.
 """
 
 from __future__ import annotations
@@ -38,7 +45,7 @@ def r_mean(col: Column | str, na_rm: bool = False) -> Column:
     """R ``mean``: NA-poisoning by default; NaN (not NULL) on empty input
     (`README.md:44` shows the reference emitting NaN for an empty frame)."""
     c = _c(col)
-    base = F.avg(c)
+    base = F.avg(c.cast("double"))
     if not na_rm:
         base = na_if_any_null(c, base)
     # empty frame → R NaN, not SQL NULL (count==0 distinguishes empty from
@@ -49,31 +56,31 @@ def r_mean(col: Column | str, na_rm: bool = False) -> Column:
 def r_sum(col: Column | str, na_rm: bool = False) -> Column:
     """R ``sum``: NA-poisoning; sum of an empty frame is 0 (R), not NULL."""
     c = _c(col)
-    base = F.coalesce(F.sum(c), F.lit(0.0))
+    base = F.coalesce(F.sum(c.cast("double")), F.lit(0.0))
     return base if na_rm else na_if_any_null(c, base)
 
 
 def r_min(col: Column | str, na_rm: bool = False) -> Column:
     """R ``min``: NA-poisoning; +Inf on empty input."""
     c = _c(col)
-    base = F.coalesce(F.min(c), F.lit(float("inf")))
+    base = F.coalesce(F.min(c.cast("double")), F.lit(float("inf")))
     return base if na_rm else na_if_any_null(c, base)
 
 
 def r_max(col: Column | str, na_rm: bool = False) -> Column:
     c = _c(col)
-    base = F.coalesce(F.max(c), F.lit(float("-inf")))
+    base = F.coalesce(F.max(c.cast("double")), F.lit(float("-inf")))
     return base if na_rm else na_if_any_null(c, base)
 
 
 def r_var(col: Column | str, na_rm: bool = False) -> Column:
     """R ``var`` (sample variance, n−1 denominator — same as SQL var_samp)."""
     c = _c(col)
-    base = F.var_samp(c)
+    base = F.var_samp(c.cast("double"))
     return base if na_rm else na_if_any_null(c, base)
 
 
 def r_sd(col: Column | str, na_rm: bool = False) -> Column:
     c = _c(col)
-    base = F.stddev_samp(c)
+    base = F.stddev_samp(c.cast("double"))
     return base if na_rm else na_if_any_null(c, base)

@@ -287,7 +287,7 @@ def _apply_one(
 
         if isinstance(expr, frame_apply):
             # Tier C: arbitrary Python reducer once per frame
-            value = expr.lower(plan)
+            value = expr.lower(plan, df)
             if complete:
                 value = _complete_guard(df, plan, frame_spec, value)
             return df.withColumn(name, value)

@@ -111,11 +111,38 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
     # turning ~10 µs/row of Python into ~3 numpy passes per batch.
     vectorized: bool = False
 
-    def lower(self, plan) -> object:
-        """Build the Column: collect_list over the window → pandas_udf."""
+    def lower(self, plan, df=None) -> object:
+        """Build the Column: collect_list over the window → pandas_udf.
+
+        DECIMAL source columns are cast to DOUBLE JVM-side before the
+        collect: Spark's ``Decimal.toDouble`` is correctly rounded,
+        where Arrow's decimal128→float64 cast multiplies by the INEXACT
+        10^-scale (measured: Decimal('105.82') → 105.82000000000001 —
+        a last-ulp drift vs every correctly-rounding engine, found by
+        the decvals axis r10).  Tier C's documented convention is float
+        frames (NaN == missing), so the cast is the contract, not a
+        narrowing; ``df`` (when passed by mutate) supplies the schema.
+        """
         fn = self.fn
+
+        def _is_dec(c: str) -> bool:
+            from pyspark.sql.types import DecimalType
+
+            return df is not None and isinstance(
+                df.schema[c].dataType, DecimalType
+            )
+
+        def _src(c: str) -> str:
+            # struct-field spelling: alias keeps the field name stable
+            return f"CAST({c} AS DOUBLE) AS {c}" if _is_dec(c) else c
+
         if isinstance(self.col, str):
-            collected = plan.over(f"collect_list({self.col})")
+            src = (
+                f"CAST({self.col} AS DOUBLE)"
+                if _is_dec(self.col)
+                else self.col
+            )
+            collected = plan.over(f"collect_list({src})")
 
             @F.pandas_udf(self.return_type)
             def reduce_frames(s: pd.Series) -> pd.Series:
@@ -128,7 +155,7 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
         cols = list(self.col)
         vectorized = self.vectorized
         collected = plan.over(
-            f"collect_list(struct({', '.join(cols)}))"
+            f"collect_list(struct({', '.join(_src(c) for c in cols)}))"
         )
 
         # Arrow-native struct unpack (verdict r05 task #3): the frames
