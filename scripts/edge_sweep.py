@@ -247,7 +247,16 @@ SFJUMP_SRC = os.environ.get("SFJUMP_SRC", "/root/testdata/sf0.1")
 # within BIGINT; the checksum SUM stays < 2^63 up to ~4e9 rows).  A
 # dropped row, fabricated row, or any drifted integer cell moves the
 # sum.  entry -> ordered integer output columns.
-SFJUMP_INT_AGG = {"simhash_pairs": ["id_a", "id_b", "hamming"]}
+SFJUMP_INT_AGG = {
+    "simhash_pairs": ["id_a", "id_b", "hamming"],
+    # fuzzy_names: replicated customers carry IDENTICAL name strings, so
+    # every base near-pair fans out ~100x across replica combinations
+    # plus C(10,2) distance-0 pairs per distinct name (~20M+ rows at the
+    # jump) — the r10 full-board run spent >15 min inside the
+    # driver-side canon of this one entry before the in-engine checksum
+    # was adopted for it
+    "fuzzy_names": ["id_a", "id_b", "dist"],
+}
 
 # sfjump: the four approximate-ANN guarantee entries pin their
 # recall_decile oracle cell per KNOWN fixture corpus size (CASE 500 →
