@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -362,6 +362,47 @@ NANVALS_ORACLE_ERR_PINS = {
 # every oracle row whose cells are all defined must appear in Spark's
 # rows (only NaN-poisoned cells may differ), same row count.
 NANVALS_DEFINED_SUBSET = {"frame_apply_wmean"}
+
+# late axis: the five stateful operators enforce the cross-batch
+# in-order arrival contract LOUDLY (r10 — _frontier_guard / the
+# scd2_merge last_seen guard; Spark leaves late-row filtering to the
+# operator for applyInPandasWithState and foreachBatch).  A spark_err
+# whose message is the NAMED contract error is the pinned contract;
+# any other error still flags.
+LATE_ERR_PINS = {
+    "stream_ewma": r"LateEventError.*stream_ewma|stream_ewma: event .* BEHIND",
+    "stream_trailing": r"stream_trailing_agg: event .* BEHIND",
+    "stream_distinct": r"stream_running_distinct: event .* BEHIND",
+    "stream_funnel": r"stream_funnel_advances: event .* BEHIND",
+    "stream_scd2": r"scd2_merge: batch observation .* BEHIND",
+}
+
+# late axis: the watermark-EVICTION aggregation path (session_window)
+# drops beyond-watermark rows on arrival — Spark's documented late-data
+# contract for windowed aggregations.  CHECKED pin: Spark's output must
+# equal the batch oracle over the ON-TIME rows only
+# (events_ontime.parquet, written by the fixture builder) — a value
+# drift among the survivors still flags.
+LATE_ONTIME_PINS = {"stream_sessions"}
+
+
+def _late_ontime_oracle_match(sql: str, sf_dir: str, s_rows: list) -> bool:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            src = (
+                f"{sf_dir}/events_ontime.parquet"
+                if t == "events"
+                else f"{sf_dir}/{t}.parquet"
+            )
+            if os.path.isdir(src):
+                src = f"{src}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return canon(con.execute(sql).df()) == s_rows
+    except Exception:
+        return False
+    finally:
+        con.close()
 
 
 # magnitude axis: entries whose Spark-side error on near-BIGINT penny
@@ -816,6 +857,52 @@ def build_fixture(kind: str) -> str:
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
+        if kind == "late" and t == "events":
+            # LATE-DATA replay fixture (axis 24): arrival order = event-
+            # time order in four micro-batch files (distinct mtimes; the
+            # file stream source orders by (modTime, path)), EXCEPT a
+            # deterministic 2% of the OLDEST quartile's rows is moved to
+            # the END of the last file — they arrive ~3 quartiles of
+            # event time late, far beyond every entry's watermark.  The
+            # row MULTISET is unchanged, so batch entries and every
+            # DuckDB oracle are unaffected; only arrival order moves.
+            # main() sets SPARK_GRAFT_STREAM_MAX_FILES=1 so the replay
+            # is genuinely four micro-batches (watermark advances
+            # between them) instead of one.
+            import time as _time
+
+            import pyarrow.compute as pc
+
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
+            tbl_s = tbl.take(idx)
+            n = tbl_s.num_rows
+            q1 = n // 4
+            late_set = set(range(0, q1, 50))
+            ontime = tbl_s.take(
+                pa.array(
+                    [j for j in range(n) if j not in late_set],
+                    type=pa.int64(),
+                )
+            )
+            late = tbl_s.take(pa.array(sorted(late_set), type=pa.int64()))
+            d = f"{out}/{t}.parquet"
+            os.makedirs(d)
+            m = ontime.num_rows
+            bounds = [(i * m) // 4 for i in range(5)]
+            for i in range(4):
+                part = ontime.slice(bounds[i], bounds[i + 1] - bounds[i])
+                if i == 3:
+                    part = pa.concat_tables([part, late])
+                pq.write_table(part, f"{d}/part-{i:03d}.parquet")
+                _time.sleep(1.05)  # distinct mtimes -> deterministic order
+            # the ON-TIME-only variant backs the checked watermark pin
+            # (LATE_ONTIME_PINS): Spark's drop-late output must EQUAL
+            # the batch oracle over exactly these rows
+            pq.write_table(ontime, f"{out}/events_ontime.parquet")
+            continue
         if kind == "manyfiles":
             # ~40 single-row-group slices per table, written under the
             # table path in SHUFFLED slice order (file name order no
@@ -904,6 +991,10 @@ def main() -> int:
 
         os.environ["TZ"] = "Asia/Kolkata"
         _time.tzset()
+    if kind == "late":
+        # one file per micro-batch: the late axis only bites when the
+        # watermark actually advances between batches
+        os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
     sf_dir = build_fixture(kind)
 
     from pyspark.sql import SparkSession
@@ -991,7 +1082,20 @@ def main() -> int:
             s_cols = sorted(pdf.columns)
             s_rows = canon(pdf)
         except Exception as e:
-            s_err = f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            _lines = str(e).splitlines() or [""]
+            # streaming queries wrap the real error several lines deep
+            # ([STREAM_FAILED] on line 0); surface the named contract
+            # error so pins can see it
+            _named = next(
+                (
+                    ln.strip()
+                    for ln in _lines
+                    if "LateEventError" in ln
+                    or "USER_RAISED_EXCEPTION" in ln
+                ),
+                _lines[0],
+            )
+            s_err = f"{type(e).__name__}: {_named[:200]}"
         _t_spark = _t.perf_counter() - _t0
         _t0 = _t.perf_counter()
         sql = oracles.get(name)
@@ -1124,6 +1228,20 @@ def main() -> int:
             and cls == "mismatch"
             and name in SFJUMP_DECILE_PIN
             and _sfjump_decile_pin_ok(s_rows, o_rows, s_cols)
+        ):
+            cls = "pinned"
+        if kind == "late" and cls == "spark_err" and name in LATE_ERR_PINS:
+            import re as _re
+
+            if _re.search(LATE_ERR_PINS[name], s_err or ""):
+                cls = "pinned"
+        if (
+            kind == "late"
+            and cls == "mismatch"
+            and name in LATE_ONTIME_PINS
+            and s_rows is not None
+            and not sampled
+            and _late_ontime_oracle_match(sql, sf_dir, s_rows)
         ):
             cls = "pinned"
         pin_check = None

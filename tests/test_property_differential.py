@@ -702,8 +702,11 @@ def test_scd2_merge_any_time_split_equals_full(rows, cut, spark):
     late = [r for r in rows if r[1] >= cut]
 
     def canon(df):
+        # compare the PUBLIC scd2 columns; scd2_merge additionally
+        # carries last_seen_us (its cross-batch in-order frontier, r10)
+        pub = [c for c in df.columns if c != "last_seen_us"]
         return sorted(
-            (tuple(r) for r in df.collect()),
+            (tuple(r) for r in df.select(*pub).collect()),
             key=lambda t: (t[0], t[2], t[1] is None, t[1]
                            if t[1] is not None else ""),
         )

@@ -194,7 +194,7 @@ def scd2(
     ``is_current`` flipping; this is the logical semantics.)
     """
     return _scd2_runs(df, key_col, time_col, attr_col, tiebreak_col).drop(
-        "__run"
+        "__run", "last_seen_us"
     )
 
 
@@ -230,6 +230,10 @@ def _scd2_runs(
         .agg(
             F.first(attr_col).alias(attr_col),
             F.min(F.unix_micros(F.col(time_col))).alias("valid_from_us"),
+            # the run's true frontier: scd2_merge's in-order guard needs
+            # the last OBSERVED time of the open run, which valid_to_us
+            # (NULL while current) cannot provide (late edge axis, r10)
+            F.max(F.unix_micros(F.col(time_col))).alias("last_seen_us"),
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
@@ -241,6 +245,7 @@ def _scd2_runs(
         F.lead("valid_from_us").over(w2).alias("valid_to_us"),
         F.lead("valid_from_us").over(w2).isNull().alias("is_current"),
         F.col("n_obs"),
+        F.col("last_seen_us"),
         F.col("__run"),
     )
 
@@ -316,10 +321,22 @@ def scd2_merge(
     storage MERGE pushes that into file-level upserts; the logical
     semantics are these).
     """
-    cols = [key_col, attr_col, "valid_from_us", "valid_to_us", "is_current", "n_obs"]
+    cols = [
+        key_col, attr_col, "valid_from_us", "valid_to_us", "is_current",
+        "n_obs", "last_seen_us",
+    ]
     bruns_r = _scd2_runs(batch, key_col, time_col, attr_col, tiebreak_col)
     if snapshot is None:
         return bruns_r.select(*cols)
+    if "last_seen_us" not in snapshot.columns:
+        # legacy / public-scd2 snapshot without the run frontier: a sound
+        # LOWER BOUND is the run start (open runs; the in-order guard
+        # then catches batches behind the run start, not mid-run) or the
+        # interval end (closed runs, unchecked anyway)
+        snapshot = snapshot.withColumn(
+            "last_seen_us",
+            F.coalesce(F.col("valid_to_us"), F.col("valid_from_us")),
+        )
     snapshot = snapshot.select(*cols)
     # the batch's first run per key is __run == 1 — unambiguous even when
     # two runs start on the same timestamp (tiebreak-separated)
@@ -330,9 +347,29 @@ def scd2_merge(
         F.col("valid_to_us").alias("__f_to"),
         F.col("is_current").alias("__f_cur"),
         F.col("n_obs").alias("__f_n"),
+        F.col("last_seen_us").alias("__f_last"),
         F.lit(True).alias("__touched"),
     )
     snap_cur = snapshot.where(F.col("is_current")).join(r1, key_col, "left")
+    # LOUD in-order guard (late edge axis, r10): a batch whose first
+    # observation for a key is BEHIND the key's open run's LAST SEEN
+    # time (last_seen_us — the run frontier added for exactly this;
+    # valid_to_us is NULL while current) violates the append-only CDC
+    # contract — silently folding it produced history rows with
+    # valid_to BEFORE valid_from.  The CASE gate keeps assert_true
+    # un-prunable (it feeds the filter) and the guard costs nothing on
+    # in-order batches.
+    snap_cur = snap_cur.where(
+        F.expr(
+            "CASE WHEN __touched IS NOT NULL AND __f_from < last_seen_us "
+            "THEN assert_true(false, 'scd2_merge: batch observation at ' "
+            "|| CAST(__f_from AS STRING) || ' us is BEHIND the key "
+            "open-run last seen time (' || CAST(last_seen_us AS STRING) "
+            "|| ' us) - late data violates the append-only CDC contract; "
+            "filter late rows upstream or recompute history with the "
+            "batch scd2') IS NULL ELSE true END"
+        )
+    )
     # untouched current rows pass through (explicit marker — a NULL
     # batch attr is a legal value, never an absence signal); touched
     # ones absorb (null-safe same attr) or close (null-safe different)
@@ -347,6 +384,9 @@ def scd2_merge(
         F.col("__f_to").alias("valid_to_us"),
         F.col("__f_cur").alias("is_current"),
         (F.col("n_obs") + F.col("__f_n")).alias("n_obs"),
+        F.greatest(F.col("last_seen_us"), F.col("__f_last")).alias(
+            "last_seen_us"
+        ),
     )
     closed = snap_cur.where(
         F.col("__touched").isNotNull()
@@ -358,6 +398,7 @@ def scd2_merge(
         F.col("__f_from").alias("valid_to_us"),
         F.lit(False).alias("is_current"),
         F.col("n_obs"),
+        F.col("last_seen_us"),
     )
     # batch runs to append: drop the first run for absorbed keys
     absorbed_keys = absorb.select(key_col)

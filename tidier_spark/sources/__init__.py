@@ -116,6 +116,16 @@ def read_stream_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is None:
+        # replay knob: SPARK_GRAFT_STREAM_MAX_FILES bounds micro-batch
+        # size for every streaming scan in the process — the harness
+        # lever that turns a single-batch AvailableNow replay into a
+        # true multi-batch one (file order = (modTime, path)), so
+        # watermark advancement and cross-batch state folding are
+        # actually exercised (the `late` edge axis rides this)
+        env = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+        if env:
+            max_files_per_trigger = int(env)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # The streaming file source wants a directory to watch; the star tables

@@ -107,6 +107,70 @@ def _concat_in_order(
     return pdf.sort_values(sort_cols, kind="mergesort")
 
 
+class LateEventError(ValueError):
+    """A stateful operator received an event BEHIND its key's frontier —
+    the cross-micro-batch in-order arrival contract was violated."""
+
+
+def _frontier_guard(
+    ts_us, tbs, frontier: tuple[int, int], op: str, late_policy: str
+):
+    """Enforce the cross-batch in-order arrival contract for a per-key
+    stateful fold.
+
+    Spark does NOT filter late rows for arbitrary stateful operators
+    (``applyInPandasWithState``) the way it does for windowed
+    aggregations — late-data handling is explicitly the operator's
+    responsibility.  Without this guard a row arriving a micro-batch
+    after its key already folded a NEWER event is applied OUT OF
+    event-time order and the per-row outputs silently diverge from the
+    batch twin (found by the ``late`` edge axis, r10: EWMA values wrong,
+    SCD2 intervals with end < start).  The house rule (preepoch, nanvals)
+    is that contract violations fail LOUDLY:
+
+    * ``late_policy="error"`` (default): raise :class:`LateEventError`
+      naming the operator, the event, and the frontier.
+    * ``late_policy="drop"``: deterministically skip frontier-behind
+      rows — the per-key analog of watermark late-row dropping.  The
+      kept set is a pure function of (data, arrival batches), never of
+      scheduling.
+
+    ``ts_us``/``tbs`` are the batch's per-row (time, tiebreak) arrays in
+    (time, tiebreak)-sorted order; ``frontier`` is the key's last folded
+    (ts, tiebreak).  Returns ``(keep_mask_or_None, new_frontier)`` —
+    mask is None when nothing is late (the hot path allocates nothing).
+    """
+    import numpy as np
+
+    f_ts, f_tb = frontier
+    n = len(ts_us)
+    if n == 0:
+        return None, frontier
+    first = (int(ts_us[0]), int(tbs[0]))
+    last = (int(ts_us[-1]), int(tbs[-1]))
+    if first >= (f_ts, f_tb):
+        return None, max(last, (f_ts, f_tb))
+    if late_policy == "drop":
+        mask = np.fromiter(
+            (
+                (int(t), int(b)) >= (f_ts, f_tb)
+                for t, b in zip(ts_us, tbs)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        return mask, max(last, (f_ts, f_tb))
+    raise LateEventError(
+        f"{op}: event at (ts_us={first[0]}, tiebreak={first[1]}) arrived "
+        f"BEHIND its key's frontier (ts_us={f_ts}, tiebreak={f_tb}) — "
+        "late data across micro-batches cannot be folded into "
+        "already-advanced per-key state.  Either drop late rows "
+        "deterministically (late_policy='drop'), filter them upstream "
+        "with a watermark, or recompute with the batch twin, which "
+        "sorts globally by event time."
+    )
+
+
 def stream_windowed_agg(
     stream: DataFrame,
     exprs: dict[str, str],
@@ -148,9 +212,14 @@ def stream_trailing_agg(
     value_col: str,
     trailing_seconds: int,
     timeout_minutes: int | None = 30,
+    late_policy: str = "error",
 ) -> DataFrame:
     """Per-key trailing-window mean over event time, exactly tidier's O5
     flagship frame (`README.md:25-54`) as a *streaming* stateful operator.
+
+    Cross-batch late events violate the in-order arrival contract and
+    fail LOUDLY by default; ``late_policy="drop"`` skips them
+    deterministically instead — see :func:`_frontier_guard`.
 
     For each arriving event, emits ``trail_avg`` = mean of that key's
     values in ``[t − trailing_seconds, t]`` (closed bounds — identical to
@@ -177,8 +246,9 @@ def stream_trailing_agg(
             StructField("trail_avg", DoubleType()),
         ]
     )
-    # State = parallel lists of (epoch_micros, value) kept sorted.
-    state_schema = "ts_list array<long>, val_list array<double>"
+    # State = parallel lists of (epoch_micros, value) kept sorted, plus
+    # the in-order frontier (last folded event time; see _frontier_guard).
+    state_schema = "ts_list array<long>, val_list array<double>, f_ts long, f_tb long"
 
     span_us = trailing_seconds * 1_000_000
 
@@ -191,15 +261,21 @@ def stream_trailing_agg(
         ts_list: list[int]
         val_list: list[float]
         if state.exists:
-            ts_list, val_list = state.get
+            ts_list, val_list, f_ts, f_tb = state.get
             ts_list, val_list = list(ts_list), list(val_list)
         else:
-            ts_list, val_list = [], []
+            ts_list, val_list, f_ts, f_tb = [], [], -(1 << 62), -(1 << 62)
         pdf = _concat_in_order(pdfs, [time_col])
         rows = {"key": [], "ts": [], "value": [], "trail_avg": []}
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns→µs
             vals = pdf[value_col].to_numpy()
+            mask, (f_ts, f_tb) = _frontier_guard(
+                ts_us, [0] * len(ts_us), (f_ts, f_tb),
+                "stream_trailing_agg", late_policy,
+            )
+            if mask is not None:
+                ts_us, vals = ts_us[mask], vals[mask]
             for t, v in zip(ts_us, vals):
                 ts_list.append(int(t))
                 val_list.append(float(v))
@@ -216,7 +292,7 @@ def stream_trailing_agg(
                 rows["ts"].append(pd.Timestamp(t * 1000))
                 rows["value"].append(v)
                 rows["trail_avg"].append(sum(val_list) / len(val_list))
-        state.update((ts_list, val_list))
+        state.update((ts_list, val_list, int(f_ts), int(f_tb)))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         if rows["key"]:
@@ -460,6 +536,7 @@ def stream_funnel_advances(
     time_col: str,
     step_col: str,
     steps: list[str],
+    late_policy: str = "error",
 ) -> DataFrame:
     """Streaming ordered-funnel tracker: per key, maintain the earliest
     SEQUENTIAL completion time of each step (step i+1 must strictly
@@ -487,7 +564,7 @@ def stream_funnel_advances(
             StructField("t_us", LongType()),
         ]
     )
-    state_schema = "times array<long>"
+    state_schema = "times array<long>, f_ts long, f_tb long"
     idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)
 
@@ -497,12 +574,21 @@ def stream_funnel_advances(
         if state.hasTimedOut:
             state.remove()
             return
-        times = list(state.get[0]) if state.exists else [-1] * k
+        if state.exists:
+            times, f_ts, f_tb = list(state.get[0]), state.get[1], state.get[2]
+        else:
+            times, f_ts, f_tb = [-1] * k, -(1 << 62), -(1 << 62)
         rows = {"key": [], "step": [], "t_us": []}
         pdf = _concat_in_order(pdfs, [time_col])
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             st = pdf[step_col].to_numpy()
+            mask, (f_ts, f_tb) = _frontier_guard(
+                ts_us, [0] * len(ts_us), (f_ts, f_tb),
+                "stream_funnel_advances", late_policy,
+            )
+            if mask is not None:
+                ts_us, st = ts_us[mask], st[mask]
             for t, s in zip(ts_us, st):
                 i = idx.get(s)
                 if i is None:
@@ -514,7 +600,7 @@ def stream_funnel_advances(
                     rows["key"].append(key[0])
                     rows["step"].append(i + 1)
                     rows["t_us"].append(int(t))
-        state.update((times,))
+        state.update((times, int(f_ts), int(f_tb)))
         if rows["key"]:
             yield pd.DataFrame(rows)
 
@@ -544,6 +630,7 @@ def stream_ewma(
     tiebreak_col: str,
     lookback: int = 8,
     timeout_minutes: int | None = None,
+    late_policy: str = "error",
 ) -> DataFrame:
     """Streaming per-key EWMA — the stateful replay of
     :func:`~tidier_spark.operators.temporal.ewma` (α=1/2 finite-lookback
@@ -570,7 +657,7 @@ def stream_ewma(
             StructField("ewma100", DoubleType()),
         ]
     )
-    state_schema = "vals array<long>, nulls array<boolean>"
+    state_schema = "vals array<long>, nulls array<boolean>, f_ts long, f_tb long"
     k1 = lookback + 1
 
     def fn(
@@ -581,14 +668,19 @@ def stream_ewma(
             return
         if state.exists:
             vals, isnull = list(state.get[0]), list(state.get[1])
+            f_ts, f_tb = state.get[2], state.get[3]
         else:
             vals, isnull = [], []
+            f_ts, f_tb = -(1 << 62), -(1 << 62)
         rows = {c: [] for c in ("key", "ts_us", "tb", "ewma_num", "ewma_den", "ewma100")}
         pdf = _concat_in_order(pdfs, [time_col, tiebreak_col])
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             tbs = pdf[tiebreak_col].to_numpy()
             raw = pdf[value_col].to_numpy(dtype=object)
+            mask, (f_ts, f_tb) = _frontier_guard(
+                ts_us, tbs, (f_ts, f_tb), "stream_ewma", late_policy
+            )
             # NULL vs NaN: the Arrow crossing collapses both to nan in a
             # float column, so the JVM-side __vnull flag is the only
             # truth.  NULL skips (the batch twin's lag-coalesce); true
@@ -596,6 +688,9 @@ def stream_ewma(
             # (nanvals edge axis — silently treating NaN as missing
             # broke the stream==batch parity contract).
             nulls_jvm = pdf["__vnull"].to_numpy(dtype=bool)
+            if mask is not None:
+                ts_us, tbs = ts_us[mask], tbs[mask]
+                raw, nulls_jvm = raw[mask], nulls_jvm[mask]
             for t, tb, v, vn in zip(ts_us, tbs, raw, nulls_jvm):
                 if (v is not None) and v != v and not vn:
                     raise ValueError(
@@ -625,7 +720,7 @@ def stream_ewma(
                 rows["ewma_num"].append(num)
                 rows["ewma_den"].append(den)
                 rows["ewma100"].append(num / den if den > 0 else None)
-        state.update((vals, isnull))
+        state.update((vals, isnull, int(f_ts), int(f_tb)))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         if rows["key"]:
@@ -662,6 +757,7 @@ def stream_running_distinct(
     value_col: str,
     tiebreak_col: str,
     timeout_minutes: int | None = None,
+    late_policy: str = "error",
 ) -> DataFrame:
     """Streaming per-key RUNNING DISTINCT COUNT — the stateful replay of
     :func:`~tidier_spark.operators.temporal.rolling_distinct`'s ``dcum``
@@ -693,7 +789,7 @@ def stream_running_distinct(
             StructField("dcum", LongType()),
         ]
     )
-    state_schema = "seen array<string>"
+    state_schema = "seen array<string>, f_ts long, f_tb long"
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -701,13 +797,23 @@ def stream_running_distinct(
         if state.hasTimedOut:
             state.remove()
             return
-        seen: set[str] = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            seen: set[str] = set(state.get[0])
+            f_ts, f_tb = state.get[1], state.get[2]
+        else:
+            seen, f_ts, f_tb = set(), -(1 << 62), -(1 << 62)
         rows = {c: [] for c in ("key", "ts_us", "tb", "dcum")}
         pdf = _concat_in_order(pdfs, [time_col, tiebreak_col])
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             tbs = pdf[tiebreak_col].to_numpy()
             vals = pdf[value_col].to_numpy(dtype=object)
+            mask, (f_ts, f_tb) = _frontier_guard(
+                ts_us, tbs, (f_ts, f_tb),
+                "stream_running_distinct", late_policy,
+            )
+            if mask is not None:
+                ts_us, tbs, vals = ts_us[mask], tbs[mask], vals[mask]
             for t, tb, v in zip(ts_us, tbs, vals):
                 if v is not None and v == v:  # skip None/NaN
                     seen.add(str(v))
@@ -715,7 +821,7 @@ def stream_running_distinct(
                 rows["ts_us"].append(int(t))
                 rows["tb"].append(int(tb))
                 rows["dcum"].append(len(seen))
-        state.update((sorted(seen),))
+        state.update((sorted(seen), int(f_ts), int(f_tb)))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         if rows["key"]:
