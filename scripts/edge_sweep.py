@@ -1090,8 +1090,11 @@ def main() -> int:
                 (
                     ln.strip()
                     for ln in _lines
-                    if "LateEventError" in ln
+                    # the rendered message line, not the worker
+                    # traceback's `raise LateEventError(` source line
+                    if "LateEventError:" in ln
                     or "USER_RAISED_EXCEPTION" in ln
+                    or " BEHIND " in ln
                 ),
                 _lines[0],
             )
