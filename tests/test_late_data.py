@@ -159,3 +159,18 @@ def test_scd2_merge_late_batch_is_loud_and_legacy_snapshot_guarded(spark):
     rows = {(r["attr"], r["is_current"]): r for r in out.collect()}
     assert rows[("a", False)]["valid_to_us"] == 300
     assert rows[("b", True)]["last_seen_us"] == 300
+
+
+def test_late_policy_validated(spark, tmp_path):
+    src = _two_batches(
+        tmp_path,
+        [(1, 11, 1_000_000, 1.0)],
+        [(1, 12, 2_000_000, 2.0)],
+        ["user_id", "event_id", "ts_us", "value"],
+    )
+    r = stream_ewma(
+        _events_stream(spark, src), key_col="user_id", time_col="ts",
+        value_col="value", tiebreak_col="event_id", late_policy="dorp",
+    )
+    with pytest.raises(Exception, match="late_policy must be"):
+        run_stream(r, name="t_late_policy_bad", output_mode="append")

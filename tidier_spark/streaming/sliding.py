@@ -142,6 +142,11 @@ def _frontier_guard(
     """
     import numpy as np
 
+    if late_policy not in ("error", "drop"):
+        raise ValueError(
+            f"{op}: late_policy must be 'error' or 'drop', got "
+            f"{late_policy!r}"
+        )
     f_ts, f_tb = frontier
     n = len(ts_us)
     if n == 0:
