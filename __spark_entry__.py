@@ -4263,46 +4263,20 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-10 rotation (verdict r09 task #2): positions 1-42 are the 42
-# entries whose LAST hash-green driver row is r06 (including the
-# post-rewrite ``sketch_topk`` and the bench-outlier cohort
-# ``pipeline_e2e`` / ``repeated_spans`` / ``quantile_prune`` /
-# ``stream_attribution``), positions 43-50 the 8 oldest entries last
-# re-confirmed r07 (tpch_q4..q11).  After r10 the stalest driver row
-# on the board is r08 (2 rounds old).  The rotation pin test
-# (tests/test_extensions.py) DERIVES the cohorts from the recorded
-# CORRECTNESS_r01..r09 files and asserts the head matches, so this
-# list cannot silently drift from the ledger (SURVEY.md section
-# 7.5a).  Every entry regardless of position is hash-verified each
-# round by scripts/check_entry.py.
+# Round-11 rotation (verdict r10 task #1): positions 1-42 are the 42
+# entries whose LAST hash-green driver row is r07 (the cohort the
+# r10 head left behind — includes the full tpch_q12..q22 tail and
+# the five late-wave streaming folds re-verified by the r10 judge),
+# positions 43-50 the 8 alphabetically-first entries last
+# re-confirmed r08 (across_agg..cube_agg).  After the r11 driver run
+# the stalest row on the board is r08 (3 rounds old).  The rotation
+# pin test (tests/test_extensions.py) DERIVES the cohorts from the
+# recorded CORRECTNESS_r01..r10 files and asserts the head matches,
+# so this list cannot silently drift from the ledger (SURVEY.md
+# section 7.5a).  Every entry regardless of position is
+# hash-verified each round by scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    # 1-42: last driver row r06
-    "dup_regions", "ewma_smooth", "frame_apply_median",
-    "frame_apply_wmean", "repeated_spans", "quantile_prune",
-    "pipeline_e2e", "srp_embedding", "gapfill_rollup", "sessionize",
-    "text_tokens_bpe", "lsh_topk", "ivf_topk", "semantic_dedup",
-    "stream_sessions", "stream_attribution", "stream_upsert",
-    "stream_rollup", "stream_enrich", "sketch_cms", "knn_join",
-    "hard_negatives", "grouped_apply_demean", "udtf_sentences",
-    "salted_agg", "skew_join", "grouping_sets", "slice_prop",
-    "sketch_distinct", "sketch_quantiles", "sketch_kll",
-    "sketch_theta", "sketch_topk", "pq_topk_full", "ivfpq_topk",
-    "kmeans_clusters", "perceptron", "scd2_history", "stream_funnel",
-    "tpch_q1", "tpch_q2", "tpch_q3",
-    # 43-50: oldest r4-vintage, last driver row r07
-    "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11",
-]
-
-# Positions 51-100: the planned ROUND-11 window (verdict r09 task #2
-# — written down now so the staleness ledger survives context loss):
-# the 42 remaining entries whose LAST driver row is r07, then the 8
-# alphabetically-first entries last re-confirmed r08.  After r11 the
-# stalest driver row on the board is r09 (2 rounds old).  If the
-# driver window ever widens past 50 this round, these are reached
-# first.
-_DRIVER_WINDOW_NEXT = [
-    # last driver row r07 (42 remaining after the r10 head took 8)
+    # 1-42: last driver row r07
     "asof_tolerance", "attribution_linear", "contamination",
     "csv_roundtrip", "dedup_against", "dup_clusters",
     "event_transitions", "funnel_windowed", "fuzzy_names",
@@ -4315,10 +4289,36 @@ _DRIVER_WINDOW_NEXT = [
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
     "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "validate_events", "winsorize",
-    # alphabetically-first r5-vintage, last driver row r08
+    # 43-50: alphabetically-first r5-vintage, last driver row r08
     "across_agg", "asof_forward", "boilerplate_ngrams",
     "bucketed_join", "chunk_docs", "cohort_retention",
     "complete_grid", "cube_agg",
+]
+
+# Positions 51-100: the planned ROUND-12 window (verdict r10 task #1
+# — written down now so the staleness ledger survives context loss):
+# the 42 remaining entries whose LAST driver row is r08, then the 8
+# alphabetically-first entries last re-confirmed r09.  After r12 the
+# stalest driver row on the board is r09 (3 rounds old).  If the
+# driver window ever widens past 50 this round, these are reached
+# first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r08 (42 remaining after the r11 head took 8)
+    "det_sample", "dup_clusters_star", "fk_orphans", "funnel",
+    "hash_split", "hashed_features", "histogram", "hybrid_rrf",
+    "interval_join", "interval_merge", "ivf_topk_full", "join_full",
+    "join_right", "kl_drift", "merge_upsert", "mode_per_key",
+    "o4_frame_scale", "o5_range_scale", "o7_calendar_complete",
+    "pagerank_dups", "pii_scrub", "pivot_longer", "profile_events",
+    "quantiles_global_coarse", "regr_by_key", "repetition_signals",
+    "rolling_corr", "rolling_hll", "salient_terms", "scale_features",
+    "schema_evolution", "separate_unite", "session_agg", "shuffle_rows",
+    "snapshot_diff", "stream_distinct", "stream_hll", "token_entropy",
+    "triangle_count", "vocab_jaccard", "weighted_sample",
+    "window_distinct",
+    # alphabetically-first r6-vintage, last driver row r09
+    "analytic_fns", "asof_join", "asof_nearest", "bm25_topk",
+    "bpe_encode", "bpe_subwords", "bpe_train", "budget_mix",
 ]
 
 
