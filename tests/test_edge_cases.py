@@ -773,3 +773,30 @@ def test_stream_interval_join_epoch_offset_on_preepoch(spark, tmp_path):
     )
     with pytest.raises(Exception, match="epoch_offset_us"):
         run_stream(j2, name="t_preepoch_ij_loud", output_mode="append")
+
+
+def test_frame_apply_accepts_expression_and_case_variant_cols(spark):
+    """frame_apply's ``col`` rides inside ``collect_list(<col>)``, so
+    Spark's resolver accepts SQL expressions and case-variant spellings.
+    The decimal pre-cast probe (r10) must not regress those to a
+    KeyError: a non-plain-name col simply skips the cast (advice r10)."""
+    from tidier_spark import mutate
+    from tidier_spark.pandas_tier import frame_apply
+
+    rows = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+
+    def total(arr):
+        import numpy as np
+
+        return float(np.nansum(arr))
+
+    out = mutate(
+        df,
+        s_expr=frame_apply(total, "v * 2"),      # SQL expression
+        s_case=frame_apply(total, "V"),          # case-variant name
+        order_by=["id"],
+        frame=(1, 0),
+    )
+    got = {r["id"]: (r["s_expr"], r["s_case"]) for r in out.collect()}
+    assert got == {1: (20.0, 10.0), 2: (60.0, 30.0), 3: (100.0, 50.0)}, got

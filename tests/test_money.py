@@ -190,3 +190,40 @@ def test_decimal_input_parquet_no_conversion_caveat(spark, tmp_path):
     finally:
         con.close()
     assert hop == nohop == want, (hop, nohop)
+
+
+def test_r_sum_bigint_is_double_accumulated(spark):
+    """r_sum's R-fidelity contract on integral inputs (advice r10):
+    BIGINT values are cast to double PER VALUE and fp-accumulated —
+    exactly what R does (R has no int64; the column is doubles before
+    sum() ever runs).  Two observable consequences, both pinned here:
+
+    1. No ANSI overflow: two 9e18 rows sum to 1.8e19 as a double where
+       exact-long accumulation would raise ARITHMETIC_OVERFLOW.
+    2. Drift above 2^53: cumulative r_sum over [2^53, 1, 1] stays at
+       2^53 (each +1 is lost to ties-to-even), matching Python/R float
+       accumulation in frame order — NOT the exact 2^53 + 2.
+    """
+    from tidier_spark import mutate
+
+    # 1. loud-overflow regime: exact long sum would exceed 2^63
+    big = spark.createDataFrame(
+        [(1, 9_000_000_000_000_000_000), (2, 9_000_000_000_000_000_000)],
+        "k long, v long",
+    )
+    out = mutate(big, s="r_sum(v, na_rm=TRUE)", order_by="k", frame=(float("inf"), 0))
+    rows = {r.k: r.s for r in out.collect()}
+    assert rows[1] == 9.0e18 and rows[2] == 1.8e19, rows
+
+    # 2. drift regime: fold order 2^53, +1, +1 in doubles
+    vals = [(1, 2**53), (2, 1), (3, 1)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    out2 = mutate(df, s="r_sum(v, na_rm=TRUE)", order_by="k", frame=(float("inf"), 0))
+    got = [r.s for r in out2.orderBy("k").collect()]
+    expect = []
+    acc = 0.0
+    for _, v in vals:
+        acc += float(v)
+        expect.append(acc)
+    assert got == expect, (got, expect)
+    assert got[-1] == float(2**53)  # not 2**53 + 2: the R/double semantic

@@ -82,7 +82,12 @@ def test_topk_merge_cap_precondition_is_loud(spark):
 
     df = spark.range(1_000).select((F.col("id") % 37).alias("item"))
     parts = topk_partials(df, "item", max_items_tracked=100)
-    with pytest.raises(Exception, match="topk_merged: max_items_tracked"):
+    # the message must render the build cap via the SQL || splice AND
+    # stay apostrophe-free (Spark's lexer escapes with backslash, so a
+    # doubled quote would lex as two concatenated literals — advice r10)
+    with pytest.raises(
+        Exception, match=r"topk_merged: max_items_tracked.*sketch \(100\)"
+    ):
         topk_merged(parts, 5, max_items_tracked=50_000).collect()
     # at or under the build cap the merge works
     ok = topk_merged(parts, 5, max_items_tracked=100).collect()

@@ -168,14 +168,24 @@ def _r_template(fn: str, x: str, na_rm: bool) -> str:
 
     The aggregate's input is cast to DOUBLE: R numeric vectors ARE
     doubles (the reference evaluates these expressions in R, which has
-    no decimal type), so under a DECIMAL schema the R-faithful result
-    is the double computation — not Spark's decimal ``avg``, which
-    HALF_UP-quantizes at scale+4 (decvals axis, r10: r_semantics
-    diverged from its double-computing oracle by exactly that
-    quantization).  On the double/integer fixtures the cast is a no-op
-    (integral aggregates were already double-coerced by the ±Inf/0.0
-    coalesce literals); NULL structure is unchanged, so the poison
-    guard still counts the raw expression.
+    no decimal and no int64 type — a BIGINT column read into R is
+    already a double per value), so under a DECIMAL schema the
+    R-faithful result is the double computation — not Spark's decimal
+    ``avg``, which HALF_UP-quantizes at scale+4 (decvals axis, r10:
+    r_semantics diverged from its double-computing oracle by exactly
+    that quantization).  On double/integer fixtures the cast is a
+    no-op for avg/var/sd (Spark computes those in double regardless)
+    and for the monotone min/max, but NOT for sum: ``sum(BIGINT)``
+    previously accumulated exactly in long (raising ANSI
+    ARITHMETIC_OVERFLOW past 2^63), whereas ``sum(CAST(x AS DOUBLE))``
+    rounds each value to double and fp-accumulates, drifting above
+    2^53 and never overflowing.  That trade is deliberate and
+    R-faithful — R's ``sum()`` over the same values drifts identically
+    and never errors (pinned by
+    tests/test_money.py::test_r_sum_bigint_is_double_accumulated);
+    callers needing exact wide sums should use SQL ``sum()`` on a
+    DECIMAL(38) column instead.  NULL structure is unchanged, so the
+    poison guard still counts the raw expression.
     """
     xd = f"CAST(({x}) AS DOUBLE)"
     if fn == "mean":

@@ -54,7 +54,13 @@ def r_mean(col: Column | str, na_rm: bool = False) -> Column:
 
 
 def r_sum(col: Column | str, na_rm: bool = False) -> Column:
-    """R ``sum``: NA-poisoning; sum of an empty frame is 0 (R), not NULL."""
+    """R ``sum``: NA-poisoning; sum of an empty frame is 0 (R), not NULL.
+
+    Accumulates in DOUBLE even for integral inputs (R has no int64 —
+    a BIGINT column is already double-per-value in R, so R's sum()
+    fp-accumulates and never overflows).  Above 2^53 this drifts like
+    R does instead of raising Spark's exact-long ANSI overflow; use
+    plain SQL sum() on DECIMAL(38) when exact wide sums matter."""
     c = _c(col)
     base = F.coalesce(F.sum(c.cast("double")), F.lit(0.0))
     return base if na_rm else na_if_any_null(c, base)

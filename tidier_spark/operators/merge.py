@@ -320,6 +320,16 @@ def scd2_merge(
     one pass over the snapshot for the pass-through union (at 100 TB the
     storage MERGE pushes that into file-level upserts; the logical
     semantics are these).
+
+    Schema compatibility (advice r10): the output gained
+    ``last_seen_us`` in r10 (the run frontier backing the append-only
+    contract check).  Fixed-schema sinks written before r10 need a
+    one-time widening; only the snapshot INPUT side is
+    backward-compatible (the legacy fallback below derives a sound
+    lower-bound frontier).  Streaming consumers restarting from a
+    pre-r10 checkpoint must start a fresh checkpoint — see
+    ``streaming/sliding.py:_frontier_guard`` for the same contract on
+    the guarded stateful operators.
     """
     cols = [
         key_col, attr_col, "valid_from_us", "valid_to_us", "is_current",

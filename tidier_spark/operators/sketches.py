@@ -540,9 +540,13 @@ def topk_merged(
         raise ValueError(f"topk_merged: overfetch must be >= 1, got {overfetch}")
     keys = _keys(by)
     mit = int(max_items_tracked)
+    # NOTE: this string is spliced inside a single-quoted SQL literal —
+    # Spark's default lexer escapes with backslash, NOT doubled quotes,
+    # so keep it apostrophe-free (advice r10: ''s lexed as two adjacent
+    # literals and rendered "sketchs").
     err = (
-        f"topk_merged: max_items_tracked ({mit}) exceeds a partial "
-        "sketch''s build-time cap (' || CAST("
+        f"topk_merged: max_items_tracked ({mit}) exceeds the build-time "
+        "cap of a partial sketch (' || CAST("
         f"{sketch_col}.maxItemsTracked AS STRING) || '); pass "
         "max_items_tracked <= the cap the partials were built with, "
         "or rebuild the partials with a larger cap"

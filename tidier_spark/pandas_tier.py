@@ -126,11 +126,23 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
         fn = self.fn
 
         def _is_dec(c: str) -> bool:
+            # ``c`` may be an SQL expression or a case-variant spelling —
+            # both of which Spark's own resolver accepts inside the
+            # collect_list.  Only a verbatim (or case-insensitive unique)
+            # plain-name match gets the decimal pre-cast; anything else
+            # falls through uncast rather than raising (advice r10).
             from pyspark.sql.types import DecimalType
 
-            return df is not None and isinstance(
-                df.schema[c].dataType, DecimalType
-            )
+            if df is None:
+                return False
+            field = None
+            if c in df.columns:
+                field = df.schema[c]
+            else:
+                ci = [f for f in df.schema.fields if f.name.lower() == c.lower()]
+                if len(ci) == 1:
+                    field = ci[0]
+            return field is not None and isinstance(field.dataType, DecimalType)
 
         def _src(c: str) -> str:
             # struct-field spelling: alias keeps the field name stable

@@ -139,6 +139,24 @@ def _frontier_guard(
     (time, tiebreak)-sorted order; ``frontier`` is the key's last folded
     (ts, tiebreak).  Returns ``(keep_mask_or_None, new_frontier)`` —
     mask is None when nothing is late (the hot path allocates nothing).
+
+    **Re-delivery hazard (advice r10):** rows EQUAL to the frontier are
+    kept, because the tb=0 operators (funnel) have legitimate same-
+    timestamp ties that must all fold.  The cost: an at-least-once
+    source that re-delivers the exact last-folded row in a LATER
+    micro-batch is folded twice under both policies — this guard
+    enforces ordering, not idempotence.  With at-least-once delivery,
+    dedup upstream (``stream_dedup`` on a unique event id) or use an
+    operator whose fold is idempotent (latest-wins upsert, scd2).
+
+    **Checkpoint compatibility:** adding ``f_ts``/``f_tb`` to every
+    guarded operator's GroupState schema (r10) is a one-way break for
+    checkpoints written before the guard existed — Spark cannot evolve
+    ``applyInPandasWithState`` state schemas, so restarting such a
+    query requires a FRESH checkpoint directory (replay from the
+    source).  Same applies to ``scd2_merge``'s widened ``last_seen_us``
+    output column for fixed-schema sinks; only its snapshot INPUT side
+    has a legacy fallback.
     """
     import numpy as np
 
