@@ -227,3 +227,80 @@ def test_r_sum_bigint_is_double_accumulated(spark):
         expect.append(acc)
     assert got == expect, (got, expect)
     assert got[-1] == float(2**53)  # not 2**53 + 2: the R/double semantic
+
+
+def test_declared_decimal_read_schema_csv_jsonl_vs_duckdb(spark, tmp_path):
+    """The last decimal path never exercised (survey 7.15.4b): a
+    USER-DECLARED DECIMAL read schema on text sources.  Spark parses
+    text->DECIMAL mantissa-first on the FULL literal (java BigDecimal +
+    HALF_UP), for both csv and json.  Differential vs DuckDB:
+
+    * CSV: DuckDB's sniffer-free typed read also parses the full text
+      mantissa-first — bit-identical on every crafted literal,
+      including half-even bait (0.125), double-rounding bait (2.675,
+      whose nearest double is 2.67499...), and a 17-digit mantissa just
+      below the .005 boundary.
+    * JSONL: DuckDB routes JSON NUMBERS through double + shortest-repr
+      before the decimal cast, so the 17-digit literal
+      1.0049999999999999 reads 1.00 in Spark (exact text) but 1.01 in
+      DuckDB (shortest repr of the nearest double is "1.005" — the r8
+      money lesson resurfacing on the read path).  That divergence is
+      the ORACLE's representation hop, not an engine defect; the pin
+      below asserts both sides exactly so any drift in either engine's
+      rule still fails.
+    """
+    import duckdb
+
+    from tidier_spark.sources import read_csv, read_json
+
+    vals = [
+        "1.005", "2.675", "0.125", "9999999999999.99",
+        "1.0049999999999999", "-2.675", "3.14159", "1e2", "0.1",
+        "123456789.555",
+    ]
+    csv = tmp_path / "d.csv"
+    csv.write_text("k,v\n" + "".join(f"{i},{v}\n" for i, v in enumerate(vals)))
+    jsonl = tmp_path / "d.jsonl"
+    jsonl.write_text(
+        "".join(f'{{"k": {i}, "v": {v}}}\n' for i, v in enumerate(vals))
+    )
+
+    ddl = "k long, v decimal(15,2)"
+    sp_csv = {
+        r.k: str(r.v)
+        for r in read_csv(spark, str(csv), schema=ddl).collect()
+    }
+    sp_json = {
+        r.k: str(r.v) for r in read_json(spark, str(jsonl), schema=ddl).collect()
+    }
+
+    con = duckdb.connect()
+    try:
+        cols = "columns={'k':'BIGINT','v':'DECIMAL(15,2)'}"
+        dk_csv = dict(
+            con.execute(
+                f"SELECT k, CAST(v AS VARCHAR) FROM read_csv('{csv}', {cols})"
+            ).fetchall()
+        )
+        dk_json = dict(
+            con.execute(
+                f"SELECT k, CAST(v AS VARCHAR) FROM read_json('{jsonl}', {cols})"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+
+    # CSV: full agreement, mantissa-first on both engines
+    assert sp_csv == dk_csv, (sp_csv, dk_csv)
+
+    # JSONL: agreement everywhere EXCEPT the double-hop literal (k=4)
+    hop = 4
+    assert vals[hop] == "1.0049999999999999"
+    assert sp_json[hop] == "1.00", sp_json  # exact full-text parse
+    assert dk_json[hop] == "1.01", dk_json  # double + shortest-repr hop
+    sp_rest = {k: v for k, v in sp_json.items() if k != hop}
+    dk_rest = {k: v for k, v in dk_json.items() if k != hop}
+    assert sp_rest == dk_rest, (sp_rest, dk_rest)
+
+    # and the Spark csv/json parses agree with EACH OTHER everywhere
+    assert sp_csv == sp_json, (sp_csv, sp_json)
