@@ -174,3 +174,137 @@ def test_late_policy_validated(spark, tmp_path):
     )
     with pytest.raises(Exception, match="late_policy must be"):
         run_stream(r, name="t_late_policy_bad", output_mode="append")
+
+
+def _n_batches(tmp_path, batches, schema_cols):
+    """N parquet files with staggered mtimes: file order == batch order."""
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    now = time.time()
+    for bi, rows in enumerate(batches):
+        pq.write_table(
+            pa.table({c: [r[i] for r in rows] for i, c in enumerate(schema_cols)}),
+            src / f"b{bi}.parquet",
+        )
+        mt = now - 60 * (len(batches) - bi)
+        os.utime(src / f"b{bi}.parquet", (mt, mt))
+    return str(src)
+
+
+# Three micro-batches; rows marked late are BEHIND their key's frontier
+# when their batch folds (value 9.0 = poison: folding one shows up in
+# the compared values, not just row counts).  Kept set replayed in pure
+# Python below — the documented drop-mode contract is that this set is
+# a function of (data, arrival batches) only.
+_DROP_BATCHES = [
+    [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0),
+     (2, 21, 1_000_000, 3.0), (3, 31, 5_000_000, 4.0)],
+    [(1, 10, 500_000, 9.0), (1, 13, 3_000_000, 5.0),
+     (2, 22, 4_000_000, 6.0), (3, 30, 1_000_000, 9.0)],
+    [(1, 135, 2_500_000, 9.0), (2, 20, 900_000, 9.0),
+     (3, 32, 6_000_000, 7.0)],
+]
+_COLS = ["user_id", "event_id", "ts_us", "value"]
+
+
+def _python_kept_set(batches, tiebreak):
+    """Replay _frontier_guard per key: keep rows >= the key's frontier at
+    their batch's fold time; the frontier then advances to the batch max.
+    ``tiebreak`` mirrors the operator: event_id for ewma/distinct, 0 for
+    the tb-less trailing/funnel folds."""
+    frontier: dict = {}
+    kept = set()
+    for rows in batches:
+        per_key: dict = {}
+        for k, eid, ts, v in rows:
+            per_key.setdefault(k, []).append((ts, tiebreak(eid), eid))
+        for k, krows in per_key.items():
+            krows.sort()
+            f = frontier.get(k, (-(1 << 62), -(1 << 62)))
+            for ts, tb, eid in krows:
+                if (ts, tb) >= f:
+                    kept.add(eid)
+            frontier[k] = max(f, krows[-1][:2])
+    return kept
+
+
+def _mk_ewma(stream, policy):
+    return stream_ewma(
+        stream, key_col="user_id", time_col="ts", value_col="value",
+        tiebreak_col="event_id", late_policy=policy,
+    )
+
+
+def _mk_trailing(stream, policy):
+    return stream_trailing_agg(
+        stream, key_col="user_id", time_col="ts", value_col="value",
+        trailing_seconds=10, timeout_minutes=None, late_policy=policy,
+    )
+
+
+def _mk_distinct(stream, policy):
+    return stream_running_distinct(
+        stream.withColumn("value", F.col("value").cast("string")),
+        key_col="user_id", time_col="ts", value_col="value",
+        tiebreak_col="event_id", late_policy=policy,
+    )
+
+
+_FUNNEL_STEP = {11: "s1", 12: "s2", 13: "s3", 10: "s3", 135: "s3",
+                21: "s1", 22: "s2", 20: "s1", 31: "s1", 30: "s1", 32: "s2"}
+
+
+def _mk_funnel(stream, policy):
+    from pyspark.sql.types import StringType
+
+    step_map = F.udf(lambda e: _FUNNEL_STEP[e], StringType())
+    return stream_funnel_advances(
+        stream.withColumn("step", step_map(F.col("event_id"))),
+        key_col="user_id", time_col="ts", step_col="step",
+        steps=["s1", "s2", "s3"], late_policy=policy,
+    )
+
+
+@pytest.mark.parametrize(
+    "opname,mk,tb_of",
+    [
+        ("ewma", _mk_ewma, lambda eid: eid),
+        ("trailing", _mk_trailing, lambda eid: 0),
+        ("distinct", _mk_distinct, lambda eid: eid),
+        ("funnel", _mk_funnel, lambda eid: 0),
+    ],
+)
+def test_drop_mode_equals_error_mode_on_kept_subset(
+    spark, tmp_path, opname, mk, tb_of
+):
+    """late_policy="drop" batch-twin parity (verdict r10 task #3): the
+    kept set is a pure function of (data, arrival batches) — replayed
+    here in pure Python — and the drop-mode OUTPUT over the late
+    fixture is row-for-row identical to the default error-mode run over
+    the same batch structure with the late rows removed.  Values, not
+    just counts: late rows carry a 9.0 poison value, so folding even
+    one corrupts the comparison.  (scd2_merge is excluded by design:
+    the append-only CDC contract is error-only — silently dropping CDC
+    observations is a data-loss hazard, not a policy.)"""
+    kept = _python_kept_set(_DROP_BATCHES, tb_of)
+    # the fixture is late-bearing by construction for BOTH tb rules
+    all_ids = {r[1] for b in _DROP_BATCHES for r in b}
+    assert kept != all_ids, "fixture has no late rows — test is vacuous"
+
+    src_full = _n_batches(tmp_path / "full", _DROP_BATCHES, _COLS)
+    pruned = [[r for r in b if r[1] in kept] for b in _DROP_BATCHES]
+    src_kept = _n_batches(tmp_path / "kept", pruned, _COLS)
+
+    got = sorted(
+        tuple(r) for r in run_stream(
+            mk(_events_stream(spark, src_full), "drop"),
+            name=f"t_dropparity_{opname}_full", output_mode="append",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in run_stream(
+            mk(_events_stream(spark, src_kept), "error"),
+            name=f"t_dropparity_{opname}_kept", output_mode="append",
+        ).collect()
+    )
+    assert got == want and len(got) > 0, (opname, got, want)
