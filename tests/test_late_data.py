@@ -207,9 +207,10 @@ _DROP_BATCHES = [
 _COLS = ["user_id", "event_id", "ts_us", "value"]
 
 
-def _python_kept_set(batches, tiebreak):
-    """Replay _frontier_guard per key: keep rows >= the key's frontier at
-    their batch's fold time; the frontier then advances to the batch max.
+def _python_kept_set(batches, tiebreak, strict=False):
+    """Replay _frontier_guard per key: keep rows past the key's frontier
+    at their batch's fold time (>= normally, > under the unique-tiebreak
+    strict rule); the frontier then advances to the batch max.
     ``tiebreak`` mirrors the operator: event_id for ewma/distinct, 0 for
     the tb-less trailing/funnel folds."""
     frontier: dict = {}
@@ -222,7 +223,7 @@ def _python_kept_set(batches, tiebreak):
             krows.sort()
             f = frontier.get(k, (-(1 << 62), -(1 << 62)))
             for ts, tb, eid in krows:
-                if (ts, tb) >= f:
+                if ((ts, tb) > f) if strict else ((ts, tb) >= f):
                     kept.add(eid)
             frontier[k] = max(f, krows[-1][:2])
     return kept
@@ -266,16 +267,16 @@ def _mk_funnel(stream, policy):
 
 
 @pytest.mark.parametrize(
-    "opname,mk,tb_of",
+    "opname,mk,tb_of,strict",
     [
-        ("ewma", _mk_ewma, lambda eid: eid),
-        ("trailing", _mk_trailing, lambda eid: 0),
-        ("distinct", _mk_distinct, lambda eid: eid),
-        ("funnel", _mk_funnel, lambda eid: 0),
+        ("ewma", _mk_ewma, lambda eid: eid, True),
+        ("trailing", _mk_trailing, lambda eid: 0, False),
+        ("distinct", _mk_distinct, lambda eid: eid, True),
+        ("funnel", _mk_funnel, lambda eid: 0, False),
     ],
 )
 def test_drop_mode_equals_error_mode_on_kept_subset(
-    spark, tmp_path, opname, mk, tb_of
+    spark, tmp_path, opname, mk, tb_of, strict
 ):
     """late_policy="drop" batch-twin parity (verdict r10 task #3): the
     kept set is a pure function of (data, arrival batches) — replayed
@@ -286,7 +287,7 @@ def test_drop_mode_equals_error_mode_on_kept_subset(
     one corrupts the comparison.  (scd2_merge is excluded by design:
     the append-only CDC contract is error-only — silently dropping CDC
     observations is a data-loss hazard, not a policy.)"""
-    kept = _python_kept_set(_DROP_BATCHES, tb_of)
+    kept = _python_kept_set(_DROP_BATCHES, tb_of, strict=strict)
     # the fixture is late-bearing by construction for BOTH tb rules
     all_ids = {r[1] for b in _DROP_BATCHES for r in b}
     assert kept != all_ids, "fixture has no late rows — test is vacuous"
@@ -308,3 +309,43 @@ def test_drop_mode_equals_error_mode_on_kept_subset(
         ).collect()
     )
     assert got == want and len(got) > 0, (opname, got, want)
+
+
+def test_exact_redelivery_is_loud_for_unique_tiebreak_ops(spark, tmp_path):
+    """At-least-once re-delivery (advice r10): for operators with a
+    UNIQUE tiebreak the frontier advances STRICTLY past the folded
+    (ts, tb), so an exact duplicate of the last-folded row arriving in a
+    later micro-batch raises (default) or is dropped (drop policy) —
+    never silently double-folded into EWMA / distinct state."""
+    rows1 = [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0)]
+    redeliver = [(1, 12, 2_000_000, 2.0)]  # exact copy of the last row
+    src = _two_batches(tmp_path, rows1, redeliver, _COLS)
+    r = stream_ewma(
+        _events_stream(spark, src), key_col="user_id", time_col="ts",
+        value_col="value", tiebreak_col="event_id",
+    )
+    with pytest.raises(Exception, match="exact re-delivery"):
+        run_stream(r, name="t_redeliver_ewma_err", output_mode="append")
+
+    # drop mode: the duplicate is skipped; output equals the clean replay
+    (tmp_path / "d").mkdir()
+    src_d = _two_batches(tmp_path / "d", rows1, redeliver, _COLS)
+    got = sorted(
+        tuple(r2) for r2 in run_stream(
+            _mk_distinct(_events_stream(spark, src_d), "drop"),
+            name="t_redeliver_dist_drop", output_mode="append",
+        ).collect()
+    )
+    assert [g[:2] for g in got] == [(1, 1_000_000), (1, 2_000_000)], got
+
+    # tb=0 operators CANNOT distinguish re-delivery from a legitimate
+    # same-timestamp tie: the equal-frontier row still folds (documented
+    # hazard, _frontier_guard docstring) — pinned so a behavior change
+    # shows up here
+    (tmp_path / "t").mkdir()
+    src_t = _two_batches(tmp_path / "t", rows1, redeliver, _COLS)
+    out = run_stream(
+        _mk_trailing(_events_stream(spark, src_t), "error"),
+        name="t_redeliver_trail_folds", output_mode="append",
+    )
+    assert out.count() == 3  # 2 on-time + the re-delivered row folded

@@ -113,7 +113,8 @@ class LateEventError(ValueError):
 
 
 def _frontier_guard(
-    ts_us, tbs, frontier: tuple[int, int], op: str, late_policy: str
+    ts_us, tbs, frontier: tuple[int, int], op: str, late_policy: str,
+    strict: bool = False,
 ):
     """Enforce the cross-batch in-order arrival contract for a per-key
     stateful fold.
@@ -140,14 +141,21 @@ def _frontier_guard(
     (ts, tiebreak).  Returns ``(keep_mask_or_None, new_frontier)`` —
     mask is None when nothing is late (the hot path allocates nothing).
 
-    **Re-delivery hazard (advice r10):** rows EQUAL to the frontier are
-    kept, because the tb=0 operators (funnel) have legitimate same-
-    timestamp ties that must all fold.  The cost: an at-least-once
-    source that re-delivers the exact last-folded row in a LATER
-    micro-batch is folded twice under both policies — this guard
-    enforces ordering, not idempotence.  With at-least-once delivery,
-    dedup upstream (``stream_dedup`` on a unique event id) or use an
-    operator whose fold is idempotent (latest-wins upsert, scd2).
+    **Re-delivery and ``strict`` (advice r10):** operators with a
+    UNIQUE tiebreak (ewma, running_distinct — event-id tiebreaks) pass
+    ``strict=True``: the frontier advances strictly past the folded
+    (ts, tb), so an at-least-once source that re-delivers the exact
+    last-folded row in a later micro-batch hits the guard (loud error /
+    deterministic drop) instead of silently double-folding state.  The
+    tb=0 operators (trailing, funnel) must keep ``strict=False`` —
+    same-timestamp ties are legitimate there and indistinguishable from
+    re-delivery — so for THOSE the guard enforces ordering, not
+    idempotence: a re-delivered equal-(ts, 0) row still folds twice.
+    With at-least-once delivery into a tb=0 operator, dedup upstream
+    (``stream_dedup`` on a unique event id) or use an operator whose
+    fold is idempotent (latest-wins upsert, scd2).  Equality WITHIN one
+    micro-batch is never rejected (the mask compares against the
+    incoming frontier only).
 
     **Checkpoint compatibility:** adding ``f_ts``/``f_tb`` to every
     guarded operator's GroupState schema (r10) is a one-way break for
@@ -171,21 +179,31 @@ def _frontier_guard(
         return None, frontier
     first = (int(ts_us[0]), int(tbs[0]))
     last = (int(ts_us[-1]), int(tbs[-1]))
-    if first >= (f_ts, f_tb):
+    ok = (first > (f_ts, f_tb)) if strict else (first >= (f_ts, f_tb))
+    if ok:
         return None, max(last, (f_ts, f_tb))
     if late_policy == "drop":
-        mask = np.fromiter(
-            (
+        if strict:
+            it = (
+                (int(t), int(b)) > (f_ts, f_tb)
+                for t, b in zip(ts_us, tbs)
+            )
+        else:
+            it = (
                 (int(t), int(b)) >= (f_ts, f_tb)
                 for t, b in zip(ts_us, tbs)
-            ),
-            dtype=bool,
-            count=n,
-        )
+            )
+        mask = np.fromiter(it, dtype=bool, count=n)
         return mask, max(last, (f_ts, f_tb))
+    where = (
+        "AT its key's frontier — an exact re-delivery of the "
+        "last-folded event (at-least-once source?)"
+        if strict and first == (f_ts, f_tb)
+        else "BEHIND its key's frontier"
+    )
     raise LateEventError(
         f"{op}: event at (ts_us={first[0]}, tiebreak={first[1]}) arrived "
-        f"BEHIND its key's frontier (ts_us={f_ts}, tiebreak={f_tb}) — "
+        f"{where} (ts_us={f_ts}, tiebreak={f_tb}) — "
         "late data across micro-batches cannot be folded into "
         "already-advanced per-key state.  Either drop late rows "
         "deterministically (late_policy='drop'), filter them upstream "
@@ -702,7 +720,8 @@ def stream_ewma(
             tbs = pdf[tiebreak_col].to_numpy()
             raw = pdf[value_col].to_numpy(dtype=object)
             mask, (f_ts, f_tb) = _frontier_guard(
-                ts_us, tbs, (f_ts, f_tb), "stream_ewma", late_policy
+                ts_us, tbs, (f_ts, f_tb), "stream_ewma", late_policy,
+                strict=True,  # unique tiebreak: re-delivery is loud
             )
             # NULL vs NaN: the Arrow crossing collapses both to nan in a
             # float column, so the JVM-side __vnull flag is the only
@@ -834,6 +853,7 @@ def stream_running_distinct(
             mask, (f_ts, f_tb) = _frontier_guard(
                 ts_us, tbs, (f_ts, f_tb),
                 "stream_running_distinct", late_policy,
+                strict=True,  # unique tiebreak: re-delivery is loud
             )
             if mask is not None:
                 ts_us, tbs, vals = ts_us[mask], tbs[mask], vals[mask]
