@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -704,6 +704,59 @@ def build_fixture(kind: str) -> str:
                 tbl.schema.field(i),
                 pa.array([7.0] * tbl.num_rows, type=pa.float64()),
             )
+        elif kind == "dupdocs" and t == "documents":
+            # dedup-clustering stress WITHOUT the FK machinery (survey
+            # 7.15.4a): replicate ONLY documents, 5x, fresh doc_ids
+            # (sfjump-style power-of-10 stride).  Replicas 1-2 keep the
+            # text IDENTICAL (exact-dup clusters of size >= 3 per text);
+            # replicas 3-4 append a short suffix (NEAR-dup mass for the
+            # minhash/simhash/jaccard threshold paths, which sfjump's
+            # identical replication never exercised).  n_chars is
+            # recomputed for modified texts so the length-derived
+            # entries stay coherent.  Other tables stay base size, so
+            # doc_id<->embeddings joins drop replicas identically on
+            # both engines.
+            import pyarrow.compute as pc
+
+            mx = pc.max(tbl.column("doc_id")).as_py() or 0
+            stride = 10
+            while stride <= mx:
+                stride *= 10
+            texts = tbl.column("text").to_pylist()
+            replicas = [tbl]
+            for i in range(1, 5):
+                rep = tbl
+                j = rep.schema.get_field_index("doc_id")
+                rep = rep.set_column(
+                    j,
+                    rep.schema.field(j),
+                    pc.add(rep.column(j), pa.scalar(i * stride, pa.int64())),
+                )
+                if i >= 3:
+                    new_texts = [
+                        (v + f" dupv{i}") if v is not None else None
+                        for v in texts
+                    ]
+                    jt = rep.schema.get_field_index("text")
+                    rep = rep.set_column(
+                        jt,
+                        rep.schema.field(jt),
+                        pa.array(new_texts, type=pa.string()),
+                    )
+                    jn = rep.schema.get_field_index("n_chars")
+                    rep = rep.set_column(
+                        jn,
+                        rep.schema.field(jn),
+                        pa.array(
+                            [
+                                len(v) if v is not None else None
+                                for v in new_texts
+                            ],
+                            type=pa.int64(),
+                        ),
+                    )
+                replicas.append(rep)
+            tbl = pa.concat_tables(replicas)
         elif kind == "alldup" and t == "documents":
             # every document becomes ONE identical text: the dedup
             # degenerate — all minhash/simhash signatures equal, every

@@ -1,0 +1,72 @@
+"""ivfpq_topk min-of-N FRESH-PLAN adjudication (SCALE.md r10 protocol).
+
+The operator's first heavy job carries runtime warm-up (JVM heap growth
++ Arrow/Python worker buffers: measured 27.0 s first vs 4.3 s on an
+identical fresh plan, r10).  Protocol: N fresh-plan reps (plan rebuilt
+inside each timed rep, construction included); the REGRESSION BAR is
+rep-2+ exceeding 2x the 5.7 s construction-inclusive floor.  Run on an
+otherwise idle box.
+
+Usage: python scripts/ivfpq_adjudicate.py [n_reps]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from tidier_spark.operators.similarity import ivfpq_topk
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # generic session warm-up (same as scale_probe): JVM + python workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(it):
+        yield from it
+
+    spark.range(64, numPartitions=32).mapInPandas(_warm, "id long").count()
+
+    def run():
+        df = spark.range(20_000).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), i -> "
+                "cast(pmod(xxhash64(id * 64 + i), 1000) as double)"
+                " / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        ivfpq_topk(df, k=3, n_lists=32, n_probe=8).agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    walls = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        run()
+        walls.append(time.perf_counter() - t0)
+        print(f"rep {i + 1}: {walls[-1]:.2f}s", flush=True)
+    floor = 5.7
+    tail = walls[1:]
+    verdict = "REGRESSION" if tail and min(tail) > 2 * floor else "floor confirmed"
+    print(
+        f"ivfpq_topk 20k fresh-plan reps: {['%.2f' % w for w in walls]} "
+        f"min(rep2+)={min(tail):.2f}s bar={2 * floor:.1f}s -> {verdict}"
+    )
+    spark.stop()
+    return 0 if verdict == "floor confirmed" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
