@@ -3258,6 +3258,10 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_col="ts",
         step_col="event_type",
         steps=["view", "click", "purchase"],
+        # unique per-event id -> strict frontier (r11): re-delivery is
+        # loud; the funnel fold is tie-insensitive (strict > on times),
+        # so in-order values are unchanged
+        tiebreak_col="event_id",
     )
     res = run_stream(
         out,
@@ -3597,6 +3601,7 @@ def _q_stream_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")) + F.col("event_id")
         ).alias("ts2"),
         F.round(F.col("value") * 100).alias("vc"),
+        F.col("event_id"),
     )
     out = stream_trailing_agg(
         src,
@@ -3605,6 +3610,10 @@ def _q_stream_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="vc",
         trailing_seconds=3600,
         timeout_minutes=None,  # bounded replay: expiry would spin batches
+        # unique per-event id -> strict frontier: an at-least-once
+        # re-delivery is loud instead of double-folded (r11); ts2 is
+        # already unique per key, so the sort and values are unchanged
+        tiebreak_col="event_id",
     )
     res = run_stream(
         out,

@@ -349,3 +349,53 @@ def test_exact_redelivery_is_loud_for_unique_tiebreak_ops(spark, tmp_path):
         name="t_redeliver_trail_folds", output_mode="append",
     )
     assert out.count() == 3  # 2 on-time + the re-delivered row folded
+
+
+def test_trailing_funnel_opt_in_tiebreak_makes_redelivery_loud(spark, tmp_path):
+    """r11: trailing and funnel accept an optional unique tiebreak_col;
+    when provided the frontier is STRICT, so exact re-delivery raises —
+    and in-order values are unchanged vs the tb-less form."""
+    rows1 = [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0)]
+    redeliver = [(1, 12, 2_000_000, 2.0)]
+
+    # trailing, strict: loud on the re-delivered duplicate
+    src = _two_batches(tmp_path, rows1, redeliver, _COLS)
+    tr = stream_trailing_agg(
+        _events_stream(spark, src), key_col="user_id", time_col="ts",
+        value_col="value", trailing_seconds=10, timeout_minutes=None,
+        tiebreak_col="event_id",
+    )
+    with pytest.raises(Exception, match="exact re-delivery"):
+        run_stream(tr, name="t_tb_trail_err", output_mode="append")
+
+    # funnel, strict: loud on the re-delivered duplicate
+    (tmp_path / "f").mkdir()
+    src_f = _two_batches(tmp_path / "f", rows1, redeliver, _COLS)
+    fu = stream_funnel_advances(
+        _events_stream(spark, src_f).withColumn(
+            "step", F.when(F.col("event_id") == 11, "a").otherwise("b")
+        ),
+        key_col="user_id", time_col="ts", step_col="step",
+        steps=["a", "b"], tiebreak_col="event_id",
+    )
+    with pytest.raises(Exception, match="exact re-delivery"):
+        run_stream(fu, name="t_tb_funnel_err", output_mode="append")
+
+    # in-order data: strict and tb-less forms agree value-for-value
+    (tmp_path / "c").mkdir()
+    clean = [(1, 13, 3_000_000, 3.0), (2, 20, 1_000_000, 4.0)]
+    src_c = _two_batches(tmp_path / "c", rows1, clean, _COLS)
+
+    def trail(tb):
+        return sorted(
+            tuple(r) for r in run_stream(
+                stream_trailing_agg(
+                    _events_stream(spark, src_c), key_col="user_id",
+                    time_col="ts", value_col="value", trailing_seconds=10,
+                    timeout_minutes=None, tiebreak_col=tb,
+                ),
+                name=f"t_tb_trail_par_{tb}", output_mode="append",
+            ).collect()
+        )
+
+    assert trail("event_id") == trail(None) and len(trail(None)) == 4

@@ -142,20 +142,22 @@ def _frontier_guard(
     mask is None when nothing is late (the hot path allocates nothing).
 
     **Re-delivery and ``strict`` (advice r10):** operators with a
-    UNIQUE tiebreak (ewma, running_distinct — event-id tiebreaks) pass
-    ``strict=True``: the frontier advances strictly past the folded
-    (ts, tb), so an at-least-once source that re-delivers the exact
-    last-folded row in a later micro-batch hits the guard (loud error /
-    deterministic drop) instead of silently double-folding state.  The
-    tb=0 operators (trailing, funnel) must keep ``strict=False`` —
-    same-timestamp ties are legitimate there and indistinguishable from
-    re-delivery — so for THOSE the guard enforces ordering, not
-    idempotence: a re-delivered equal-(ts, 0) row still folds twice.
-    With at-least-once delivery into a tb=0 operator, dedup upstream
-    (``stream_dedup`` on a unique event id) or use an operator whose
-    fold is idempotent (latest-wins upsert, scd2).  Equality WITHIN one
-    micro-batch is never rejected (the mask compares against the
-    incoming frontier only).
+    UNIQUE tiebreak pass ``strict=True``: the frontier advances
+    strictly past the folded (ts, tb), so an at-least-once source that
+    re-delivers the exact last-folded row in a later micro-batch hits
+    the guard (loud error / deterministic drop) instead of silently
+    double-folding state.  ewma and running_distinct require a
+    tiebreak and are always strict; trailing and funnel are strict
+    IFF the caller supplies their optional ``tiebreak_col`` (r11).
+    WITHOUT a tiebreak the guard runs tb=0 with ``strict=False`` —
+    same-timestamp ties are legitimate and indistinguishable from
+    re-delivery — and enforces ordering, not idempotence: a
+    re-delivered equal-(ts, 0) row still folds twice.  In that mode,
+    with at-least-once delivery, dedup upstream (``stream_dedup`` on a
+    unique event id) or use an operator whose fold is idempotent
+    (latest-wins upsert, scd2).  Equality WITHIN one micro-batch is
+    never rejected (the mask compares against the incoming frontier
+    only).
 
     **Checkpoint compatibility:** adding ``f_ts``/``f_tb`` to every
     guarded operator's GroupState schema (r10) is a one-way break for
@@ -254,6 +256,7 @@ def stream_trailing_agg(
     trailing_seconds: int,
     timeout_minutes: int | None = 30,
     late_policy: str = "error",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key trailing-window mean over event time, exactly tidier's O5
     flagship frame (`README.md:25-54`) as a *streaming* stateful operator.
@@ -261,6 +264,14 @@ def stream_trailing_agg(
     Cross-batch late events violate the in-order arrival contract and
     fail LOUDLY by default; ``late_policy="drop"`` skips them
     deterministically instead — see :func:`_frontier_guard`.
+
+    ``tiebreak_col`` (r11, optional): a UNIQUE per-event id.  When
+    provided, the frontier advances strictly past the folded
+    (time, tiebreak), so an at-least-once source re-delivering the
+    exact last-folded row hits the guard (loud / deterministic drop)
+    instead of silently folding it into the trailing buffer twice.
+    Without it the operator cannot distinguish re-delivery from a
+    legitimate same-timestamp tie and keeps equality-folding.
 
     For each arriving event, emits ``trail_avg`` = mean of that key's
     values in ``[t − trailing_seconds, t]`` (closed bounds — identical to
@@ -306,14 +317,21 @@ def stream_trailing_agg(
             ts_list, val_list = list(ts_list), list(val_list)
         else:
             ts_list, val_list, f_ts, f_tb = [], [], -(1 << 62), -(1 << 62)
-        pdf = _concat_in_order(pdfs, [time_col])
+        sort_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+        pdf = _concat_in_order(pdfs, sort_cols)
         rows = {"key": [], "ts": [], "value": [], "trail_avg": []}
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()  # ns→µs
             vals = pdf[value_col].to_numpy()
+            tbs = (
+                pdf[tiebreak_col].to_numpy()
+                if tiebreak_col
+                else [0] * len(ts_us)
+            )
             mask, (f_ts, f_tb) = _frontier_guard(
-                ts_us, [0] * len(ts_us), (f_ts, f_tb),
+                ts_us, tbs, (f_ts, f_tb),
                 "stream_trailing_agg", late_policy,
+                strict=tiebreak_col is not None,
             )
             if mask is not None:
                 ts_us, vals = ts_us[mask], vals[mask]
@@ -341,12 +359,15 @@ def stream_trailing_agg(
             out["ts"] = out["ts"].astype("datetime64[us]")
             yield out
 
+    sel = [
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias(time_col),
+        F.col(value_col).alias(value_col),
+    ]
+    if tiebreak_col:
+        sel.append(F.col(tiebreak_col).alias(tiebreak_col))
     return (
-        stream.select(
-            F.col(key_col).alias("key"),
-            F.col(time_col).alias(time_col),
-            F.col(value_col).alias(value_col),
-        )
+        stream.select(*sel)
         .groupBy("key")
         .applyInPandasWithState(
             fn,
@@ -578,6 +599,7 @@ def stream_funnel_advances(
     step_col: str,
     steps: list[str],
     late_policy: str = "error",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming ordered-funnel tracker: per key, maintain the earliest
     SEQUENTIAL completion time of each step (step i+1 must strictly
@@ -594,6 +616,10 @@ def stream_funnel_advances(
     the same in-order replay contract as
     :func:`stream_trailing_agg`; for out-of-order production streams,
     front a watermarked sort or widen to a re-derivation window.
+    ``tiebreak_col`` (r11, optional): a unique per-event id — when
+    provided the frontier advances STRICTLY, so an exact at-least-once
+    re-delivery is loud/dropped instead of re-folded (the fold itself
+    is tie-insensitive, so values are unchanged for in-order data).
 
     State per key: ``k`` BIGINT timestamps (-1 = not reached) — O(k),
     the smallest possible funnel state; no event history is retained.
@@ -620,13 +646,20 @@ def stream_funnel_advances(
         else:
             times, f_ts, f_tb = [-1] * k, -(1 << 62), -(1 << 62)
         rows = {"key": [], "step": [], "t_us": []}
-        pdf = _concat_in_order(pdfs, [time_col])
+        sort_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+        pdf = _concat_in_order(pdfs, sort_cols)
         if pdf is not None:
             ts_us = (pdf[time_col].astype("int64") // 1000).to_numpy()
             st = pdf[step_col].to_numpy()
+            tbs = (
+                pdf[tiebreak_col].to_numpy()
+                if tiebreak_col
+                else [0] * len(ts_us)
+            )
             mask, (f_ts, f_tb) = _frontier_guard(
-                ts_us, [0] * len(ts_us), (f_ts, f_tb),
+                ts_us, tbs, (f_ts, f_tb),
                 "stream_funnel_advances", late_policy,
+                strict=tiebreak_col is not None,
             )
             if mask is not None:
                 ts_us, st = ts_us[mask], st[mask]
@@ -645,12 +678,15 @@ def stream_funnel_advances(
         if rows["key"]:
             yield pd.DataFrame(rows)
 
+    sel = [
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias(time_col),
+        F.col(step_col).alias(step_col),
+    ]
+    if tiebreak_col:
+        sel.append(F.col(tiebreak_col).alias(tiebreak_col))
     return (
-        stream.select(
-            F.col(key_col).alias("key"),
-            F.col(time_col).alias(time_col),
-            F.col(step_col).alias(step_col),
-        )
+        stream.select(*sel)
         .groupBy("key")
         .applyInPandasWithState(
             fn,
