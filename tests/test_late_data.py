@@ -399,3 +399,54 @@ def test_trailing_funnel_opt_in_tiebreak_makes_redelivery_loud(spark, tmp_path):
         )
 
     assert trail("event_id") == trail(None) and len(trail(None)) == 4
+
+
+def test_stream_dedup_upstream_protects_tbless_fold_from_redelivery(
+    spark, tmp_path
+):
+    """The documented mitigation for at-least-once delivery into a
+    tb=0 fold (_frontier_guard docstring): stream_dedup on a unique
+    event id upstream of stream_trailing_agg.  The re-delivered exact
+    duplicate is dropped by dropDuplicatesWithinWatermark BEFORE the
+    stateful fold, so the tb-less trailing mean equals the clean
+    replay instead of double-folding."""
+    rows1 = [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0)]
+    redeliver = [(1, 12, 2_000_000, 2.0), (1, 13, 3_000_000, 3.0)]
+    src = _two_batches(tmp_path, rows1, redeliver, _COLS)
+
+    from tidier_spark.streaming import stream_dedup
+
+    def run(name, with_dedup):
+        ev = _events_stream(spark, src)
+        if with_dedup:
+            ev = stream_dedup(ev, ["event_id"], "ts", watermark="1 hour")
+        out = stream_trailing_agg(
+            ev, key_col="user_id", time_col="ts", value_col="value",
+            trailing_seconds=10, timeout_minutes=None,
+        )
+        return sorted(
+            (r["key"], r["ts"], r["value"], r["trail_avg"])
+            for r in run_stream(out, name=name, output_mode="append").collect()
+        )
+
+    protected = run("t_dedup_shield_on", True)
+    # without the shield, the tb-less fold double-counts the duplicate
+    unprotected = run("t_dedup_shield_off", False)
+    assert len(protected) == 3 and len(unprotected) == 4
+    # protected == the clean-fixture replay
+    (tmp_path / "c").mkdir()
+    src_c = _two_batches(
+        tmp_path / "c", rows1, [(1, 13, 3_000_000, 3.0)], _COLS
+    )
+    clean = sorted(
+        (r["key"], r["ts"], r["value"], r["trail_avg"])
+        for r in run_stream(
+            stream_trailing_agg(
+                _events_stream(spark, src_c), key_col="user_id",
+                time_col="ts", value_col="value", trailing_seconds=10,
+                timeout_minutes=None,
+            ),
+            name="t_dedup_shield_clean", output_mode="append",
+        ).collect()
+    )
+    assert protected == clean, (protected, clean)
