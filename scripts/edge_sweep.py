@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs|redeliver]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -384,6 +384,16 @@ LATE_ERR_PINS = {
 # (events_ontime.parquet, written by the fixture builder) — a value
 # drift among the survivors still flags.
 LATE_ONTIME_PINS = {"stream_sessions"}
+
+# redeliver axis (r11): the four strict-guarded stateful folds must
+# raise their NAMED exact-re-delivery error when the last-folded row
+# arrives again in a later micro-batch; anything else still flags.
+REDELIVER_ERR_PINS = {
+    "stream_ewma": r"stream_ewma: event .* exact re-delivery",
+    "stream_trailing": r"stream_trailing_agg: event .* exact re-delivery",
+    "stream_distinct": r"stream_running_distinct: event .* exact re-delivery",
+    "stream_funnel": r"stream_funnel_advances: event .* exact re-delivery",
+}
 
 
 def _late_ontime_oracle_match(sql: str, sf_dir: str, s_rows: list) -> bool:
@@ -910,6 +920,44 @@ def build_fixture(kind: str) -> str:
         elif kind in ("empty", "one"):
             tbl = tbl.slice(0, 0 if kind == "empty" else 1)
         # any other (kind, table) combination: copy unchanged
+        if kind == "redeliver" and t == "events":
+            # AT-LEAST-ONCE RE-DELIVERY fixture (axis 26, r11): arrival
+            # order = event-time order in three micro-batch files, then
+            # a FOURTH batch re-delivers an EXACT COPY of the globally
+            # newest row (max (ts, event_id)).  That one row (a) is the
+            # last-folded frontier of its key in every strict-guarded
+            # stateful fold -> the guard must raise its named
+            # re-delivery error (REDELIVER_ERR_PINS); (b) survives
+            # every watermark filter (ts == max event time seen, >= any
+            # max-delay watermark) -> watermark aggregations count it
+            # twice on BOTH engines (the oracle reads the duplicated
+            # multiset too) and must still match; (c) is idempotent for
+            # latest-wins/dedup/scd2-absorb folds.  Batch entries see a
+            # plain +1 duplicate row on both engines.
+            import time as _time
+
+            import pyarrow.compute as pc
+
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
+            tbl_s = tbl.take(idx)
+            n = tbl_s.num_rows
+            dup = tbl_s.slice(n - 1, 1)  # the global max (ts, event_id)
+            base = pa.concat_tables([tbl_s, dup])
+            d = f"{out}/{t}.parquet"
+            os.makedirs(d)
+            bounds = [(i * n) // 3 for i in range(4)]
+            for i in range(3):
+                part = tbl_s.slice(bounds[i], bounds[i + 1] - bounds[i])
+                pq.write_table(part, f"{d}/part-{i:03d}.parquet")
+                _time.sleep(1.05)
+            pq.write_table(dup, f"{d}/part-003.parquet")
+            # sanity: the directory multiset equals base (oracle reads
+            # the same glob, so both engines see the +1 duplicate)
+            assert base.num_rows == n + 1
+            continue
         if kind == "late" and t == "events":
             # LATE-DATA replay fixture (axis 24): arrival order = event-
             # time order in four micro-batch files (distinct mtimes; the
@@ -1044,9 +1092,9 @@ def main() -> int:
 
         os.environ["TZ"] = "Asia/Kolkata"
         _time.tzset()
-    if kind == "late":
-        # one file per micro-batch: the late axis only bites when the
-        # watermark actually advances between batches
+    if kind in ("late", "redeliver"):
+        # one file per micro-batch: these axes only bite when the
+        # replay is genuinely multi-batch
         os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
     sf_dir = build_fixture(kind)
 
@@ -1290,6 +1338,15 @@ def main() -> int:
             import re as _re
 
             if _re.search(LATE_ERR_PINS[name], s_err or ""):
+                cls = "pinned"
+        if (
+            kind == "redeliver"
+            and cls == "spark_err"
+            and name in REDELIVER_ERR_PINS
+        ):
+            import re as _re
+
+            if _re.search(REDELIVER_ERR_PINS[name], s_err or ""):
                 cls = "pinned"
         if (
             kind == "late"
