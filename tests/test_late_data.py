@@ -450,3 +450,81 @@ def test_stream_dedup_upstream_protects_tbless_fold_from_redelivery(
         ).collect()
     )
     assert protected == clean, (protected, clean)
+
+
+def test_checkpoint_restart_restores_state_and_frontier(spark, tmp_path):
+    """The one streaming property no edge axis exercises (r11): a REAL
+    checkpoint restart.  Phase 1 replays batch 1 to a parquet sink with
+    a checkpoint; phase 2 adds two more batch files and restarts a NEW
+    query on the SAME checkpoint.  Three assertions:
+
+    1. Exactly-once: the final sink equals a clean single-session
+       replay value-for-value (the file source re-processes nothing).
+    2. GroupState round-trip: the EWMA values for phase-2 rows continue
+       the phase-1 per-key state (covered by #1 — a reset state would
+       change ewma_num/den).
+    3. The r10 frontier fields (f_ts/f_tb) RESTORE rather than reset:
+       a row arriving in phase 2 BEHIND a phase-1 frontier still raises
+       LateEventError across the restart.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = ["user_id", "event_id", "ts_us", "value"]
+    b1 = [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0),
+          (2, 21, 1_000_000, 3.0)]
+    b2 = [(1, 13, 3_000_000, 4.0), (2, 22, 4_000_000, 5.0)]
+
+    def write(src, rows, name, age):
+        pq.write_table(
+            pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)}),
+            f"{src}/{name}",
+        )
+        now = time.time()
+        os.utime(f"{src}/{name}", (now - age, now - age))
+
+    def mk_query(src, sink, ck):
+        ev = (
+            spark.readStream
+            .schema("user_id long, event_id long, ts_us long, value double")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .select("user_id", "event_id",
+                    F.timestamp_micros("ts_us").alias("ts"), "value")
+        )
+        out = stream_ewma(ev, key_col="user_id", time_col="ts",
+                          value_col="value", tiebreak_col="event_id")
+        return (out.writeStream.format("parquet")
+                .option("path", sink).option("checkpointLocation", ck)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    write(src, b1, "b1.parquet", 120)
+    mk_query(src, sink, ck).awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
+    write(src, b2, "b2.parquet", 1)
+    mk_query(src, sink, ck).awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+
+    # clean single-session replay
+    src2 = str(tmp_path / "src2"); os.makedirs(src2)
+    sink2, ck2 = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+    write(src2, b1, "b1.parquet", 120)
+    write(src2, b2, "b2.parquet", 1)
+    mk_query(src2, sink2, ck2).awaitTermination(120)
+    want = sorted(tuple(r) for r in spark.read.parquet(sink2).collect())
+    assert got == want and len(got) == 5, (got, want)
+
+    # frontier survives the restart: a phase-2 row BEHIND key 1's
+    # phase-1 frontier must still raise, post-checkpoint-restore
+    src3 = str(tmp_path / "src3"); os.makedirs(src3)
+    sink3, ck3 = str(tmp_path / "sink3"), str(tmp_path / "ck3")
+    write(src3, b1, "b1.parquet", 120)
+    mk_query(src3, sink3, ck3).awaitTermination(120)
+    write(src3, [(1, 10, 500_000, 9.0)], "b2.parquet", 1)
+    q = mk_query(src3, sink3, ck3)
+    with pytest.raises(Exception, match="BEHIND its key's frontier"):
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
