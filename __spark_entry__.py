@@ -4195,6 +4195,26 @@ def _q_o5_range_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "avg_1h")
 
 
+def _q_o7_range_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-safe GROUPED range frame (r11, the skewkeys regime): the
+    # per-user trailing 7-day window lowered through the (key, bucket)
+    # halo exchange, so ONE user owning half the events splits across
+    # order-axis buckets instead of one straggler task.  Bit-identical
+    # to the default grouped plan (o5_range_flagship shape) —
+    # hash-pinned vs the same DuckDB oracle form.
+    from tidier_spark.frames import days
+
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_7d="avg(round(value * 100)) / 100",
+        by="user_id",
+        index="ts",
+        frame=(days(7), days(-1)),
+        scale_safe=True,
+    ).select("event_id", "avg_7d")
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document token-distribution diversity in exact integer bits
     # (floor-log2 domain — float ln is not engine-portable): the
@@ -4530,6 +4550,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round 7: scale-safe ungrouped frames + corpus-drift family
         "o4_frame_scale": _q_o4_frame_scale,
         "o5_range_scale": _q_o5_range_scale,
+        "o7_range_scale": _q_o7_range_scale,
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
@@ -5359,6 +5380,13 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW) / 100 AS avg_1h
+            FROM events""",
+        "o7_range_scale": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                               AND INTERVAL 1 DAY  PRECEDING) / 100 AS avg_7d
             FROM events""",
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),

@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs|redeliver]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs|redeliver|skewkeys]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -703,6 +703,29 @@ def build_fixture(kind: str) -> str:
                 tbl.schema.field(i),
                 pc.multiply(tbl.column(i), pa.scalar(1e13)),
             )
+        elif kind == "skewkeys" and t == "events":
+            # HOT-KEY skew (axis 27, r11): every even event_id is
+            # rewritten to user_id=1 (in the custkey domain, so FK
+            # structure holds) — ONE key owns ~50% of events while the
+            # rest keep their long tail.  The intermediate regime
+            # between the base fixture (uniform) and onegroup (all one
+            # key): one ballooned per-key state in the stateful folds,
+            # one giant window partition (the scale_safe lowerings'
+            # skew case), one hot equi-join key under AQE, one
+            # mega-session chain — while normal keys coexist in the
+            # same shuffle.
+            import pyarrow.compute as pc
+
+            i = tbl.schema.get_field_index("user_id")
+            hot = pc.if_else(
+                pc.equal(
+                    pc.bit_wise_and(tbl.column("event_id"), pa.scalar(1, pa.int64())),
+                    pa.scalar(0, pa.int64()),
+                ),
+                pa.scalar(1, pa.int64()),
+                tbl.column(i),
+            )
+            tbl = tbl.set_column(i, tbl.schema.field(i), hot)
         elif kind == "constval" and t == "events":
             # zero-variance value column: std = 0 (scale_features),
             # MAD = 0 (robust_outliers), q_lo == q_hi (winsorize),

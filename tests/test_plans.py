@@ -503,3 +503,57 @@ def test_bucketed_join_consumes_disk_layout_no_join_exchange(spark, sf_dir):
         assert plan.count("Bucketed: true") == 2  # both scans bucket-aware
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_scale_safe_grouped_range_frame_matches_default(tables, spark):
+    """r11 hot-key lowering: a GROUPED index-RANGE frame under
+    scale_safe partitions by (key, order-bucket) instead of the key
+    alone — results must be bit-identical to the default grouped plan,
+    on the shipped fixture AND on a crafted hot-key skew (one key
+    owning half the rows, the skewkeys regime)."""
+    from tidier_spark import mutate
+    from tidier_spark.frames import seconds
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts",
+        (F.round(F.col("value") * 100)).cast("long").alias("v100"),
+    )
+    kw = dict(
+        m="r_mean(v100)", by="user_id", index="ts",
+        frame=(seconds(3600), seconds(0)),
+    )
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    safe = mutate(ev, scale_safe=True, **kw)
+    naive = mutate(ev, **kw)
+    assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
+    # the grouped plan must actually partition by (key, bucket)
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "__tpid" in plan
+
+    # hot-key skew: every even event_id collapses onto user 1
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    safe_h = mutate(hot, scale_safe=True, **kw)
+    naive_h = mutate(hot, **kw)
+    assert sorted(map(key, safe_h.collect())) == sorted(
+        map(key, naive_h.collect())
+    )
+
+    # grouped ROWS frames and grouped .complete fall back (still correct)
+    rows_kw = dict(m="r_mean(v100)", by="user_id",
+                   order_by=["ts", "event_id"], frame=(3, 0))
+    safe_r = mutate(ev, scale_safe=True, **rows_kw)
+    naive_r = mutate(ev, **rows_kw)
+    assert sorted(map(key, safe_r.collect())) == sorted(
+        map(key, naive_r.collect())
+    )
+    comp_kw = dict(kw, complete=True)
+    safe_c = mutate(ev, scale_safe=True, **comp_kw)
+    naive_c = mutate(ev, **comp_kw)
+    assert sorted(map(key, safe_c.collect())) == sorted(
+        map(key, naive_c.collect())
+    )

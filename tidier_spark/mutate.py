@@ -193,13 +193,18 @@ def mutate(
                 (`R/mutate.R:58-62`).
     restore_order : re-sort output to input order (global sort; see module
                 docstring).
-    scale_safe: lower UNGROUPED ordered exprs without the single-partition
-                global window: cumulatives (cumsum/cummax/...) via the
+    scale_safe: lower ordered exprs without a single-task window.
+                UNGROUPED: cumulatives (cumsum/cummax/...) via the
                 two-pass range-partitioned prefix aggregate
                 (:func:`tidier_spark.window.scale_safe_cumulative`); BOUNDED
                 rows/range frames via the range-partition + halo exchange
                 (:func:`tidier_spark.window.scale_safe_frame`, bit-identical
-                results, hash-pinned).  Opt-in because float prefix sums
+                results, hash-pinned).  GROUPED index-RANGE frames (r11):
+                the same halo exchange partitioned by (key, bucket) — a
+                HOT key's rows split across order-axis buckets instead of
+                one straggler task (the skewkeys regime); grouped ROWS /
+                calendar / ``.complete`` frames fall back to the default
+                grouped lowering.  Opt-in because float prefix sums
                 re-associate (integer/decimal results are identical) and
                 the frame path costs one extra broadcast join.
     kw_exprs  : exprs as keyword args (``avg_x="avg(x)"``).
@@ -277,7 +282,8 @@ def _apply_one(
             index=index,
             desc=desc,
             complete=complete,
-        ) if (scale_safe and not by_l) else None
+            by_l=by_l,
+        ) if scale_safe else None
         if safe is not None:
             return safe
         plan = compile_window(
@@ -388,16 +394,26 @@ def _apply_scale_safe_frame(
     index: str | None,
     desc: bool | list[bool],
     complete: bool,
+    by_l: list[object] | None = None,
 ) -> DataFrame | None:
-    """Lower an UNGROUPED bounded-frame mutate through the range-partition
-    + halo exchange (:func:`tidier_spark.window.scale_safe_frame`) instead
-    of the single-partition global window.  Returns ``None`` when the
-    combination isn't eligible (calendar/unbounded frames, Column/Tier-C
-    expressions, frame-independent expressions) — the caller falls through
-    to the reference-faithful default lowering.  Results are bit-identical
-    to the default plan (hash-pinned in tests/test_plans.py)."""
+    """Lower a bounded-frame mutate through the range-partition + halo
+    exchange (:func:`tidier_spark.window.scale_safe_frame`) instead of
+    the single-partition (ungrouped) or one-task-per-key (grouped
+    hot-key) window.  Returns ``None`` when the combination isn't
+    eligible (calendar/unbounded frames, Column/Tier-C expressions,
+    frame-independent expressions; grouped requires an index RANGE
+    frame without ``.complete`` — the r11 hot-key path) — the caller
+    falls through to the reference-faithful default lowering.  Results
+    are bit-identical to the default plan (hash-pinned in
+    tests/test_plans.py)."""
     if not isinstance(expr, str) or frame_spec.is_calendar:
         return None
+    if by_l:
+        # grouped: RANGE-only (per-key ROW offsets don't map onto global
+        # buckets) and no .complete (its full-frame rule needs PER-KEY
+        # extents; the default grouped lowering handles that correctly)
+        if index is None or complete:
+            return None
     try:
         if index is not None:
             from .window import _index_order_key
@@ -422,7 +438,7 @@ def _apply_scale_safe_frame(
     try:
         aug, spec, home, helpers = scale_safe_frame(
             df, order_by=order_l or None, frame=frame_spec, index=index,
-            desc=desc,
+            desc=desc, by=by_l or None,
         )
     except ValueError:
         # e.g. an unbucketable leading order key (numeric/date/timestamp/

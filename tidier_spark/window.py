@@ -436,6 +436,7 @@ def scale_safe_frame(
     index: str | None = None,
     desc: bool | list[bool] = False,
     n_partitions: int | None = None,
+    by: list[str] | None = None,
 ) -> tuple[DataFrame, WindowSpec, Column, list[str]]:
     """Ungrouped BOUNDED frame WITHOUT the single-partition window.
 
@@ -471,8 +472,29 @@ def scale_safe_frame(
     prefix-collapse hazard; unsupported types raise, and mutate falls
     back to the reference-faithful lowering).  RANGE frames require a non-NULL index
     (checked JVM-side per row, loud error).
+
+    ``by`` (r11, RANGE frames only): GROUPED hot-key-safe lowering.
+    The default grouped plan partitions by the group key alone, so one
+    key owning half the rows is one straggler task at scale (the
+    skewkeys regime).  With ``by``, the window partitions by
+    ``(key, __tpid)`` instead — a hot key's rows split across the
+    order-axis buckets — while the bucket split points and halo-copy
+    bounds stay GLOBAL over the order key: every same-key row within
+    frame reach of a bucket's home extent is a fortiori within reach of
+    the GLOBAL home extent, so the copy set is a superset of what each
+    key needs and per-key frames stay exact (extra copies are non-home
+    or out of the key's frame; the window's PARTITION BY key keeps
+    other keys' rows out).  ROWS frames reject ``by`` (per-key row
+    offsets don't map onto global buckets) — callers fall back to the
+    default grouped lowering.
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if by and index is None:
+        raise ValueError(
+            "scale_safe_frame: grouped (by=) lowering supports RANGE "
+            "frames only — per-key ROW offsets don't map onto global "
+            "order buckets"
+        )
 
     if index is not None:
         # --- RANGE frame: halo by index value -----------------------------
@@ -511,7 +533,7 @@ def scale_safe_frame(
             & (F.col("__k") <= F.col("__maxv") + F.lit(hi2)),
         ).drop("__minv", "__maxv")
         spec = (
-            Window.partitionBy("__tpid")
+            Window.partitionBy(*(by or []), "__tpid")
             .orderBy(F.col("__k"))
             .rangeBetween(lo, hi)
         )
