@@ -4292,47 +4292,20 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-11 rotation (verdict r10 task #1): positions 1-42 are the 42
-# entries whose LAST hash-green driver row is r07 (the cohort the
-# r10 head left behind — includes the full tpch_q12..q22 tail and
-# the five late-wave streaming folds re-verified by the r10 judge),
-# positions 43-50 the 8 alphabetically-first entries last
-# re-confirmed r08 (across_agg..cube_agg).  After the r11 driver run
-# the stalest row on the board is r08 (3 rounds old).  The rotation
-# pin test (tests/test_extensions.py) DERIVES the cohorts from the
-# recorded CORRECTNESS_r01..r10 files and asserts the head matches,
-# so this list cannot silently drift from the ledger (SURVEY.md
-# section 7.5a).  Every entry regardless of position is
-# hash-verified each round by scripts/check_entry.py.
+# Round-12 rotation (verdict r11 task #1): positions 1-42 are the 42
+# entries whose LAST hash-green driver row is r08 (the cohort the
+# r11 head left behind — includes the three scale-twin window
+# entries and the r08-vintage streaming folds), positions 43-50 the
+# 8 alphabetically-first entries last re-confirmed r09
+# (analytic_fns..budget_mix).  After the r12 driver run the stalest
+# row on the board is r09 (3 rounds old).  The rotation pin test
+# (tests/test_extensions.py) DERIVES the cohorts from the recorded
+# CORRECTNESS_r01..r11 files and asserts the head matches, so this
+# list cannot silently drift from the ledger (SURVEY.md section
+# 7.5a).  Every entry regardless of position is hash-verified each
+# round by scripts/check_entry.py.
 _DRIVER_WINDOW_HEAD = [
-    # 1-42: last driver row r07
-    "asof_tolerance", "attribution_linear", "contamination",
-    "csv_roundtrip", "dedup_against", "dup_clusters",
-    "event_transitions", "funnel_windowed", "fuzzy_names",
-    "gapfill_interp", "incremental_rollup", "jsonl_roundtrip",
-    "label_centroids", "length_buckets", "lm_bigram", "lm_surprisal",
-    "orc_roundtrip", "overlap_join", "pack_sequences", "pq_topk",
-    "robust_outliers", "sink_roundtrip", "skew_report",
-    "stratified_mix", "stream_dedup_against", "stream_ewma",
-    "stream_scd2", "stream_trailing", "time_weighted", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "validate_events", "winsorize",
-    # 43-50: alphabetically-first r5-vintage, last driver row r08
-    "across_agg", "asof_forward", "boilerplate_ngrams",
-    "bucketed_join", "chunk_docs", "cohort_retention",
-    "complete_grid", "cube_agg",
-]
-
-# Positions 51-100: the planned ROUND-12 window (verdict r10 task #1
-# — written down now so the staleness ledger survives context loss):
-# the 42 remaining entries whose LAST driver row is r08, then the 8
-# alphabetically-first entries last re-confirmed r09.  After r12 the
-# stalest driver row on the board is r09 (3 rounds old).  If the
-# driver window ever widens past 50 this round, these are reached
-# first.
-_DRIVER_WINDOW_NEXT = [
-    # last driver row r08 (42 remaining after the r11 head took 8)
+    # 1-42: last driver row r08
     "det_sample", "dup_clusters_star", "fk_orphans", "funnel",
     "hash_split", "hashed_features", "histogram", "hybrid_rrf",
     "interval_join", "interval_merge", "ivf_topk_full", "join_full",
@@ -4345,9 +4318,37 @@ _DRIVER_WINDOW_NEXT = [
     "snapshot_diff", "stream_distinct", "stream_hll", "token_entropy",
     "triangle_count", "vocab_jaccard", "weighted_sample",
     "window_distinct",
-    # alphabetically-first r6-vintage, last driver row r09
+    # 43-50: alphabetically-first r6-vintage, last driver row r09
     "analytic_fns", "asof_join", "asof_nearest", "bm25_topk",
     "bpe_encode", "bpe_subwords", "bpe_train", "budget_mix",
+]
+
+# Positions 51-100: the planned ROUND-13 window (verdict r11 task #1
+# — written down now so the staleness ledger survives context loss):
+# the 42 remaining entries whose LAST driver row is r09, then the 8
+# alphabetically-first entries last re-confirmed r10.  After r13 the
+# stalest driver row on the board is r10 (3 rounds old).  If the
+# driver window ever widens past 50 this round, these are reached
+# first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r09 (42 remaining after the r12 head took 8)
+    "calibration_bins", "classifier_score", "compound_expr",
+    "corpus_clean", "cosine_topk", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_exact", "dedup_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "diff_pct", "eval_auc",
+    "fill_up", "inf_frame", "locf_fill", "median_frame",
+    "multimodal_features", "nest_roundtrip", "o1_project", "o2_cumsum",
+    "o2_desc_rank", "o3_group_broadcast", "o4_complete",
+    "o4_rows_frame", "o5_range_flagship", "o6_grouped_rows",
+    "o7_calendar_frame", "o8_overwrite", "o9_sql_window",
+    "pivot_wider", "pricing_decimal", "props_json", "r_semantics",
+    "rollup_agg", "simhash_pairs", "star_join", "summarise_pricing",
+    "temperature_mix", "text_analysis", "topk_per_group",
+    "windowed_rollup",
+    # alphabetically-first r7-vintage, last driver row r10
+    "dup_regions", "ewma_smooth", "frame_apply_median",
+    "frame_apply_wmean", "gapfill_rollup", "grouped_apply_demean",
+    "grouping_sets", "hard_negatives",
 ]
 
 

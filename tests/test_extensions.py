@@ -2916,13 +2916,13 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys,
-    snapshotted from the END-of-round repo state.  Round-11 contract
-    (verdict r10 task #1): positions 1-42 are the 42 entries whose
-    LAST hash-green driver row is r07, positions 43-50 an 8-entry
-    subset of the cohort last re-confirmed r08.  Positions 51-100
-    hold the planned round-12 window: the remaining 42 last-green-r08
-    entries, then last-green-r09 entries.  All cohorts are DERIVED
-    from the recorded CORRECTNESS_r01..r10 files (r11+ deliberately
+    snapshotted from the END-of-round repo state.  Round-12 contract
+    (verdict r11 task #1): positions 1-42 are the 42 entries whose
+    LAST hash-green driver row is r08, positions 43-50 an 8-entry
+    subset of the cohort last re-confirmed r09.  Positions 51-100
+    hold the planned round-13 window: the remaining 42 last-green-r09
+    entries, then last-green-r10 entries.  All cohorts are DERIVED
+    from the recorded CORRECTNESS_r01..r11 files (r12+ deliberately
     NOT read — the contract pins the rotation as planned, not as
     later recorded), so the hand-written lists in __spark_entry__
     cannot silently drift from the ledger."""
@@ -2934,7 +2934,9 @@ def test_driver_window_head_is_never_checked_rotation():
     keys = list(entrymod.queries().keys())
     assert len(keys) == len(set(keys)) == len(entrymod._queries_registry())
     last_green: dict[str, str] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"):
+    for r in (
+        "01", "02", "03", "04", "05", "06", "07", "08", "09", "10", "11",
+    ):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             with open(p) as fh:
@@ -2943,28 +2945,28 @@ def test_driver_window_head_is_never_checked_rotation():
                     if v.get("hash_match"):
                         last_green[k] = r
     if last_green:
-        stale_r07 = {k for k, r in last_green.items() if r == "07"}
-        assert len(stale_r07) == 42, len(stale_r07)
-        assert set(keys[:42]) == stale_r07, sorted(
-            stale_r07.symmetric_difference(keys[:42])
-        )
         stale_r08 = {k for k, r in last_green.items() if r == "08"}
-        tail = set(keys[42:50])
-        assert len(tail) == 8 and tail <= stale_r08, sorted(
-            tail - stale_r08
+        assert len(stale_r08) == 42, len(stale_r08)
+        assert set(keys[:42]) == stale_r08, sorted(
+            stale_r08.symmetric_difference(keys[:42])
         )
-        # round-12 queue: the 42 last-green-r08 leftovers lead it...
+        stale_r09 = {k for k, r in last_green.items() if r == "09"}
+        tail = set(keys[42:50])
+        assert len(tail) == 8 and tail <= stale_r09, sorted(
+            tail - stale_r09
+        )
+        # round-13 queue: the 42 last-green-r09 leftovers lead it...
         nxt = entrymod._DRIVER_WINDOW_NEXT
         assert keys[50:50 + len(nxt)] == nxt
-        r08_left = stale_r08 - tail
-        assert set(nxt[: len(r08_left)]) == r08_left, sorted(
-            r08_left.symmetric_difference(nxt[: len(r08_left)])
+        r09_left = stale_r09 - tail
+        assert set(nxt[: len(r09_left)]) == r09_left, sorted(
+            r09_left.symmetric_difference(nxt[: len(r09_left)])
         )
-        # ...followed only by entries last confirmed r09
-        rest = nxt[len(r08_left):]
-        assert all(last_green.get(k) == "09" for k in rest), [
+        # ...followed only by entries last confirmed r10
+        rest = nxt[len(r09_left):]
+        assert all(last_green.get(k) == "10" for k in rest), [
             (k, last_green.get(k)) for k in rest
-            if last_green.get(k) != "09"
+            if last_green.get(k) != "10"
         ]
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
