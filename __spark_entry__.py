@@ -4215,6 +4215,25 @@ def _q_o7_range_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "avg_7d")
 
 
+def _q_o6_rows_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale-safe GROUPED rows frame (r12, the skewkeys regime): the
+    # per-user trailing 6-row window lowered through the per-key dense
+    # row index over (key, order-bucket) cells — ONE user owning half
+    # the events splits across order-axis buckets instead of one
+    # straggler task (the reference's O6 shape, R/mutate.R:243-285).
+    # Bit-identical to the default grouped plan (o6_grouped_rows shape)
+    # — hash-pinned vs the same DuckDB oracle form.
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        avg_5r="avg(round(value * 100)) / 100",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(5, 0),
+        scale_safe=True,
+    ).select("event_id", "avg_5r")
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document token-distribution diversity in exact integer bits
     # (floor-log2 domain — float ln is not engine-portable): the
@@ -4552,6 +4571,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_frame_scale": _q_o4_frame_scale,
         "o5_range_scale": _q_o5_range_scale,
         "o7_range_scale": _q_o7_range_scale,
+        "o6_rows_scale": _q_o6_rows_scale,
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
@@ -5388,6 +5408,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
                                AND INTERVAL 1 DAY  PRECEDING) / 100 AS avg_7d
+            FROM events""",
+        # o6_rows_scale's oracle is o6_grouped_rows's frame shape — the
+        # grouped per-key-index halo lowering must hash-match the same
+        # SQL definition the default partitionBy(key) plan matches.
+        "o6_rows_scale": """
+            SELECT event_id,
+                   avg(round(value * 100)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) / 100
+                     AS avg_5r
             FROM events""",
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),

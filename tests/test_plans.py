@@ -543,17 +543,54 @@ def test_scale_safe_grouped_range_frame_matches_default(tables, spark):
         map(key, naive_h.collect())
     )
 
-    # grouped ROWS frames and grouped .complete fall back (still correct)
-    rows_kw = dict(m="r_mean(v100)", by="user_id",
-                   order_by=["ts", "event_id"], frame=(3, 0))
-    safe_r = mutate(ev, scale_safe=True, **rows_kw)
-    naive_r = mutate(ev, **rows_kw)
-    assert sorted(map(key, safe_r.collect())) == sorted(
-        map(key, naive_r.collect())
-    )
+    # grouped RANGE .complete still falls back (needs per-key extents)
     comp_kw = dict(kw, complete=True)
     safe_c = mutate(ev, scale_safe=True, **comp_kw)
     naive_c = mutate(ev, **comp_kw)
     assert sorted(map(key, safe_c.collect())) == sorted(
         map(key, naive_c.collect())
     )
+
+
+def test_scale_safe_grouped_rows_frame_matches_default(tables, spark):
+    """r12 hot-key lowering: a GROUPED ROWS frame under scale_safe
+    builds a per-key dense row index over (key, order-bucket) cells and
+    partitions the window by (key, __tpid) — results must be
+    bit-identical to the default grouped plan on the shipped fixture
+    AND on a crafted hot-key skew (one key owning half the rows, the
+    skewkeys regime), across trailing, shifted, .complete, and
+    desc-leading frames."""
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts",
+        (F.round(F.col("value") * 100)).cast("long").alias("v100"),
+    )
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    kw = dict(m="r_mean(v100)", by="user_id",
+              order_by=["ts", "event_id"], frame=(3, 0))
+    safe = mutate(ev, scale_safe=True, **kw)
+    naive = mutate(ev, **kw)
+    assert sorted(map(key, safe.collect())) == sorted(map(key, naive.collect()))
+    # the grouped plan must actually partition by (key, bucket)
+    plan = safe._jdf.queryExecution().executedPlan().toString()
+    assert "__tpid" in plan
+
+    # hot-key skew: every even event_id collapses onto user 1
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    for kw_i in (
+        kw,                                                       # trailing
+        dict(kw, m="r_sum(v100)", frame=(2, 5)),                  # shifted
+        dict(kw, complete=True),                                  # .complete
+        dict(kw, m="r_sum(v100)", frame=(2, 0), desc=[True, False]),
+    ):
+        safe_h = mutate(hot, scale_safe=True, **kw_i)
+        naive_h = mutate(hot, **kw_i)
+        assert sorted(map(key, safe_h.collect())) == sorted(
+            map(key, naive_h.collect())
+        ), kw_i

@@ -401,18 +401,21 @@ def _apply_scale_safe_frame(
     the single-partition (ungrouped) or one-task-per-key (grouped
     hot-key) window.  Returns ``None`` when the combination isn't
     eligible (calendar/unbounded frames, Column/Tier-C expressions,
-    frame-independent expressions; grouped requires an index RANGE
-    frame without ``.complete`` — the r11 hot-key path) — the caller
-    falls through to the reference-faithful default lowering.  Results
+    frame-independent expressions; grouped supports index-RANGE without
+    ``.complete`` — the r11 hot-key path — and ROWS frames with or
+    without ``.complete`` — the r12 path) — the caller falls through to
+    the reference-faithful default lowering.  Results
     are bit-identical to the default plan (hash-pinned in
     tests/test_plans.py)."""
     if not isinstance(expr, str) or frame_spec.is_calendar:
         return None
     if by_l:
-        # grouped: RANGE-only (per-key ROW offsets don't map onto global
-        # buckets) and no .complete (its full-frame rule needs PER-KEY
-        # extents; the default grouped lowering handles that correctly)
-        if index is None or complete:
+        # grouped: index-RANGE (r11) and ROWS (r12) are hot-key-safe.
+        # Grouped RANGE + .complete still falls back (its full-frame rule
+        # needs PER-KEY index extents; the default grouped lowering
+        # handles that correctly).  Grouped ROWS + .complete is fine: the
+        # per-target-partition count rule below is already per-key.
+        if index is not None and complete:
             return None
     try:
         if index is not None:

@@ -473,28 +473,45 @@ def scale_safe_frame(
     back to the reference-faithful lowering).  RANGE frames require a non-NULL index
     (checked JVM-side per row, loud error).
 
-    ``by`` (r11, RANGE frames only): GROUPED hot-key-safe lowering.
-    The default grouped plan partitions by the group key alone, so one
-    key owning half the rows is one straggler task at scale (the
-    skewkeys regime).  With ``by``, the window partitions by
-    ``(key, __tpid)`` instead — a hot key's rows split across the
-    order-axis buckets — while the bucket split points and halo-copy
-    bounds stay GLOBAL over the order key: every same-key row within
-    frame reach of a bucket's home extent is a fortiori within reach of
-    the GLOBAL home extent, so the copy set is a superset of what each
-    key needs and per-key frames stay exact (extra copies are non-home
-    or out of the key's frame; the window's PARTITION BY key keeps
-    other keys' rows out).  ROWS frames reject ``by`` (per-key row
-    offsets don't map onto global buckets) — callers fall back to the
-    default grouped lowering.
+    ``by`` (r11 RANGE, r12 ROWS): GROUPED hot-key-safe lowering.  The
+    default grouped plan partitions by the group key alone, so one key
+    owning half the rows is one straggler task at scale (the skewkeys
+    regime).  With ``by``, the window partitions by ``(key, __tpid)``
+    instead — a hot key's rows split across the order-axis buckets.
+
+    RANGE (r11): the bucket split points and halo-copy bounds stay
+    GLOBAL over the order key: every same-key row within frame reach of
+    a bucket's home extent is a fortiori within reach of the GLOBAL
+    home extent, so the copy set is a superset of what each key needs
+    and per-key frames stay exact (extra copies are non-home or out of
+    the key's frame; the window's PARTITION BY key keeps other keys'
+    rows out).
+
+    ROWS (r12): per-key ROW offsets don't map onto global buckets, so
+    the global-superset trick fails (a same-key row 3 positions back
+    can be arbitrarily far on the order axis).  Instead the lowering
+    builds a PER-KEY dense row index scale-safely — a deterministic
+    global order-bucket ``__opid`` (split points on the leading order
+    key — hot keys split across buckets), per-(key, bucket) local
+    ``row_number``, and per-key exclusive prefix offsets over the
+    per-cell counts (a window with at most n rows per key — counts,
+    not data; one equi-join on the anti-skew (key, bucket) composite
+    attaches the offsets) — then re-chunks each key's index into
+    UNIFORM supercells of ``chunk = max(2*reach, ceil(nk/n))`` rows.
+    A hot key splits into <= n supercells; a key smaller than two
+    frame-widths stays whole with zero halo copies; duplication is
+    bounded by reach/chunk <= 50% regardless of the key-size
+    distribution.  Because supercells are uniform index ranges, each
+    row's target list is the closed-form ``sequence(floor((g-hi')/c),
+    floor((g-lo')/c))`` — no array join.  The copied per-key index set
+    per target supercell is a CONTIGUOUS superset of its home rows'
+    frames, so physical ROWS offsets inside ``(key, __tpid)`` equal
+    per-key index offsets and results match the default grouped plan
+    bit-for-bit (hash-pinned in tests/test_plans.py).  Grouped ROWS
+    requires string ``by`` names (they feed groupBy/join); non-string
+    keys raise and mutate falls back to the default grouped lowering.
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if by and index is None:
-        raise ValueError(
-            "scale_safe_frame: grouped (by=) lowering supports RANGE "
-            "frames only — per-key ROW offsets don't map onto global "
-            "order buckets"
-        )
 
     if index is not None:
         # --- RANGE frame: halo by index value -----------------------------
@@ -569,6 +586,80 @@ def scale_safe_frame(
     pid = _det_bucket_id(
         df, lead_key, n, desc=lead_desc, null_last=lead_desc
     )
+
+    if by:
+        # --- grouped ROWS: per-key dense index + uniform supercells -------
+        if not all(isinstance(b, str) for b in by):
+            raise ValueError(
+                "scale_safe_frame grouped rows mode needs string `by` "
+                "names (they feed groupBy/join)"
+            )
+        ranged = df.withColumn("__opid", pid.cast("int"))
+        w_cell = Window.partitionBy(*by, "__opid").orderBy(*ocols)
+        loc = ranged.withColumn("__lrn", F.row_number().over(w_cell))
+        cells = ranged.groupBy(*by, "__opid").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        # per-key windows over the CELL table: at most n rows per key
+        # (counts, not data) — no hot-key straggler here
+        w_prev = (
+            Window.partitionBy(*by)
+            .orderBy("__opid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_key = (
+            Window.partitionBy(*by)
+            .orderBy("__opid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        offs = cells.withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0))
+        )
+        offs = offs.withColumn("__nk", F.sum("__cnt").over(w_key)).select(
+            *by, "__opid", "__off", "__nk"
+        )
+        # one equi-join on (key, order-bucket) — the anti-skew composite
+        # key — attaches the prefix offset and the per-key row count
+        gdf = (
+            loc.join(offs, [*by, "__opid"])
+            .withColumn("__gidx", F.col("__lrn") - 1 + F.col("__off"))
+            .drop("__lrn", "__off")
+        )
+        # Re-chunk each key's dense index into UNIFORM supercells of
+        # chunk = max(2*reach, ceil(nk/n)) rows: a hot key splits into
+        # <= n supercells while a key smaller than two frame-widths
+        # stays whole with ZERO halo copies, and duplication is bounded
+        # by reach/chunk <= 50% regardless of the key-size distribution
+        # (per-key CELLS as targets would copy ~width/cell_size per
+        # small key — measured 10x blowup when width >> nk/n).  Because
+        # supercells are uniform index ranges, a row's target list is a
+        # closed-form sequence — no array join needed.
+        lo2, hi2 = min(lo, 0), max(hi, 0)
+        reach = hi2 - lo2
+        chunk = F.greatest(
+            F.lit(max(2 * reach, 1)),
+            F.ceil(F.col("__nk") / F.lit(n)).cast("long"),
+        )
+        g = F.col("__gidx")
+        last = F.floor((F.col("__nk") - 1) / chunk)
+        t_min = F.greatest(F.lit(0), F.floor((g - F.lit(hi2)) / chunk))
+        t_max = F.least(last, F.floor((g - F.lit(lo2)) / chunk))
+        copied = (
+            gdf.withColumn("__pid", F.floor(g / chunk).cast("int"))
+            .withColumn(
+                "__tpid",
+                F.explode(F.sequence(t_min.cast("int"), t_max.cast("int"))),
+            )
+            .drop("__nk")
+        )
+        spec = (
+            Window.partitionBy(*by, "__tpid")
+            .orderBy("__gidx")
+            .rowsBetween(lo, hi)
+        )
+        home = F.col("__tpid") == F.col("__pid")
+        return copied, spec, home, ["__opid", "__pid", "__tpid", "__gidx"]
+
     ranged = df.withColumn("__pid", pid.cast("int"))
     w_local = Window.partitionBy("__pid").orderBy(*ocols)
     loc = ranged.withColumn("__lrn", F.row_number().over(w_local))
