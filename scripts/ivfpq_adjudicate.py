@@ -22,6 +22,13 @@ def main() -> int:
     from tidier_spark.operators.similarity import ivfpq_topk
 
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if reps < 2:
+        print(
+            "ivfpq_adjudicate: need n_reps >= 2 — the protocol judges "
+            "min(rep2+), and rep 1 alone carries the runtime warm-up",
+            file=sys.stderr,
+        )
+        return 2
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

@@ -351,6 +351,40 @@ def test_exact_redelivery_is_loud_for_unique_tiebreak_ops(spark, tmp_path):
     assert out.count() == 3  # 2 on-time + the re-delivered row folded
 
 
+def test_strict_false_restores_equality_folding_frontier(spark, tmp_path):
+    """advice r11: the strict frontier is a breaking r11 change for
+    callers whose tiebreak is legitimately NON-unique — equal (ts, tb)
+    events split across micro-batches must all fold.  ``strict=False``
+    on stream_ewma / stream_running_distinct restores the r10
+    equality-folding frontier: the cross-batch equal row folds instead
+    of raising (accepting the documented double-fold on true
+    re-delivery)."""
+    rows1 = [(1, 11, 1_000_000, 1.0), (1, 12, 2_000_000, 2.0)]
+    dup_tb = [(1, 12, 2_000_000, 3.0)]  # same (ts, tb), different value
+    src = _two_batches(tmp_path, rows1, dup_tb, _COLS)
+    out = run_stream(
+        stream_ewma(
+            _events_stream(spark, src), key_col="user_id", time_col="ts",
+            value_col="value", tiebreak_col="event_id", strict=False,
+        ),
+        name="t_nonstrict_ewma_folds", output_mode="append",
+    )
+    assert out.count() == 3  # 2 on-time + the equal-frontier row folded
+
+    (tmp_path / "d").mkdir()
+    src_d = _two_batches(tmp_path / "d", rows1, dup_tb, _COLS)
+    out_d = run_stream(
+        stream_running_distinct(
+            _events_stream(spark, src_d), key_col="user_id",
+            time_col="ts", value_col="value", tiebreak_col="event_id",
+            strict=False,
+        ),
+        name="t_nonstrict_dist_folds", output_mode="append",
+    )
+    got = sorted(tuple(r) for r in out_d.collect())
+    assert len(got) == 3 and got[-1][-1] == 3, got  # 3 distinct values seen
+
+
 def test_trailing_funnel_opt_in_tiebreak_makes_redelivery_loud(spark, tmp_path):
     """r11: trailing and funnel accept an optional unique tiebreak_col;
     when provided the frontier is STRICT, so exact re-delivery raises —

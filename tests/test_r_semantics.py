@@ -203,3 +203,54 @@ def test_frame_apply_decimal_crossing_is_correctly_rounded(spark):
     assert {r["i"]: r["m"] for r in wav.collect()} == {
         r["i"]: r["m"] for r in wav_d.collect()
     }
+
+
+def test_frame_apply_decimal_expression_col_precast(spark):
+    # advice r11: the decimal pre-cast probe must also catch SQL
+    # EXPRESSION columns whose RESULT type is DECIMAL (probed via
+    # selectExpr, driver-side) — `frame_apply(fn, "vd * 2")` over a
+    # DECIMAL column previously crossed Arrow through the inexact
+    # decimal128->float64 cast the r10 fix addressed for plain names.
+    # The multi-column struct path additionally needs the explicit
+    # alias (struct(vd * 2) would name its field 'col1').
+    import numpy as np
+
+    from tidier_spark.pandas_tier import frame_apply
+
+    df = spark.range(200).select(
+        F.col("id").alias("i"),
+        ((F.col("id") % 997) + F.lit(10582) / 100)
+        .cast("decimal(15,2)")
+        .alias("vd"),
+    )
+    dd = df.withColumn("vf", F.col("vd").cast("double"))
+    last = lambda a: float(a[-1])  # noqa: E731
+    got = mutate(
+        df, m=frame_apply(last, "vd * 2"), order_by=["i"], frame=(0, 0)
+    ).select("i", "m")
+    want = mutate(
+        dd, m=frame_apply(last, "vf * 2"), order_by=["i"], frame=(0, 0)
+    ).select("i", "m")
+    assert {r["i"]: r["m"] for r in got.collect()} == {
+        r["i"]: r["m"] for r in want.collect()
+    }
+    # multi-column struct path with an expression field
+    got2 = mutate(
+        df,
+        m=frame_apply(
+            lambda f: float(np.nansum(f["vd * 2"])), ("i", "vd * 2")
+        ),
+        order_by=["i"],
+        frame=(1, 0),
+    ).select("i", "m")
+    want2 = mutate(
+        dd,
+        m=frame_apply(
+            lambda f: float(np.nansum(f["vf * 2"])), ("i", "vf * 2")
+        ),
+        order_by=["i"],
+        frame=(1, 0),
+    ).select("i", "m")
+    assert {r["i"]: r["m"] for r in got2.collect()} == {
+        r["i"]: r["m"] for r in want2.collect()
+    }

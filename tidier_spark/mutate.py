@@ -448,8 +448,23 @@ def _apply_scale_safe_frame(
         # string are supported; anything else raises) — fall back to the
         # reference-faithful single-partition lowering
         return None
+    # Wide-frame floor (r12): when every call is a sum/count/avg over an
+    # exact-typed operand (and the frame axis is an integer domain), lower
+    # each as a difference of two unbounded-preceding prefix windows —
+    # O(n) instead of Spark's O(n·w) per-row frame re-aggregation, exact
+    # by type, bit-pinned vs the direct plan (tests/test_plans.py).
+    from .window import subtractive_calls, subtractive_over
+
+    subtractive = subtractive_calls(df, calls) and (
+        index is None or _subtractive_index_ok(df, index)
+    )
     for ph, call in calls:
-        aug = aug.withColumn(ph, F.expr(call).over(spec))
+        aug = aug.withColumn(
+            ph,
+            subtractive_over(call, spec, lo, hi, row_frame=index is None)
+            if subtractive
+            else F.expr(call).over(spec),
+        )
     value = F.expr(outer)
     if complete:
         if index is None:
@@ -458,7 +473,12 @@ def _apply_scale_safe_frame(
             # equals the global one.  Materialized BEFORE the home filter —
             # a window evaluated after .where(home) would count only home
             # rows and mis-NULL partition-leading rows.
-            aug = aug.withColumn("__wcnt", F.count(F.lit(1)).over(spec))
+            aug = aug.withColumn(
+                "__wcnt",
+                subtractive_over("count(*)", spec, lo, hi, row_frame=True)
+                if subtractive
+                else F.count(F.lit(1)).over(spec),
+            )
             helpers = [*helpers, "__wcnt"]
             value = F.when(F.col("__wcnt") == hi - lo + 1, value)
         else:
@@ -479,6 +499,22 @@ def _apply_scale_safe_frame(
         aug.where(home)
         .withColumn(name, value)
         .drop(*helpers, *[ph for ph, _ in calls])
+    )
+
+
+def _subtractive_index_ok(df: DataFrame, index: str) -> bool:
+    """The prefix-difference identity needs a DISCRETE range axis:
+    ``P(k+lo-1)`` stands in for ``P(< k+lo)`` only when index values are
+    integers one apart at minimum.  Timestamps/dates epoch-cast to
+    integer micros/days; numeric indexes must be integral (a fractional
+    index would mis-place rows in ``(k+lo-1, k+lo)``)."""
+    from pyspark.sql import types as T
+
+    dtype = df.schema[index].dataType
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType | T.DateType):
+        return True
+    return isinstance(
+        dtype, T.ByteType | T.ShortType | T.IntegerType | T.LongType
     )
 
 

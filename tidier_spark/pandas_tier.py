@@ -128,9 +128,13 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
         def _is_dec(c: str) -> bool:
             # ``c`` may be an SQL expression or a case-variant spelling —
             # both of which Spark's own resolver accepts inside the
-            # collect_list.  Only a verbatim (or case-insensitive unique)
-            # plain-name match gets the decimal pre-cast; anything else
-            # falls through uncast rather than raising (advice r10).
+            # collect_list.  Plain (or case-insensitive unique) names are
+            # checked against the schema; anything else probes the
+            # RESULT type via ``selectExpr`` — driver-side analysis only,
+            # no job — so ``frame_apply(fn, "amount * 2")`` over a
+            # DECIMAL column gets the exact JVM-side cast instead of the
+            # inexact Arrow decimal128→float64 crossing (advice r11).
+            # Unresolvable spellings fall through uncast, not raising.
             from pyspark.sql.types import DecimalType
 
             if df is None:
@@ -142,11 +146,23 @@ class frame_apply:  # noqa: N801 — reads like a verb at call sites
                 ci = [f for f in df.schema.fields if f.name.lower() == c.lower()]
                 if len(ci) == 1:
                     field = ci[0]
+                else:
+                    try:
+                        field = df.selectExpr(c).schema.fields[0]
+                    except Exception:
+                        return False
             return field is not None and isinstance(field.dataType, DecimalType)
 
         def _src(c: str) -> str:
-            # struct-field spelling: alias keeps the field name stable
-            return f"CAST({c} AS DOUBLE) AS {c}" if _is_dec(c) else c
+            # struct-field spelling: an explicit backtick-quoted alias
+            # keeps the field name == the caller's string, so the Arrow
+            # UDF's flatten().field(c) lookup works for EXPRESSION
+            # columns too (struct(amount * 2) would otherwise name its
+            # field 'col1').
+            q = c.replace("`", "``")
+            if _is_dec(c):
+                return f"CAST({c} AS DOUBLE) AS `{q}`"
+            return c if c in (df.columns if df is not None else []) else f"{c} AS `{q}`"
 
         if isinstance(self.col, str):
             src = (

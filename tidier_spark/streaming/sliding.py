@@ -708,6 +708,7 @@ def stream_ewma(
     lookback: int = 8,
     timeout_minutes: int | None = None,
     late_policy: str = "error",
+    strict: bool = True,
 ) -> DataFrame:
     """Streaming per-key EWMA — the stateful replay of
     :func:`~tidier_spark.operators.temporal.ewma` (α=1/2 finite-lookback
@@ -718,6 +719,18 @@ def stream_ewma(
     (time, tiebreak) keys — O(K), no full history.  Events are processed
     in (time, tiebreak) order within each batch; the in-order arrival
     contract across batches matches :func:`stream_trailing_agg`.
+
+    **BREAKING (r11):** ``tiebreak_col`` is now assumed UNIQUE per key
+    and the frontier advances STRICTLY past the folded (ts, tiebreak):
+    an at-least-once source re-delivering the exact last-folded row in
+    a later micro-batch raises :class:`LateEventError` (or drops under
+    ``late_policy="drop"``) instead of silently double-folding.  The
+    state schema is unchanged, so the stricter semantics activate
+    silently on pre-r11 checkpoints after upgrade.  Callers whose
+    tiebreak is legitimately NON-unique (equal (ts, tiebreak) events
+    split across micro-batches must all fold) pass ``strict=False`` to
+    restore the r10 equality-folding frontier — accepting that exact
+    re-delivery of the last-folded row then folds twice.
 
     Emits one append-mode row per event: ``(key, ts_us, tiebreak,
     ewma_num, ewma_den, ewma100)`` — identical schema and values to the
@@ -757,7 +770,7 @@ def stream_ewma(
             raw = pdf[value_col].to_numpy(dtype=object)
             mask, (f_ts, f_tb) = _frontier_guard(
                 ts_us, tbs, (f_ts, f_tb), "stream_ewma", late_policy,
-                strict=True,  # unique tiebreak: re-delivery is loud
+                strict=strict,  # unique tiebreak: re-delivery is loud
             )
             # NULL vs NaN: the Arrow crossing collapses both to nan in a
             # float column, so the JVM-side __vnull flag is the only
@@ -836,6 +849,7 @@ def stream_running_distinct(
     tiebreak_col: str,
     timeout_minutes: int | None = None,
     late_policy: str = "error",
+    strict: bool = True,
 ) -> DataFrame:
     """Streaming per-key RUNNING DISTINCT COUNT — the stateful replay of
     :func:`~tidier_spark.operators.temporal.rolling_distinct`'s ``dcum``
@@ -858,6 +872,14 @@ def stream_running_distinct(
     the set.  Events are processed in (time, tiebreak) order within
     each batch; the in-order arrival contract across batches matches
     :func:`stream_trailing_agg`.
+
+    **BREAKING (r11):** ``tiebreak_col`` is now assumed UNIQUE per key
+    and exact re-delivery of the last-folded (ts, tiebreak) raises a
+    named error (or drops) instead of silently re-folding — see
+    :func:`stream_ewma` for the full contract; the state schema is
+    unchanged, so pre-r11 checkpoints pick up the stricter semantics
+    silently after upgrade.  Pass ``strict=False`` for legitimately
+    non-unique tiebreaks (restores the r10 equality-folding frontier).
     """
     out_schema = StructType(
         [
@@ -889,7 +911,7 @@ def stream_running_distinct(
             mask, (f_ts, f_tb) = _frontier_guard(
                 ts_us, tbs, (f_ts, f_tb),
                 "stream_running_distinct", late_policy,
-                strict=True,  # unique tiebreak: re-delivery is loud
+                strict=strict,  # unique tiebreak: re-delivery is loud
             )
             if mask is not None:
                 ts_us, tbs, vals = ts_us[mask], tbs[mask], vals[mask]

@@ -19,6 +19,7 @@ pass ``by``.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
@@ -33,6 +34,8 @@ __all__ = [
     "quote_ident",
     "scale_safe_cumulative",
     "scale_safe_frame",
+    "subtractive_calls",
+    "subtractive_over",
 ]
 
 
@@ -697,3 +700,99 @@ def scale_safe_frame(
     )
     home = F.col("__tpid") == F.col("__pid")
     return copied, spec, home, ["__pid", "__tpid", "__gidx"]
+
+
+# --- subtractive lowering for very wide bounded frames ----------------------
+
+_SUBTRACTIVE_RE = re.compile(r"^\s*(sum|count|avg)\s*\((.*)\)\s*$", re.I | re.S)
+
+_EXACT_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.DecimalType,
+)
+
+
+def subtractive_calls(df: DataFrame, calls: list[tuple[str, str]]) -> bool:
+    """True when EVERY windowized call can be lowered as a difference of
+    two unbounded-preceding prefix windows — the O(n) escape from the
+    frame-WIDTH cliff (SCALE.md r11: Spark's bounded sliding frame
+    re-aggregates the in-frame buffer per row, O(n·w); bucketing divides
+    the n, never the w).
+
+    ``sum(x) OVER (lo, hi)  ==  P(hi) - P(lo-1)`` where ``P(b)`` is the
+    running aggregate ``OVER (unbounded preceding, b)`` — a frame Spark
+    evaluates INCREMENTALLY (rows are only ever added), so two prefix
+    windows cost O(n) total regardless of frame width.  The identity is
+    exact only when the sum never rounds: operands must be integral or
+    decimal (double/float subtraction re-associates and can
+    catastrophically cancel — those fall back to the direct frame).
+    ``count(*)``/``count(1)`` are always exact; DISTINCT operands are
+    not subtractable (``selectExpr`` probe rejects them).  ``avg``
+    decomposes to exact-sum / exact-count — note Spark's direct
+    ``avg(long)`` accumulates its sum as DOUBLE, so the subtractive form
+    is at least as accurate; both agree bit-for-bit while frame sums
+    stay within 2^53 (pinned in tests/test_plans.py).
+    """
+    if not calls:
+        return False
+    for _ph, call in calls:
+        m = _SUBTRACTIVE_RE.match(call)
+        if not m:
+            return False
+        operand = m.group(2).strip()
+        if m.group(1).lower() == "count" and operand in ("*", "1"):
+            continue
+        try:
+            dt = df.selectExpr(operand).schema[0].dataType
+        except Exception:
+            return False  # DISTINCT / multi-arg / unresolvable operand
+        if not isinstance(dt, _EXACT_TYPES):
+            return False
+    return True
+
+
+def subtractive_over(
+    call: str,
+    spec: WindowSpec,
+    lo: int,
+    hi: int,
+    *,
+    row_frame: bool,
+) -> Column:
+    """Lower one sum/count/avg call over a bounded frame as a prefix
+    difference on ``spec``'s partitioning and ordering (see
+    :func:`subtractive_calls` for the identity and its exactness
+    contract).  ``spec``'s own frame is REPLACED (``rowsBetween`` /
+    ``rangeBetween`` on a WindowSpec substitutes the frame, keeping
+    partition + order), so this composes with the scale-safe halo
+    lowerings: inside a ``(key, __tpid)`` partition the prefix starts at
+    the partition's halo head and the difference touches exactly the
+    home rows' frame — the same contiguity argument as the direct plan.
+
+    Frame-empty semantics match the direct plan: ``sum``/``avg`` over a
+    frame with no (non-null) operand rows yield NULL via the count
+    guard; ``count`` yields 0 (its difference is already 0).
+    """
+    m = _SUBTRACTIVE_RE.match(call)
+    if m is None:
+        raise ValueError(f"not a subtractable call: {call!r}")
+    fn, operand = m.group(1).lower(), m.group(2).strip()
+    if row_frame:
+        w_hi = spec.rowsBetween(Window.unboundedPreceding, hi)
+        w_lo = spec.rowsBetween(Window.unboundedPreceding, lo - 1)
+    else:
+        w_hi = spec.rangeBetween(Window.unboundedPreceding, hi)
+        w_lo = spec.rangeBetween(Window.unboundedPreceding, lo - 1)
+    cnt = F.expr(f"count({operand})")
+    cd = cnt.over(w_hi) - cnt.over(w_lo)
+    if fn == "count":
+        return cd
+    s = F.expr(f"sum({operand})")
+    p_hi, p_lo = s.over(w_hi), s.over(w_lo)
+    sd = F.when(p_lo.isNull(), p_hi).otherwise(p_hi - p_lo)
+    if fn == "sum":
+        return F.when(cd > 0, sd)
+    return F.when(cd > 0, sd / cd)  # avg: exact-sum / exact-count
