@@ -4234,6 +4234,25 @@ def _q_o6_rows_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "avg_5r")
 
 
+def _q_wide_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide-frame floor (r12): a 200-row trailing sum over an EXACT
+    # (BIGINT) operand under scale_safe engages the subtractive
+    # lowering — two unbounded-preceding prefix windows per call, O(n)
+    # instead of Spark's O(n·w) per-row frame re-aggregation — composed
+    # with the grouped supercell halo (hot keys split across <=n window
+    # partitions).  Exact by type, so the driver hash pins the identity
+    # against the oracle's direct O(n·w) evaluation.
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        sum_200r="sum(CAST(round(value * 100) AS BIGINT))",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(199, 0),
+        scale_safe=True,
+    ).select("event_id", "sum_200r")
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document token-distribution diversity in exact integer bits
     # (floor-log2 domain — float ln is not engine-portable): the
@@ -4572,6 +4591,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_range_scale": _q_o5_range_scale,
         "o7_range_scale": _q_o7_range_scale,
         "o6_rows_scale": _q_o6_rows_scale,
+        "wide_frame_sum": _q_wide_frame_sum,
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
@@ -5418,6 +5438,18 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) / 100
                      AS avg_5r
+            FROM events""",
+        # wide_frame_sum: the oracle evaluates the frame DIRECTLY — the
+        # subtractive prefix-difference plan must hash-match it exactly
+        # (BIGINT operand, so the identity is exact by type).
+        "wide_frame_sum": """
+            -- outer BIGINT cast: DuckDB's sum(BIGINT) widens to HUGEINT
+            -- (float64 through pandas) where Spark's stays BIGINT
+            SELECT event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS sum_200r
             FROM events""",
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),

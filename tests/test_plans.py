@@ -594,3 +594,57 @@ def test_scale_safe_grouped_rows_frame_matches_default(tables, spark):
         assert sorted(map(key, safe_h.collect())) == sorted(
             map(key, naive_h.collect())
         ), kw_i
+
+
+def test_subtractive_wide_frame_matches_direct_and_engages(tables, spark):
+    """r12 frame-WIDTH floor: plain sum/count/avg over exact-typed
+    operands under scale_safe lower as a difference of two
+    unbounded-preceding prefix windows — O(n) instead of O(n·w).  The
+    optimized plan must contain NO bounded sliding frame (engagement
+    proof), and results must equal the direct plan bit-for-bit across
+    nulls, empty frames, shifted frames, grouped ROWS and RANGE.
+    r_sum/r_mean deliberately do NOT engage: their R-faithful
+    double-cast accumulation makes prefix subtraction inexact."""
+    from tidier_spark import mutate
+    from tidier_spark.frames import seconds
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts",
+        (F.round(F.col("value") * 100)).cast("long").alias("v100"),
+    ).withColumn(
+        "v100",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("v100")),
+    )
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    cases = [
+        dict(m="sum(v100)", by="user_id", order_by=["ts", "event_id"],
+             frame=(50, 0)),
+        dict(m="avg(v100)", by="user_id", order_by=["ts", "event_id"],
+             frame=(10, 10)),
+        dict(m="count(v100)", by="user_id", order_by=["ts", "event_id"],
+             frame=(-2, 5)),            # shifted: empty frames at key end
+        dict(m="sum(v100)", by="user_id", order_by=["ts", "event_id"],
+             frame=(3, 0), complete=True),
+        dict(m="sum(v100)", by="user_id", index="ts",
+             frame=(seconds(3600), seconds(0))),
+        dict(m="avg(v100)", order_by=["ts", "event_id"], frame=(25, 25)),
+    ]
+    for kw in cases:
+        safe = mutate(ev, scale_safe=True, **kw)
+        naive = mutate(ev, **kw)
+        assert sorted(map(key, safe.select("event_id", "m").collect())) == sorted(
+            map(key, naive.select("event_id", "m").collect())
+        ), kw
+    # engagement: no bounded sliding frame survives in the plan
+    out = mutate(ev, m="sum(v100)", by="user_id",
+                 order_by=["ts", "event_id"], frame=(599, 0),
+                 scale_safe=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RowFrame, -599" not in plan
+    assert "unboundedpreceding" in plan
+    # r_sum keeps the direct (double-accumulating) frame — by design
+    out_r = mutate(ev, m="r_sum(v100)", by="user_id",
+                   order_by=["ts", "event_id"], frame=(599, 0),
+                   scale_safe=True)
+    plan_r = out_r._jdf.queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RowFrame, -599" in plan_r
