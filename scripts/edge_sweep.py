@@ -13,7 +13,7 @@ each entry per fixture:
 * ``mismatch``     — both ran, different results — REAL DIVERGENCE
 
 Usage: python scripts/edge_sweep.py
-       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs|redeliver|skewkeys]
+       [empty|one|onegroup|nullkeys|preepoch|unitext|magnitude|dupids|ordties|constval|zerovec|alldup|longdoc|clockskew|nullvals|manyfiles|emptystr|tz|negvals|nanvals|decvals|sfjump|late|dupdocs|redeliver|skewkeys|manybatches]
        [q ...]
 (``onegroup`` = all rows share one grouping key / join key per table —
 the single-giant-group and hot-key regime; ``nullkeys`` = the same key
@@ -1027,6 +1027,36 @@ def build_fixture(kind: str) -> str:
             # the batch oracle over exactly these rows
             pq.write_table(ontime, f"{out}/events_ontime.parquet")
             continue
+        if kind == "manybatches" and t == "events":
+            # LONG-REPLAY fixture (axis 28, r12): arrival order = event-
+            # time order in FIFTY micro-batch files (explicit increasing
+            # mtimes via os.utime — the file source orders by (modTime,
+            # path)); main() sets SPARK_GRAFT_STREAM_MAX_FILES=1 so every
+            # stateful streaming entry replays 50+ genuine micro-batches
+            # (the multi-batch tests use a handful).  The row MULTISET is
+            # unchanged — batch entries and every DuckDB oracle are
+            # unaffected — so any stream-entry divergence is frontier /
+            # GroupState growth, per-batch watermark advancement, or
+            # state-store checkpoint compaction over a long replay.
+            import pyarrow.compute as pc
+
+            idx = pc.sort_indices(
+                tbl,
+                sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+            )
+            tbl_s = tbl.take(idx)
+            n = tbl_s.num_rows
+            n_files = 50
+            d = f"{out}/{t}.parquet"
+            os.makedirs(d)
+            bounds = [(i * n) // n_files for i in range(n_files + 1)]
+            base_mtime = 1_600_000_000
+            for i in range(n_files):
+                part = tbl_s.slice(bounds[i], bounds[i + 1] - bounds[i])
+                p = f"{d}/part-{i:03d}.parquet"
+                pq.write_table(part, p)
+                os.utime(p, (base_mtime + i, base_mtime + i))
+            continue
         if kind == "manyfiles":
             # ~40 single-row-group slices per table, written under the
             # table path in SHUFFLED slice order (file name order no
@@ -1115,7 +1145,7 @@ def main() -> int:
 
         os.environ["TZ"] = "Asia/Kolkata"
         _time.tzset()
-    if kind in ("late", "redeliver"):
+    if kind in ("late", "redeliver", "manybatches"):
         # one file per micro-batch: these axes only bite when the
         # replay is genuinely multi-batch
         os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
