@@ -595,6 +595,22 @@ def test_scale_safe_grouped_rows_frame_matches_default(tables, spark):
             map(key, naive_h.collect())
         ), kw_i
 
+    # NULL group keys: SQL window partitioning groups them into ONE
+    # partition; the per-key-index join must be null-safe (nullkeys
+    # axis, r12 — a null-unsafe equi-join silently dropped these rows)
+    nullk = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("user_id")
+        ),
+    )
+    for kw_n in (kw, dict(kw, complete=True)):
+        safe_n = mutate(nullk, scale_safe=True, **kw_n)
+        naive_n = mutate(nullk, **kw_n)
+        assert sorted(map(key, safe_n.collect())) == sorted(
+            map(key, naive_n.collect())
+        ), kw_n
+
 
 def test_subtractive_wide_frame_matches_direct_and_engages(tables, spark):
     """r12 frame-WIDTH floor: plain sum/count/avg over exact-typed
@@ -648,3 +664,84 @@ def test_subtractive_wide_frame_matches_direct_and_engages(tables, spark):
                    scale_safe=True)
     plan_r = out_r._jdf.queryExecution().optimizedPlan().toString()
     assert "specifiedwindowframe(RowFrame, -599" in plan_r
+
+
+def test_scale_safe_calendar_and_grouped_range_complete(tables, spark):
+    """r12: (a) CALENDAR interval frames under scale_safe run the exact
+    Tier B SQL INTERVAL window per (key, order-bucket), with halo copies
+    from the conservative micros envelope (month <= 31 d) — previously
+    a one-task-per-key fallback; (b) grouped index-RANGE + .complete
+    gets per-key extents via a partial agg + equi-join.  Both must be
+    bit-identical to the default plans, incl. a 50%-hot key."""
+    from tidier_spark import mutate
+    from tidier_spark.frames import months, seconds
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts",
+        (F.round(F.col("value") * 100)).cast("long").alias("v100"),
+    )
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    cases = [
+        dict(m="avg(v100)", by="user_id", index="ts",
+             frame=(months(1), months(0))),          # grouped calendar
+        dict(m="sum(v100)", index="ts",
+             frame=(months(2), months(0))),          # ungrouped calendar
+        dict(m="avg(v100)", by="user_id", index="ts",
+             frame=(seconds(3600), seconds(0)), complete=True),
+    ]
+    for kw in cases:
+        safe = mutate(hot, scale_safe=True, **kw)
+        naive = mutate(hot, **kw)
+        assert sorted(map(key, safe.select("event_id", "m").collect())) == sorted(
+            map(key, naive.select("event_id", "m").collect())
+        ), kw
+    # both new lowerings actually partition by (.., __tpid)
+    for kw in (cases[0], cases[2]):
+        out = mutate(hot, scale_safe=True, **kw)
+        assert "__tpid" in out._jdf.queryExecution().executedPlan().toString(), kw
+    # calendar + .complete still falls back to the default grouped plan
+    out3 = mutate(
+        hot, m="avg(v100)", by="user_id", index="ts",
+        frame=(months(1), months(0)), complete=True, scale_safe=True,
+    )
+    assert "__tpid" not in out3._jdf.queryExecution().executedPlan().toString()
+    # grouped RANGE + .complete with NULL keys: the per-key extent join
+    # must be null-safe (nullkeys axis, r12)
+    nullk = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("user_id")
+        ),
+    )
+    kw_n = dict(m="avg(v100)", by="user_id", index="ts",
+                frame=(seconds(3600), seconds(0)), complete=True)
+    safe_n = mutate(nullk, scale_safe=True, **kw_n)
+    naive_n = mutate(nullk, **kw_n)
+    assert sorted(map(key, safe_n.select("event_id", "m").collect())) == sorted(
+        map(key, naive_n.select("event_id", "m").collect())
+    )
+
+
+def test_micros_envelope_bounds():
+    """The halo envelope must CONTAIN every possible calendar frame:
+    month uses 31 days on the preceding side (superset) and year 366."""
+    import math
+
+    import pytest as _pytest
+
+    from tidier_spark.frames import days, months, parse_frame, years
+
+    d = 86400 * 1_000_000
+    assert parse_frame((months(1), months(0))).micros_envelope() == (-31 * d, 0)
+    assert parse_frame((years(1), days(0))).micros_envelope() == (-366 * d, 0)
+    assert parse_frame((months(0), months(2))).micros_envelope() == (0, 62 * d)
+    assert parse_frame((days(7), days(-1))).micros_envelope() == (-7 * d, -d)
+    assert parse_frame((5, 5)).micros_envelope() == (-5_000_000, 5_000_000)
+    with _pytest.raises(ValueError):
+        parse_frame((math.inf, 0)).micros_envelope()

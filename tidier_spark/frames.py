@@ -53,6 +53,15 @@ _FIXED_SECONDS = {
 # numeric rangeBetween; require the SQL INTERVAL frame (Tier B).
 _CALENDAR_UNITS = ("month", "year")
 
+# Extreme real-time lengths of the calendar units, in microseconds —
+# month spans 28..31 days, year 365..366.  Used ONLY for conservative
+# halo envelopes (scale_safe calendar lowering), never for frame
+# membership itself.
+_CALENDAR_MICROS_RANGE = {
+    "month": (28 * 86400 * 1_000_000, 31 * 86400 * 1_000_000),
+    "year": (365 * 86400 * 1_000_000, 366 * 86400 * 1_000_000),
+}
+
 
 @dataclass(frozen=True)
 class Period:
@@ -188,6 +197,30 @@ class FrameSpec:
             return sign * int(v)
 
         return lower(self.before, -1), lower(self.after, +1)
+
+    def micros_envelope(self) -> tuple[int, int]:
+        """Conservative ``(lo_us, hi_us)``: every row's TRUE frame over a
+        timestamp index is contained in ``[k + lo_us, k + hi_us]`` epoch
+        microseconds.  Calendar units use their extreme real-time
+        lengths (month in 28..31 days, year in 365..366), so the
+        envelope is a SUPERSET bound usable for halo copying — it is
+        NOT a frame; exact membership stays with the SQL INTERVAL
+        window.  Raises for unbounded ends (no finite envelope)."""
+
+        def extremes(v: object, sign: int) -> tuple[int, int]:
+            if v == math.inf:
+                raise ValueError("micros_envelope requires finite bounds")
+            if isinstance(v, Period):
+                s = sign * v.n
+                if v.is_calendar:
+                    mn, mx = _CALENDAR_MICROS_RANGE[v.unit]
+                    return min(s * mn, s * mx), max(s * mn, s * mx)
+                off = sign * v.to_seconds() * 1_000_000
+                return off, off
+            off = sign * int(v) * 1_000_000
+            return off, off
+
+        return extremes(self.before, -1)[0], extremes(self.after, +1)[1]
 
     def sql_frame_clause(self) -> str:
         """``RANGE BETWEEN ... AND ...`` with calendar INTERVAL bounds (Tier B)."""

@@ -397,25 +397,56 @@ def _apply_scale_safe_frame(
     by_l: list[object] | None = None,
 ) -> DataFrame | None:
     """Lower a bounded-frame mutate through the range-partition + halo
-    exchange (:func:`tidier_spark.window.scale_safe_frame`) instead of
+    exchange (:func:`tidier_spark.window.scale_safe_frame` /
+    :func:`tidier_spark.window.scale_safe_calendar_frame`) instead of
     the single-partition (ungrouped) or one-task-per-key (grouped
     hot-key) window.  Returns ``None`` when the combination isn't
-    eligible (calendar/unbounded frames, Column/Tier-C expressions,
-    frame-independent expressions; grouped supports index-RANGE without
-    ``.complete`` — the r11 hot-key path — and ROWS frames with or
-    without ``.complete`` — the r12 path) — the caller falls through to
-    the reference-faithful default lowering.  Results
-    are bit-identical to the default plan (hash-pinned in
-    tests/test_plans.py)."""
-    if not isinstance(expr, str) or frame_spec.is_calendar:
+    eligible (unbounded frames, Column/Tier-C expressions,
+    frame-independent expressions, calendar + ``.complete``, non-string
+    grouped keys) — the caller falls through to the reference-faithful
+    default lowering.  r11: grouped index-RANGE; r12: grouped ROWS
+    (with ``.complete``), grouped RANGE + ``.complete`` (per-key extent
+    join), and calendar frames via the conservative micros-envelope
+    halo.  Results are bit-identical to the default plan (hash-pinned
+    in tests/test_plans.py)."""
+    if not isinstance(expr, str):
         return None
-    if by_l:
-        # grouped: index-RANGE (r11) and ROWS (r12) are hot-key-safe.
-        # Grouped RANGE + .complete still falls back (its full-frame rule
-        # needs PER-KEY index extents; the default grouped lowering
-        # handles that correctly).  Grouped ROWS + .complete is fine: the
-        # per-target-partition count rule below is already per-key.
-        if index is not None and complete:
+    if _RANKING_RE.match(expr):
+        return None
+    if frame_spec.is_calendar:
+        # r12: the exact frame stays the Tier B SQL INTERVAL window;
+        # the HALO copy uses FrameSpec.micros_envelope (month <= 31 d,
+        # year <= 366 — a superset, so per-row frames stay exact).
+        # ``.complete`` falls back (its guard needs Tier B partition-
+        # extent SQL over the un-haloed frame).
+        if index is None or complete:
+            return None
+        outer, calls = windowize(expr)
+        if not calls:
+            return None
+        from .window import scale_safe_calendar_frame
+
+        try:
+            aug, sql_over, home, helpers = scale_safe_calendar_frame(
+                df,
+                frame=frame_spec,
+                index=index,
+                by=[b for b in (by_l or [])] or None,
+            )
+        except ValueError:
+            # non-timestamp index / non-string keys / unbounded ends
+            return None
+        for ph, call in calls:
+            aug = aug.withColumn(ph, F.expr(f"{call} OVER ({sql_over})"))
+        return (
+            aug.where(home)
+            .withColumn(name, F.expr(outer))
+            .drop(*helpers, *[ph for ph, _ in calls])
+        )
+    if by_l and complete and index is not None:
+        # grouped RANGE + .complete: the per-key extent join below
+        # needs string key names
+        if not all(isinstance(b, str) for b in by_l):
             return None
     try:
         if index is not None:
@@ -430,8 +461,6 @@ def _apply_scale_safe_frame(
             if lo < -(2**31) or hi > 2**31:
                 return None
     except ValueError:
-        return None
-    if _RANKING_RE.match(expr):
         return None
     outer, calls = windowize(expr)
     if not calls:
@@ -481,6 +510,40 @@ def _apply_scale_safe_frame(
             )
             helpers = [*helpers, "__wcnt"]
             value = F.when(F.col("__wcnt") == hi - lo + 1, value)
+        elif by_l:
+            # full ⇔ [k+lo, k+hi] inside the PER-KEY index extent — one
+            # distributed partial agg + equi-join on the key (never a
+            # per-key window: hot keys stay distributed; AQE picks
+            # broadcast when the key table is small).  NULL-SAFE join:
+            # window partitioning groups NULL keys into one partition,
+            # a null-unsafe join would lose their extents (nullkeys
+            # axis, r12).
+            from .window import _index_order_key
+
+            kc, _, _ = _index_order_key(df, index)
+            extents = df.groupBy(*by_l).agg(
+                F.min(kc).alias("__gmin"), F.max(kc).alias("__gmax")
+            )
+            rhs = extents.select(
+                *[
+                    F.col(b).alias(f"__byk{i}")
+                    for i, b in enumerate(by_l)
+                ],
+                "__gmin",
+                "__gmax",
+            )
+            cond = F.lit(True)
+            for i, b in enumerate(by_l):
+                cond = cond & F.col(b).eqNullSafe(F.col(f"__byk{i}"))
+            aug = aug.join(rhs, cond, "left").drop(
+                *[f"__byk{i}" for i in range(len(by_l))]
+            )
+            helpers = [*helpers, "__gmin", "__gmax"]
+            value = F.when(
+                (F.col("__k") + F.lit(lo) >= F.col("__gmin"))
+                & (F.col("__k") + F.lit(hi) <= F.col("__gmax")),
+                value,
+            )
         else:
             # full ⇔ [k+lo, k+hi] inside the GLOBAL index extent (one tiny
             # agg row, broadcast — the ungrouped analog of the partition

@@ -622,9 +622,23 @@ def scale_safe_frame(
             *by, "__opid", "__off", "__nk"
         )
         # one equi-join on (key, order-bucket) — the anti-skew composite
-        # key — attaches the prefix offset and the per-key row count
+        # key — attaches the prefix offset and the per-key row count.
+        # NULL-SAFE on the key columns: SQL window partitioning groups
+        # NULL keys into ONE partition, and a null-unsafe equi-join
+        # would silently DROP those rows (caught by the nullkeys axis,
+        # r12).
+        rhs = offs.select(
+            *[F.col(b).alias(f"__byk{i}") for i, b in enumerate(by)],
+            F.col("__opid").alias("__opid_r"),
+            "__off",
+            "__nk",
+        )
+        cond = F.col("__opid") == F.col("__opid_r")
+        for i, b in enumerate(by):
+            cond = cond & F.col(b).eqNullSafe(F.col(f"__byk{i}"))
         gdf = (
-            loc.join(offs, [*by, "__opid"])
+            loc.join(rhs, cond)
+            .drop("__opid_r", *[f"__byk{i}" for i in range(len(by))])
             .withColumn("__gidx", F.col("__lrn") - 1 + F.col("__off"))
             .drop("__lrn", "__off")
         )
@@ -796,3 +810,78 @@ def subtractive_over(
     if fn == "sum":
         return F.when(cd > 0, sd)
     return F.when(cd > 0, sd / cd)  # avg: exact-sum / exact-count
+
+
+def scale_safe_calendar_frame(
+    df: DataFrame,
+    *,
+    frame: FrameSpec,
+    index: str,
+    by: list[str] | None = None,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, str, Column, list[str]]:
+    """CALENDAR interval frame (Tier B) without the hot-key / single-task
+    window — the r12 extension of the r11 RANGE halo to variable-width
+    calendar bounds.
+
+    Calendar months/years have no fixed epoch width, so the exact frame
+    must stay a SQL ``RANGE BETWEEN INTERVAL`` window — but the HALO
+    copy step only needs a SUPERSET: :meth:`FrameSpec.micros_envelope`
+    bounds every possible frame inside ``[k + lo_us, k + hi_us]``
+    (month <= 31 days, year <= 366), and the r11 superset argument then
+    applies verbatim — every same-key row within TRUE frame reach of a
+    bucket's home extent is a fortiori within envelope reach of the
+    GLOBAL home extent, so per-row frames stay exact and extra copies
+    are non-home or outside the frame.  The SQL window runs
+    ``PARTITION BY (key..., __tpid) ORDER BY index`` with the exact
+    INTERVAL frame clause.
+
+    Requires a timestamp index (epoch-µs bucketing) and string ``by``
+    names (they feed the SQL PARTITION BY); ``by=None`` distributes the
+    otherwise single-partition UNGROUPED calendar window.  Returns
+    ``(copied_df, sql_over, home_predicate, helper_cols)``.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    dtype = df.schema[index].dataType
+    if not isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        raise ValueError(
+            "scale_safe calendar frames need a timestamp index "
+            f"(epoch-µs bucketing); got {dtype.simpleString()}"
+        )
+    if by and not all(isinstance(b, str) for b in by):
+        raise ValueError(
+            "scale_safe calendar frames need string `by` names "
+            "(they feed the SQL PARTITION BY)"
+        )
+    lo_us, hi_us = frame.micros_envelope()  # raises on unbounded ends
+    key = F.unix_micros(F.col(index))
+    pid = _det_bucket_id(df, key, n, desc=False, null_last=False)
+    guarded = F.when(
+        F.assert_true(
+            F.col(index).isNotNull(),
+            F.lit(
+                f"scale_safe calendar frame: index column {index!r} has "
+                "NULL values — NULL index rows have no position on the "
+                "range axis; filter them or use the default lowering"
+            ),
+        ).isNull(),
+        key,
+    )
+    ranged = df.withColumn("__k", guarded).withColumn("__pid", pid.cast("int"))
+    bounds = ranged.groupBy("__pid").agg(
+        F.min("__k").alias("__minv"), F.max("__k").alias("__maxv")
+    )
+    bounds = bounds.select(F.col("__pid").alias("__tpid"), "__minv", "__maxv")
+    lo2, hi2 = min(lo_us, 0), max(hi_us, 0)
+    copied = ranged.join(
+        F.broadcast(bounds),
+        (F.col("__k") >= F.col("__minv") + F.lit(lo2))
+        & (F.col("__k") <= F.col("__maxv") + F.lit(hi2)),
+    ).drop("__minv", "__maxv")
+    parts = [quote_ident(b) for b in (by or [])] + [quote_ident("__tpid")]
+    sql_over = (
+        f"PARTITION BY {', '.join(parts)} "
+        f"ORDER BY {quote_ident(index)} {frame.sql_frame_clause()}"
+    )
+    home = F.col("__tpid") == F.col("__pid")
+    return copied, sql_over, home, ["__pid", "__tpid", "__k"]
