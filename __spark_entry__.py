@@ -4253,6 +4253,24 @@ def _q_wide_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "sum_200r")
 
 
+def _q_wide_frame_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide-frame floor, min/max leg (r12): a 200-row trailing MIN under
+    # scale_safe engages the fixed-width block RMQ (per-chunk prefix/
+    # suffix minima + constant-offset lag/lead) — O(n) instead of
+    # O(n·w), exact for ANY orderable operand (min SELECTS, it never
+    # re-associates, so doubles are safe here unlike the subtractive
+    # sum path) — composed with the grouped supercell halo.
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        min_200r="min(value)",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(199, 0),
+        scale_safe=True,
+    ).select("event_id", "min_200r")
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document token-distribution diversity in exact integer bits
     # (floor-log2 domain — float ln is not engine-portable): the
@@ -4592,6 +4610,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o7_range_scale": _q_o7_range_scale,
         "o6_rows_scale": _q_o6_rows_scale,
         "wide_frame_sum": _q_wide_frame_sum,
+        "wide_frame_min": _q_wide_frame_min,
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
@@ -5438,6 +5457,16 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) / 100
                      AS avg_5r
+            FROM events""",
+        # wide_frame_min: the oracle evaluates the frame DIRECTLY — the
+        # block-RMQ plan must hash-match it exactly (min is a selection,
+        # exact for doubles).
+        "wide_frame_min": """
+            SELECT event_id,
+                   min(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+                     AS min_200r
             FROM events""",
         # wide_frame_sum: the oracle evaluates the frame DIRECTLY — the
         # subtractive prefix-difference plan must hash-match it exactly

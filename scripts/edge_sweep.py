@@ -1149,6 +1149,13 @@ def main() -> int:
         # one file per micro-batch: these axes only bite when the
         # replay is genuinely multi-batch
         os.environ["SPARK_GRAFT_STREAM_MAX_FILES"] = "1"
+    if kind == "manybatches":
+        # 50 micro-batches pay 50x the per-batch fixed cost (planning +
+        # state-store rounds — a stream-stream join measured ~6 s/batch
+        # of pure engine overhead at sf0.001), so the 300 s liveness
+        # guard legitimately needs a proportional budget; the env can
+        # only RAISE the guard, never lower it
+        os.environ["SPARK_GRAFT_STREAM_TIMEOUT"] = "900"
     sf_dir = build_fixture(kind)
 
     from pyspark.sql import SparkSession

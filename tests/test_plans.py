@@ -745,3 +745,60 @@ def test_micros_envelope_bounds():
     assert parse_frame((5, 5)).micros_envelope() == (-5_000_000, 5_000_000)
     with _pytest.raises(ValueError):
         parse_frame((math.inf, 0)).micros_envelope()
+
+
+def test_rmq_wide_frame_min_max_matches_direct(tables, spark):
+    """r12 frame-WIDTH floor, min/max leg: fixed-width ROWS frames under
+    scale_safe lower as the block RMQ (per-chunk prefix/suffix minima +
+    constant-offset lag/lead) — O(n) regardless of width, exact for ANY
+    orderable operand (doubles included: min/max select, never
+    re-associate).  Bit-identical to the direct plan across trailing,
+    centered, shifted (both directions), width-1, .complete, NULL
+    values, NULL keys, hot keys, grouped and ungrouped."""
+    from tidier_spark import mutate
+
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts", "value"
+    ).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value")),
+    )
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    nullk = hot.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(
+            F.col("user_id")
+        ),
+    )
+    key = lambda r: (r["event_id"], r["m"])  # noqa: E731
+    ob = ["ts", "event_id"]
+    cases = [
+        (hot, dict(m="min(value)", by="user_id", order_by=ob, frame=(10, 0))),
+        (hot, dict(m="max(value)", by="user_id", order_by=ob, frame=(7, 7))),
+        (hot, dict(m="min(value)", order_by=ob, frame=(25, 0))),   # ungrouped
+        (hot, dict(m="max(value)", by="user_id", order_by=ob, frame=(-2, 5))),
+        (hot, dict(m="min(value)", by="user_id", order_by=ob, frame=(8, -3))),
+        (hot, dict(m="min(value)", by="user_id", order_by=ob, frame=(0, 0))),
+        (hot, dict(m="max(value)", by="user_id", order_by=ob, frame=(4, 0),
+                   complete=True)),
+        (hot, dict(m="max(value) - min(value)", by="user_id", order_by=ob,
+                   frame=(6, 0))),
+        (nullk, dict(m="min(value)", by="user_id", order_by=ob, frame=(5, 0))),
+    ]
+    for df, kw in cases:
+        safe = mutate(df, scale_safe=True, **kw)
+        naive = mutate(df, **kw)
+        assert sorted(map(key, safe.select("event_id", "m").collect())) == sorted(
+            map(key, naive.select("event_id", "m").collect())
+        ), kw
+    # engagement: no bounded sliding AGGREGATE frame (lag/lead offset
+    # frames like (RowFrame, -400, -400) are fine — O(1) per row)
+    out = mutate(hot, m="min(value)", by="user_id", order_by=ob,
+                 frame=(400, 0), scale_safe=True)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "specifiedwindowframe(RowFrame, -400, currentrow" not in plan

@@ -477,23 +477,40 @@ def _apply_scale_safe_frame(
         # string are supported; anything else raises) — fall back to the
         # reference-faithful single-partition lowering
         return None
-    # Wide-frame floor (r12): when every call is a sum/count/avg over an
-    # exact-typed operand (and the frame axis is an integer domain), lower
-    # each as a difference of two unbounded-preceding prefix windows —
-    # O(n) instead of Spark's O(n·w) per-row frame re-aggregation, exact
-    # by type, bit-pinned vs the direct plan (tests/test_plans.py).
-    from .window import subtractive_calls, subtractive_over
-
-    subtractive = subtractive_calls(df, calls) and (
-        index is None or _subtractive_index_ok(df, index)
+    # Wide-frame floor (r12), per call: sum/count/avg over exact-typed
+    # operands (integer frame axis) lower as a difference of two
+    # unbounded-preceding prefix windows (subtractive_over); min/max
+    # over ROWS frames lower as the fixed-width block RMQ
+    # (rmq_frame_value — exact for ANY orderable type, doubles
+    # included).  Both are O(n) instead of Spark's O(n·w) per-row frame
+    # re-aggregation and bit-pinned vs the direct plan
+    # (tests/test_plans.py); anything else keeps the direct frame.
+    from .window import (
+        rmq_call,
+        rmq_frame_value,
+        subtractive_calls,
+        subtractive_over,
     )
+
+    sub_ok = index is None or _subtractive_index_ok(df, index)
+    extra_helpers: list[str] = []
+    any_fast = False
     for ph, call in calls:
-        aug = aug.withColumn(
-            ph,
-            subtractive_over(call, spec, lo, hi, row_frame=index is None)
-            if subtractive
-            else F.expr(call).over(spec),
-        )
+        if sub_ok and subtractive_calls(df, [(ph, call)]):
+            aug = aug.withColumn(
+                ph,
+                subtractive_over(call, spec, lo, hi, row_frame=index is None),
+            )
+            any_fast = True
+        elif index is None and rmq_call(df, call):
+            part = [*(by_l or []), "__tpid"]  # ROWS mode: by are strings
+            aug, value_c, hs = rmq_frame_value(aug, call, part, lo, hi, ph)
+            aug = aug.withColumn(ph, value_c)
+            extra_helpers.extend(hs)
+            any_fast = True
+        else:
+            aug = aug.withColumn(ph, F.expr(call).over(spec))
+    helpers = [*helpers, *extra_helpers]
     value = F.expr(outer)
     if complete:
         if index is None:
@@ -505,7 +522,7 @@ def _apply_scale_safe_frame(
             aug = aug.withColumn(
                 "__wcnt",
                 subtractive_over("count(*)", spec, lo, hi, row_frame=True)
-                if subtractive
+                if any_fast
                 else F.count(F.lit(1)).over(spec),
             )
             helpers = [*helpers, "__wcnt"]

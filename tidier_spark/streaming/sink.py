@@ -87,6 +87,10 @@ def stream_merge_parquet(
     """
     from ..operators.merge import upsert
 
+    env_t = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
+    if env_t:
+        # liveness budget scales with micro-batch count — see run_stream
+        timeout_seconds = max(timeout_seconds, int(env_t))
     ks = [keys] if isinstance(keys, str) else list(keys)
     spark = stream.sparkSession
 
@@ -193,6 +197,11 @@ def stream_dedup_against(
     store (Delta/Iceberg MERGE) and is intentionally not modeled here.
     """
     from pyspark import StorageLevel
+
+    env_t = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
+    if env_t:
+        # liveness budget scales with micro-batch count — see run_stream
+        timeout_seconds = max(timeout_seconds, int(env_t))
 
     from ..operators.dedup import (
         _distinct_shingles,
@@ -399,6 +408,10 @@ def stream_scd2_parquet(
     there should swap the sink for a transactional table format whose
     commit log provides the same exactly-once batch dedup.
     """
+    env_t = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
+    if env_t:
+        # liveness budget scales with micro-batch count — see run_stream
+        timeout_seconds = max(timeout_seconds, int(env_t))
     spark = stream.sparkSession
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -56,7 +57,19 @@ def run_stream(
     The memory sink is for results that fit the driver (aggregated output,
     not raw events) — production sinks are ``writeStream.format("parquet"
     | "kafka")``; swap the sink, keep the plan.
+
+    ``SPARK_GRAFT_STREAM_TIMEOUT`` (env) can RAISE the liveness budget —
+    replay wall time scales with micro-batch COUNT (each batch pays a
+    fixed planning + state-store round, ~seconds for multi-operator
+    plans like stream-stream joins), so a harness that forces
+    one-file-per-batch replays (``SPARK_GRAFT_STREAM_MAX_FILES=1`` over
+    a many-file fixture) legitimately needs a larger budget.  The env
+    can only raise, never lower, the caller's ``timeout_seconds`` — the
+    guard stays loud.
     """
+    env_t = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
+    if env_t:
+        timeout_seconds = max(timeout_seconds, int(env_t))
     spark = stream.sparkSession
     saved = None
     if state_partitions is not None:

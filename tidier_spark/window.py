@@ -885,3 +885,129 @@ def scale_safe_calendar_frame(
     )
     home = F.col("__tpid") == F.col("__pid")
     return copied, sql_over, home, ["__pid", "__tpid", "__k"]
+
+
+_RMQ_RE = re.compile(r"^\s*(min|max)\s*\((.*)\)\s*$", re.I | re.S)
+
+
+def rmq_call(df: DataFrame, call: str) -> bool:
+    """True when ``call`` is a single-operand min/max — liftable to the
+    O(1)-per-row fixed-width sliding RMQ (:func:`rmq_frame_value`).
+    min/max are exact SELECTIONS, so the lowering is bit-identical for
+    ANY orderable operand type (doubles included — unlike the
+    subtractive sum path, nothing is re-associated)."""
+    m = _RMQ_RE.match(call)
+    if m is None:
+        return False
+    operand = m.group(2).strip()
+    if re.match(r"(?i)^\s*distinct\b", operand):
+        return False  # min(DISTINCT x) == min(x), but keep the probe honest
+    try:
+        df.selectExpr(operand)
+    except Exception:
+        return False
+    return True
+
+
+def rmq_frame_value(
+    aug: DataFrame,
+    call: str,
+    part: list[str],
+    lo: int,
+    hi: int,
+    ph: str,
+) -> tuple[DataFrame, Column, list[str]]:
+    """Fixed-width sliding min/max in O(n) — the min/max leg of the r12
+    frame-WIDTH floor (sum/count/avg take :func:`subtractive_over`).
+
+    Classic block RMQ specialized to the constant ROWS width
+    ``w = hi - lo + 1``: chunk the per-partition dense index into blocks
+    of exactly w rows, materialize the running min/max from each block's
+    START (``__pfx``) and from its END (``__sfx``) — both incremental
+    window frames — then every width-w frame spans AT MOST two adjacent
+    blocks, so its aggregate is ``least/greatest(sfx[frame_start],
+    pfx[frame_end])`` fetched by constant-offset lag/lead.  Edge rules
+    (derived in-line) handle partition-clipped frames: a frame clipped
+    at the start lands fully in block 0 with its start ON the block
+    boundary (→ pfx term alone); a frame clipped at the end makes the
+    suffix cover exactly the remaining rows (→ sfx term alone, with the
+    pfx term coalesced to the partition-last prefix when the span still
+    crosses a block edge).
+
+    Runs INSIDE the scale-safe halo partitions (``part`` =
+    [by..., __tpid], ordered by the dense ``__gidx``): copies are a
+    contiguous superset of every home frame, so positional lag/lead
+    offsets equal index offsets and a NULL shift result means a TRUE
+    partition edge, never a missing copy.  ``least``/``greatest`` skip
+    NULLs (all-NULL or empty frames yield NULL, matching the direct
+    plan).  Returns ``(aug_with_helpers, value, helper_cols)``; helper
+    columns are namespaced by ``ph`` and dropped by the caller with the
+    placeholders.
+    """
+    m = _RMQ_RE.match(call)
+    if m is None:
+        raise ValueError(f"not an rmq call: {call!r}")
+    fn = m.group(1).lower()
+    agg = F.min if fn == "min" else F.max
+    pick = F.least if fn == "min" else F.greatest
+    w = hi - lo + 1
+    if w < 1:
+        raise ValueError(f"rmq needs a non-empty frame, got ({lo}, {hi})")
+    g = F.col("__gidx")
+    bcol = F.floor(g / F.lit(w))
+    x = F.expr(m.group(2).strip())
+    pfx_w = (
+        Window.partitionBy(*part, f"__rqb_{ph}")
+        .orderBy("__gidx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sfx_w = (
+        Window.partitionBy(*part, f"__rqb_{ph}")
+        .orderBy(F.col("__gidx").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = Window.partitionBy(*part).orderBy("__gidx")
+    whole = Window.partitionBy(*part).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # last() needs the ORDERED whole-partition frame — an unordered
+    # window would return an arbitrary row's prefix
+    whole_ord = (
+        Window.partitionBy(*part)
+        .orderBy("__gidx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    aug = (
+        aug.withColumn(f"__rqb_{ph}", bcol)
+        .withColumn(f"__rqp_{ph}", agg(x).over(pfx_w))
+        .withColumn(f"__rqs_{ph}", agg(x).over(sfx_w))
+    )
+
+    def shift(col: Column, off: int) -> Column:
+        if off == 0:
+            return col
+        return (
+            F.lead(col, off).over(base)
+            if off > 0
+            else F.lag(col, -off).over(base)
+        )
+
+    sfx_l = shift(F.col(f"__rqs_{ph}"), lo)   # suffix at frame start
+    pfx_r = shift(F.col(f"__rqp_{ph}"), hi)   # prefix at frame end
+    pfx_last = F.last(f"__rqp_{ph}").over(whole_ord)
+    mxg = F.max("__gidx").over(whole)
+    lg, rg = g + F.lit(lo), g + F.lit(hi)
+    lc = F.greatest(lg, F.lit(0))
+    rc = F.least(rg, mxg)
+    bl, br = F.floor(lc / F.lit(w)), F.floor(rc / F.lit(w))
+    # end-clip detection must be POSITIONAL (rg beyond the partition),
+    # never a NULL-coalesce — a genuine all-NULL prefix value would be
+    # wrongly replaced by the partition-last prefix
+    pfx_rc = F.when(rg > mxg, pfx_last).otherwise(pfx_r)
+    value = F.when((rg < 0) | (lg > mxg), F.lit(None)).otherwise(
+        F.when(bl < br, pick(sfx_l, pfx_rc))
+        .when(lc == bl * F.lit(w), pfx_rc)
+        .otherwise(sfx_l)
+    )
+    helpers = [f"__rqb_{ph}", f"__rqp_{ph}", f"__rqs_{ph}"]
+    return aug, value, helpers
