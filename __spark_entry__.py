@@ -2345,17 +2345,23 @@ def _q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     est = theta_overlap(ev, "user_id", "event_type", "view", "purchase")
-    views = ev.where(F.col("event_type") == "view").select("user_id")
-    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
-    exact = (
-        views.agg(F.countDistinct("user_id").alias("e_a"))
-        .crossJoin(buys.agg(F.countDistinct("user_id").alias("e_b")))
-        .crossJoin(
-            views.union(buys).agg(F.countDistinct("user_id").alias("e_u"))
+    # exact side in ONE pass (r12): per-user membership flags then a scalar
+    # fold — same four values as the old 4-branch countDistinct/union/
+    # intersect build (a∧b over distinct users IS the intersect count),
+    # but 1 events scan + 1 user shuffle instead of 6 scans + 5 shuffles.
+    ua = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "view").cast("int")).alias("ha"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("hb"),
         )
-        .crossJoin(
-            views.intersect(buys).agg(F.count(F.lit(1)).alias("e_i"))
-        )
+    )
+    exact = ua.agg(
+        F.sum("ha").cast("long").alias("e_a"),
+        F.sum("hb").cast("long").alias("e_b"),
+        F.count(F.lit(1)).alias("e_u"),
+        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("e_i"),
     )
     ok = lambda est_c, ex: F.abs(F.col(est_c) - F.col(ex)) <= 0.05 * F.col(ex)  # noqa: E731
     return est.crossJoin(F.broadcast(exact)).select(
@@ -2511,24 +2517,22 @@ def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     bat = read_table(spark, sf_dir, "events")
-    exact = bat.groupBy(
-        F.window(F.col("ts"), "1 day").alias("w")
-    ).agg(F.countDistinct("user_id").alias("n_exact"))
-    batch_est = bat.groupBy(
-        F.window(F.col("ts"), "1 day").alias("w")
-    ).agg(F.approx_count_distinct("user_id", 0.01).alias("n_batch"))
-    e = exact.select(
-        F.col("w.start").cast("long").alias("bucket_epoch"), "n_exact"
-    )
-    b = batch_est.select(
-        F.col("w.start").cast("long").alias("bucket_epoch"), "n_batch"
+    # one grouped pass for BOTH batch-side measures (r12: was two separate
+    # groupBy scans + shuffles joined back together — same values, one
+    # Exchange and one events scan fewer; guide §2.4 "share one exchange")
+    eb = bat.groupBy(F.window(F.col("ts"), "1 day").alias("w")).agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("n_batch"),
+    ).select(
+        F.col("w.start").cast("long").alias("bucket_epoch"),
+        "n_exact",
+        "n_batch",
     )
     s = out.select(
         F.col("window_start").cast("long").alias("bucket_epoch"), "n_approx"
     )
     return (
-        e.join(s, "bucket_epoch")
-        .join(b, "bucket_epoch")
+        eb.join(s, "bucket_epoch")
         .select(
             "bucket_epoch",
             F.col("n_exact").cast("long").alias("n_exact"),

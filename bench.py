@@ -25,6 +25,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # Arrow for driver<->executor pandas interchange (guide §6): the ANN
+        # index builds (PQ codebooks, k-means init, candidate matrices) use
+        # createDataFrame/toPandas on model-sized frames inside the timed
+        # region; the row path is orders of magnitude slower than Arrow.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")

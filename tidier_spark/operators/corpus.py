@@ -608,6 +608,11 @@ def remove_repeated_spans(
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") >= min_docs)
         .select("__h")
+        # the bad-span set is SMALL (it is broadcast two lines down) but
+        # its lineage is a full corpus span-explode; materialize it so the
+        # anti-join's broadcast build doesn't re-run that pass (r12,
+        # guide §3.3) — one span pass fewer in the physical plan.
+        .localCheckpoint(eager=True)
     )
     kept = spans.join(F.broadcast(bad), "__h", "left_anti")
     agg = kept.groupBy(id_col).agg(

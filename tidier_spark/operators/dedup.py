@@ -1083,7 +1083,16 @@ def contamination_check(
     tr = _distinct_shingles(train, id_col, text_col, shingle_n).select(
         F.col(id_col).alias("__train_id"), "shingle"
     )
-    te = _distinct_shingles(test, id_col, text_col, shingle_n)
+    from pyspark import StorageLevel
+
+    # the test-side shingle set feeds BOTH the hit join and the size
+    # aggregate; lazy, each copy re-runs the shingle explode+distinct
+    # (measured 8 corpus scans in the plan).  Persist it like every other
+    # shingle frame in this module (r12, guide §3.3) — test corpora are
+    # the small side of a decontamination scan by construction.
+    te = _distinct_shingles(test, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hits = (
         te.join(tr, "shingle")
         .groupBy(id_col)

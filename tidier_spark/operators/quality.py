@@ -632,11 +632,20 @@ def bm25_topk(
         .groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    doclen = tf_all.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    # doclen fans out to the stats fold AND the scoring join, tf to the
+    # df-per-term fold AND the join — un-materialized each copy re-runs
+    # the full corpus tokenize (measured 8 corpus scans in the physical
+    # plan, vs the "built once" the docstring promises).  Materialize the
+    # two BOUNDED frames (doclen O(n_docs), tf O(n_docs·|query|)) so the
+    # tokenize truly runs once per frame (r12, guide §3.3); the
+    # token-level tf_all stays lazy.
+    doclen = tf_all.groupBy(id_col).agg(
+        F.sum("__tf").alias("__dl")
+    ).localCheckpoint(eager=True)
     stats = doclen.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
     )
-    tf = tf_all.where(F.col("__term").isin(terms))
+    tf = tf_all.where(F.col("__term").isin(terms)).localCheckpoint(eager=True)
     dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     j = (
         tf.join(F.broadcast(dfreq), "__term")

@@ -412,6 +412,17 @@ def funnel(
     )
     out = stage
     for i, step in enumerate(steps[1:], start=2):
+        if len(steps) > 2:
+            # `out` feeds BOTH the next step's join and the final output,
+            # and Spark does not de-duplicate the common subtree (no
+            # ReusedExchange fires: the copies canonicalize differently
+            # under the chained projections).  Left un-truncated the step-1
+            # scan appears 2^(k-1) times in the physical plan — measured 7
+            # events scans for the 3-step funnel.  Materialize the tiny
+            # per-key cumulative frame once per step instead (r12, guide
+            # §3.3 "materialising an intermediate truncates the plan");
+            # after: one filtered scan + one keyed exchange per step.
+            out = out.localCheckpoint(eager=True)
         nxt = (
             df.where(F.col(step_col) == step)
             .select(F.col(key_col), t.alias("__t"))

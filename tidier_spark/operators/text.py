@@ -421,7 +421,15 @@ def unigram_surprisal(
     workers, no driver state.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # The frequency table fans out three ways (totals, the token join, the
+    # rare gate) and Spark re-derives the full explode+groupBy lineage for
+    # each copy — measured 8 corpus scans in the physical plan.  The table
+    # is VOCAB-sized (bounded at any corpus scale), so materialize it once
+    # (r12, guide §3.3): corpus tokenize passes drop 4 → 2 and every
+    # downstream copy reads the materialized vocab table.
+    freqs = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq")
+    ).localCheckpoint(eager=True)
     totals = freqs.agg(F.sum("freq").alias("total"))
     bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("freq")))
     per_doc = (
@@ -515,9 +523,19 @@ def bigram_surprisal(
     w = Window.partitionBy(id_col).orderBy("pos")
     seq = tok.withColumn("prev", F.lag("tok").over(w))
     big = seq.where(F.col("prev").isNotNull())
-    bc = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bn"))
+    # The n-gram tables are vocab²-bounded while their lineage is a full
+    # corpus tokenize + lag-window pass; un-materialized they fan out into
+    # 14 corpus scans (bc feeds the doc join AND cc; freqs feeds totals AND
+    # the backoff join).  Materialize the BOUNDED tables once (r12, guide
+    # §3.3); the corpus-sized frames (tok/seq/big) stay lazy — after: two
+    # tokenize passes (bigram side + backoff side) plus one plain id scan.
+    bc = big.groupBy("prev", "tok").agg(
+        F.count(F.lit(1)).alias("bn")
+    ).localCheckpoint(eager=True)
     cc = bc.groupBy("prev").agg(F.sum("bn").alias("cn"))
-    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    freqs = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq")
+    ).localCheckpoint(eager=True)
     totals = freqs.agg(F.sum("freq").alias("total"))
 
     bits_cond = F.length(F.bin(F.col("cn"))) - F.length(F.bin(F.col("bn")))
@@ -747,7 +765,12 @@ def source_kl_drift(
     from pyspark.sql import Window
 
     tok = df.select(F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok"))
-    cnts = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    # cnts feeds the window frame AND the corpus-total fold; lazy, both
+    # copies re-tokenize the corpus.  vocab·sources-bounded → materialize
+    # once (r12, guide §3.3).
+    cnts = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c_st")
+    ).localCheckpoint(eager=True)
     bitlen = lambda x: F.length(F.bin(x))  # noqa: E731
     withg = (
         cnts.withColumn("c_t", F.sum("c_st").over(Window.partitionBy("tok")))
@@ -837,9 +860,13 @@ def vocab_jaccard(
     broadcast of the source-size table (|sources| rows).  Never a
     cross join of vocabularies.
     """
+    # v fans out to the size table and BOTH self-join sides; lazy, each
+    # copy re-runs the corpus tokenize + distinct (measured 8 corpus scans
+    # in the plan).  v is vocab·sources-bounded → materialize once (r12,
+    # guide §3.3): one tokenize pass feeds all three consumers.
     v = df.select(
         F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_v"))
     a = v.select(F.col("source").alias("source_a"), "tok")
     b = v.select(F.col("source").alias("source_b"), "tok")

@@ -61,14 +61,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Oracle comparisons treat naive parquet timestamps as UTC instants;
     # pin the session so calendar arithmetic (Tier-B INTERVAL frames,
     # window bucketing) agrees even if the host JVM defaults elsewhere.
+    # Pinned at EVERY scan (a ~1 ms conf RPC): the tz edge axis depends on
+    # read_table winning over a host-zone session even mid-process.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Set BEFORE the first scan: probing with try/except would abort a live
     # job and dump an ERROR TaskSetManager stack into every bench log.  The
     # conf only affects TIMESTAMP(NANOS) columns, which Spark otherwise
     # rejects outright (PARQUET_TYPE_ILLEGAL), so it is safe to pin always.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     return _normalize_timestamps(df)
+
+
+def _table_schema(spark: SparkSession, path: str):
+    """Parquet footer schema for ``path``, memoized per live session.
+
+    Schema inference (``spark.read.parquet(p).schema``) launches a small
+    footer-reading job — measured 70-110 ms of driver+task time PER CALL at
+    bench scale, paid inside the timed region of every query that touches
+    the table.  The schema of a given file cannot change mid-session, so
+    infer once per (session, path) and hand Catalyst a pinned schema
+    thereafter (11 ms).  This is metadata only — no rows, no results are
+    held; a fresh session (every bench/oracle invocation) re-infers from
+    the parquet footers.  At 100 TB the same role is played by the table
+    catalog, which is exactly a persisted schema.
+
+    The memo lives ON the Python session object so it dies with the
+    session and cannot alias across concurrently live sessions.
+    """
+    memo = getattr(spark, "_tidier_schema_memo", None)
+    if memo is None:
+        memo = {}
+        spark._tidier_schema_memo = memo
+    schema = memo.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        memo[path] = schema
+    return schema
 
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
@@ -114,7 +143,7 @@ def read_stream_table(
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = _table_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is None:
         # replay knob: SPARK_GRAFT_STREAM_MAX_FILES bounds micro-batch
