@@ -172,8 +172,16 @@ def salient_terms(
         raise ValueError(f"salient_terms: k must be >= 0, got {k}")
     from .text import tokens
 
+    from pyspark import StorageLevel
+
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency fold AND the scoring join; lazy,
+    # both copies re-run the corpus tokenize.  Persist the aggregated
+    # (doc, term) frame — far smaller than the raw token stream, reused
+    # twice, spills gracefully (r12, guide §5 caching rule).
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
