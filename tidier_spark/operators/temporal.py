@@ -422,7 +422,10 @@ def funnel(
             # per-key cumulative frame once per step instead (r12, guide
             # §3.3 "materialising an intermediate truncates the plan");
             # after: one filtered scan + one keyed exchange per step.
-            out = out.localCheckpoint(eager=True)
+            # Lazy persist, not localCheckpoint: the eager variant's
+            # synchronous barrier measured slower than the shared cache
+            # (funnel 0.69 -> 0.54 s min-of-6 at sf0.1).
+            out = out.persist()
         nxt = (
             df.where(F.col(step_col) == step)
             .select(F.col(key_col), t.alias("__t"))
@@ -1040,6 +1043,13 @@ def funnel_windowed(
     )
     out = stage
     for i, step in enumerate(steps[1:], start=2):
+        if len(steps) > 2:
+            # Same 2^(k-1) subtree blowup as `funnel`: `out` feeds both the
+            # next step's join and the final output and the copies do not
+            # canonicalize to a ReusedExchange.  Share the small per-key
+            # cumulative frame via a lazy persist (guide §3.3; measured
+            # 0.69 lazy / 0.85 eager-checkpoint / 0.42 s persist at sf0.1).
+            out = out.persist()
         nxt = (
             df.where(F.col(step_col) == step)
             .select(F.col(key_col), t.alias("__t"))
