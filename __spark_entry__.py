@@ -2517,11 +2517,23 @@ def _q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_partitions=8,
     )
     bat = read_table(spark, sf_dir, "events")
-    # one grouped pass for BOTH batch-side measures (r12: was two separate
-    # groupBy scans + shuffles joined back together — same values, one
-    # Exchange and one events scan fewer; guide §2.4 "share one exchange")
-    eb = bat.groupBy(F.window(F.col("ts"), "1 day").alias("w")).agg(
-        F.countDistinct("user_id").alias("n_exact"),
+    # one scan for BOTH batch-side measures with NO distinct-Expand
+    # (r12): the first one-pass attempt put countDistinct and
+    # approx_count_distinct in the same groupBy, which Spark plans via
+    # an Expand over the input — measured 5.1 s vs 2.9 s for the old
+    # two-scan shape.  Dedup the (window, user) pairs first instead:
+    # n_exact is then a plain count and the HLL sketch over the deduped
+    # set has identical registers (HLL state is a function of the
+    # distinct value set only), so both joins' values are unchanged
+    # while the scan runs once and both aggregates keep map-side
+    # partials (measured 2.88 s min-of-3 at sf0.1 — equal to the
+    # two-scan shape here where replay dominates, one scan fewer at
+    # scale; guide §2.4).
+    dd = bat.select(
+        F.window(F.col("ts"), "1 day").alias("w"), "user_id"
+    ).distinct()
+    eb = dd.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_exact"),
         F.approx_count_distinct("user_id", 0.01).alias("n_batch"),
     ).select(
         F.col("w.start").cast("long").alias("bucket_epoch"),

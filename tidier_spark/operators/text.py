@@ -426,10 +426,14 @@ def unigram_surprisal(
     # each copy — measured 8 corpus scans in the physical plan.  The table
     # is VOCAB-sized (bounded at any corpus scale), so materialize it once
     # (r12, guide §3.3): corpus tokenize passes drop 4 → 2 and every
-    # downstream copy reads the materialized vocab table.
+    # downstream copy reads the materialized vocab table.  Lazy persist,
+    # not eager localCheckpoint: the eager barrier measured SLOWER than
+    # the redundant page-cached scans it saved (lm_bigram 1.05 lazy /
+    # 1.75 eager / 0.98 s persist min-of-3 at sf0.1) — same finding as
+    # the funnel step frames in temporal.py.
     freqs = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("freq")
-    ).localCheckpoint(eager=True)
+    ).persist()
     totals = freqs.agg(F.sum("freq").alias("total"))
     bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("freq")))
     per_doc = (
@@ -531,11 +535,11 @@ def bigram_surprisal(
     # tokenize passes (bigram side + backoff side) plus one plain id scan.
     bc = big.groupBy("prev", "tok").agg(
         F.count(F.lit(1)).alias("bn")
-    ).localCheckpoint(eager=True)
+    ).persist()
     cc = bc.groupBy("prev").agg(F.sum("bn").alias("cn"))
     freqs = tok.groupBy("tok").agg(
         F.count(F.lit(1)).alias("freq")
-    ).localCheckpoint(eager=True)
+    ).persist()
     totals = freqs.agg(F.sum("freq").alias("total"))
 
     bits_cond = F.length(F.bin(F.col("cn"))) - F.length(F.bin(F.col("bn")))
@@ -770,7 +774,7 @@ def source_kl_drift(
     # once (r12, guide §3.3).
     cnts = tok.groupBy("source", "tok").agg(
         F.count(F.lit(1)).alias("c_st")
-    ).localCheckpoint(eager=True)
+    ).persist()
     bitlen = lambda x: F.length(F.bin(x))  # noqa: E731
     withg = (
         cnts.withColumn("c_t", F.sum("c_st").over(Window.partitionBy("tok")))
@@ -866,7 +870,7 @@ def vocab_jaccard(
     # guide §3.3): one tokenize pass feeds all three consumers.
     v = df.select(
         F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("tok")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().persist()
     sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n_v"))
     a = v.select(F.col("source").alias("source_a"), "tok")
     b = v.select(F.col("source").alias("source_b"), "tok")
