@@ -924,6 +924,10 @@ def robust_outliers(
         if keys
         else base.agg(pct(F.col("vc")).alias("med"))
     )
+    # med's broadcast feeds both the MAD branch and the final join; the
+    # |groups|-row frame is bounded, so persist it rather than rely on
+    # broadcast-exchange reuse across the two branches (r12, guide §3.3).
+    med = med.persist()
     def stat_join(left: DataFrame, stats: DataFrame) -> DataFrame:
         # null-safe equality on the group keys: a NULL key forms its own
         # group under groupBy, and the broadcast join-back must keep it

@@ -124,6 +124,11 @@ def skew_join(
         .orderBy(F.col("__freq").desc(), *[F.col(k) for k in keys])
         .limit(n_hot)
         .select(*keys)
+        # the n_hot-row frame feeds THREE broadcast builds (left semi,
+        # left anti, right semi); un-materialized each build re-runs the
+        # full left scan + aggregation.  Persist the bounded frame so the
+        # heavy-hitter pass runs once (r12, guide §3.3).
+        .persist()
     )
 
     left_hot = left.join(F.broadcast(hot), keys, "left_semi")
