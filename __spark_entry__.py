@@ -2357,11 +2357,17 @@ def _q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("event_type") == "purchase").cast("int")).alias("hb"),
         )
     )
+    # coalesce(., 0): sum over ZERO rows is NULL where the old
+    # countDistinct build returned 0 — caught by the empty edge axis
+    # after the r12 one-pass rewrite; coalesce restores the exact
+    # empty-input semantics and is a no-op on any non-empty input.
     exact = ua.agg(
-        F.sum("ha").cast("long").alias("e_a"),
-        F.sum("hb").cast("long").alias("e_b"),
+        F.coalesce(F.sum("ha"), F.lit(0)).cast("long").alias("e_a"),
+        F.coalesce(F.sum("hb"), F.lit(0)).cast("long").alias("e_b"),
         F.count(F.lit(1)).alias("e_u"),
-        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("e_i"),
+        F.coalesce(F.sum(F.col("ha") * F.col("hb")), F.lit(0))
+        .cast("long")
+        .alias("e_i"),
     )
     ok = lambda est_c, ex: F.abs(F.col(est_c) - F.col(ex)) <= 0.05 * F.col(ex)  # noqa: E731
     return est.crossJoin(F.broadcast(exact)).select(
