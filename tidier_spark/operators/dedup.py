@@ -401,6 +401,10 @@ def dedup_against(
         new_bands.join(ref_bands, on=["band", "sig"])
         .select(F.col("doc_id_n"), F.col("ref_id"))
         .distinct()
+        # candidate-bounded frame, consumed by both the intersection
+        # join and the scoring left-join: persist so the band equi-join
+        # + distinct runs once, not once per consumer (r12, guide §3.3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     sn = sh_new.select(F.col(id_col).alias("doc_id_n"), F.col("shingle").alias("s"))
