@@ -30,6 +30,18 @@ def main() -> None:
         # createDataFrame/toPandas on model-sized frames inside the timed
         # region; the row path is orders of magnitude slower than Arrow.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let AQE re-optimize INSIDE cached plans (guide §2.2 scale-adaptive
+        # partitioning): with the default false, every persist()ed frame
+        # materializes its whole internal pipeline without AQE coalescing —
+        # fixed 32-partition stages board-wide under the cache.  true lets
+        # AQE size those stages by bytes at any scale.  Static plans are
+        # unchanged on all 196 entries (r12 continuation evidence: zero
+        # exchange/join-strategy diffs); runtime tasks drop ~33% on the
+        # dedup/graph family; interleaved ABBA A/B over the 20 persist-heavy
+        # entries measured -6.8 s with no adverse delta beyond noise.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")

@@ -36,6 +36,12 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # bench.py parity (r12): AQE inside cached plans — static plans are
+        # invariant to this flag (verified over all 196 entries), but the
+        # capture config should mirror the benched config
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
