@@ -230,7 +230,10 @@ def _q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "document fingerprinting (rolling hash)".
     from tidier_spark.operators import text as T
 
-    docs = read_table(spark, sf_dir, "documents")
+    # map-only over a single-file scan: fan out so the regex/rolling-hash
+    # expression tree uses every core (r12 — 1.37 -> 0.50 s at sf0.1;
+    # guarded no-op at real scale)
+    docs = T._fan_out(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("ws_tokens"),

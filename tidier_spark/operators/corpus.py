@@ -61,12 +61,11 @@ def clean_corpus(
     from pyspark.sql import Window
 
     # Token analysis is CPU-bound; a small/single-file source scans as one
-    # partition and would serialize it.  Round-robin repartition to the
-    # session's parallelism first — at real scale the scan already has
-    # enough partitions and this becomes a cheap even-out; locally it is
-    # the difference between 1 and 32 cores doing the regex work.
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    a = analyze_documents(df.repartition(n_part), text_col)
+    # partition and would serialize it.  analyze_documents fans out
+    # internally (guarded _fan_out, r12) — the former unconditional
+    # caller-side repartition would have been a full extra shuffle at
+    # real scale, where the scan already has enough partitions.
+    a = analyze_documents(df, text_col)
 
     # The gate is folded into the window ORDER instead of a pre-shuffle
     # filter: a filter on computed metrics would be pushed below the

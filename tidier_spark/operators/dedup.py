@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import (
+    _fan_out,
     fingerprint,
     fingerprint_sql,
     hash60,
@@ -60,23 +61,7 @@ __all__ = [
     "excise_duplicate_regions_sql",
 ]
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition a narrow file scan so per-row heavy ops use every core.
-
-    Single-file parquet sources arrive as one input split; probe the scan's
-    file list (metadata only — no RDD lineage instantiation, which
-    ``df.rdd.getNumPartitions()`` would force) and fan out when the source
-    can't feed ``defaultParallelism`` tasks.  Non-file plans (joined /
-    aggregated inputs) are left alone: they already carry a shuffle.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return df
-    if files and len(files) < par:
-        df = df.repartition(par)
-    return df
+# _fan_out moved to text.py (r12) — re-exported above for existing callers.
 
 
 # --- exact dedup -----------------------------------------------------------
