@@ -1517,12 +1517,15 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the entry deterministically INJECTS pii into a slice of documents
     # first (same injection in the oracle), then scrubs: the redaction,
     # the per-type counts, and the final text all hash-compare.  Pure
-    # codegen projection — zero shuffles.
+    # codegen projection — the one exchange is the guarded fan-out of the
+    # single-split scan (r12: the regex chain serialized on one core;
+    # 1.13 -> 0.90 s at sf0.1, no-op at real scale).
     from pyspark.sql import functions as F
 
     from tidier_spark.operators.pii import scrub_pii
+    from tidier_spark.operators.text import _fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _fan_out(read_table(spark, sf_dir, "documents"))
     injected = docs.withColumn(
         "text",
         F.when(
@@ -2774,10 +2777,13 @@ def _q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fastText-style linear quality-classifier inference with a
     # hash-derived weight table — exact BIGINT milli-score, map-only
     # (scores at scan throughput; swapping in trained weights keeps the
-    # plan shape).
+    # plan shape).  The operator stays map-only (plan-pinned); the entry
+    # fans out the single-split scan so inference uses every core (r12:
+    # 0.58 -> 0.33 s at sf0.1, no-op at real scale).
     from tidier_spark.operators.quality import classifier_score
+    from tidier_spark.operators.text import _fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _fan_out(read_table(spark, sf_dir, "documents"))
     return classifier_score(docs)
 
 
@@ -2813,10 +2819,13 @@ def _q_srp_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Signed-random-projection document embedding: exact-integer ±1 hash
     # signs summed over token occurrences, one codegen projection + a
     # map-only posexplode — the model-free text→vector stage that feeds
-    # the ANN layer when no model embedding exists.
+    # the ANN layer when no model embedding exists.  The operator stays
+    # map-only (plan-pinned); the entry fans out the single-split scan
+    # (r12: 0.94 -> 0.41 s at sf0.1, no-op at real scale).
     from tidier_spark.operators.quality import srp_embedding
+    from tidier_spark.operators.text import _fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _fan_out(read_table(spark, sf_dir, "documents"))
     return srp_embedding(docs, dim=8)
 
 
@@ -3471,11 +3480,13 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sliding token-window chunking (training-sequence prep): closed-form
-    # chunk schedule per row → one tokenize + one explode, no UDF, no
-    # shuffle; fan-out bounded by n_tokens/stride per doc.
+    # chunk schedule per row → one tokenize + one explode, no UDF; the
+    # operator stays shuffle-free (plan-pinned) and the entry fans out the
+    # single-split scan (r12: 0.38 -> 0.31 s at sf0.1, no-op at scale).
     from tidier_spark.operators.corpus import chunk_documents
+    from tidier_spark.operators.text import _fan_out
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _fan_out(read_table(spark, sf_dir, "documents"))
     return chunk_documents(docs, chunk_tokens=32, stride=24)
 
 

@@ -90,13 +90,15 @@ def bpe_train(
     persisted once and localCheckpoint'd per round so the plan stays O(1)
     across iterations.
     """
-    from .text import tokens
+    from .text import _fan_out, tokens
 
     spark = df.sparkSession
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    # the tokenize+explode map side of the vocab pass serializes on an
+    # under-partitioned scan (r12; guarded no-op at real scale)
     words = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        _fan_out(df).select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -157,12 +159,14 @@ def bpe_train_local(
     routing message to :func:`bpe_train`, whose per-round Spark
     aggregation never collects more than the 1-row argmax.
     """
-    from .text import tokens
+    from .text import _fan_out, tokens
 
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    # fan out the tokenize+explode map side of the one distributed pass
+    # (r12; guarded no-op at real scale)
     rows = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        _fan_out(df).select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .limit(max_vocab_rows + 1)
@@ -459,10 +463,10 @@ def corpus_chars(df: DataFrame, text_col: str = "text") -> list[str]:
     size).  Distinct WORDS first (one shuffle, vocabulary-sized result),
     then chars of the vocabulary — the char explode runs over |V| rows,
     never over every token occurrence."""
-    from .text import tokens
+    from .text import _fan_out, tokens
 
     rows = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
+        _fan_out(df).select(F.explode(tokens(text_col)).alias("w"))
         .distinct()
         .select(F.explode(F.split(F.col("w"), "")).alias("c"))
         .where(F.col("c") != "")
