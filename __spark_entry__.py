@@ -4384,46 +4384,33 @@ def _q_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness run covers the FIRST 50 queries() keys.
-# Round-12 rotation (verdict r11 task #1): positions 1-42 are the 42
-# entries whose LAST hash-green driver row is r08 (the cohort the
-# r11 head left behind — includes the three scale-twin window
-# entries and the r08-vintage streaming folds), positions 43-50 the
-# 8 alphabetically-first entries last re-confirmed r09
-# (analytic_fns..budget_mix).  After the r12 driver run the stalest
-# row on the board is r09 (3 rounds old).  The rotation pin test
-# (tests/test_extensions.py) DERIVES the cohorts from the recorded
-# CORRECTNESS_r01..r11 files and asserts the head matches, so this
-# list cannot silently drift from the ledger (SURVEY.md section
-# 7.5a).  Every entry regardless of position is hash-verified each
-# round by scripts/check_entry.py.
-_DRIVER_WINDOW_HEAD = [
-    # 1-42: last driver row r08
-    "det_sample", "dup_clusters_star", "fk_orphans", "funnel",
-    "hash_split", "hashed_features", "histogram", "hybrid_rrf",
-    "interval_join", "interval_merge", "ivf_topk_full", "join_full",
-    "join_right", "kl_drift", "merge_upsert", "mode_per_key",
-    "o4_frame_scale", "o5_range_scale", "o7_calendar_complete",
-    "pagerank_dups", "pii_scrub", "pivot_longer", "profile_events",
-    "quantiles_global_coarse", "regr_by_key", "repetition_signals",
-    "rolling_corr", "rolling_hll", "salient_terms", "scale_features",
-    "schema_evolution", "separate_unite", "session_agg", "shuffle_rows",
-    "snapshot_diff", "stream_distinct", "stream_hll", "token_entropy",
-    "triangle_count", "vocab_jaccard", "weighted_sample",
-    "window_distinct",
-    # 43-50: alphabetically-first r6-vintage, last driver row r09
-    "analytic_fns", "asof_join", "asof_nearest", "bm25_topk",
-    "bpe_encode", "bpe_subwords", "bpe_train", "budget_mix",
+# Round-13 rotation (verdict r12 task #3): the rotation policy is now
+# "touched-since-last-driver-row OUTRANKS stale" — positions 1-42 are
+# the 42 entries whose LAST hash-green driver row is r09 (the stalest
+# cohort on the board), positions 43-50 the 8 entries whose
+# semantics-adjacent code was REWRITTEN in the r12 optimization round
+# without landing in the r12 driver window (_R12_REWRITTEN below):
+# their correctness currently rests on builder-run strict checks only,
+# so they jump the staleness queue for an independent driver hash.
+# The rotation pin test (tests/test_extensions.py) DERIVES the stale
+# cohort from the recorded CORRECTNESS_r01..r12 files and asserts the
+# head matches, so this list cannot silently drift from the ledger
+# (SURVEY.md section 7.5a).  Every entry regardless of position is
+# hash-verified each round by scripts/check_entry.py.
+
+# r12-rewritten entries not driver-verified since their rewrite
+# (VERDICT r12, correctness-gate caveat): sketch_theta's one-pass
+# exact side, lm_bigram/lm_surprisal's shared vocab persists,
+# contamination/repeated_spans' materialized probe sets, skew_join's
+# hot-key persist, robust_outliers' median persist, dedup_against's
+# candidate-pair persist.
+_R12_REWRITTEN = [
+    "sketch_theta", "lm_bigram", "lm_surprisal", "contamination",
+    "repeated_spans", "skew_join", "robust_outliers", "dedup_against",
 ]
 
-# Positions 51-100: the planned ROUND-13 window (verdict r11 task #1
-# — written down now so the staleness ledger survives context loss):
-# the 42 remaining entries whose LAST driver row is r09, then the 8
-# alphabetically-first entries last re-confirmed r10.  After r13 the
-# stalest driver row on the board is r10 (3 rounds old).  If the
-# driver window ever widens past 50 this round, these are reached
-# first.
-_DRIVER_WINDOW_NEXT = [
-    # last driver row r09 (42 remaining after the r12 head took 8)
+_DRIVER_WINDOW_HEAD = [
+    # 1-42: last driver row r09 (stalest cohort after the r12 run)
     "calibration_bins", "classifier_score", "compound_expr",
     "corpus_clean", "cosine_topk", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_exact", "dedup_minhash",
@@ -4437,10 +4424,32 @@ _DRIVER_WINDOW_NEXT = [
     "rollup_agg", "simhash_pairs", "star_join", "summarise_pricing",
     "temperature_mix", "text_analysis", "topk_per_group",
     "windowed_rollup",
-    # alphabetically-first r7-vintage, last driver row r10
+    # 43-50: the r12-rewritten entries (touched outranks stale)
+    *_R12_REWRITTEN,
+]
+
+# Positions 51-100: the planned ROUND-14 window — the 47 remaining
+# entries whose LAST driver row is r10 (the 50-entry r10 cohort minus
+# the three of it taken into the r13 head via _R12_REWRITTEN), then
+# the 3 alphabetically-first entries last re-confirmed r11.  If the
+# driver window ever widens past 50 this round, these are reached
+# first.
+_DRIVER_WINDOW_NEXT = [
+    # last driver row r10 (47 remaining after _R12_REWRITTEN took 3)
     "dup_regions", "ewma_smooth", "frame_apply_median",
     "frame_apply_wmean", "gapfill_rollup", "grouped_apply_demean",
-    "grouping_sets", "hard_negatives",
+    "grouping_sets", "hard_negatives", "ivf_topk", "ivfpq_topk",
+    "kmeans_clusters", "knn_join", "lsh_topk", "perceptron",
+    "pipeline_e2e", "pq_topk_full", "quantile_prune", "salted_agg",
+    "scd2_history", "semantic_dedup", "sessionize", "sketch_cms",
+    "sketch_distinct", "sketch_kll", "sketch_quantiles", "sketch_topk",
+    "slice_prop", "srp_embedding", "stream_attribution",
+    "stream_enrich", "stream_funnel", "stream_rollup",
+    "stream_sessions", "stream_upsert", "text_tokens_bpe", "tpch_q1",
+    "tpch_q10", "tpch_q11", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "udtf_sentences",
+    # alphabetically-first entries last re-confirmed r11
+    "across_agg", "asof_forward", "asof_tolerance",
 ]
 
 

@@ -17,39 +17,33 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
     from pyspark.sql import SparkSession
 
-    spark = (
+    # Perf-relevant session config comes from the LIBRARY surface
+    # (tidier_spark.session.recommended_conf — VERDICT r12 task #1: the
+    # benched engine and the shipped engine must be the same engine).
+    # Only harness mechanics stay inline: master/app-name, UI off,
+    # driver sizing, and the local shuffle width derived from the same
+    # env contract as cores.
+    from tidier_spark.session import recommended_conf, shuffle_partitions
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("tidier-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        # Arrow for driver<->executor pandas interchange (guide §6): the ANN
-        # index builds (PQ codebooks, k-means init, candidate matrices) use
-        # createDataFrame/toPandas on model-sized frames inside the timed
-        # region; the row path is orders of magnitude slower than Arrow.
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Let AQE re-optimize INSIDE cached plans (guide §2.2 scale-adaptive
-        # partitioning): with the default false, every persist()ed frame
-        # materializes its whole internal pipeline without AQE coalescing —
-        # fixed 32-partition stages board-wide under the cache.  true lets
-        # AQE size those stages by bytes at any scale.  Static plans are
-        # unchanged on all 196 entries (r12 continuation evidence: zero
-        # exchange/join-strategy diffs); runtime tasks drop ~33% on the
-        # dedup/graph family; interleaved ABBA A/B over the 20 persist-heavy
-        # entries measured -6.8 s with no adverse delta beyond noise.
         .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+            "spark.sql.shuffle.partitions", str(shuffle_partitions(int(cpus)))
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    for k, v in recommended_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
     # warm up the JVM/codegen AND the Python worker pool so the first timed
@@ -96,14 +90,22 @@ def main() -> None:
                     print(f"  {name} run{i}: {dt:.2f}s", file=sys.stderr)
                 run_matrix.setdefault(name, []).append(round(dt, 3))
                 best = dt if best != best else min(best, dt)
+                # clear BETWEEN REPS, not just between entries (measurement
+                # fix, VERDICT r12 task #2): Spark's CacheManager matches
+                # cached plan subtrees by canonical form, so rep i+1 of the
+                # SAME entry would read rep i's materialized
+                # InMemoryRelation and min-of-N would report warm-cache
+                # time for every entry with an internal persist().  Each
+                # rep now pays its own cache builds — min-of-N measures
+                # the query.
+                spark.catalog.clearCache()
         except Exception as exc:  # keep benching even if one query breaks
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = float("nan")
             continue
         finally:
-            # queries persist intermediates (signature/shingle frames) and
-            # never unpersist — drop them between queries so later entries
-            # aren't measured under earlier entries' cache pressure
+            # error path: drop any partially-built cache so later entries
+            # aren't measured under it (the success path cleared already)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 

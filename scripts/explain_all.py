@@ -30,23 +30,24 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    # bench.py parity: the perf config comes from the same library helper
+    # (tidier_spark.session.recommended_conf), so the captured plan is the
+    # benched plan by construction.
+    from tidier_spark.session import recommended_conf, shuffle_partitions
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("explain-all")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        # bench.py parity (r12): AQE inside cached plans — static plans are
-        # invariant to this flag (verified over all 196 entries), but the
-        # capture config should mirror the benched config
         .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+            "spark.sql.shuffle.partitions", str(shuffle_partitions(int(cpus)))
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", "16g")
-        .getOrCreate()
     )
+    for k, v in recommended_conf().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

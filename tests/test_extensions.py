@@ -2916,16 +2916,20 @@ def test_stream_rollup_multi_batch_incremental_agg(spark, tmp_path):
 
 def test_driver_window_head_is_never_checked_rotation():
     """The driver's correctness run covers the FIRST 50 queries() keys,
-    snapshotted from the END-of-round repo state.  Round-12 contract
-    (verdict r11 task #1): positions 1-42 are the 42 entries whose
-    LAST hash-green driver row is r08, positions 43-50 an 8-entry
-    subset of the cohort last re-confirmed r09.  Positions 51-100
-    hold the planned round-13 window: the remaining 42 last-green-r09
-    entries, then last-green-r10 entries.  All cohorts are DERIVED
-    from the recorded CORRECTNESS_r01..r11 files (r12+ deliberately
-    NOT read — the contract pins the rotation as planned, not as
-    later recorded), so the hand-written lists in __spark_entry__
-    cannot silently drift from the ledger."""
+    snapshotted from the END-of-round repo state.  Round-13 contract
+    (verdict r12 task #3): the rotation policy is now
+    touched-since-last-driver-row OUTRANKS stale — positions 1-42 are
+    the 42 entries whose LAST hash-green driver row is r09 (the
+    stalest cohort), positions 43-50 the 8 entries whose
+    semantics-adjacent code was rewritten in r12 WITHOUT landing in
+    the r12 driver window (``_R12_REWRITTEN``: their last driver row
+    predates the rewrite, so they jump the staleness queue).
+    Positions 51-100 hold the planned round-14 window: the remaining
+    last-green-r10 entries, then last-green-r11 entries.  All stale
+    cohorts are DERIVED from the recorded CORRECTNESS_r01..r12 files
+    (r13+ deliberately NOT read — the contract pins the rotation as
+    planned, not as later recorded), so the hand-written lists in
+    __spark_entry__ cannot silently drift from the ledger."""
     import json
     import os
 
@@ -2935,7 +2939,8 @@ def test_driver_window_head_is_never_checked_rotation():
     assert len(keys) == len(set(keys)) == len(entrymod._queries_registry())
     last_green: dict[str, str] = {}
     for r in (
-        "01", "02", "03", "04", "05", "06", "07", "08", "09", "10", "11",
+        "01", "02", "03", "04", "05", "06", "07", "08", "09", "10",
+        "11", "12",
     ):
         p = os.path.join(os.path.dirname(entrymod.__file__), f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
@@ -2944,29 +2949,36 @@ def test_driver_window_head_is_never_checked_rotation():
                     # ledger semantics (SURVEY 7.5a): last HASH-GREEN row
                     if v.get("hash_match"):
                         last_green[k] = r
+    touched = entrymod._R12_REWRITTEN
     if last_green:
-        stale_r08 = {k for k, r in last_green.items() if r == "08"}
-        assert len(stale_r08) == 42, len(stale_r08)
-        assert set(keys[:42]) == stale_r08, sorted(
-            stale_r08.symmetric_difference(keys[:42])
-        )
         stale_r09 = {k for k, r in last_green.items() if r == "09"}
-        tail = set(keys[42:50])
-        assert len(tail) == 8 and tail <= stale_r09, sorted(
-            tail - stale_r09
+        assert len(stale_r09) == 42, len(stale_r09)
+        assert set(keys[:42]) == stale_r09, sorted(
+            stale_r09.symmetric_difference(keys[:42])
         )
-        # round-13 queue: the 42 last-green-r09 leftovers lead it...
+        # the touched cohort jumps the queue: all 8 have a PRE-rewrite
+        # last driver row (r10/r11 — i.e. none was re-verified in r12,
+        # the round that rewrote them), and none is already in the
+        # stale head
+        assert keys[42:50] == touched
+        assert not (set(touched) & stale_r09)
+        assert all(last_green.get(k) in ("10", "11") for k in touched), [
+            (k, last_green.get(k)) for k in touched
+        ]
+        # round-14 queue: the last-green-r10 leftovers lead it...
         nxt = entrymod._DRIVER_WINDOW_NEXT
         assert keys[50:50 + len(nxt)] == nxt
-        r09_left = stale_r09 - tail
-        assert set(nxt[: len(r09_left)]) == r09_left, sorted(
-            r09_left.symmetric_difference(nxt[: len(r09_left)])
+        r10_left = {
+            k for k, r in last_green.items() if r == "10"
+        } - set(touched)
+        assert set(nxt[: len(r10_left)]) == r10_left, sorted(
+            r10_left.symmetric_difference(nxt[: len(r10_left)])
         )
-        # ...followed only by entries last confirmed r10
-        rest = nxt[len(r09_left):]
-        assert all(last_green.get(k) == "10" for k in rest), [
+        # ...followed only by entries last confirmed r11
+        rest = nxt[len(r10_left):]
+        assert all(last_green.get(k) == "11" for k in rest), [
             (k, last_green.get(k)) for k in rest
-            if last_green.get(k) != "10"
+            if last_green.get(k) != "11"
         ]
     # every oracle key exists for every query key (1:1 board)
     oracles = entrymod.oracle_sql()
@@ -3761,3 +3773,40 @@ def test_stream_windowed_approx_distinct_multi_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and sum(got.values()) >= 6
+
+
+def test_session_helper_pins_benched_config():
+    """VERDICT r12 task #1: the perf configs the bench runs under must be
+    LIBRARY surface (`tidier_spark.session`), not bench.py inlines — a
+    consumer building their own session gets the benched engine.  Pins
+    (a) the exact recommended keys, (b) that bench.py and explain_all.py
+    consume the helper instead of inlining perf configs, (c) the local
+    shuffle-width rule."""
+    import os
+
+    from tidier_spark.session import recommended_conf, shuffle_partitions
+
+    assert recommended_conf() == {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    }
+    # a fresh dict each call — callers may mutate their copy freely
+    c = recommended_conf()
+    c["spark.sql.adaptive.enabled"] = "false"
+    assert recommended_conf()["spark.sql.adaptive.enabled"] == "true"
+    assert shuffle_partitions(32) == 32
+    assert shuffle_partitions(4) == 8  # floor for tiny boxes
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in ("bench.py", os.path.join("scripts", "explain_all.py")):
+        with open(os.path.join(root, rel)) as fh:
+            src = fh.read()
+        assert "recommended_conf" in src, rel
+        # no inline perf configs: the helper owns them
+        for key in (
+            "arrow.pyspark.enabled",
+            "canChangeCachedPlanOutputPartitioning",
+            "spark.sql.adaptive.enabled",
+        ):
+            assert key not in src, (rel, key)
