@@ -2938,7 +2938,19 @@ def _q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("score_ppm"),
         F.col("label"),
     )
-    return auc_exact(scored, "score_ppm", "label")
+    # static split points (r13, guide §2.4 — one less full pass): the
+    # affine ppm score is bounded by construction (components in
+    # [-1, 1] ⇒ score in [-250000, 1250000]), so uniform literal cuts
+    # of that span replace auc_exact's percentile scan over the raw
+    # eval set.  Any monotone literals are CORRECT (bucket ids only
+    # drive the parallel decomposition; the integer prefix is exact),
+    # bit-identical result pinned in tests.
+    n_cut = spark.sparkContext.defaultParallelism
+    lo_s, hi_s = -250_000, 1_250_000
+    splits = [
+        lo_s + (hi_s - lo_s) * i // n_cut for i in range(1, n_cut)
+    ]
+    return auc_exact(scored, "score_ppm", "label", split_points=splits)
 
 
 def _q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4289,6 +4301,26 @@ def _q_wide_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "sum_200r")
 
 
+def _q_wide_frame_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wide-frame floor, mean leg (r13, verdict r12 task #5): a 200-row
+    # trailing AVG under scale_safe composes the subtractive prefix
+    # pair — exact BIGINT running sum minus-ed at the frame edges over
+    # an exact running count — O(n) instead of Spark's O(n·w) per-row
+    # frame re-aggregation.  The operand is the penny-int projection
+    # (sums bounded far below 2^53), so sum/count division is
+    # bit-identical on both engines and to the direct frame plan
+    # (pinned in tests/test_plans.py).
+    ev = read_table(spark, sf_dir, "events")
+    return mutate(
+        ev,
+        mean_200r="avg(CAST(round(value * 100) AS BIGINT))",
+        by="user_id",
+        order_by=["ts", "event_id"],
+        frame=(199, 0),
+        scale_safe=True,
+    ).select("event_id", "mean_200r")
+
+
 def _q_wide_frame_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Wide-frame floor, min/max leg (r12): a 200-row trailing MIN under
     # scale_safe engages the fixed-width block RMQ (per-chunk prefix/
@@ -4656,6 +4688,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o6_rows_scale": _q_o6_rows_scale,
         "wide_frame_sum": _q_wide_frame_sum,
         "wide_frame_min": _q_wide_frame_min,
+        "wide_frame_mean": _q_wide_frame_mean,
         "token_entropy": _q_token_entropy,
         "kl_drift": _q_kl_drift,
         "vocab_jaccard": _q_vocab_jaccard,
@@ -5524,6 +5557,17 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS sum_200r
+            FROM events""",
+        # wide_frame_mean: the oracle evaluates the frame DIRECTLY — the
+        # subtractive sum/count plan must hash-match it exactly (BIGINT
+        # operand; 200-row penny sums stay far below 2^53, so the final
+        # double division is identical in both engines).
+        "wide_frame_mean": """
+            SELECT event_id,
+                   avg(CAST(round(value * 100) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+                     AS mean_200r
             FROM events""",
         "token_entropy": _token_entropy_oracle(),
         "kl_drift": _kl_drift_oracle(),

@@ -558,6 +558,37 @@ def test_auc_exact_ungrouped_uses_distributed_prefix(spark):
     assert r.auc_den == 2 * len(pos) * len(neg)
 
 
+def test_auc_exact_static_splits_bit_identical(spark):
+    """r13: caller-supplied ``split_points`` replace the percentile scan
+    over the raw eval rows (one less full pass; the eval_auc entry uses
+    uniform ppm cuts).  ANY monotone literals must give the bit-identical
+    integer result — balanced cuts, lopsided cuts, cuts entirely outside
+    the score range (everything lands in one bucket), and singleton
+    lists all agree with the percentile-derived path."""
+    import random
+
+    from tidier_spark.operators.evalmetrics import auc_exact
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice([None, *range(200)]), rng.choice([None, 0, 1]))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "s int, y int").repartition(8)
+    want = auc_exact(df, "s", "y").collect()[0]
+    for splits in (
+        [50, 100, 150],          # balanced
+        [1, 2, 3, 198],          # lopsided
+        [-500, -400],            # entirely below the data: one bucket
+        [10_000],                # entirely above
+        [100],                   # singleton
+    ):
+        got = auc_exact(df, "s", "y", split_points=splits).collect()[0]
+        assert (got.n_pos, got.n_neg, got.auc_num, got.auc_den) == (
+            want.n_pos, want.n_neg, want.auc_num, want.auc_den,
+        ), splits
+
+
 def test_calibration_bins_arithmetic(spark):
     from tidier_spark.operators.evalmetrics import calibration_bins
 

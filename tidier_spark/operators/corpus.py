@@ -57,6 +57,12 @@ def clean_corpus(
     the min-id survivor is ``row_number() over (partition by fingerprint
     order by id) = 1`` — ONE shuffle on already-gated rows, single pass, no
     self-join, nothing computed twice.
+
+    Parallelism note (ADVICE r12): the internal fan-out is FILE-SCAN
+    scoped — it reacts to under-split file sources only.  An in-memory /
+    post-shuffle input (``createDataFrame``, unions, joins) is left at
+    its incoming partitioning; a caller holding a single-partition
+    in-memory corpus should ``df.repartition(n)`` before the call.
     """
     from pyspark.sql import Window
 

@@ -24,6 +24,7 @@ def auc_exact(
     label_col: str,
     *,
     by: str | list[str] | None = None,
+    split_points: list | None = None,
 ) -> DataFrame:
     """EXACT ROC-AUC via the rank-sum (Mann-Whitney U) identity, with the
     standard average-rank tie handling — as integers, so the value is
@@ -63,6 +64,15 @@ def auc_exact(
     overflows at the same order).  Past that, ANSI mode raises loudly
     rather than silently wrapping; an eval set that large should be
     sampled or sharded (``by=``) anyway.
+
+    ``split_points`` (ungrouped only, r13): static bucket boundaries for
+    the distributed prefix, replacing the percentile pass over the raw
+    rows.  ANY ascending literals in the score domain are CORRECT — the
+    bucket id only drives the parallel decomposition, the integer prefix
+    combine is exact regardless of balance — so a caller who knows the
+    score's range (e.g. a ppm-scaled score in [0, 1e6]) skips one full
+    scan of the eval set.  Results are bit-identical either way (pinned
+    in tests).
     """
     keys = [by] if isinstance(by, str) else list(by or [])
     base = df.where(
@@ -87,15 +97,19 @@ def auc_exact(
     else:
         from ..window import scale_safe_cumulative
 
-        # bucket split points from a percentile pass over the RAW rows,
-        # not over per_score: any monotone literals are correct (only
-        # balance varies — and row-weighted balance is what we want),
-        # and the raw scan is one stage where the per_score pass would
-        # re-execute the whole distinct-score shuffle (measured 10.7 s
-        # of a 74 s call at 60M distinct)
+        # bucket split points: caller-supplied literals when the score
+        # domain is known (skips the data pass entirely — r13), else a
+        # percentile pass over the RAW rows, not over per_score: any
+        # monotone literals are correct (only balance varies — and
+        # row-weighted balance is what we want), and the raw scan is one
+        # stage where the per_score pass would re-execute the whole
+        # distinct-score shuffle (measured 10.7 s of a 74 s call at 60M
+        # distinct)
         n_parts = df.sparkSession.sparkContext.defaultParallelism
         splits = None
-        if n_parts >= 2:
+        if split_points is not None:
+            splits = sorted(split_points)
+        elif n_parts >= 2:
             probs = [(i + 1) / n_parts for i in range(n_parts - 1)]
             row = base.select(
                 F.percentile_approx(

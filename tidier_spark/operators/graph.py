@@ -236,11 +236,14 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
-    # fixpoint edges are rooted stars (root = component min on u side)
+    # fixpoint edges are rooted stars (root = component min on u side).
+    # Roots self-label WITHOUT a separate distinct pass (r13): the
+    # closing groupBy-min dedups anyway, so unioning the raw u-side
+    # projection (node=u, lab=u) is equivalent to distinct-then-label
+    # — one less exchange in the label-attach tail.  At fixpoint a
+    # root u never appears as a v-side node, so its min(lab) is u.
     labels = e.select(F.col("v").alias("node"), F.col("u").alias("lab"))
-    roots = e.select(F.col("u").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
-    )
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("lab"))
     lab = labels.unionByName(roots).groupBy("node").agg(F.min("lab").alias("lab"))
     return (
         nodes.select(F.col(id_col))

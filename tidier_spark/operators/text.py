@@ -22,6 +22,8 @@ Portability notes (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,16 +88,55 @@ def _fan_out(df: DataFrame) -> DataFrame:
 
     (r12: moved here from ``dedup.py`` — the map-only text/BPE operators
     serialize the whole corpus expression tree on one core without it; at
-    real scale ``files >= parallelism`` and this is a no-op.)
+    real scale the guards below make it a no-op.)
+
+    Guards (ADVICE r12):
+
+    * **split estimate, not file count** — one large multi-row-group file
+      already scans as ``maxPartitionBytes``-sized splits, so a
+      few-large-files layout does NOT need the fan-out (and fanning it
+      would inject a full corpus shuffle).  When the paths are locally
+      statable, the gate is the estimated split count
+      ``Σ ceil(bytes / maxPartitionBytes)``; otherwise the file count
+      stands in (documented proxy: many-file object-store sources at
+      scale clear ``files >= parallelism`` anyway).
+    * **idempotent** — ``inputFiles()`` sees through a repartition, so a
+      caller-side fan-out composed with an operator's internal one would
+      silently double the shuffle; an existing Repartition node in the
+      logical plan makes this a no-op.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         return df
-    if files and len(files) < par:
-        df = df.repartition(par)
-    return df
+    if not files or len(files) >= par:
+        return df
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+        if "Repartition" in plan:  # Repartition / RepartitionByExpression
+            return df
+    except Exception:
+        pass
+    try:
+        max_split = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+        est_splits = 0
+        for uri in files:
+            p = uri
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            est_splits += max(1, -(-os.path.getsize(p) // max_split))
+            if est_splits >= par:
+                return df  # scan already feeds enough tasks
+    except Exception:
+        pass  # non-local paths: file-count proxy decides
+    return df.repartition(par)
 
 
 def fold_lower(col: Column | str) -> Column:
